@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the harness parquet tables (see TESTDATA.md).
+  *
+  * All engine queries receive a scale-factor directory and read only from
+  * it; schemas are fixed by the driver's generator so we do not re-infer
+  * or re-declare them here (parquet carries them).
+  */
+object Tables {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long and truncate to microseconds (values
+    * are µs-aligned in the generator, and DuckDB reads the column as µs too).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+}

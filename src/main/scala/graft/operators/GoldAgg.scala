@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.functions.Exact
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Gold-layer aggregates.
+  *
+  * Reference: `gold_monthly_spending(month, year, total_spend, avg_spend)` is
+  * declared but never populated (/root/reference/src/sql/create_gold_layer.sql:1-6);
+  * the implied query is a calendar-month rollup of the fact table. Hash
+  * aggregate with automatic partial (map-side) combine — one shuffle on
+  * (year, month), ~84 groups at any scale, so the reduce side is trivial
+  * even at 100 TB; all heavy lifting happens map-side.
+  */
+object GoldAgg {
+
+  /** Monthly spend rollup: (year, month, total_spend, avg_spend, n_rows). */
+  def monthlySpend(fact: DataFrame, dateCol: String, amountCol: String): DataFrame =
+    fact
+      .groupBy(
+        year(col(dateCol)).as("o_year"),
+        month(col(dateCol)).as("o_month"))
+      .agg(
+        Exact.sumD(col(amountCol)).as("total_spend"),
+        Exact.avgD(col(amountCol)).as("avg_spend"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_year", "o_month")
+}

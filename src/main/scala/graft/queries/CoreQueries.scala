@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Exact
+import graft.operators.{Dedup, GoldAgg, Normalize}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity relational surface (SURVEY.md §2a) expressed over the
+  * harness star schema. Each query names the reference operator(s) it
+  * covers, with citations into /root/reference in the Scaladoc.
+  *
+  * Determinism contract for the DuckDB oracle: every query ends in a total
+  * ORDER BY, and every aggregated double goes through [[Exact]] so the
+  * result is independent of partitioning.
+  */
+object CoreQueries {
+
+  /** Q1/Q2/S5 — scan + global sort + limit ("latest snapshot" pattern,
+    * /root/reference/notebooks/query_sqlite_db.ipynb cell 4: `SELECT * FROM
+    * bronze_balance ORDER BY date_retrieved DESC`). TopK sort: Spark plans
+    * this as TakeOrderedAndProject — no full sort, no full shuffle.
+    */
+  private val q01 = GraftQuery(
+    "q01_scan_sort_limit",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .orderBy(col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(200),
+    Some("""SELECT * FROM lineitem
+            ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 200"""))
+
+  /** S4 — predicate pushdown + projection (reference pushes `since`/`before`
+    * to the API, api_client.py:176-187; here the filter reaches the parquet
+    * scan as PushedFilters and only 5 columns are read).
+    */
+  private val q02 = GraftQuery(
+    "q02_filter_project",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") && col("l_discount") > 0.05)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1.0 - l_discount) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_discount > 0.05
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** T1 — DISTINCT projection + NOT NULL key filter → dimension table
+    * (counterparties dim, transform_bronze_to_silver.sql:1-8). Here:
+    * distinct (partkey, suppkey) pairs observed in the fact table.
+    */
+  private val q03 = GraftQuery(
+    "q03_distinct_dim",
+    (s, dir) =>
+      Normalize.distinctDim(Tables.lineitem(s, dir), Seq("l_partkey", "l_suppkey"), Nil)
+        .orderBy("l_partkey", "l_suppkey"),
+    Some("""SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+            ORDER BY l_partkey, l_suppkey"""))
+
+  /** T2 — first-writer-wins dimension extract (merchants dim,
+    * transform_bronze_to_silver.sql:10-35; INSERT OR IGNORE keeps the first
+    * row per key). Deterministic order: earliest shipment, then PK.
+    */
+  private val q04 = GraftQuery(
+    "q04_first_writer_dim",
+    (s, dir) =>
+      Normalize.firstWriterDim(
+        Tables.lineitem(s, dir),
+        keyCols = Seq("l_partkey"),
+        attrCols = Seq("l_suppkey", "l_shipdate", "l_extendedprice"),
+        order = Seq(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc))
+        .orderBy("l_partkey"),
+    Some("""SELECT l_partkey, l_suppkey, l_shipdate, l_extendedprice
+            FROM (SELECT l_partkey, l_suppkey, l_shipdate, l_extendedprice,
+                         row_number() OVER (PARTITION BY l_partkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+                  FROM lineitem)
+            WHERE rn = 1 ORDER BY l_partkey"""))
+
+  /** T3/T4 — fact projection dropping denormalized columns + INTEGER→REAL
+    * widening cast (silver amount REAL receives bronze INTEGER,
+    * create_silver_layer.sql:4; transform copies without unit conversion,
+    * transform_bronze_to_silver.sql:45).
+    */
+  private val q05 = GraftQuery(
+    "q05_fact_project_cast",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey").cast("double").as("suppkey_real"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+                   CAST(l_suppkey AS DOUBLE) AS suppkey_real,
+                   l_quantity, l_extendedprice
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** L1 — keyed insert-if-absent dedup sink (load.py:25-128): the append set
+    * is the anti join of incoming rows against existing keys. "Existing" here
+    * = orders already finalized (status F).
+    */
+  private val q06 = GraftQuery(
+    "q06_anti_join_insert_absent",
+    (s, dir) => {
+      val incoming = Tables.lineitem(s, dir)
+      val existing = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      Dedup.insertIfAbsent(incoming, existing, Seq("l_orderkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT * FROM lineitem
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** G1 — gold monthly-spend rollup (create_gold_layer.sql:1-6, the
+    * reference's one declared analytics query; never populated there).
+    */
+  private val q07 = GraftQuery(
+    "q07_gold_monthly_agg",
+    (s, dir) =>
+      GoldAgg.monthlySpend(Tables.orders(s, dir), "o_orderdate", "o_totalprice")
+        .withColumn("o_year", col("o_year").cast("long"))
+        .withColumn("o_month", col("o_month").cast("long")),
+    Some("""SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_spend,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                        / COUNT(o_totalprice) AS DOUBLE) AS avg_spend,
+                   COUNT(*) AS n_rows
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** E1 — broadcast-lookup enrichment join (currency-rate notebook,
+    * notebooks/currency_ex_rate_api.ipynb; FK materialization). Two small
+    * dims broadcast; one shuffle total (the aggregate).
+    */
+  private val q08 = GraftQuery(
+    "q08_broadcast_enrich_join",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          Exact.sumD(col("c_acctbal")).as("total_acctbal"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  /** P2 — null-defaulting (`.get(key, default)` semantics,
+    * api_client.py:44-51; load.py:207-216): customers without orders get
+    * total 0 instead of NULL.
+    */
+  private val q09 = GraftQuery(
+    "q09_null_default_left_join",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          coalesce(Exact.sumD(col("o_totalprice")), lit(0.0)).as("total_spend"),
+          count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+                   COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 0.0) AS total_spend,
+                   COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  /** P3 — JSON-in-TEXT decode (merchant_suggested_tags json round trip,
+    * load.py:117): extract a typed field from the events JSON props column.
+    */
+  private val q10 = GraftQuery(
+    "q10_json_extract",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+            FROM events ORDER BY event_id"""))
+
+  /** Q2/L2 — latest-snapshot-per-key (bronze_balance/pots are append-only
+    * snapshots read back ORDER BY date_retrieved DESC; the per-key variant
+    * is the scalable form). One shuffle on user_id.
+    */
+  private val q11 = GraftQuery(
+    "q11_latest_snapshot_per_key",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_id, ts, event_type, value
+            FROM (SELECT user_id, event_id, ts, event_type, value,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id"""))
+
+  /** S2-adjacent scalar surface — abs / date-part extraction
+    * (abs(spend_today), api_client.py:219; year/month for the gold rollup).
+    */
+  private val q12 = GraftQuery(
+    "q12_scalar_functions",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          abs(col("value")).as("abs_value"),
+          year(col("ts")).cast("long").as("ts_year"),
+          month(col("ts")).cast("long").as("ts_month"),
+          dayofmonth(col("ts")).cast("long").as("ts_day"),
+          hour(col("ts")).cast("long").as("ts_hour"),
+          coalesce(col("event_type"), lit("unknown")).as("event_type"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, ABS(value) AS abs_value,
+                   year(ts) AS ts_year, month(ts) AS ts_month,
+                   day(ts) AS ts_day, hour(ts) AS ts_hour,
+                   COALESCE(event_type, 'unknown') AS event_type
+            FROM events ORDER BY event_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+}
