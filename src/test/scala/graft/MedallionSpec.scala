@@ -1,0 +1,106 @@
+package graft
+
+import graft.pipeline.Medallion
+import graft.schema.MonzoSchemas
+import graft.sources.MonzoSource
+import org.apache.spark.sql.functions._
+
+/** End-to-end medallion semantics vs the reference pipeline
+  * (/root/reference/src/main.py:19-85): idempotent keyed bronze load
+  * (test_load.py semantics: same id twice → one row), first-writer-wins
+  * dims, fact projection, gold rollup.
+  */
+class MedallionSpec extends SparkSpec {
+
+  private def tx(id: String, amount: Long, created: String,
+      merchant: String = "merch_1", merchName: String = "Shop A"): String =
+    s"""{"id":"$id","description":"d","amount":$amount,"currency":"GBP",
+       |"created":"$created","category":"general","notes":"","is_load":false,
+       |"local_amount":$amount,"local_currency":"GBP",
+       |"counterparty":{"name":"Alex","account_number":11111111,"sort_code":112233},
+       |"merchant":{"id":"$merchant","name":"$merchName","category":"shops",
+       |"online":false,"atm":false}}""".stripMargin.replaceAll("\n", "")
+
+  private def bronzeBatch(rows: String*) =
+    MonzoSource.flattenTransactions(jsonDf(MonzoSchemas.apiTransaction, rows: _*))
+
+  test("keyed bronze load is idempotent: same batch twice loads once") {
+    val m = Medallion(tmpDir("medallion"))
+    val batch = bronzeBatch(
+      tx("tx_1", -100, "2025-01-01T00:00:00Z"),
+      tx("tx_2", -200, "2025-01-02T00:00:00Z"))
+    val clock = lit("2025-02-01T00:00:00Z").cast("timestamp")
+    m.loadBronzeTransactions(spark, batch, clock)
+    m.loadBronzeTransactions(spark, batch, clock)
+    assert(spark.read.parquet(m.bronzeTx).count() === 2)
+  }
+
+  test("incremental load appends only unseen ids") {
+    val m = Medallion(tmpDir("medallion"))
+    val clock = lit("2025-02-01T00:00:00Z").cast("timestamp")
+    m.loadBronzeTransactions(spark, bronzeBatch(tx("tx_1", -100, "2025-01-01T00:00:00Z")), clock)
+    m.loadBronzeTransactions(spark, bronzeBatch(
+      tx("tx_1", -999, "2025-01-01T00:00:00Z"), // replay with changed amount: ignored
+      tx("tx_3", -300, "2025-01-05T00:00:00Z")), clock)
+    val bronze = spark.read.parquet(m.bronzeTx)
+    assert(bronze.count() === 2)
+    assert(bronze.filter(col("id") === "tx_1").select("amount").collect()(0).getLong(0) === -100L)
+  }
+
+  test("silver: first-writer-wins merchant dim + fact keeps FKs, drops denormalized cols") {
+    val m = Medallion(tmpDir("medallion"))
+    val clock = lit("2025-02-01T00:00:00Z").cast("timestamp")
+    m.loadBronzeTransactions(spark, bronzeBatch(
+      tx("tx_1", -100, "2025-01-01T00:00:00Z", merchName = "First Name"),
+      tx("tx_2", -200, "2025-01-02T00:00:00Z", merchName = "Changed Name")), clock)
+    m.transformSilver(spark)
+
+    val merchants = spark.read.parquet(m.silverMerchants)
+    assert(merchants.count() === 1)
+    assert(merchants.select("name").collect()(0).getString(0) === "First Name")
+
+    val cps = spark.read.parquet(m.silverCounterparties)
+    assert(cps.count() === 1)
+    assert(cps.columns.toSet === Set("account_num", "sort_code", "name"))
+
+    val fact = spark.read.parquet(m.silverTx)
+    assert(fact.count() === 2)
+    assert(!fact.columns.contains("merchant_name"))
+    assert(fact.columns.contains("merchant_id"))
+    // T4: INTEGER→REAL widening, no unit conversion
+    assert(fact.schema("amount").dataType.typeName === "double")
+    assert(fact.filter(col("id") === "tx_1").select("amount").collect()(0).getDouble(0) === -100.0)
+  }
+
+  test("full run populates gold monthly spending from negative amounts") {
+    val m = Medallion(tmpDir("medallion"))
+    import spark.implicits._
+    val balance = Seq((1000L, 1000L, "GBP", 0L))
+      .toDF("balance", "total_balance", "currency", "spend_today")
+    val pots = spark.read.json(spark.createDataset(Seq(
+      """{"pots":[{"id":"pot_1","balance":1}]}""")))
+    val batch = bronzeBatch(
+      tx("tx_1", -100, "2025-01-10T00:00:00Z"),
+      tx("tx_2", -300, "2025-01-20T00:00:00Z"),
+      tx("tx_3", 5000, "2025-01-25T00:00:00Z"), // income: excluded from spend
+      tx("tx_4", -50, "2025-02-01T00:00:00Z"))
+    m.run(spark, batch, MonzoSource.shapeBalance(balance),
+      MonzoSource.explodePots(pots), lit("2025-03-01T00:00:00Z").cast("timestamp"))
+
+    val gold = spark.read.parquet(m.goldMonthly).orderBy("year", "month").collect()
+    assert(gold.length === 2)
+    assert(gold(0).getAs[Long]("year") === 2025L || gold(0).getAs[Int]("year") === 2025)
+    assert(gold(0).getAs[Double]("total_spend") === 400.0)
+    assert(gold(0).getAs[Double]("avg_spend") === 200.0)
+    assert(gold(1).getAs[Double]("total_spend") === 50.0)
+    // snapshots appended
+    assert(spark.read.parquet(m.bronzeBalance).count() === 1)
+    assert(spark.read.parquet(m.bronzePots).count() === 1)
+    // re-run is idempotent for bronze/silver; snapshots append (by design)
+    m.run(spark, batch, MonzoSource.shapeBalance(balance),
+      MonzoSource.explodePots(pots), lit("2025-03-02T00:00:00Z").cast("timestamp"))
+    assert(spark.read.parquet(m.bronzeTx).count() === 4)
+    assert(spark.read.parquet(m.silverTx).count() === 4)
+    assert(spark.read.parquet(m.bronzeBalance).count() === 2)
+  }
+}
