@@ -37,6 +37,20 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Rows-only queries: output parquet exists but no oracle entry.
+    import os
+    for d in sorted(os.listdir(out_dir)):
+        if d in oracle or not os.path.isdir(f"{out_dir}/{d}"):
+            continue
+        if only and d not in only:
+            continue
+        try:
+            n = len(pd.read_parquet(f"{out_dir}/{d}"))
+            print(f"{'PASS' if n > 0 else 'FAIL'} {d} (rows-only: {n} rows)")
+            n_pass, n_fail = (n_pass + 1, n_fail) if n > 0 else (n_pass, n_fail + 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {d} (rows-only): {e}")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
