@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.functions.{Sketches, Similarity, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over text and embeddings (driver north star
+  * §2b). Every operator is a shuffle-on-key pipeline — candidate generation
+  * never materializes the O(n²) pair space:
+  *
+  *  - [[ngramJaccardPairs]]: inverted-index join on shingles. Exact (any
+  *    pair with J ≥ τ > 0 shares a shingle), cost Σ df(shingle)². Hub
+  *    shingles are capped via `maxDocFreq` when exactness may be traded for
+  *    scale (off by default so the result stays oracle-comparable).
+  *  - [[minhashLshPairs]]: O(n·k) signatures + band-bucket join, then exact
+  *    Jaccard verification of candidates only.
+  *  - [[simhashPairs]]: 64-bit SimHash, complete 4×16-bit blocking for
+  *    Hamming ≤ 3.
+  *  - [[embeddingNearDupPairs]] / [[knnBruteForce]]: exact cosine pairs /
+  *    top-k; broadcast the smaller side.
+  *  - [[embeddingNearDupLsh]]: random-hyperplane signature bucketing — the
+  *    100 TB path (buckets shrink the candidate space ~2^bits-fold).
+  */
+object NearDup {
+
+  /** Distinct (doc_id, shingle) pairs for an n-gram size. */
+  private def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), Sketches.wordShingles(col("text"), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** Exact n-gram Jaccard near-dup pairs: J(a,b) ≥ threshold, a < b.
+    * Inverted-index join: explode shingles, self-join on shingle, count
+    * common, divide by union size. `maxDocFreq` > 0 drops shingles appearing
+    * in more documents than that (skew guard; makes the result approximate).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, n: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+    val sets = shingleSets(docs, n)
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+    val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val inv =
+      if (maxDocFreq <= 0) inv0
+      else {
+        val rare = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("s")
+        inv0.join(rare, "s")
+      }
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard over shingles.
+    * Returns (doc_a, doc_b, est_jaccard, jaccard) for verified pairs.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, n: Int, threshold: Double,
+      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val rowsPerBand = numPerms / bands
+    val sets = shingleSets(docs, n)
+      .withColumn("sig", Sketches.minhashSignature(Sketches.shingleHashes(col("shingles")), numPerms))
+      .filter(col("sig").isNotNull)
+    val buckets = sets
+      .select(col("doc_id"), col("shingles"), col("sig"),
+        explode(Sketches.bandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("est_jaccard", Sketches.estJaccard(col("sig_a"), col("sig_b")))
+      .withColumn("jaccard", Sketches.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 3 for complete 4-block
+    * blocking). Returns (doc_a, doc_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit blocking is only complete for hamming <= 3")
+    val hashed = docs.select(col("doc_id"),
+      Sketches.simhash(TextFunctions.tokens(col("text"))).as("simhash"))
+    val blocks = hashed.select(col("doc_id"), col("simhash"),
+      explode(Sketches.simhashBlocks(col("simhash"))).as("blk"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact cosine near-dup pairs over embeddings: cos ≥ threshold, a < b.
+    * O(n²) compare — correct-by-construction baseline; use
+    * [[embeddingNearDupLsh]] at scale.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** Random-hyperplane LSH bucketing: vectors agreeing on all `bits` sign
+    * bits land in one bucket; exact cosine verifies candidates. Recall < 1
+    * by construction (tested against the brute-force baseline).
+    */
+  def embeddingNearDupLsh(
+      emb: DataFrame, threshold: Double, bits: Int = 4, dim: Int = 64,
+      tables: Int = 8): DataFrame = {
+    val planes: Seq[Seq[Seq[Double]]] = (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        (0 until dim).map { d =>
+          // deterministic ~N(0,1) via Box-Muller over splitmix64 streams
+          val u1 = (Sketches.splitmix64(((t * bits + b) * dim + d) * 2L + 1) >>> 11) / 9007199254740992.0
+          val u2 = (Sketches.splitmix64(((t * bits + b) * dim + d) * 2L + 2) >>> 11) / 9007199254740992.0
+          math.sqrt(-2.0 * math.log(u1 + 1e-300)) * math.cos(2.0 * math.Pi * u2)
+        }
+      }
+    }
+    val sigCols = planes.zipWithIndex.map { case (tbl, t) =>
+      val bitsCols = tbl.map { plane =>
+        val planeArr = array(plane.map(lit): _*)
+        when(aggregate(
+          zip_with(col("embedding"), planeArr, (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0))
+      }
+      val key = bitsCols.reduceLeft((a, b) => a * 2 + b)
+      struct(lit(t).as("table_idx"), key.as("bucket"))
+    }
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      explode(array(sigCols: _*)).as("bkt"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (brute force with a
+    * broadcast query side; ties broken by vec_id).
+    */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+    val scored = c.join(q, col("q_id") =!= col("n_id"))
+      .withColumn("cos", Similarity.cosine(col("qe"), col("ne")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+}

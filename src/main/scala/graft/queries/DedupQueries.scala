@@ -1,5 +1,86 @@
 package graft.queries
-import graft.GraftQuery
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, NearDup}
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface over `documents` (driver north star §2b): exact
+  * (fingerprint hash-group), n-gram Jaccard (exact, inverted index),
+  * MinHash+LSH and SimHash (sketch-based scale paths).
+  */
 object DedupQueries {
-  val all: Seq[GraftQuery] = Seq()
+
+  /** Exact dedup: one survivor per normalized-text fingerprint (smallest
+    * doc_id wins — deterministic). The LLM-pipeline "exact dedup" stage.
+    */
+  private val q18 = GraftQuery(
+    "q18_exact_dedup",
+    (s, dir) =>
+      Dedup.firstWriterWins(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
+        Seq("fp"), Seq(col("doc_id").asc))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, fp FROM (
+              SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+                     row_number() OVER (PARTITION BY
+                       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                       ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE rn = 1 ORDER BY doc_id"""))
+
+  /** Exact 3-gram Jaccard near-dup pairs at τ = 0.3 via inverted-index join
+    * (no O(n²) pair space; cost is Σ df(shingle)²).
+    */
+  private val q19 = GraftQuery(
+    "q19_ngram_jaccard_pairs",
+    (s, dir) =>
+      NearDup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
+        .orderBy("doc_a", "doc_b"),
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS s
+              FROM norm WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+            FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+            ORDER BY doc_a, doc_b"""))
+
+  /** MinHash(64 perms)+LSH(16 bands) candidates, verified with exact
+    * Jaccard at τ = 0.3. Rows-only: the sketch pipeline (xxhash64 + affine
+    * perms) is engine-specific; recall vs the exact q19 result is asserted
+    * in NearDupSpec.
+    */
+  private val q20 = GraftQuery(
+    "q20_minhash_lsh_pairs",
+    (s, dir) =>
+      NearDup.minhashLshPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
+        .orderBy("doc_a", "doc_b"),
+    None)
+
+  /** SimHash(64-bit) near-dup pairs within Hamming distance 3, complete
+    * 4×16-bit blocking. Rows-only (xxhash64-based).
+    */
+  private val q21 = GraftQuery(
+    "q21_simhash_pairs",
+    (s, dir) =>
+      NearDup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
+        .orderBy("doc_a", "doc_b"),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q18, q19, q20, q21)
 }

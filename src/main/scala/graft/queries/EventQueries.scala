@@ -1,5 +1,148 @@
 package graft.queries
-import graft.GraftQuery
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Exact
+import org.apache.spark.sql.functions._
+
+/** Time-windowed / approximate analytics over the `events` stream table
+  * (driver north star §2b: the reference is batch-only, so these are the
+  * batch-mode forms of the Structured Streaming operators in
+  * [[graft.streaming.StreamOps]] — identical window semantics, runnable on
+  * a static DataFrame).
+  *
+  * All event timestamps go through [[Tables.events]] (nanos → microsecond
+  * truncation); every oracle casts `ts` to µs (`CAST(ts AS TIMESTAMP)`)
+  * so both engines bucket the same instants.
+  *
+  * Scale notes: tumbling/sliding windows are plain hash aggregates on
+  * (window, key) — one shuffle, partial aggregation map-side. The sliding
+  * window multiplies rows by windowsPerSlide (4× here) *before* the partial
+  * agg, which is still the right trade at 100 TB because the expansion
+  * happens inside the map stage and combines immediately. Session windows
+  * shuffle once on the user key and sort within partitions (Spark's
+  * MergingSessions plan) — no O(n²) anywhere.
+  */
 object EventQueries {
-  val all: Seq[GraftQuery] = Seq()
+
+  /** Tumbling 1-hour window per event_type: count + exact sum + mean of
+    * `value`. Spark: `window($"ts", "1 hour")` (epoch-aligned, same as
+    * DuckDB `date_trunc`).
+    */
+  private val q25 = GraftQuery(
+    "q25_window_tumbling_agg",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Exact.sumD(col("value")).as("sum_value"),
+          Exact.avgD(col("value")).as("avg_value"))
+        .select(
+          col("window.start").as("ws"), col("event_type"),
+          col("n_events"), col("sum_value"), col("avg_value"))
+        .orderBy("ws", "event_type"),
+    Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value,
+                   CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS avg_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY ws, event_type"""))
+
+  /** Sliding window: 1-hour length, 15-minute slide — each event lands in 4
+    * overlapping windows. Spark expands then partially aggregates map-side;
+    * the oracle reproduces the expansion with a 4-row generate_series cross
+    * join against the 15-minute bucket.
+    */
+  private val q26 = GraftQuery(
+    "q26_window_sliding_counts",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value")).as("sum_value"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("n_events"), col("sum_value"))
+        .orderBy("ws"),
+    Some("""WITH expanded AS (
+              SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                       - k * INTERVAL '15 minutes' AS ws,
+                     value
+              FROM events
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+            SELECT ws, ws + INTERVAL '1 hour' AS we, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+            FROM expanded GROUP BY ws ORDER BY ws"""))
+
+  /** Session windows per user with a 30-minute inactivity gap: Spark's
+    * `session_window` (start = first ts, end = last ts + gap; a new event
+    * starts a new session iff it is ≥ gap after the previous one). The
+    * oracle is the classic gaps-and-islands rewrite: lag-diff → new-session
+    * flag → running sum as session id → group.
+    */
+  private val q27 = GraftQuery(
+    "q27_session_window",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value")).as("sum_value"))
+        .select(
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+    Some("""WITH t AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                     CASE WHEN CAST(ts AS TIMESTAMP)
+                            - lag(CAST(ts AS TIMESTAMP))
+                                OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL '30 minutes'
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events),
+            s AS (
+              SELECT *, sum(new_session)
+                          OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM t)
+            SELECT min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   user_id, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_start"""))
+
+  /** Exact distinct-user count per (hour, event_type) — the expensive exact
+    * form (count(DISTINCT) = two-phase aggregate) that
+    * [[q29]]'s HLL sketch replaces at scale.
+    */
+  private val q28 = GraftQuery(
+    "q28_distinct_users_exact",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n_users"))
+        .orderBy("ws", "event_type"),
+    Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""))
+
+  /** Approximate aggregates per event_type: HLL++ distinct users and
+    * approximate value quantiles — the single-pass mergeable-sketch path
+    * that replaces exact distinct/percentile at 100 TB. Rows-only (sketch
+    * internals are engine-specific); EventQueriesSpec bounds the error
+    * against the exact answers.
+    */
+  private val q29 = GraftQuery(
+    "q29_approx_aggs",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
+            lit(10000)).as("value_quantiles"))
+        .orderBy("event_type"),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29)
 }

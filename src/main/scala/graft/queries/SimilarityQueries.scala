@@ -1,5 +1,74 @@
 package graft.queries
-import graft.GraftQuery
+
+import graft.{GraftQuery, Tables}
+import graft.operators.NearDup
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (array<float>, dim 64).
+  * The decimal-accumulated cosine (graft.functions.Similarity) makes the
+  * scores bit-identical to the DuckDB oracle's.
+  */
 object SimilarityQueries {
-  val all: Seq[GraftQuery] = Seq()
+
+  /** Shared oracle fragment: exact cosine between embeddings a and b. */
+  private def cosSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b),
+       |  p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+       |/ (sqrt(CAST(list_sum(list_transform($a,
+       |     x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE))
+       |   * sqrt(CAST(list_sum(list_transform($b,
+       |     x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)))"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** Brute-force top-5 cosine neighbors for the first 20 vectors (broadcast
+    * query side; the correctness baseline for ANN).
+    */
+  private val q22 = GraftQuery(
+    "q22_knn_cosine_top5",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      NearDup.knnBruteForce(emb.filter(col("vec_id") < 20), emb, k = 5)
+        // rank on the raw cosine; emit rounded so a 1-ulp sqrt/divide
+        // difference vs the oracle's libm can't break the hash compare
+        .withColumn("cos", round(col("cos"), 12))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+             scored AS (
+               SELECT q_id, b.vec_id AS n_id, ${cosSql("qe", "b.embedding")} AS cos
+               FROM q, embeddings b WHERE b.vec_id <> q_id)
+             SELECT q_id, n_id, round(cos, 12) AS cos, CAST(rank AS INT) AS rank FROM (
+               SELECT q_id, n_id, cos,
+                      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+               FROM scored)
+             WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  /** Exact embedding near-dup pairs at cosine ≥ 0.4 (brute force; the
+    * oracle-checkable baseline for the LSH path).
+    */
+  private val q23 = GraftQuery(
+    "q23_embedding_neardup_pairs",
+    (s, dir) =>
+      NearDup.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+        .withColumn("cos", round(col("cos"), 12))
+        .orderBy("vec_a", "vec_b"),
+    Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                    round(${cosSql("a.embedding", "b.embedding")}, 12) AS cos
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+             ORDER BY vec_a, vec_b"""))
+
+  /** Random-hyperplane LSH ANN pairs at cosine ≥ 0.4 — the bucketed scale
+    * path (8 tables × 4 bits; per-table hit prob (1−θ/π)^4 ≈ 0.16 at the
+    * threshold, ≈ 0.75 over all tables). Rows-only; recall vs q23 asserted
+    * in NearDupSpec.
+    */
+  private val q24 = GraftQuery(
+    "q24_embedding_ann_lsh",
+    (s, dir) =>
+      NearDup.embeddingNearDupLsh(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy("vec_a", "vec_b"),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q22, q23, q24)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Windowed/approximate event analytics: structural invariants plus error
+  * bounds of the sketch aggregates against their exact counterparts (the
+  * oracle hash-compare covers q25–q28 value-exactly; sketches can't be
+  * oracle-compared, so we bound them here).
+  */
+class EventQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tumbling windows partition all events exactly once") {
+    val events = Tables.events(spark, sf)
+    val windowed = Registry.byName("q25_window_tumbling_agg").run(spark, sf)
+    val total = windowed.agg(sum("n_events")).head.getLong(0)
+    assert(total === events.count())
+  }
+
+  test("sliding 1h/15m windows hold each event exactly 4 times") {
+    val events = Tables.events(spark, sf)
+    val windowed = Registry.byName("q26_window_sliding_counts").run(spark, sf)
+    val total = windowed.agg(sum("n_events")).head.getLong(0)
+    assert(total === 4 * events.count())
+  }
+
+  test("session windows: events covered once, gaps within sessions < 30 min") {
+    val events = Tables.events(spark, sf)
+    val sessions = Registry.byName("q27_session_window").run(spark, sf)
+    assert(sessions.agg(sum("n_events")).head.getLong(0) === events.count())
+    // session_end = last event + gap, so every session spans ≥ 30 minutes
+    val badSpan = sessions
+      .filter(col("session_end") < col("session_start") + expr("INTERVAL 30 minutes"))
+      .count()
+    assert(badSpan === 0)
+    // sessions of the same user never overlap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    val overlaps = sessions
+      .withColumn("prev_end", lag("session_end", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("session_start") < col("prev_end"))
+      .count()
+    assert(overlaps === 0)
+  }
+
+  test("approx_count_distinct within 10% of exact; quantiles ordered") {
+    val approx = Registry.byName("q29_approx_aggs").run(spark, sf)
+      .select("event_type", "approx_users", "value_quantiles").collect()
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { r =>
+      val et = r.getString(0)
+      val est = r.getLong(1).toDouble
+      val ex = exact(et).toDouble
+      assert(math.abs(est - ex) / ex <= 0.10, s"$et: est=$est exact=$ex")
+      val qs = r.getSeq[Double](2)
+      assert(qs.length === 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
+    }
+  }
+}

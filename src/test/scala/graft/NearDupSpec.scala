@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.NearDup
+import org.apache.spark.sql.functions._
+
+/** Near-dup/similarity operators: correctness on constructed fixtures and
+  * recall of the sketch paths against exact baselines on the harness data.
+  */
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fixtureDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer rules and codegen stages"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("ngramJaccardPairs finds planted near-dups and exact dups only") {
+    val pairs = NearDup.ngramJaccardPairs(fixtureDocs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("minhashLshPairs recall = 1.0 vs exact jaccard pairs on documents") {
+    val docs = Tables.documents(spark, sf)
+    val exact = NearDup.ngramJaccardPairs(docs, 3, 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.minhashLshPairs(docs, 3, 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected planted near-dups in harness documents")
+    // verification filters candidates by exact jaccard, so lsh ⊆ exact;
+    // banding (16 bands × 4 rows) catches J≥0.3 with prob ≈ 1-(1-0.3^4)^16
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(lsh.subsetOf(exact))
+    assert(recall >= 0.8, s"recall $recall too low: ${exact.diff(lsh)}")
+  }
+
+  test("simhashPairs finds exact dup (hamming 0) on fixtures") {
+    val pairs = NearDup.simhashPairs(fixtureDocs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap.get((1L, 4L)) === Some(0))
+  }
+
+  test("embedding LSH ANN is a subset of brute force with decent recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = NearDup.embeddingNearDupPairs(emb, 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = NearDup.embeddingNearDupLsh(emb, 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = ann.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.3, s"ANN recall $recall; exact=${exact.size} ann=${ann.size}")
+    }
+  }
+
+  test("knnBruteForce returns k ranked neighbors per query") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = NearDup.knnBruteForce(emb.filter(col("vec_id") < 3), emb, 5)
+    val byQ = out.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.length === 5)
+      val cosines = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
