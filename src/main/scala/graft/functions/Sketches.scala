@@ -24,38 +24,19 @@ object Sketches {
     z ^ (z >>> 31)
   }
 
-  /** Distinct word n-gram shingles of a text column. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))))
-      .otherwise(array())
-  }
-
-  /** Mersenne prime 2^31−1: MinHash perms run mod P so products stay under
-    * 2^62 (ANSI mode forbids silent long wraparound).
+  /** Distinct word n-gram shingles of a text column (native eval loop —
+    * the HOF formulation was the pipeline bottleneck, see
+    * [[graft.expressions.TextSketchExprs]]).
     */
-  private val P = 2147483647L
+  def wordShingles(text: Column, n: Int): Column =
+    graft.expressions.TextSketchExprs.wordShingles(TextFunctions.tokens(text), n)
 
-  /** xxhash64 of each shingle reduced mod P — the shared base for all
-    * MinHash perms.
+  /** MinHash signature (`numPerms` longs in [0,P), P = 2³¹−1) over a shingle
+    * array: h_i(x) = (a_i·xxhash64(x) + b_i) mod P with a_i ∈ [1,P), a
+    * classic universal family (Carter-Wegman). Null for empty input.
     */
-  def shingleHashes(shingles: Column): Column =
-    transform(shingles, s => pmod(xxhash64(s), lit(P)))
-
-  /** MinHash signature (`numPerms` longs in [0,P)) over pre-hashed shingles:
-    * h_i(x) = (a_i·x + b_i) mod P with a_i ∈ [1,P), a classic universal
-    * family (Carter-Wegman).
-    */
-  def minhashSignature(hashes: Column, numPerms: Int): Column = {
-    val sig = (0 until numPerms).map { i =>
-      val a = java.lang.Math.floorMod(splitmix64(2L * i), P - 1) + 1
-      val b = java.lang.Math.floorMod(splitmix64(2L * i + 1), P)
-      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
-    }
-    when(size(hashes) > 0, array(sig: _*)).otherwise(lit(null))
-  }
+  def minhashSignature(shingles: Column, numPerms: Int): Column =
+    graft.expressions.TextSketchExprs.minhashSig(shingles, numPerms)
 
   /** LSH band keys: one murmur3 hash per band over its signature slice.
     * Band index is encoded into the key so different bands never collide.
@@ -81,19 +62,8 @@ object Sketches {
     * MSB-first sign fold. Near-dup docs differ in few bits (use
     * [[simhashBlocks]] + bit_count(xor) ≤ k to pair them).
     */
-  def simhash(tokens: Column): Column = {
-    val votes = aggregate(
-      tokens,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val bitVotes = array((0 until 64).map(b =>
-          when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L)
-            .otherwise(-1L)): _*)
-        zip_with(acc, bitVotes, (a, v) => a + v)
-      })
-    aggregate(votes, lit(0L), (acc, v) =>
-      shiftleft(acc, 1).bitwiseOR(when(v > 0, 1L).otherwise(0L)))
-  }
+  def simhash(tokens: Column): Column =
+    graft.expressions.TextSketchExprs.simhash64(tokens)
 
   /** The four 16-bit blocks of a SimHash — pairs within Hamming distance 3
     * must agree on at least one block (pigeonhole), so grouping by block is

@@ -3,25 +3,37 @@ package graft.operators
 import graft.functions.{Sketches, Similarity, TextFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate detection over text and embeddings (driver north star
   * §2b). Every operator is a shuffle-on-key pipeline — candidate generation
-  * never materializes the O(n²) pair space:
+  * never materializes the O(n²) pair space — and every pairwise verify is
+  * two-phase: a codegen'd double-precision prefilter with a guard band,
+  * then the decimal-exact cosine/jaccard only for survivors (the exact
+  * decimal form is what the DuckDB oracle hash-compares, but it is ~10×
+  * the cost of the double loop, so it must only ever run on candidates).
   *
-  *  - [[ngramJaccardPairs]]: inverted-index join on shingles. Exact (any
-  *    pair with J ≥ τ > 0 shares a shingle), cost Σ df(shingle)². Hub
+  *  - [[ngramJaccardPairs]]: inverted-index join on hashed shingles. Exact
+  *    (any pair with J ≥ τ > 0 shares a shingle), cost Σ df(shingle)². Hub
   *    shingles are capped via `maxDocFreq` when exactness may be traded for
   *    scale (off by default so the result stays oracle-comparable).
-  *  - [[minhashLshPairs]]: O(n·k) signatures + band-bucket join, then exact
-  *    Jaccard verification of candidates only.
+  *  - [[minhashLshPairs]]: O(n·k) signatures + slim (id, bucket) band join,
+  *    then exact Jaccard verification of candidates only.
   *  - [[simhashPairs]]: 64-bit SimHash, complete 4×16-bit blocking for
   *    Hamming ≤ 3.
   *  - [[embeddingNearDupPairs]] / [[knnBruteForce]]: exact cosine pairs /
-  *    top-k; broadcast the smaller side.
+  *    top-k, norms precomputed per vector (1 dot per pair, not 3).
   *  - [[embeddingNearDupLsh]]: random-hyperplane signature bucketing — the
   *    100 TB path (buckets shrink the candidate space ~2^bits-fold).
   */
 object NearDup {
+
+  /** Margin added below a cosine threshold for the double-precision
+    * prefilter: |double_dot − exact_dot| ≤ dim·ε·Σ|aᵢbᵢ|, which for unit-ish
+    * 64-dim vectors is ≲ 1e-13 — 1e-6 is a ~10⁷× safety factor and still
+    * filters essentially everything below threshold.
+    */
+  private val CosGuard = 1e-6
 
   /** Distinct (doc_id, shingle) pairs for an n-gram size. */
   private def shingleSets(docs: DataFrame, n: Int): DataFrame =
@@ -29,15 +41,21 @@ object NearDup {
       .filter(size(col("shingles")) > 0)
 
   /** Exact n-gram Jaccard near-dup pairs: J(a,b) ≥ threshold, a < b.
-    * Inverted-index join: explode shingles, self-join on shingle, count
-    * common, divide by union size. `maxDocFreq` > 0 drops shingles appearing
-    * in more documents than that (skew guard; makes the result approximate).
+    * Inverted-index join: explode shingles, self-join on a 64-bit shingle
+    * hash (8-byte shuffle keys instead of ~25-byte strings; a collision
+    * would need two distinct shingles in the same corpus at the same hash —
+    * P ≈ m²/2⁶⁵, negligible), count common, divide by union size.
+    * `maxDocFreq` > 0 drops shingles appearing in more documents than that
+    * (skew guard; makes the result approximate).
     */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
-    val sets = shingleSets(docs, n)
+    // referenced three times (sizes + both join sides): persist instead of
+    // recomputing the shingling per reference
+    val sets = shingleSets(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
     val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
     val inv =
       if (maxDocFreq <= 0) inv0
       else {
@@ -60,6 +78,11 @@ object NearDup {
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard over shingles.
     * Returns (doc_a, doc_b, est_jaccard, jaccard) for verified pairs.
+    *
+    * The band-bucket self-join runs on slim (doc_id, bucket) rows; the
+    * signature and shingle arrays are re-attached to the deduplicated
+    * candidate pairs by key afterwards, so the widest shuffle carries two
+    * longs per row instead of the full arrays × bands.
     */
   def minhashLshPairs(
       docs: DataFrame, n: Int, threshold: Double,
@@ -67,19 +90,18 @@ object NearDup {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rowsPerBand = numPerms / bands
     val sets = shingleSets(docs, n)
-      .withColumn("sig", Sketches.minhashSignature(Sketches.shingleHashes(col("shingles")), numPerms))
+      .withColumn("sig", Sketches.minhashSignature(col("shingles"), numPerms))
       .filter(col("sig").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = sets
-      .select(col("doc_id"), col("shingles"), col("sig"),
-        explode(Sketches.bandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
+      .select(col("doc_id"), explode(Sketches.bandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("est_jaccard", Sketches.estJaccard(col("sig_a"), col("sig_b")))
       .withColumn("jaccard", Sketches.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -104,66 +126,86 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** (vec_id, embedding, nrm) with the exact per-vector norm — computed
+    * once per vector so pair verification needs a single dot product.
+    */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      Similarity.normExact(col("embedding")).as("nrm"))
+
   /** Exact cosine near-dup pairs over embeddings: cos ≥ threshold, a < b.
     * O(n²) compare — correct-by-construction baseline; use
-    * [[embeddingNearDupLsh]] at scale.
+    * [[embeddingNearDupLsh]] at scale. The double prefilter + guard band
+    * keeps the decimal-exact recompute off the n² hot path.
     */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val v = withNorm(emb)
+    val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", Similarity.cosine(col("ea"), col("eb")))
+      .filter(Similarity.cosineFromParts(
+        Similarity.dotFast(col("ea"), col("eb")), col("na"), col("nb"))
+        >= threshold - CosGuard)
+      .withColumn("cos", Similarity.cosineFromParts(
+        Similarity.dotExact(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
 
   /** Random-hyperplane LSH bucketing: vectors agreeing on all `bits` sign
-    * bits land in one bucket; exact cosine verifies candidates. Recall < 1
-    * by construction (tested against the brute-force baseline).
+    * bits of a table land in one bucket; exact cosine verifies candidates.
+    * Recall < 1 by construction (per-table hit prob (1−θ/π)^bits; tested
+    * against the brute-force baseline). Bucket join is slim (vec_id,
+    * table, bucket); embeddings re-attach to deduped candidates by key.
     */
   def embeddingNearDupLsh(
       emb: DataFrame, threshold: Double, bits: Int = 4, dim: Int = 64,
       tables: Int = 8): DataFrame = {
-    val planes: Seq[Seq[Seq[Double]]] = (0 until tables).map { t =>
-      (0 until bits).map { b =>
-        (0 until dim).map { d =>
-          // deterministic ~N(0,1) via Box-Muller over splitmix64 streams
-          val u1 = (Sketches.splitmix64(((t * bits + b) * dim + d) * 2L + 1) >>> 11) / 9007199254740992.0
-          val u2 = (Sketches.splitmix64(((t * bits + b) * dim + d) * 2L + 2) >>> 11) / 9007199254740992.0
-          math.sqrt(-2.0 * math.log(u1 + 1e-300)) * math.cos(2.0 * math.Pi * u2)
-        }
+    val planes: Seq[Seq[Float]] = (0 until tables * bits).map { p =>
+      (0 until dim).map { d =>
+        // deterministic ~N(0,1) via Box-Muller over splitmix64 streams
+        val u1 = (Sketches.splitmix64((p * dim + d) * 2L + 1) >>> 11) / 9007199254740992.0
+        val u2 = (Sketches.splitmix64((p * dim + d) * 2L + 2) >>> 11) / 9007199254740992.0
+        (math.sqrt(-2.0 * math.log(u1 + 1e-300)) * math.cos(2.0 * math.Pi * u2)).toFloat
       }
     }
-    val sigCols = planes.zipWithIndex.map { case (tbl, t) =>
-      val bitsCols = tbl.map { plane =>
-        val planeArr = array(plane.map(lit): _*)
-        when(aggregate(
-          zip_with(col("embedding"), planeArr, (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0))
-      }
-      val key = bitsCols.reduceLeft((a, b) => a * 2 + b)
+    val sigCols = (0 until tables).map { t =>
+      val key = (0 until bits).map { b =>
+        when(Similarity.dotFast(col("embedding"),
+          typedLit(planes(t * bits + b))) >= 0, lit(1)).otherwise(lit(0))
+      }.reduceLeft((a, b) => a * 2 + b)
       struct(lit(t).as("table_idx"), key.as("bucket"))
     }
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      explode(array(sigCols: _*)).as("bkt"))
-    bucketed.as("a").join(bucketed.as("b"),
+    val bucketed = emb.select(col("vec_id"), explode(array(sigCols: _*)).as("bkt"))
+    val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-      .withColumn("cos", Similarity.cosine(col("ea"), col("eb")))
+    val v = withNorm(emb)
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+      .filter(Similarity.cosineFromParts(
+        Similarity.dotFast(col("ea"), col("eb")), col("na"), col("nb"))
+        >= threshold - CosGuard)
+      .withColumn("cos", Similarity.cosineFromParts(
+        Similarity.dotExact(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
 
   /** Exact top-k cosine neighbors for each query vector (brute force with a
-    * broadcast query side; ties broken by vec_id).
+    * broadcast query side; ties broken by vec_id). Ranking uses the exact
+    * cosine so the order is reproducible against a serial oracle.
     */
   def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("qe")))
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+    val q = broadcast(withNorm(queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")))
+    val c = withNorm(corpus)
+      .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn"))
     val scored = c.join(q, col("q_id") =!= col("n_id"))
-      .withColumn("cos", Similarity.cosine(col("qe"), col("ne")))
+      .withColumn("cos", Similarity.cosineFromParts(
+        Similarity.dotExact(col("qe"), col("ne")), col("qn"), col("nn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))

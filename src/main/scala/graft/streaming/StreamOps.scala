@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.functions.Exact
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming forms of the event analytics in
+  * [[graft.queries.EventQueries]] — same window semantics, incremental
+  * execution. The reference pipeline is EventBridge-scheduled batch
+  * (/root/reference/src/main.py:19-85); its natural streaming upgrade is
+  * exactly this: a file/queue source, watermarked event-time windows, and
+  * idempotent sinks. `Trigger.AvailableNow` reproduces the reference's
+  * "process everything pending, then stop" lifecycle.
+  *
+  * Scale notes: watermark + windowed aggregation keeps state bounded (old
+  * windows are dropped once the watermark passes); the stateful per-user
+  * operator uses [[GroupStateTimeout.EventTimeTimeout]] so abandoned keys
+  * are evicted rather than accumulating forever — both are required for an
+  * unbounded 100 TB/day stream.
+  */
+object StreamOps {
+
+  /** The events table as a file-source stream (µs-truncated `ts`, same as
+    * [[graft.Tables.events]]).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .parquet(streamDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The parquet file source requires a directory; the harness ships one
+    * file per table, so stage a directory containing a symlink to it (a
+    * production deployment points at the landing directory directly).
+    */
+  private def streamDir(sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-stream-" + Integer.toHexString(sfDir.hashCode))
+    Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    dir.toString
+  }
+
+  /** Watermarked tumbling 1-hour aggregate per event_type (streaming form
+    * of q25). Late data beyond 1 hour is dropped; closed windows finalize.
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.sumD(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked session windows per user, 30-minute gap (streaming form of
+    * q27; Spark merges/extends open sessions incrementally in state).
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Per-user running totals via custom state — the escape hatch for
+    * semantics window aggregates can't express. State is one (count, sum)
+    * pair per user, updated per micro-batch, evicted on event-time timeout.
+    */
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  def userRunningTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotals] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as[Long], col("value").as[Double],
+        col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserTotals](GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, s) = state.getOption.getOrElse((0L, 0.0))
+            state.remove()
+            UserTotals(userId, n, s)
+          } else {
+            val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0
+            var s = s0
+            rows.foreach { case (_, v, _) => n += 1; s += v }
+            state.update((n, s))
+            // evict users idle for an hour of event time
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600 * 1000L)
+            UserTotals(userId, n, s)
+          }
+      }
+  }
+
+  /** Run a streaming DataFrame to an in-memory table until all currently
+    * available input is processed; returns the result. This is the
+    * AvailableNow lifecycle the reference's scheduled Lambda approximates.
+    */
+  def runAvailableNow(
+      spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming/batch parity: each streaming operator run with
+  * Trigger.AvailableNow must produce exactly the batch answer over the same
+  * static data (Structured Streaming's core guarantee, and the property
+  * that lets the engine swap batch ↔ streaming per deployment).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming tumbling agg == batch tumbling agg") {
+    val got = StreamOps.runAvailableNow(
+      spark, StreamOps.tumblingAgg(StreamOps.eventsStream(spark, sf)), "s_tumbling")
+      .orderBy("ws", "event_type")
+    val want = Registry.byName("q25_window_tumbling_agg").run(spark, sf)
+      .select("ws", "event_type", "n_events", "sum_value")
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
+  test("streaming session windows == batch session windows") {
+    val got = StreamOps.runAvailableNow(
+      spark, StreamOps.sessionAgg(StreamOps.eventsStream(spark, sf)), "s_sessions")
+      .orderBy("user_id", "session_start")
+    val want = Registry.byName("q27_session_window").run(spark, sf)
+      .select("session_start", "session_end", "user_id", "n_events", "sum_value")
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
+  test("mapGroupsWithState running totals == batch groupBy at end of stream") {
+    val got = StreamOps.runAvailableNow(
+      spark,
+      StreamOps.userRunningTotals(spark, StreamOps.eventsStream(spark, sf)).toDF(),
+      "s_user_totals", OutputMode.Update())
+    // Update mode emits one row per key per batch; the last emit per user
+    // carries the final totals.
+    val lastPerUser = got.groupBy("user_id")
+      .agg(max("n_events").as("n_events"))
+    val want = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    assert(
+      lastPerUser.orderBy("user_id").collect().toSeq ===
+        want.orderBy("user_id").collect().toSeq)
+  }
+}
