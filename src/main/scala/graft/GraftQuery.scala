@@ -19,7 +19,8 @@ object Registry {
       graft.queries.TextQueries.all ++
       graft.queries.DedupQueries.all ++
       graft.queries.SimilarityQueries.all ++
-      graft.queries.EventQueries.all
+      graft.queries.EventQueries.all ++
+      graft.queries.MultimodalQueries.all
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(sys.error(s"no such query: $name"))
