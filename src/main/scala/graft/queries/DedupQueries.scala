@@ -82,5 +82,47 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b"),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q18, q19, q20, q21)
+  /** Near-dup pairs → dedup clusters (connected components, min-label
+    * propagation) + survivor flag. Oracle: recursive-CTE transitive closure
+    * over the same exact-Jaccard edges (tractable at sf0.01; the Spark side
+    * is the one that scales).
+    */
+  private val q33 = GraftQuery(
+    "q33_neardup_clusters",
+    (s, dir) =>
+      graft.operators.Components.neardupClusters(
+        NearDup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3))
+        .orderBy("doc_id"),
+    Some("""WITH RECURSIVE norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS s
+              FROM norm WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM common
+              JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+            SELECT src AS doc_id,
+                   least(src, min(dst)) AS cluster_id,
+                   least(src, min(dst)) = src AS is_survivor
+            FROM reach GROUP BY src ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q18, q19, q20, q21, q33)
 }

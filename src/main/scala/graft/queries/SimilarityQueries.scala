@@ -70,5 +70,19 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b"),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q22, q23, q24)
+  /** IVF (cluster-then-probe) top-5 ANN for the first 20 vectors — the
+    * scale path for [[q22]]'s brute force (scores nprobe/nlist of the
+    * corpus per query). Rows-only; AnnSpec bounds recall@5 against the
+    * brute-force baseline.
+    */
+  private val q32 = GraftQuery(
+    "q32_ivf_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Ann.ivfTopK(s, emb.filter(col("vec_id") < 20), emb, k = 5)
+        .orderBy("q_id", "rank")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q22, q23, q24, q32)
 }

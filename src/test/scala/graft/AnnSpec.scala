@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{Ann, Components, NearDup}
+import org.apache.spark.sql.functions._
+
+/** IVF ANN recall vs brute force, and connected-components correctness. */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ivfTopK: valid ranks, cosines dominated by brute force, decent recall@5") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 20)
+    val ivf = Ann.ivfTopK(spark, q, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val bf = NearDup.knnBruteForce(q, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(ivf.map(_._1).distinct.sorted === (0L until 20L))
+    ivf.groupBy(_._1).values.foreach(rows => assert(rows.map(_._4).sorted === (1 to 5)))
+    // at equal rank, IVF cosine can never beat exhaustive search
+    val bfAtRank = bf.map(r => (r._1, r._4) -> r._3).toMap
+    ivf.foreach { case (qid, _, cos, rank) => assert(cos <= bfAtRank((qid, rank)) + 1e-12) }
+    val bfSet = bf.map(r => (r._1, r._2)).toSet
+    val recall = ivf.map(r => (r._1, r._2)).count(bfSet.contains).toDouble / bfSet.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+  }
+
+  test("connectedComponents merges transitively, labels by min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
+    val got = Components.neardupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false)))
+  }
+
+  test("connectedComponents closes a long chain (diameter > 1 round)") {
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("doc_a", "doc_b")
+    val labels = Components.connectedComponents(chain, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(labels === Array(0L))
+  }
+}
