@@ -203,12 +203,24 @@ object NearDup {
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")))
     val c = withNorm(corpus)
       .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn"))
-    val scored = c.join(q, col("q_id") =!= col("n_id"))
-      .withColumn("cos", Similarity.cosineFromParts(
-        Similarity.dotExact(col("qe"), col("ne")), col("qn"), col("nn")))
+    // phase 1: double-precision scores cut the field to k + margin per query
+    // (|fast − exact| ≲ 1e-13, so an exact-top-k member can only be lost if
+    // ≥ margin candidates sit within that band of the cut — not a thing on
+    // real data); phase 2: decimal-exact re-rank of the survivors only.
+    val margin = 20
+    val wFast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("fast").desc, col("n_id").asc)
+    val shortlist = c.join(q, col("q_id") =!= col("n_id"))
+      .withColumn("fast", Similarity.cosineFromParts(
+        Similarity.dotFast(col("qe"), col("ne")), col("qn"), col("nn")))
+      .withColumn("fast_rank", row_number().over(wFast))
+      .filter(col("fast_rank") <= k + margin)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    shortlist
+      .withColumn("cos", Similarity.cosineFromParts(
+        Similarity.dotExact(col("qe"), col("ne")), col("qn"), col("nn")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
