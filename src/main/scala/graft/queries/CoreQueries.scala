@@ -240,6 +240,30 @@ object CoreQueries {
                    COALESCE(event_type, 'unknown') AS event_type
             FROM events ORDER BY event_id"""))
 
+  /** Skew-safe salted equi-join (fact × dim), aggregated per nation. The
+    * salt rewrite must be row-identical to the plain join — which is
+    * exactly what the oracle (a plain SQL join) checks.
+    */
+  private val q34 = GraftQuery(
+    "q34_salted_join_agg",
+    (s, dir) => {
+      val joined = graft.operators.SkewJoin.saltedEquiJoin(
+        Tables.lineitem(s, dir).select(
+          col("l_suppkey").as("s_suppkey"), col("l_extendedprice"), col("l_discount")),
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+        Seq("s_suppkey"), factor = 8)
+      joined.groupBy("s_nationkey")
+        .agg(
+          count(lit(1)).as("n_items"),
+          Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey, count(*) AS n_items,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q34)
 }
