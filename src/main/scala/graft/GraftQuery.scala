@@ -20,7 +20,8 @@ object Registry {
       graft.queries.DedupQueries.all ++
       graft.queries.SimilarityQueries.all ++
       graft.queries.EventQueries.all ++
-      graft.queries.MultimodalQueries.all
+      graft.queries.MultimodalQueries.all ++
+      graft.queries.AdvancedQueries.all
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(sys.error(s"no such query: $name"))

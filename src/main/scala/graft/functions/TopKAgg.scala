@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Exact bounded top-k as a typed `Aggregator` (SURVEY §2c): per-group
+  * top-k without a full window sort. A window `row_number` materializes and
+  * sorts every row of every group; this aggregator carries at most k
+  * entries per group through the partial/final aggregation, so shuffle
+  * volume is O(groups·k) instead of O(rows) — the difference between
+  * sorting 100 TB and merging bounded buffers at scale.
+  *
+  * Ordering: score descending, id ascending on ties (deterministic —
+  * matches `ORDER BY score DESC, id` in the oracle).
+  */
+object TopKAgg {
+
+  final case class Scored(score: Double, id: Long)
+  final case class Buf(items: Seq[Scored])
+
+  private def lt(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  class TopKAggregator(k: Int) extends Aggregator[Scored, Buf, Seq[Scored]] {
+    override def zero: Buf = Buf(Vector.empty)
+
+    private def bounded(items: Seq[Scored]): Buf =
+      Buf(items.sortWith(lt).take(k))
+
+    override def reduce(b: Buf, in: Scored): Buf = bounded(b.items :+ in)
+    override def merge(a: Buf, b: Buf): Buf = bounded(a.items ++ b.items)
+    override def finish(b: Buf): Seq[Scored] = b.items
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Column function: `topK(k)(scoreCol, idCol)` → array<struct<score,id>>
+    * of the group's top k, highest first.
+    */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAggregator(k))
+    (score, id) => fn(score, id)
+  }
+}

@@ -108,6 +108,26 @@ object NearDup {
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")
   }
 
+  /** Partial-overlap (containment) pairs via winnowing fingerprints
+    * ([[graft.expressions.WinnowExpr]]): documents sharing ≥ `minShared`
+    * fingerprints, paired through a fingerprint inverted index. Catches a
+    * copied paragraph inside otherwise-different documents — which
+    * whole-set Jaccard dilutes below any usable threshold.
+    */
+  def winnowingPairs(
+      docs: DataFrame, k: Int = 16, w: Int = 12, minShared: Int = 5): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      graft.expressions.WinnowExpr.winnowFingerprints(
+        TextFunctions.normalizeText(col("text")), k, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    inv.as("a").join(inv.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-dup pairs within `maxHamming` (≤ 3 for complete 4-block
     * blocking). Returns (doc_a, doc_b, hamming).
     */

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TopKAgg
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Bounded top-k aggregation and as-of (point-in-time) join. */
+object AdvancedQueries {
+
+  /** Top-3 orders by total price per order priority, via the bounded
+    * [[TopKAgg]] aggregator (O(groups·k) shuffle, no full window sort).
+    * Oracle: the window-function formulation — same rows, so the
+    * aggregator's bounded buffers are proven exact.
+    */
+  private val q36 = GraftQuery(
+    "q36_topk_per_group",
+    (s, dir) => {
+      val topk = TopKAgg.topK(3)
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(
+          col("o_orderpriority"),
+          col("t.id").as("o_orderkey"),
+          col("t.score").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("o_orderpriority", "rank")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3 ORDER BY o_orderpriority, rank"""))
+
+  /** Last-click attribution: each purchase event joined as-of to the same
+    * user's most recent click (equal timestamps match). Oracle: DuckDB's
+    * native ASOF LEFT JOIN over the same µs-truncated timestamps.
+    */
+  private val q37 = GraftQuery(
+    "q37_asof_attribution",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts", "event_type")
+      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+      val clicks = e.filter(col("event_type") === "click").drop("event_type")
+      AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("event_id", "ts"), prefix = "click_")
+        .select("event_id", "user_id", "ts", "click_event_id", "click_ts")
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                       FROM events),
+                 p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts, max(event_id) AS click_event_id
+                       FROM e WHERE event_type = 'click' GROUP BY user_id, ts)
+            SELECT p.event_id, p.user_id, p.ts,
+                   c.click_event_id, c.ts AS click_ts
+            FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q36, q37)
+}

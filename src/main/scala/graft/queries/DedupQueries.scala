@@ -124,5 +124,16 @@ object DedupQueries {
                    least(src, min(dst)) = src AS is_survivor
             FROM reach GROUP BY src ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q18, q19, q20, q21, q33)
+  /** Winnowing (rolling-hash) fingerprint overlap pairs — containment
+    * detection. Rows-only (the fingerprint set is engine-specific);
+    * NearDupSpec plants a copied paragraph and asserts the pair.
+    */
+  private val q35 = GraftQuery(
+    "q35_winnow_overlap_pairs",
+    (s, dir) =>
+      NearDup.winnowingPairs(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b"),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q18, q19, q20, q21, q33, q35)
 }
