@@ -79,7 +79,7 @@ object Ann {
     */
   def ivfTopK(
       spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
     val centroids = trainCentroids(spark, corpus, nlist, iters)
     val corpusCells = assignCells(corpus, centroids)
       .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
