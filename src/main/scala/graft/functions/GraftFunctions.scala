@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.expressions.{TextSketchExprs, VectorExprs, WinnowExpr}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for graft's native expressions, so `spark.sql` users
+  * get the same codegen'd hot paths as the Scala API:
+  *
+  * {{{
+  *   GraftFunctions.registerAll(spark)
+  *   spark.sql("SELECT graft_dot_double(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * (The same builders can be injected at session build time through
+  * `SparkSessionExtensions.injectFunction` for deployments that configure
+  * `spark.sql.extensions`.)
+  */
+object GraftFunctions {
+
+  private def register(
+      spark: SparkSession, name: String, arity: Int,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name expects $arity arguments")
+        builder(args)
+      })
+
+  def registerAll(spark: SparkSession): Unit = {
+    register(spark, "graft_dot_double", 2,
+      args => graft.expressions.DotDouble(args(0), args(1)))
+    register(spark, "graft_dot_decimal", 2,
+      args => graft.expressions.DotDecimal(args(0), args(1)))
+    register(spark, "graft_word_shingles", 2,
+      args => TextSketchExprs.WordShingles(args(0), intLit(args(1))))
+    register(spark, "graft_minhash_sig", 2,
+      args => TextSketchExprs.MinHashSig(args(0), intLit(args(1))))
+    register(spark, "graft_simhash64", 1,
+      args => TextSketchExprs.SimHash64(args(0)))
+    register(spark, "graft_winnow_fingerprints", 3,
+      args => WinnowExpr.WinnowFingerprints(args(0), intLit(args(1)), intLit(args(2))))
+  }
+
+  private def intLit(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => sys.error(s"expected integer literal, got $other")
+  }
+}

@@ -60,5 +60,45 @@ object AdvancedQueries {
             FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
             ORDER BY p.event_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q36, q37)
+  /** ROLLUP aggregation: revenue by (returnflag, linestatus) with subtotal
+    * and grand-total rows — one shuffle, Expand feeds the grouping sets.
+    */
+  private val q38 = GraftQuery(
+    "q38_rollup_agg",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          graft.functions.Exact.sumD(col("l_extendedprice")).as("sum_price"))
+        .orderBy(
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** Set operations: customers with orders in both halves of the date range
+    * (INTERSECT) minus high-value outliers (EXCEPT).
+    */
+  private val q39 = GraftQuery(
+    "q39_set_ops",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val early = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val late = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val big = o.filter(col("o_totalprice") > 400000.0).select("o_custkey")
+      early.intersect(late).except(big).orderBy("o_custkey")
+    },
+    Some("""(SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+            ORDER BY o_custkey"""))
+
+  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39)
 }

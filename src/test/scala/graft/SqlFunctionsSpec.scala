@@ -1,0 +1,30 @@
+package graft
+
+import graft.functions.GraftFunctions
+
+/** The native expressions are reachable from SQL with identical results to
+  * the Scala column API.
+  */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match the column API") {
+    GraftFunctions.registerAll(spark)
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f), "the quick brown fox jumps"))
+      .toDF("a", "b", "text").createOrReplaceTempView("v")
+    val r = spark.sql("""
+      SELECT graft_dot_double(a, b) AS dot,
+             graft_dot_decimal(a, b) AS dotx,
+             graft_simhash64(split(text, ' ')) AS sh,
+             size(graft_word_shingles(split(text, ' '), 3)) AS n_shingles,
+             size(graft_minhash_sig(graft_word_shingles(split(text, ' '), 3), 64)) AS n_sig,
+             size(graft_winnow_fingerprints(text, 8, 4)) AS n_fp
+      FROM v""").head()
+    assert(r.getDouble(0) === 32.0)
+    assert(r.getDouble(1) === 32.0)
+    assert(r.getLong(2) !== 0L)
+    assert(r.getInt(3) === 3)
+    assert(r.getInt(4) === 64)
+    assert(r.getInt(5) > 0)
+  }
+}
