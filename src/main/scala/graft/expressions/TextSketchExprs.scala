@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -34,8 +34,10 @@ object TextSketchExprs {
     * order. Empty array when fewer than n tokens.
     */
   case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
     override def prettyName: String = "graft_word_shingles"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
 
@@ -66,8 +68,10 @@ object TextSketchExprs {
     * pass. Null for an empty array (no signature exists).
     */
   case class MinHashSig(child: Expression, numPerms: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    require(numPerms >= 1, s"numPerms must be >= 1, got $numPerms")
     override def prettyName: String = "graft_minhash_sig"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override def nullable: Boolean = true
@@ -106,8 +110,9 @@ object TextSketchExprs {
     * the prior HOF formulation).
     */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
     override def prettyName: String = "graft_simhash64"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
 

@@ -1,10 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for embedding math.
   *
@@ -15,7 +15,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * primitive loop inside whole-stage codegen instead, which is what makes
   * the O(candidate) similarity verification affordable at scale.
   */
-abstract class FloatVecBinary extends BinaryExpression {
+abstract class FloatVecBinary extends BinaryExpression with ImplicitCastInputTypes {
+  // declares array<float> inputs at analysis time: SQL callers passing
+  // array<double> get an implicit element cast instead of getFloat reading
+  // garbage over 8-byte slots (covariant override — AbstractDataType itself
+  // is private[sql])
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
@@ -22,9 +22,11 @@ object WinnowExpr {
     * first-selection order, as array<long>. Empty for texts shorter than k.
     */
   case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
-    require(k >= 2 && w >= 1)
+      extends UnaryExpression with CodegenFallback
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
     override def prettyName: String = "graft_winnow_fingerprints"
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
 

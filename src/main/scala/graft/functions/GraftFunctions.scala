@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{TextSketchExprs, VectorExprs, WinnowExpr}
+import graft.expressions.{DotDecimal, DotDouble, TextSketchExprs, WinnowExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,9 +32,9 @@ object GraftFunctions {
 
   def registerAll(spark: SparkSession): Unit = {
     register(spark, "graft_dot_double", 2,
-      args => graft.expressions.DotDouble(args(0), args(1)))
+      args => DotDouble(args(0), args(1)))
     register(spark, "graft_dot_decimal", 2,
-      args => graft.expressions.DotDecimal(args(0), args(1)))
+      args => DotDecimal(args(0), args(1)))
     register(spark, "graft_word_shingles", 2,
       args => TextSketchExprs.WordShingles(args(0), intLit(args(1))))
     register(spark, "graft_minhash_sig", 2,
@@ -45,8 +45,28 @@ object GraftFunctions {
       args => WinnowExpr.WinnowFingerprints(args(0), intLit(args(1)), intLit(args(2))))
   }
 
-  private def intLit(e: Expression): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case other => sys.error(s"expected integer literal, got $other")
+  /** Constant-int parameter: any foldable integral expression qualifies
+    * (builders run before constant folding, so `1+2` or `CAST(64 AS INT)`
+    * arrive unfolded).
+    */
+  private def intLit(e: Expression): Int = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"parameter must be a constant integer, got non-constant ${e.sql}")
+    val v = e.dataType match {
+      case IntegerType | ShortType | ByteType | LongType => e.eval()
+      case dt => throw new IllegalArgumentException(
+        s"parameter must be a constant integer, got ${dt.simpleString}: ${e.sql}")
+    }
+    v match {
+      case null => throw new IllegalArgumentException("parameter must not be null")
+      case i: java.lang.Integer => i.intValue()
+      case s: java.lang.Short => s.intValue()
+      case b: java.lang.Byte => b.intValue()
+      case l: java.lang.Long =>
+        require(l >= Int.MinValue && l <= Int.MaxValue, s"parameter out of int range: $l")
+        l.intValue()
+    }
   }
 }

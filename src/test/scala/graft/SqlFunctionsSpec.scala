@@ -27,4 +27,25 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getInt(4) === 64)
     assert(r.getInt(5) > 0)
   }
+
+  test("array<double> SQL input implicit-casts to float instead of corrupting") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT graft_dot_double(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getDouble(0) === 11.0)
+  }
+
+  test("constant integer parameters accept unfolded expressions, reject junk") {
+    GraftFunctions.registerAll(spark)
+    Seq(Tuple1("one two three four")).toDF("text").createOrReplaceTempView("v2")
+    val n = spark.sql(
+      "SELECT size(graft_word_shingles(split(text, ' '), 1 + 2)) FROM v2").head().getInt(0)
+    assert(n === 2)
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_word_shingles(split(text, ' '), text) FROM v2").head())
+    assert(err.getMessage.contains("constant integer"))
+    val neg = intercept[Exception](
+      spark.sql("SELECT graft_word_shingles(split(text, ' '), -1) FROM v2").head())
+    assert(neg.getMessage.contains(">= 1"))
+  }
 }
