@@ -100,5 +100,28 @@ object AdvancedQueries {
             SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
             ORDER BY o_custkey"""))
 
-  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39)
+  /** Pivot: per-day event counts spread across the (closed) event-type
+    * vocabulary. Explicit value list keeps the output schema static — the
+    * only pivot form that scales (value discovery is itself a distinct
+    * scan). Oracle: conditional aggregation.
+    */
+  private val q40 = GraftQuery(
+    "q40_pivot_event_types",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day"),
+    Some("""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY 1 ORDER BY day"""))
+
+  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39, q40)
 }
