@@ -19,31 +19,34 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private def register(
-      spark: SparkSession, name: String, arity: Int,
-      builder: Seq[Expression] => Expression): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo("graft", name),
-      (args: Seq[Expression]) => {
-        require(args.length == arity, s"$name expects $arity arguments")
-        builder(args)
-      })
+  /** (identifier, info, checked builder) for every graft SQL function —
+    * consumed by both runtime registration ([[registerAll]]) and build-time
+    * injection ([[graft.GraftSparkExtensions]]).
+    */
+  lazy val functionSet: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq[(String, Int, Seq[Expression] => Expression)](
+      ("graft_dot_double", 2, args => DotDouble(args(0), args(1))),
+      ("graft_dot_decimal", 2, args => DotDecimal(args(0), args(1))),
+      ("graft_word_shingles", 2,
+        args => TextSketchExprs.WordShingles(args(0), intLit(args(1)))),
+      ("graft_minhash_sig", 2,
+        args => TextSketchExprs.MinHashSig(args(0), intLit(args(1)))),
+      ("graft_simhash64", 1, args => TextSketchExprs.SimHash64(args(0))),
+      ("graft_winnow_fingerprints", 3,
+        args => WinnowExpr.WinnowFingerprints(args(0), intLit(args(1)), intLit(args(2))))
+    ).map { case (name, arity, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (args: Seq[Expression]) => {
+          require(args.length == arity, s"$name expects $arity arguments")
+          builder(args)
+        })
+    }
 
-  def registerAll(spark: SparkSession): Unit = {
-    register(spark, "graft_dot_double", 2,
-      args => DotDouble(args(0), args(1)))
-    register(spark, "graft_dot_decimal", 2,
-      args => DotDecimal(args(0), args(1)))
-    register(spark, "graft_word_shingles", 2,
-      args => TextSketchExprs.WordShingles(args(0), intLit(args(1))))
-    register(spark, "graft_minhash_sig", 2,
-      args => TextSketchExprs.MinHashSig(args(0), intLit(args(1))))
-    register(spark, "graft_simhash64", 1,
-      args => TextSketchExprs.SimHash64(args(0)))
-    register(spark, "graft_winnow_fingerprints", 3,
-      args => WinnowExpr.WinnowFingerprints(args(0), intLit(args(1)), intLit(args(2))))
-  }
+  def registerAll(spark: SparkSession): Unit =
+    functionSet.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 
   /** Constant-int parameter: any foldable integral expression qualifies
     * (builders run before constant folding, so `1+2` or `CAST(64 AS INT)`

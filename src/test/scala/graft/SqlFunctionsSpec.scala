@@ -48,4 +48,21 @@ class SqlFunctionsSpec extends SparkSpec {
       spark.sql("SELECT graft_word_shingles(split(text, ' '), -1) FROM v2").head())
     assert(neg.getMessage.contains(">= 1"))
   }
+
+  test("GraftSparkExtensions injects the full function set without error") {
+    // spark.sql.extensions is a static conf — applied only when a fresh
+    // SparkContext comes up, so end-to-end coverage of the SQL surface
+    // lives in the registerAll tests above; here we exercise the
+    // build-time injection hook itself.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftSparkExtensions().apply(ext)
+    val names = graft.functions.GraftFunctions.functionSet.map(_._1.funcName)
+    assert(names.size === 6 && names.distinct.size === 6)
+    // every builder produces a well-formed expression from dummy args
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal(64)
+    val (_, _, minhash) = graft.functions.GraftFunctions.functionSet
+      .find(_._1.funcName == "graft_minhash_sig").get
+    assert(minhash(Seq(lit, lit)).isInstanceOf[
+      graft.expressions.TextSketchExprs.MinHashSig])
+  }
 }
