@@ -50,13 +50,18 @@ case class DotDouble(left: Expression, right: Expression) extends FloatVecBinary
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh local names: the same expression can appear several times in
+      // one whole-stage-codegen function, where fixed names would collide
+      val n = ctx.freshName("gdN")
+      val acc = ctx.freshName("gdAcc")
+      val i = ctx.freshName("gdI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -93,15 +98,19 @@ case class DotDecimal(left: Expression, right: Expression) extends FloatVecBinar
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("gxN")
+      val acc = ctx.freshName("gxAcc")
+      val i = ctx.freshName("gxI")
+      val p = ctx.freshName("gxP")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |java.math.BigDecimal acc = java.math.BigDecimal.ZERO;
-         |for (int i = 0; i < n; i++) {
-         |  double p = (double) $a.getFloat(i) * (double) $b.getFloat(i);
-         |  acc = acc.add(new java.math.BigDecimal(p)
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |java.math.BigDecimal $acc = java.math.BigDecimal.ZERO;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $p = (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc = $acc.add(new java.math.BigDecimal($p)
          |    .setScale(20, java.math.RoundingMode.HALF_UP));
          |}
-         |${ev.value} = acc.doubleValue();
+         |${ev.value} = $acc.doubleValue();
        """.stripMargin
     })
 

@@ -33,17 +33,24 @@ object Components {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    def propagate(ls: DataFrame): DataFrame = {
+      val nbrMin = sym
+        .join(ls.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nbr_label").as("nbr_label"))
+      ls.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    }
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("nbr_label").as("nbr_label"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // two hops per materialization: halves the checkpoint/convergence-
+      // check job count (label propagation converges in O(diameter) hops)
+      val next = propagate(propagate(labels))
+        .withColumnRenamed("label", "new_label")
+        .join(labels, "id")
+        .select(col("id"), col("label").as("old_label"), col("new_label").as("label"))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select("id", "label")

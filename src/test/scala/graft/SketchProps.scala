@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.NearDup
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property tests for the sketch guarantees. */
+object SketchProps extends Properties("Sketches") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val word = Gen.oneOf(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
+    "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa")
+
+  private val sentence: Gen[String] =
+    Gen.chooseNum(25, 60).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  // winnowing guarantee: any shared run of >= k+w-1 characters yields at
+  // least one shared fingerprint (Schleimer et al. thm 1); the planted
+  // sentence is far longer than k+w-1 = 11 chars
+  property("winnowing detects planted shared runs") =
+    Prop.forAllNoShrink(sentence, sentence, sentence) { (a, b, shared) =>
+      import spark.implicits._
+      val docs = Seq((1L, s"$a $shared"), (2L, s"$shared $b")).toDF("doc_id", "text")
+      val pairs = NearDup.winnowingPairs(docs, k = 8, w = 4, minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs.contains((1L, 2L))
+    }
+
+  // 64-perm MinHash agreement estimates Jaccard with sd <= 1/16; 4 sd bound
+  property("minhash estimate tracks exact jaccard") = {
+    val gen = for {
+      common <- Gen.chooseNum(20, 40).flatMap(n => Gen.listOfN(n, word))
+      extraA <- Gen.chooseNum(5, 30).flatMap(n => Gen.listOfN(n, word))
+      extraB <- Gen.chooseNum(5, 30).flatMap(n => Gen.listOfN(n, word))
+    } yield (common ++ extraA, common ++ extraB)
+    Prop.forAllNoShrink(gen) { case (ta, tb) =>
+      import spark.implicits._
+      val docs = Seq((1L, ta.mkString(" ")), (2L, tb.mkString(" "))).toDF("doc_id", "text")
+      NearDup.minhashLshPairs(docs, n = 2, threshold = 0.0, numPerms = 64)
+        .select("est_jaccard", "jaccard").collect()
+        .forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.25)
+    }
+  }
+}
