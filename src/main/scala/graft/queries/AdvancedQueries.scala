@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.functions.TopKAgg
+import graft.functions.{Exact, TopKAgg}
 import graft.operators.AsOfJoin
 import org.apache.spark.sql.functions._
 
@@ -123,5 +123,83 @@ object AdvancedQueries {
                    count(*) FILTER (event_type = 'view') AS view
             FROM events GROUP BY 1 ORDER BY day"""))
 
-  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39, q40)
+  /** Shipping-priority top-10 (TPC-H Q3 shape): selective filters on both
+    * fact inputs, 3-way join, grouped revenue, bounded sort. Catalyst
+    * broadcast-joins the filtered customer side and plans the LIMIT as
+    * TakeOrdered — no full sort.
+    */
+  private val q41 = GraftQuery(
+    "q41_ship_priority",
+    (s, dir) => {
+      val cutoff = lit("1996-06-30").cast("timestamp")
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-06-30'
+              AND l_shipdate > TIMESTAMP '1996-06-30'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** Local-supplier revenue per nation (TPC-H Q5 shape): a 6-way snowflake
+    * join — lineitem at the center, dimension chain broadcast end to end,
+    * with the supplier/customer co-nation condition.
+    */
+  private val q42 = GraftQuery(
+    "q42_local_supplier_volume",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val nat = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+      val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    },
+    Some("""SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39, q40, q41, q42)
 }
