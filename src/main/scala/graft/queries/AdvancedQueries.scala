@@ -201,5 +201,39 @@ object AdvancedQueries {
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name ORDER BY revenue DESC, n_name"""))
 
-  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39, q40, q41, q42)
+  /** Window frames: per-user running event count and 3-row moving value
+    * average in event-time order — the "running balance" idiom over the
+    * reference's snapshot tables, expressed as one shuffle on the
+    * partition key plus an in-partition sort.
+    */
+  private val q43 = GraftQuery(
+    "q43_running_window_frames",
+    (s, dir) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .filter(col("user_id") < 10)
+        .select(
+          col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(byUser
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .as("running_events"),
+          (sum(col("value").cast("decimal(30,4)")).over(byUser.rowsBetween(-2, 0))
+            .cast("double") /
+            count(lit(1)).over(byUser.rowsBetween(-2, 0)))
+            .as("moving_avg3"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   count(*) OVER w AS running_events,
+                   CAST(sum(CAST(value AS DECIMAL(30,4))) OVER w3 AS DOUBLE)
+                     / count(*) OVER w3 AS moving_avg3
+            FROM events WHERE user_id < 10
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, ts, event_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39, q40, q41, q42, q43)
 }
