@@ -108,11 +108,12 @@ object TextQueries {
                    + 0.3 * (1.0 - least(1.0, abs(mean_len - 5.0) / 5.0)) AS quality
             FROM m ORDER BY doc_id"""))
 
-  /** Language-ID heuristic (CJK script check + per-language stopword argmax).
-    * Rows-only check: the heuristic is not reasonably oracle-expressible and
-    * the corpus carries no ground truth in its text (the `lang` label is
-    * independent of content); accuracy is unit-tested on real multilingual
-    * fixtures in TextFunctionsSpec.
+  /** Language-ID heuristic (CJK script check + per-language stopword
+    * argmax, ties to the earlier language). The fold's strictly-greater
+    * update means the winner is the FIRST language attaining the overall
+    * max — which the oracle expresses as an ordered CASE against
+    * greatest(); accuracy on real multilingual text is unit-tested in
+    * TextFunctionsSpec.
     */
   private val q17 = GraftQuery(
     "q17_text_langid",
@@ -123,7 +124,29 @@ object TextQueries {
           col("lang").as("labeled_lang"),
           languageId(col("text")).as("predicted_lang"))
         .orderBy("doc_id"),
-    None)
+    Some("""WITH t AS (
+              SELECT doc_id, lang AS labeled_lang, text,
+                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+            s AS (
+              SELECT *,
+                len(list_filter(toks, x -> list_contains(
+                  ['the','a','of','and','in','is','to','it','that','for'], x))) AS s_en,
+                len(list_filter(toks, x -> list_contains(
+                  ['der','die','das','und','ist','nicht','ein','eine','mit','zu'], x))) AS s_de,
+                len(list_filter(toks, x -> list_contains(
+                  ['le','la','les','et','est','une','un','des','que','pas'], x))) AS s_fr,
+                len(list_filter(toks, x -> list_contains(
+                  ['el','los','y','es','una','un','las','que','por','con'], x))) AS s_es
+              FROM t)
+            SELECT doc_id, labeled_lang,
+                   CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                        WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS predicted_lang
+            FROM s ORDER BY doc_id"""))
 
   val all: Seq[GraftQuery] = Seq(q13, q14, q15, q16, q17)
 }
