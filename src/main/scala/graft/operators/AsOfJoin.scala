@@ -18,45 +18,59 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  private val TsCol = "__graft_asof_ts"
+  private val SideCol = "__graft_asof_side"
+  private val PayloadCol = "__graft_asof_payload"
+
   /** Left rows plus `rightPayload` columns (renamed `prefix+name`) from the
     * latest right row at or before the left row's `leftTs`, null when no
-    * such row. `right` is first deduped to one row per (keys, ts) — the
-    * highest-payload-first row wins — so the result is deterministic.
+    * such row. The payload travels as ONE struct so all emitted columns
+    * come from the same right row (per-column carry would resurrect stale
+    * values beneath a newer row's legitimate nulls). `right` is first
+    * deduped to one row per (keys, ts) — highest payload first — so the
+    * result is deterministic.
     */
   def asOf(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightPayload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
     val leftCols = left.columns.toSeq
-    val payloadTypes = rightPayload.map(c => c -> right.schema(c).dataType).toMap
+    val outPayload = rightPayload.map(prefix + _)
+    val reserved = Seq(TsCol, SideCol, PayloadCol)
+    require(!(leftCols ++ rightPayload).exists(reserved.contains),
+      s"column names $reserved are reserved by asOf")
+    require(outPayload.intersect(leftCols).isEmpty,
+      s"output columns ${outPayload.intersect(leftCols)} collide with left columns; " +
+        "pass a different prefix")
     val leftTypes = leftCols.map(c => c -> left.schema(c).dataType).toMap
 
+    val rDedup = Dedup.firstWriterWins(
+      right, keys :+ rightTs, rightPayload.map(col(_).desc))
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val payloadType = {
+      val d = rDedup.select(payloadStruct.as(PayloadCol))
+      d.schema(PayloadCol).dataType
+    }
+
     val l = left.select(
-      (keys.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        rightPayload.map(c => lit(null).cast(payloadTypes(c)).as(s"$prefix$c")): _*)
-    val rDedup = right
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy((keys :+ rightTs).map(col): _*)
-          .orderBy(rightPayload.map(c => col(c).desc): _*)))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+      (keys.map(col) :+ col(leftTs).as(TsCol) :+ lit(1).as(SideCol)) ++
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(payloadType).as(PayloadCol): _*)
     val r = rDedup.select(
-      (keys.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(leftTypes(c)).as(c)) ++
-        rightPayload.map(c => col(c).as(s"$prefix$c")): _*)
+      (keys.map(col) :+ col(rightTs).as(TsCol) :+ lit(0).as(SideCol)) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(leftTypes(c)).as(c)) :+
+        payloadStruct.as(PayloadCol): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc)
+      .orderBy(col(TsCol).asc, col(SideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r)
-      .select(col("*") +: rightPayload.map(c =>
-        last(col(s"$prefix$c"), ignoreNulls = true).over(w).as(s"_c_$prefix$c")): _*)
-    carried
-      .filter(col("_side") === 1)
+    l.unionByName(r)
+      .withColumn(PayloadCol, last(col(PayloadCol), ignoreNulls = true).over(w))
+      .filter(col(SideCol) === 1)
       .select(
         keys.map(col) ++
           leftCols.filterNot(keys.contains).map(col) ++
-          rightPayload.map(c => col(s"_c_$prefix$c").as(s"$prefix$c")): _*)
+          rightPayload.map(c => col(s"$PayloadCol.$c").as(s"$prefix$c")): _*)
   }
 }

@@ -25,7 +25,9 @@ object Components {
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // no cast: the algorithm only needs an orderable id type, and casting
+    // would silently null non-numeric ids
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -46,13 +48,17 @@ object Components {
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
       // two hops per materialization: halves the checkpoint/convergence-
-      // check job count (label propagation converges in O(diameter) hops)
-      val next = propagate(propagate(labels))
+      // check job count (label propagation converges in O(diameter) hops).
+      // The intermediate hop is cached — it feeds both the second hop's
+      // aggregation and its final join, and would otherwise recompute.
+      val mid = propagate(labels).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = propagate(mid)
         .withColumnRenamed("label", "new_label")
         .join(labels, "id")
         .select(col("id"), col("label").as("old_label"), col("new_label").as("label"))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old_label")).count()
+      mid.unpersist()
       labels = next.select("id", "label")
       iter += 1
     }

@@ -32,12 +32,13 @@ object Layout {
       .write.mode("overwrite").parquet(dir)
 
   /** True iff reading `dir` with `condition` prunes partitions at plan
-    * time (the scan lists a non-empty PartitionFilters).
+    * time (some scan carries a non-empty partition-filter list — inspected
+    * on the plan nodes, not the display string, which truncates).
     */
   def prunesPartitions(spark: SparkSession, dir: String, condition: String): Boolean = {
-    val plan = spark.read.parquet(dir).filter(condition)
-      .queryExecution.executedPlan.toString
-    val m = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
-    m.exists(_.group(1).trim.nonEmpty)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = spark.read.parquet(dir).filter(condition).queryExecution.executedPlan
+    plan.collect { case s: FileSourceScanExec => s }
+      .exists(_.partitionFilters.exists(!_.references.isEmpty))
   }
 }

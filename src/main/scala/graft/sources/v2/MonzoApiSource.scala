@@ -123,7 +123,11 @@ private class ApiScanBuilder(options: CaseInsensitiveStringMap)
           until = minDate(until, ceilToDay(z)); true
         }
       case LessThanOrEqual("created", v) =>
-        asZoned(v).exists { z => until = minDate(until, ceilToDay(z)); true }
+        // inclusive bound: even an exactly-midnight value belongs to the
+        // following fetch window (ceilToDay(midnight) would exclude its day)
+        asZoned(v).exists { z =>
+          until = minDate(until, z.toLocalDate.plusDays(1)); true
+        }
       case _ => false
     }
     pushed = accepted

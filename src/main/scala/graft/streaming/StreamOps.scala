@@ -106,6 +106,17 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: at-least-once sources re-deliver, so drop
+    * duplicate keys arriving within the watermark horizon — state holds
+    * one entry per key seen in the horizon and is evicted as event time
+    * advances (bounded, unlike a naive global dropDuplicates whose state
+    * grows forever on an unbounded stream).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Run a streaming DataFrame to an in-memory table until all currently
     * available input is processed; returns the result. This is the
     * AvailableNow lifecycle the reference's scheduled Lambda approximates.

@@ -31,6 +31,26 @@ class AdvancedOpsSpec extends SparkSpec {
       100L -> Some(11L), 101L -> Some(11L), 102L -> None, 103L -> Some(20L)))
   }
 
+  test("asOf carries the whole matched row: newest row's nulls stay null") {
+    val left = Seq((100L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(1L), Some(9L)),
+      (1L, ts("2024-01-01 09:30:00"), Some(2L), None)) // newest: b legitimately null
+      .toDF("user_id", "ts", "a", "b")
+    val row = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("a", "b"))
+      .select("asof_a", "asof_b").head()
+    assert(row.getLong(0) === 2L)
+    assert(row.isNullAt(1), "stale b=9 from the older row must not resurrect")
+  }
+
+  test("connectedComponents works with non-numeric ids") {
+    val pairs = Seq(("d1", "d2"), ("d2", "d3"), ("x9", "x7")).toDF("doc_a", "doc_b")
+    val got = graft.operators.Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "d1" -> "d1", "d2" -> "d1", "d3" -> "d1", "x9" -> "x7", "x7" -> "x7"))
+  }
+
   test("TopKAgg keeps exactly k best per group across partitions") {
     val df = (1 to 1000).map(i => (s"g${i % 3}", i.toDouble, i.toLong))
       .toDF("g", "score", "id").repartition(7)

@@ -42,6 +42,16 @@ class MonzoApiSourceSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("created <= midnight bound still fetches that day (inclusive upper bound)") {
+    val bound = lit("2024-01-15 00:00:00").cast("timestamp")
+    val filtered = read("2024-01-10", "2024-01-31")
+      .filter(col("created") <= bound)
+    assert(filtered.rdd.getNumPartitions === 6) // days 10..15 inclusive
+    val expected = read("2024-01-10", "2024-01-31").collect()
+      .count(!_.getTimestamp(1).after(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+    assert(filtered.count() === expected)
+  }
+
   test("deterministic across reads; spend amounts are negative pence") {
     val a = read("2024-02-01", "2024-02-03").collect().map(_.toString).sorted
     val b = read("2024-02-01", "2024-02-03").collect().map(_.toString).sorted

@@ -31,6 +31,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("dedupStream drops re-delivered keys within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-streamdedup").toString
+    // same event_id delivered twice (plus a distinct one), minutes apart
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 5.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), 7.0))
+      .toDF("event_id", "ts", "value")
+      .write.parquet(s"$root/src")
+    val schema = spark.read.parquet(s"$root/src").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$root/src")
+    val got = StreamOps.runAvailableNow(
+      spark, StreamOps.dedupStream(stream, Seq("event_id"), "1 hour"),
+      "s_dedup", org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(got.select("event_id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
   test("mapGroupsWithState running totals == batch groupBy at end of stream") {
     val got = StreamOps.runAvailableNow(
       spark,
