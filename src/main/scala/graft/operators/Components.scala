@@ -21,10 +21,73 @@ object Components {
 
   /** (id, cluster_id) for every node appearing in `pairs`, cluster_id =
     * min node id of the component.
+    *
+    * Adaptive: near-dup edge lists are typically a vanishing fraction of
+    * the corpus (duplicates are the exception), so below
+    * `driverEdgeThreshold` edges the closure runs as driver-side
+    * union-find — microseconds instead of O(diameter) distributed rounds.
+    * Larger graphs take the distributed label-propagation path.
     */
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, driverEdgeThreshold: Long = 1000000L): DataFrame = {
+    if (driverEdgeThreshold > 0 &&
+        pairs.limit(driverEdgeThreshold.toInt + 1).count() <= driverEdgeThreshold)
+      driverUnionFind(pairs, srcCol, dstCol)
+    else distributedCC(pairs, srcCol, dstCol, maxIters)
+  }
+
+  /** Union-find with path compression over collected edges; ids keep their
+    * type through a local index mapping.
+    */
+  private def driverUnionFind(
+      pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst")).collect()
+    val index = new java.util.LinkedHashMap[Any, Int]()
+    edges.foreach { r =>
+      index.computeIfAbsent(r.get(0), _ => index.size)
+      index.computeIfAbsent(r.get(1), _ => index.size)
+    }
+    val parent = Array.tabulate(index.size)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { r =>
+      val a = find(index.get(r.get(0)))
+      val b = find(index.get(r.get(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    // the union-find root is an insertion index; the exposed cluster_id is
+    // the minimum id VALUE of the component (same as least()/min() in the
+    // distributed path), computed in one pass
+    val ids = index.keySet().toArray
+    val minOfRoot = new java.util.HashMap[Int, Any]()
+    ids.indices.foreach { i =>
+      val r = find(i)
+      val smaller = (ids(i), minOfRoot.get(r)) match {
+        case (x, null) => x
+        case (x: java.lang.Long, c: java.lang.Long) => if (x < c) x else c
+        case (x: java.lang.Integer, c: java.lang.Integer) => if (x < c) x else c
+        case (x, c) => if (x.toString < c.toString) x else c
+      }
+      minOfRoot.put(r, smaller)
+    }
+    val out = ids.indices.map(i => org.apache.spark.sql.Row(ids(i), minOfRoot.get(find(i))))
+    val idType = pairs.schema(srcCol).dataType
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType))))
+  }
+
+  private def distributedCC(
+      pairs: DataFrame, srcCol: String, dstCol: String, maxIters: Int): DataFrame = {
     // no cast: the algorithm only needs an orderable id type, and casting
     // would silently null non-numeric ids
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))

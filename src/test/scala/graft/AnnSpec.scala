@@ -41,4 +41,14 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).distinct
     assert(labels === Array(0L))
   }
+
+  test("distributed CC path (threshold 0) agrees with driver union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 3L), (5L, 6L), (7L, 8L), (8L, 5L))
+      .toDF("doc_a", "doc_b")
+    def asSet(threshold: Long) =
+      Components.connectedComponents(pairs, "doc_a", "doc_b",
+          driverEdgeThreshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asSet(0L) === asSet(1000L))
+  }
 }
