@@ -19,17 +19,33 @@ object TopKAgg {
   final case class Scored(score: Double, id: Long)
   final case class Buf(items: Seq[Scored])
 
+  // NaN ranks below every real score (and deterministically by id among
+  // NaNs): a comparator where NaN is "equal" to everything is
+  // non-transitive — undefined top-k membership and a TimSort contract
+  // crash on merged buffers
+  private def key(s: Scored): Double =
+    if (s.score.isNaN) Double.NegativeInfinity else s.score
+
   private def lt(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+    key(a) > key(b) || (key(a) == key(b) && a.id < b.id)
 
   class TopKAggregator(k: Int) extends Aggregator[Scored, Buf, Seq[Scored]] {
     override def zero: Buf = Buf(Vector.empty)
 
-    private def bounded(items: Seq[Scored]): Buf =
-      Buf(items.sortWith(lt).take(k))
+    // buffer invariant: sorted by `lt`, length <= k
+    private def insertSorted(items: Seq[Scored], in: Scored): Seq[Scored] = {
+      val (before, after) = items.span(lt(_, in))
+      (before :+ in) ++ after
+    }
 
-    override def reduce(b: Buf, in: Scored): Buf = bounded(b.items :+ in)
-    override def merge(a: Buf, b: Buf): Buf = bounded(a.items ++ b.items)
+    override def reduce(b: Buf, in: Scored): Buf =
+      if (b.items.length < k) Buf(insertSorted(b.items, in))
+      else if (lt(in, b.items.last)) Buf(insertSorted(b.items, in).take(k))
+      else b // O(1) reject below the current k-th — the per-row hot path
+
+    override def merge(a: Buf, b: Buf): Buf =
+      Buf((a.items ++ b.items).sortWith(lt).take(k))
+
     override def finish(b: Buf): Seq[Scored] = b.items
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     override def outputEncoder: Encoder[Seq[Scored]] =

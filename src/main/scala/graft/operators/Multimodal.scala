@@ -116,6 +116,7 @@ object Multimodal {
   def sampleFrames(
       spark: SparkSession, media: DataFrame, stride: Int,
       decoder: MediaDecoder = FakeDecoder): Dataset[FrameSample] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import spark.implicits._
     media.select(col("media_id").as[Long], col("payload").as[Array[Byte]])
       .mapPartitions { rows =>

@@ -3,7 +3,6 @@ package graft.operators
 import graft.functions.{Sketches, Similarity, TextFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate detection over text and embeddings (driver north star
   * §2b). Every operator is a shuffle-on-key pipeline — candidate generation
@@ -50,9 +49,10 @@ object NearDup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
-    // referenced three times (sizes + both join sides): persist instead of
-    // recomputing the shingling per reference
-    val sets = shingleSets(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    // referenced three times (sizes + both join sides); NOT persisted —
+    // a persist here outlives the returned lazy DataFrame (cache leak per
+    // call), and the native WordShingles expression makes recompute cheap
+    val sets = shingleSets(docs, n)
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
     val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
@@ -92,7 +92,6 @@ object NearDup {
     val sets = shingleSets(docs, n)
       .withColumn("sig", Sketches.minhashSignature(col("shingles"), numPerms))
       .filter(col("sig").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = sets
       .select(col("doc_id"), explode(Sketches.bandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),

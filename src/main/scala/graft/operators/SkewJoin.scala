@@ -22,8 +22,12 @@ object SkewJoin {
   def saltedEquiJoin(
       probe: DataFrame, build: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
     require(factor >= 1)
+    // salt must be DETERMINISTIC per row: a nondeterministic salt (row id,
+    // rand) used as a shuffle key duplicates/loses rows under partial
+    // stage retry (same class as SPARK-23207); hash of the whole row keeps
+    // retries stable and spreads a hot key by its non-key columns
     val salted = probe.withColumn("_salt",
-      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(factor)))
+      pmod(xxhash64(probe.columns.map(col): _*), lit(factor.toLong)).cast("int"))
     val replicated = build.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "_salt").drop("_salt")

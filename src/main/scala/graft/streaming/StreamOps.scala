@@ -38,13 +38,21 @@ object StreamOps {
     * production deployment points at the landing directory directly).
     */
   private def streamDir(sfDir: String): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, LinkOption, Paths}
     val src = Paths.get(s"$sfDir/events.parquet")
+    // keyed by the sanitized full path (a 32-bit hash could collide and
+    // silently serve another directory's data)
     val dir = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-stream-" + Integer.toHexString(sfDir.hashCode))
+      "graft-stream-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
     Files.createDirectories(dir)
     val link = dir.resolve("events.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS)) {
+      // recreate dangling or mistargeted links
+      if (!Files.isSymbolicLink(link) || Files.readSymbolicLink(link) != src) {
+        Files.delete(link)
+        Files.createSymbolicLink(link, src)
+      }
+    } else Files.createSymbolicLink(link, src)
     dir.toString
   }
 
@@ -97,10 +105,18 @@ object StreamOps {
             val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
             var n = n0
             var s = s0
-            rows.foreach { case (_, v, _) => n += 1; s += v }
+            var maxTs = Long.MinValue
+            rows.foreach { case (_, v, t) =>
+              n += 1; s += v
+              if (t.getTime > maxTs) maxTs = t.getTime
+            }
             state.update((n, s))
-            // evict users idle for an hour of event time
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600 * 1000L)
+            // evict when the USER has been idle an hour of event time —
+            // anchored to the group's own max event time, not the global
+            // watermark (which lags a batch and would evict immediately);
+            // clamped above the watermark as Spark requires
+            state.setTimeoutTimestamp(
+              math.max(maxTs + 3600 * 1000L, state.getCurrentWatermarkMs() + 60 * 1000L))
             UserTotals(userId, n, s)
           }
       }

@@ -26,15 +26,24 @@ object StreamingBronzeLoad {
   def loadBatch(
       spark: SparkSession, batch: DataFrame, bronzeDir: String, keyCol: String): Long = {
     val fresh = batch.dropDuplicates(keyCol)
-    val toAppend =
-      if (new java.io.File(bronzeDir).exists()) {
-        val existing = spark.read.parquet(bronzeDir).select(keyCol)
-        fresh.join(existing, Seq(keyCol), "left_anti")
-      } else fresh
+    // existence probe must work on any Hadoop filesystem (s3a/hdfs/...),
+    // and an existing-but-empty dir must read as "nothing landed yet"
+    val existing = scala.util.Try(spark.read.parquet(bronzeDir).select(keyCol)).toOption
+    val toAppend = existing match {
+      case Some(ex) =>
+        // null-safe join: a null key must still count as "already present"
+        fresh.join(ex.withColumnRenamed(keyCol, "__existing_key"),
+          fresh(keyCol) <=> col("__existing_key"), "left_anti")
+      case None => fresh
+    }
     val stamped = toAppend.withColumn("date_retrieved", current_timestamp())
-    val n = stamped.count()
-    if (n > 0) stamped.write.mode("append").parquet(bronzeDir)
-    n
+      .persist() // one execution for both the count and the write (and one
+                 // consistent audit timestamp evaluation)
+    try {
+      val n = stamped.count()
+      if (n > 0) stamped.write.mode("append").parquet(bronzeDir)
+      n
+    } finally stamped.unpersist()
   }
 
   /** Drain everything currently available from `srcDir` into `bronzeDir`
