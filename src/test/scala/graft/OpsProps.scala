@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{AsOfJoin, SkewJoin}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Differential property tests: each rewritten operator must be
+  * row-identical to its naive formulation on arbitrary data.
+  */
+object OpsProps extends Properties("Operators") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val rowGen = for {
+    key <- Gen.chooseNum(0L, 4L)
+    ts <- Gen.chooseNum(0L, 50L)
+    v <- Gen.chooseNum(-100L, 100L)
+  } yield (key, ts, v)
+
+  private val tableGen = Gen.listOfN(40, rowGen).map(_.distinct)
+
+  // as-of (sort-based union trick) == naive range-join + row_number pick
+  property("asOf == naive range join") = Prop.forAllNoShrink(tableGen, tableGen) { (l, r) =>
+    import spark.implicits._
+    val left = l.toDF("k", "ts", "lv")
+    // dedup right to one row per (k, ts) the same way asOf documents (max payload)
+    val right = r.toDF("k", "ts", "rv")
+      .groupBy("k", "ts").agg(max("rv").as("rv"))
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("rv"))
+      .select("k", "ts", "lv", "asof_rv")
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l.k"), col("l.ts"), col("l.lv"))
+          .orderBy(col("r.ts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("l.k").as("k"), col("l.ts").as("ts"), col("l.lv").as("lv"),
+        col("r.rv").as("asof_rv"))
+    got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty
+  }
+
+  // salted join == plain join, any factor
+  property("saltedEquiJoin == plain join") = {
+    val factorGen = Gen.chooseNum(1, 7)
+    Prop.forAllNoShrink(tableGen, tableGen, factorGen) { (p, b, f) =>
+      import spark.implicits._
+      val probe = p.toDF("k", "ts", "v")
+      val build = b.toDF("k", "ts2", "w").dropDuplicates("k")
+      // collected compare: exceptAll over this join shape trips an
+      // optimizer INTERNAL_ERROR (attribute rebind under the except
+      // rewrite), unrelated to the operator under test
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).toSeq.sorted
+      val salted = SkewJoin.saltedEquiJoin(probe, build, Seq("k"), f)
+        .select("k", "ts", "v", "ts2", "w")
+      val plain = probe.join(build, Seq("k")).select("k", "ts", "v", "ts2", "w")
+      rows(salted) == rows(plain)
+    }
+  }
+
+  // bounded top-k aggregator == window row_number, including NaN scores
+  property("TopKAgg == window top-k") = {
+    val scoredGen = Gen.listOfN(60, for {
+      g <- Gen.oneOf("a", "b", "c")
+      score <- Gen.frequency(
+        9 -> Gen.chooseNum(-50, 50).map(_.toDouble / 7.0),
+        1 -> Gen.const(Double.NaN))
+      id <- Gen.chooseNum(0L, 1000L)
+    } yield (g, score, id)).map(_.distinctBy(t => (t._1, t._3)))
+    Prop.forAllNoShrink(scoredGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("g", "score", "id").repartition(5)
+      val k = 4
+      val topk = graft.functions.TopKAgg.topK(k)
+      val got = df.groupBy("g").agg(topk(col("score"), col("id")).as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("g"), col("t.id").as("id"), (col("pos") + 1).as("rank"))
+      // NaN-as-minus-infinity ordering, ties by id — mirror in the oracle
+      val oracle = df
+        .withColumn("ord", when(isnan(col("score")), lit(Double.NegativeInfinity))
+          .otherwise(col("score")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("g").orderBy(col("ord").desc, col("id").asc)))
+        .filter(col("rank") <= k)
+        .select(col("g"), col("id"), col("rank").cast("long"))
+      got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty
+    }
+  }
+}
