@@ -122,6 +122,29 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * clicks from the preceding hour. Both sides are watermarked and the
+    * join condition bounds event-time distance, so each side's join state
+    * is evicted once the other side's watermark passes the interval — the
+    * only way a stream×stream join has bounded state. (The as-of variant —
+    * latest click only — is [[graft.operators.AsOfJoin]] in batch;
+    * streaming emits all in-window pairs and lets consumers pick.)
+    */
+  def clickPurchaseJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts")
+  }
+
   /** Streaming exact dedup: at-least-once sources re-deliver, so drop
     * duplicate keys arriving within the watermark horizon — state holds
     * one entry per key seen in the horizon and is evicted as event time

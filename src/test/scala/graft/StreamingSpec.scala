@@ -31,6 +31,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    import org.apache.spark.sql.functions._
+    val src = StreamOps.eventsStream(spark, sf)
+    val got = StreamOps.runAvailableNow(
+      spark,
+      StreamOps.clickPurchaseJoin(
+        src.filter(col("event_type") === "purchase"),
+        src.filter(col("event_type") === "click")),
+      "s_ssjoin", org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("purchase_id", "click_id")
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val want = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts")
+      .orderBy("purchase_id", "click_id")
+    assert(got.collect().toSeq === want.collect().toSeq)
+    assert(want.count() > 0, "expected at least one click-purchase pair in fixture data")
+  }
+
   test("dedupStream drops re-delivered keys within the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
