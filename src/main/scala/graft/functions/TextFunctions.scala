@@ -9,14 +9,21 @@ import org.apache.spark.sql.functions._
   * operators stay inside whole-stage codegen and scale linearly with input.
   *
   * Determinism contract: each function has an exact ANSI-SQL equivalent
-  * (used by the DuckDB oracles in TextQueries), so regex patterns are kept
-  * to constructs with identical semantics in Java regex and RE2.
+  * (used by the DuckDB oracles in TextQueries). Whitespace is matched with
+  * an explicit character class, never `\s` — Java's `\s` includes vertical
+  * tab U+000B while RE2's does not, so the shorthand silently diverges
+  * between Spark and RE2-based engines.
   */
 object TextFunctions {
 
+  /** The whitespace class shared verbatim (modulo escaping) with the DuckDB
+    * oracles: space, tab, LF, CR, FF, VT.
+    */
+  private val Ws = " \\t\\n\\r\\f\\x0B"
+
   /** Whitespace-collapsed, trimmed, lowercased canonical form. */
   def normalizeText(c: Column): Column =
-    lower(trim(regexp_replace(c, "\\s+", " ")))
+    lower(trim(regexp_replace(c, s"[$Ws]+", " ")))
 
   /** Whitespace tokens of the normalized text (no empty tokens). */
   def tokens(c: Column): Column =
@@ -31,7 +38,7 @@ object TextFunctions {
     * deterministic stand-in for a learned tokenizer's piece count.
     */
   def bpeishTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(c, lit(s"[A-Za-z0-9]+|[^A-Za-z0-9$Ws]"), lit(0)))
 
   /** Mean token length, derived arithmetically from the normalized form
     * (single-space joined ⇒ sum(len) = length - (n-1)).
@@ -53,7 +60,7 @@ object TextFunctions {
 
   /** Punctuation-to-character ratio over the raw text. */
   def punctRatio(c: Column): Column =
-    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+    size(regexp_extract_all(c, lit(s"[^A-Za-z0-9$Ws]"), lit(0))).cast("double") /
       nullif(length(c), lit(0)).cast("double")
 
   /** Composite document-quality score in [0,1]:
@@ -61,12 +68,16 @@ object TextFunctions {
     * + 0.3 · closeness of the stopword ratio to natural English prose (~0.45)
     * + 0.3 · closeness of mean token length to typical prose (~5 chars).
     * Pure arithmetic over the counts above — identical in any ANSI engine.
+    * Empty/whitespace-only text scores 0 (the ratios are undefined there,
+    * but "no content" is the lowest quality, not an unknown one).
     */
   def qualityScore(c: Column): Column = {
     val lenCredit = least(lit(1.0), tokenCount(c).cast("double") / lit(50.0))
     val stopCredit = lit(1.0) - least(lit(1.0), abs(stopwordRatio(c) - lit(0.45)) * lit(2.0))
     val wordCredit = lit(1.0) - least(lit(1.0), abs(meanTokenLength(c) - lit(5.0)) / lit(5.0))
-    lit(0.4) * lenCredit + lit(0.3) * stopCredit + lit(0.3) * wordCredit
+    coalesce(
+      lit(0.4) * lenCredit + lit(0.3) * stopCredit + lit(0.3) * wordCredit,
+      lit(0.0))
   }
 
   /** Whole-document fingerprint: md5 of the normalized text (md5 is

@@ -15,15 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object GoldAgg {
 
-  /** Monthly spend rollup: (year, month, total_spend, avg_spend, n_rows). */
-  def monthlySpend(fact: DataFrame, dateCol: String, amountCol: String): DataFrame =
+  /** Monthly spend rollup: (year, month, total_spend, avg_spend, n_rows).
+    * Output year/month column names are parameterized so both the TPC-H
+    * query surface (o_year/o_month) and the medallion gold mart share one
+    * implementation.
+    */
+  def monthlySpend(
+      fact: DataFrame, dateCol: String, amountCol: String,
+      yearName: String = "o_year", monthName: String = "o_month"): DataFrame =
     fact
       .groupBy(
-        year(col(dateCol)).as("o_year"),
-        month(col(dateCol)).as("o_month"))
+        year(col(dateCol)).as(yearName),
+        month(col(dateCol)).as(monthName))
       .agg(
         Exact.sumD(col(amountCol)).as("total_spend"),
         Exact.avgD(col(amountCol)).as("avg_spend"),
         count(lit(1)).as("n_rows"))
-      .orderBy("o_year", "o_month")
+      .orderBy(yearName, monthName)
 }

@@ -1,9 +1,7 @@
 package graft.pipeline
 
-import graft.functions.Exact
-import graft.operators.Dedup
+import graft.operators.{Dedup, GoldAgg, Normalize}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bronze → silver → gold medallion orchestration over Parquet directories
@@ -67,10 +65,11 @@ final case class Medallion(root: String) {
     val order = Seq(col("date_retrieved").asc, col("created").asc_nulls_last, col("id").asc)
 
     // T1 — counterparties dim, composite key (account_num, sort_code).
-    val counterparties = Dedup.firstWriterWins(
-        bronze.filter(col("counterparty_account_num").isNotNull &&
-          col("counterparty_sort_code").isNotNull),
-        Seq("counterparty_account_num", "counterparty_sort_code"), order)
+    val counterparties = Normalize.firstWriterDim(
+        bronze,
+        keyCols = Seq("counterparty_account_num", "counterparty_sort_code"),
+        attrCols = Seq("counterparty_name"),
+        order = order)
       .select(
         col("counterparty_account_num").as("account_num"),
         col("counterparty_sort_code").as("sort_code"),
@@ -78,8 +77,11 @@ final case class Medallion(root: String) {
 
     // T2 — merchants dim, key id, first-writer-wins on attribute conflicts.
     val merchantCols = bronze.columns.filter(_.startsWith("merchant_")).toSeq
-    val merchants = Dedup.firstWriterWins(
-        bronze.filter(col("merchant_id").isNotNull), Seq("merchant_id"), order)
+    val merchants = Normalize.firstWriterDim(
+        bronze,
+        keyCols = Seq("merchant_id"),
+        attrCols = merchantCols.filterNot(_ == "merchant_id"),
+        order = order)
       .select(col("merchant_id").as("id") +:
         merchantCols.filterNot(_ == "merchant_id")
           .map(c => col(c).as(c.stripPrefix("merchant_"))): _*)
@@ -94,7 +96,9 @@ final case class Medallion(root: String) {
         col("is_load"), col("settled"),
         col("local_amount"), col("local_currency"),
         col("counterparty_account_num"), col("counterparty_sort_code"),
-        col("merchant_id"), col("date_retrieved"),
+        col("merchant_id"),
+        // reference silver_transactions carries only inserted_at
+        // (create_silver_layer.sql:1-19)
         col("date_retrieved").as("inserted_at"))
 
     counterparties.write.mode(SaveMode.Overwrite).parquet(silverCounterparties)
@@ -108,14 +112,11 @@ final case class Medallion(root: String) {
     */
   def buildGold(spark: SparkSession): Unit = {
     val silver = spark.read.parquet(silverTx)
-    silver.filter(col("amount") < 0)
-      .withColumn("spend", -col("amount"))
-      .groupBy(
-        year(col("created")).as("year"),
-        month(col("created")).as("month"))
-      .agg(
-        Exact.sumD(col("spend")).as("total_spend"),
-        Exact.avgD(col("spend")).as("avg_spend"))
+    GoldAgg.monthlySpend(
+        silver.filter(col("amount") < 0).withColumn("spend", -col("amount")),
+        dateCol = "created", amountCol = "spend",
+        yearName = "year", monthName = "month")
+      .drop("n_rows")
       .write.mode(SaveMode.Overwrite).parquet(goldMonthly)
   }
 

@@ -23,9 +23,9 @@ object DedupQueries {
         Seq("fp"), Seq(col("doc_id").asc))
         .orderBy("doc_id"),
     Some("""SELECT doc_id, fp FROM (
-              SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+              SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS fp,
                      row_number() OVER (PARTITION BY
-                       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                       md5(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))))
                        ORDER BY doc_id) AS rn
               FROM documents)
             WHERE rn = 1 ORDER BY doc_id"""))
@@ -40,7 +40,7 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b"),
     Some("""WITH norm AS (
               SELECT doc_id,
-                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
               FROM documents),
             sh AS (
               SELECT doc_id, unnest(list_distinct(
@@ -95,7 +95,7 @@ object DedupQueries {
         .orderBy("doc_id"),
     Some("""WITH RECURSIVE norm AS (
               SELECT doc_id,
-                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
               FROM documents),
             sh AS (
               SELECT doc_id, unnest(list_distinct(

@@ -23,8 +23,8 @@ object TextQueries {
           length(normalizeText(col("text"))).cast("long").as("norm_len"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
-                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
-                   CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT) AS norm_len
+                   md5(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS fp,
+                   CAST(length(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS BIGINT) AS norm_len
             FROM documents ORDER BY doc_id"""))
 
   /** Token counting: whitespace tokens + BPE-ish subword proxy + mean token
@@ -41,12 +41,12 @@ object TextQueries {
           meanTokenLength(col("text")).as("mean_token_len"))
         .orderBy("doc_id"),
     Some("""WITH norm AS (
-              SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt, text
+              SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS nt, text
               FROM documents)
             SELECT doc_id,
                    CAST(CASE WHEN length(nt) = 0 THEN 0
                         ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_tokens,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]')) AS BIGINT) AS n_bpeish,
                    CAST(length(nt) - (CASE WHEN length(nt) = 0 THEN 0
                         ELSE len(string_split(nt, ' ')) END) + 1 AS DOUBLE)
                      / NULLIF(CASE WHEN length(nt) = 0 THEN 0
@@ -68,7 +68,7 @@ object TextQueries {
         .limit(100),
     Some("""SELECT word, COUNT(*) AS cnt
             FROM (SELECT unnest(string_split(
-                    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+                    lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
                   FROM documents)
             WHERE length(word) > 0
             GROUP BY word ORDER BY cnt DESC, word LIMIT 100"""))
@@ -88,10 +88,10 @@ object TextQueries {
         .orderBy("doc_id"),
     Some("""WITH t AS (
               SELECT doc_id, text,
-                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
-                     CASE WHEN length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) = 0 THEN 0
-                          ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END AS n,
-                     length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS nlen
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS toks,
+                     CASE WHEN length(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) = 0 THEN 0
+                          ELSE len(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) END AS n,
+                     length(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS nlen
               FROM documents),
             m AS (
               SELECT doc_id, text, n,
@@ -101,11 +101,11 @@ object TextQueries {
                      CAST(nlen - n + 1 AS DOUBLE) / NULLIF(n, 0) AS mean_len
               FROM t)
             SELECT doc_id, stopword_ratio,
-                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r\f\x0B]')) AS DOUBLE)
                      / NULLIF(length(text), 0) AS punct_ratio,
-                   0.4 * least(1.0, CAST(n AS DOUBLE) / 50.0)
+                   COALESCE(0.4 * least(1.0, CAST(n AS DOUBLE) / 50.0)
                    + 0.3 * (1.0 - least(1.0, abs(stopword_ratio - 0.45) * 2.0))
-                   + 0.3 * (1.0 - least(1.0, abs(mean_len - 5.0) / 5.0)) AS quality
+                   + 0.3 * (1.0 - least(1.0, abs(mean_len - 5.0) / 5.0)), 0.0) AS quality
             FROM m ORDER BY doc_id"""))
 
   /** Language-ID heuristic (CJK script check + per-language stopword
@@ -126,7 +126,7 @@ object TextQueries {
         .orderBy("doc_id"),
     Some("""WITH t AS (
               SELECT doc_id, lang AS labeled_lang, text,
-                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS toks
               FROM documents),
             s AS (
               SELECT *,
@@ -140,7 +140,8 @@ object TextQueries {
                   ['el','los','y','es','una','un','las','que','por','con'], x))) AS s_es
               FROM t)
             SELECT doc_id, labeled_lang,
-                   CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                   CASE WHEN text IS NULL THEN 'und'
+                        WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
                         WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
                         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
                         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'

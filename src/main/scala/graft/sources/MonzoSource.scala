@@ -21,10 +21,11 @@ object MonzoSource {
   /** P1+P2+P3 — flatten nested transaction structs to the 31 bronze columns.
     *
     * Null-defaulting mirrors `.get(key, default)` (api_client.py:44-51):
-    * amount/local_amount→0, is_load→false; a missing merchant leaves all 17
-    * merchant columns NULL (api_client.py:58-103), while a present merchant
-    * defaults online/atm→false. `suggested_tags` is JSON-serialized exactly
-    * like json.dumps at load time (load.py:117).
+    * amount/local_amount→0, is_load→false. A missing merchant leaves the 15
+    * attribute columns NULL but merchant_online/merchant_atm FALSE — the
+    * reference initializes those two to False for every row before the
+    * merchant check (api_client.py:58-78). `suggested_tags` is
+    * JSON-serialized like json.dumps at load time (load.py:117).
     */
   def flattenTransactions(api: DataFrame): DataFrame =
     api.select(
@@ -47,10 +48,11 @@ object MonzoSource {
       col("merchant.category").as("merchant_category"),
       col("merchant.logo").as("merchant_logo"),
       col("merchant.emoji").as("merchant_emoji"),
-      when(col("merchant").isNotNull, coalesce(col("merchant.online"), lit(false)))
-        .as("merchant_online"),
-      when(col("merchant").isNotNull, coalesce(col("merchant.atm"), lit(false)))
-        .as("merchant_atm"),
+      // false (not NULL) even when merchant is absent: the reference
+      // initializes merchant_online/merchant_atm = False for every row
+      // before the merchant check (api_client.py:59-78)
+      coalesce(col("merchant.online"), lit(false)).as("merchant_online"),
+      coalesce(col("merchant.atm"), lit(false)).as("merchant_atm"),
       col("merchant.address.address").as("merchant_address"),
       col("merchant.address.city").as("merchant_city"),
       col("merchant.address.postcode").as("merchant_postcode"),
@@ -58,6 +60,9 @@ object MonzoSource {
       col("merchant.address.latitude").as("merchant_latitude"),
       col("merchant.address.longitude").as("merchant_longitude"),
       col("merchant.google_places_id").as("merchant_google_places_id"),
+      // JSON-serialized like the reference's json.dumps (load.py:117);
+      // byte formatting differs (no space after commas, SQL NULL instead
+      // of the string 'null'), which downstream consumers parse identically
       to_json(col("merchant.suggested_tags")).as("merchant_suggested_tags"),
       col("merchant.foursquare_id").as("merchant_foursquare_id"),
       col("merchant.website").as("merchant_website"))
@@ -66,9 +71,21 @@ object MonzoSource {
   def shapeBalance(balance: DataFrame): DataFrame =
     balance.withColumn("spend_today", abs(col("spend_today")))
 
-  /** S3 — pots payload arrives as `{pots: [...]}`; explode to one row per
-    * pot (api_client.py:138-155; load.py:164-235 iterates the list).
+  /** Pot boolean flags the reference defaults to False on insert
+    * (load.py:204-216, `pot.get(key, False)`).
     */
-  def explodePots(potsPayload: DataFrame): DataFrame =
-    potsPayload.select(explode(col("pots")).as("pot")).select(col("pot.*"))
+  private val potBoolDefaults = Seq(
+    "isa_wrapper", "round_up", "is_tax_pot", "deleted", "locked",
+    "available_for_bills", "has_virtual_cards")
+
+  /** S3 — pots payload arrives as `{pots: [...]}`; explode to one row per
+    * pot (api_client.py:138-155; load.py:164-235 iterates the list), with
+    * the reference's False defaults on the boolean flags.
+    */
+  def explodePots(potsPayload: DataFrame): DataFrame = {
+    val exploded = potsPayload.select(explode(col("pots")).as("pot")).select(col("pot.*"))
+    potBoolDefaults.foldLeft(exploded) { (df, c) =>
+      if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), lit(false))) else df
+    }
+  }
 }

@@ -45,12 +45,17 @@ class MonzoFlattenSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("created").toInstant.toString === "2025-01-01T00:00:00Z")
   }
 
-  test("missing merchant leaves all 17 merchant columns null") {
+  test("missing merchant: attributes null, online/atm false (reference default)") {
     val out = MonzoSource.flattenTransactions(jsonDf(MonzoSchemas.apiTransaction, noMerchantTx))
     val r = out.collect()(0)
     val merchantCols = out.columns.filter(_.startsWith("merchant_"))
     assert(merchantCols.length === 17)
-    merchantCols.foreach(c => assert(r.isNullAt(r.fieldIndex(c)), s"$c should be null"))
+    // api_client.py:59-78 initializes online/atm = False for EVERY row,
+    // before the merchant-presence check; the other 15 stay None
+    val alwaysFalse = Set("merchant_online", "merchant_atm")
+    merchantCols.filterNot(alwaysFalse).foreach(c =>
+      assert(r.isNullAt(r.fieldIndex(c)), s"$c should be null"))
+    alwaysFalse.foreach(c => assert(r.getAs[Boolean](c) === false, s"$c should be false"))
     assert(r.getAs[Boolean]("is_load") === true)
   }
 
