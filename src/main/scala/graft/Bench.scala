@@ -22,18 +22,27 @@ object Bench {
     // shared-hardware noise; the minimum is the standard stable estimator
     // of a query's actual cost
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // a query that throws is reported as "err" (and in `failed`), never as
+    // a near-zero time that would silently flatter the total
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until runs).map { _ =>
+      val times = (0 until runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+            None
+        }
       }
-      name -> times.min
+      (name, if (times.size == runs) Some(times.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min"}""")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min"}""")
     spark.stop()
   }
 }

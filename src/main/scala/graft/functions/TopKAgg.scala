@@ -12,22 +12,29 @@ import org.apache.spark.sql.functions.udaf
   * sorting 100 TB and merging bounded buffers at scale.
   *
   * Ordering: score descending, id ascending on ties (deterministic —
-  * matches `ORDER BY score DESC, id` in the oracle).
+  * matches `ORDER BY score DESC, id` in the oracle). NaN ranks FIRST,
+  * exactly like both Spark's and DuckDB's `ORDER BY score DESC` (their
+  * total order puts NaN above +Infinity), so the window-sort equivalence
+  * holds verbatim on NaN-bearing data.
   */
 object TopKAgg {
 
   final case class Scored(score: Double, id: Long)
   final case class Buf(items: Seq[Scored])
 
-  // NaN ranks below every real score (and deterministically by id among
-  // NaNs): a comparator where NaN is "equal" to everything is
-  // non-transitive — undefined top-k membership and a TimSort contract
-  // crash on merged buffers
-  private def key(s: Scored): Double =
-    if (s.score.isNaN) Double.NegativeInfinity else s.score
-
-  private def lt(a: Scored, b: Scored): Boolean =
-    key(a) > key(b) || (key(a) == key(b) && a.id < b.id)
+  // total order: NaN class first (engine DESC semantics), then score
+  // descending, then id ascending. Treating NaN as a separate class keeps
+  // the comparator transitive (raw IEEE compares involving NaN are not —
+  // undefined top-k membership and a TimSort contract crash otherwise)
+  // while `==` on the non-NaN branch keeps -0.0 == 0.0, matching both
+  // engines' SQL orderings.
+  private def lt(a: Scored, b: Scored): Boolean = {
+    val na = a.score.isNaN
+    val nb = b.score.isNaN
+    if (na != nb) na // NaN ranks first under DESC
+    else if (na) a.id < b.id // among NaNs, scores tie — id decides
+    else a.score > b.score || (a.score == b.score && a.id < b.id)
+  }
 
   class TopKAggregator(k: Int) extends Aggregator[Scored, Buf, Seq[Scored]] {
     override def zero: Buf = Buf(Vector.empty)

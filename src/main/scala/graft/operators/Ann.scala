@@ -76,27 +76,47 @@ object Ann {
   /** Top-k cosine neighbors per query via IVF probe. Output matches
     * [[NearDup.knnBruteForce]]: (q_id, n_id, cos, rank) — recall < 1 when
     * a true neighbor lives in an unprobed cell (spec-bounded).
+    *
+    * Scale knobs:
+    *  - `nlist <= 0` (the default) auto-sizes to max(16, ⌈√n⌉) — the
+    *    standard IVF balance point (cells of ~√n vectors each), so a 100×
+    *    corpus gets 10× the cells instead of 100× the per-cell scan.
+    *  - the probe join broadcasts the query side only while the exploded
+    *    (query × nprobe) row count stays under `broadcastQueryRows`; past
+    *    that — e.g. an all-pairs self-search where |Q| ≈ |C| — it falls
+    *    back to a shuffle equi-join on `cell`, which AQE skew-splits.
     */
   def ivfTopK(
       spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
-    val centroids = trainCentroids(spark, corpus, nlist, iters)
+      nlist: Int = 0, nprobe: Int = 4, iters: Int = 1,
+      broadcastQueryRows: Long = 500000L): DataFrame = {
+    val effNlist =
+      if (nlist > 0) nlist
+      else {
+        val n = corpus.count()
+        math.max(16L, math.min(n, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+      }
+    val centroids = trainCentroids(spark, corpus, effNlist, iters)
     val corpusCells = assignCells(corpus, centroids)
       .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
         Similarity.normExact(col("embedding")).as("nn"), col("cell"))
-    // nprobe nearest cells per query: score all nlist centroids, explode top nprobe
+    // nprobe nearest cells per query: score all nlist centroids, explode the
+    // top nprobe. Sort key is (score, -cell) so ties prefer the LOWER cell
+    // index — the same contract as assignCells' negidx argmax.
     val probeStructs = centroids.zipWithIndex.map { case (c, i) =>
       struct((Similarity.dotFast(col("embedding"), typedLit(c.toSeq)) / lit(norm2(c))).as("score"),
-        lit(i).as("cell"))
+        lit(-i).as("negcell"))
     }
     val probed = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         Similarity.normExact(col("embedding")).as("qn"),
         slice(reverse(array_sort(array(probeStructs: _*))), 1, nprobe).as("probes"))
       .withColumn("probe", explode(col("probes")))
-      .withColumn("cell", col("probe.cell"))
+      .withColumn("cell", -col("probe.negcell"))
       .drop("probes", "probe")
-    val scored = broadcast(probed).join(corpusCells, Seq("cell"))
+    val probeSide =
+      if (queries.count() * nprobe <= broadcastQueryRows) broadcast(probed) else probed
+    val scored = probeSide.join(corpusCells, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
       .withColumn("cos", Similarity.cosineFromParts(

@@ -31,10 +31,18 @@ object Components {
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 20, driverEdgeThreshold: Long = 1000000L): DataFrame = {
-    if (driverEdgeThreshold > 0 &&
-        pairs.limit(driverEdgeThreshold.toInt + 1).count() <= driverEdgeThreshold)
-      driverUnionFind(pairs, srcCol, dstCol)
-    else distributedCC(pairs, srcCol, dstCol, maxIters)
+    // scoped persist: the threshold probe AND the chosen path both execute
+    // `pairs` (often an expensive near-dup pipeline). Persist before the
+    // probe, unpersist after the path has materialized (driver path
+    // collect()s; distributed path eagerly localCheckpoints `sym`), so the
+    // upstream pipeline runs once and nothing outlives this call.
+    val cached = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (driverEdgeThreshold > 0 &&
+          cached.limit(driverEdgeThreshold.toInt + 1).count() <= driverEdgeThreshold)
+        driverUnionFind(cached, srcCol, dstCol)
+      else distributedCC(cached, srcCol, dstCol, maxIters)
+    } finally cached.unpersist()
   }
 
   /** Union-find with path compression over collected edges; ids keep their
@@ -71,8 +79,12 @@ object Components {
       val r = find(i)
       val smaller = (ids(i), minOfRoot.get(r)) match {
         case (x, null) => x
-        case (x: java.lang.Long, c: java.lang.Long) => if (x < c) x else c
-        case (x: java.lang.Integer, c: java.lang.Integer) => if (x < c) x else c
+        // every external id type Spark hands back here (boxed numerics,
+        // String, Decimal, Timestamp/Date) is Comparable to its own class —
+        // matching the distributed path's min() ordering, unlike a
+        // lexicographic toString fallback ("10" < "9")
+        case (x: Comparable[_], c) if x.getClass == c.getClass =>
+          if (x.asInstanceOf[Comparable[Any]].compareTo(c) < 0) x else c
         case (x, c) => if (x.toString < c.toString) x else c
       }
       minOfRoot.put(r, smaller)

@@ -39,6 +39,18 @@ object NearDup {
     docs.select(col("doc_id"), Sketches.wordShingles(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
+  /** Materialize a DataFrame that downstream plans reference several times,
+    * without a cache leak: `localCheckpoint(eager = true)` stores the rows
+    * in the executors' block manager (MEMORY_AND_DISK) and cuts lineage, so
+    * each reuse is a block read instead of a recompute; unlike `persist`,
+    * the blocks are NOT registered in the session CacheManager — the
+    * ContextCleaner frees them once the returned plan is unreachable, so a
+    * lazy result can safely escape this operator. (On a real cluster with
+    * dynamic allocation, prefer `checkpoint` to reliable storage: local
+    * checkpoint blocks die with their executor.)
+    */
+  private def materialized(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
   /** Exact n-gram Jaccard near-dup pairs: J(a,b) ≥ threshold, a < b.
     * Inverted-index join: explode shingles, self-join on a 64-bit shingle
     * hash (8-byte shuffle keys instead of ~25-byte strings; a collision
@@ -49,10 +61,10 @@ object NearDup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
-    // referenced three times (sizes + both join sides); NOT persisted —
-    // a persist here outlives the returned lazy DataFrame (cache leak per
-    // call), and the native WordShingles expression makes recompute cheap
-    val sets = shingleSets(docs, n)
+    // referenced three times (sizes + both join sides): materialize once —
+    // `materialized` (localCheckpoint) avoids the per-call cache leak that
+    // ruled out persist here, and one shingle pass beats three
+    val sets = materialized(shingleSets(docs, n))
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
     val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
@@ -89,9 +101,10 @@ object NearDup {
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rowsPerBand = numPerms / bands
-    val sets = shingleSets(docs, n)
+    // referenced three times (bucketing + both re-attach joins)
+    val sets = materialized(shingleSets(docs, n)
       .withColumn("sig", Sketches.minhashSignature(col("shingles"), numPerms))
-      .filter(col("sig").isNotNull)
+      .filter(col("sig").isNotNull))
     val buckets = sets
       .select(col("doc_id"), explode(Sketches.bandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),

@@ -61,16 +61,19 @@ object DedupQueries {
             ORDER BY doc_a, doc_b"""))
 
   /** MinHash(64 perms)+LSH(16 bands) candidates, verified with exact
-    * Jaccard at τ = 0.3. Rows-only: the sketch pipeline (xxhash64 + affine
-    * perms) is engine-specific; recall vs the exact q19 result is asserted
-    * in NearDupSpec.
+    * Jaccard at τ = 0.3. Emits only the verified (doc_a, doc_b, jaccard)
+    * triples, so whenever LSH recall = 1.0 (asserted against q19 in
+    * NearDupSpec) the output EQUALS the exact q19 answer — which makes
+    * q19's oracle valid here too. A future recall dip would surface as a
+    * hash mismatch, which is exactly the signal we want.
     */
   private val q20 = GraftQuery(
     "q20_minhash_lsh_pairs",
     (s, dir) =>
       NearDup.minhashLshPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b"),
-    None)
+    q19.oracle)
 
   /** SimHash(64-bit) near-dup pairs within Hamming distance 3, complete
     * 4×16-bit blocking. Rows-only (xxhash64-based).

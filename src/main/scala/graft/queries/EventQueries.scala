@@ -130,7 +130,8 @@ object EventQueries {
     * approximate value quantiles — the single-pass mergeable-sketch path
     * that replaces exact distinct/percentile at 100 TB. Rows-only (sketch
     * internals are engine-specific); EventQueriesSpec bounds the error
-    * against the exact answers.
+    * against the exact answers. Quantiles are flattened to scalar
+    * p50/p95/p99 columns (array outputs aren't comparable downstream).
     */
   private val q29 = GraftQuery(
     "q29_approx_aggs",
@@ -140,7 +141,12 @@ object EventQueries {
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
           percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
-            lit(10000)).as("value_quantiles"))
+            lit(10000)).as("q"))
+        .select(
+          col("event_type"), col("approx_users"),
+          element_at(col("q"), 1).as("p50"),
+          element_at(col("q"), 2).as("p95"),
+          element_at(col("q"), 3).as("p99"))
         .orderBy("event_type"),
     None)
 

@@ -33,6 +33,9 @@ object MultimodalQueries {
 
   /** Pooled feature vectors from the (stubbed) decode — rows-only; the
     * MultimodalSpec asserts determinism, shape, and L2 normalization.
+    * The vector is emitted as a JSON string plus scalar digests (dim, L2
+    * norm, first component) — array columns aren't comparable downstream,
+    * and the JSON form is deterministic (single JVM float formatting).
     */
   private val q31 = GraftQuery(
     "q31_multimodal_features",
@@ -40,6 +43,13 @@ object MultimodalQueries {
       Multimodal.extractFeatures(
         s, Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
         .toDF()
+        .select(
+          col("media_id"),
+          size(col("embedding")).as("dim"),
+          round(sqrt(graft.functions.Similarity.dotFast(
+            col("embedding"), col("embedding"))), 6).as("l2_norm"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
+          to_json(col("embedding")).as("embedding_json"))
         .orderBy("media_id"),
     None)
 

@@ -46,7 +46,7 @@ class EventQueriesSpec extends SparkSpec {
 
   test("approx_count_distinct within 10% of exact; quantiles ordered") {
     val approx = Registry.byName("q29_approx_aggs").run(spark, sf)
-      .select("event_type", "approx_users", "value_quantiles").collect()
+      .select("event_type", "approx_users", "p50", "p95", "p99").collect()
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct("user_id").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -55,8 +55,8 @@ class EventQueriesSpec extends SparkSpec {
       val est = r.getLong(1).toDouble
       val ex = exact(et).toDouble
       assert(math.abs(est - ex) / ex <= 0.10, s"$et: est=$est exact=$ex")
-      val qs = r.getSeq[Double](2)
-      assert(qs.length === 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
+      val qs = Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(qs(0) <= qs(1) && qs(1) <= qs(2))
     }
   }
 }

@@ -81,12 +81,11 @@ object OpsProps extends Properties("Operators") {
       val got = df.groupBy("g").agg(topk(col("score"), col("id")).as("top"))
         .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
         .select(col("g"), col("t.id").as("id"), (col("pos") + 1).as("rank"))
-      // NaN-as-minus-infinity ordering, ties by id — mirror in the oracle
+      // plain engine DESC (NaN ranks above +Inf in Spark's total order) —
+      // TopKAgg now matches it verbatim, so the oracle needs no remap
       val oracle = df
-        .withColumn("ord", when(isnan(col("score")), lit(Double.NegativeInfinity))
-          .otherwise(col("score")))
         .withColumn("rank", row_number().over(
-          Window.partitionBy("g").orderBy(col("ord").desc, col("id").asc)))
+          Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)))
         .filter(col("rank") <= k)
         .select(col("g"), col("id"), col("rank").cast("long"))
       got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty
