@@ -21,7 +21,8 @@ object Registry {
       graft.queries.SimilarityQueries.all ++
       graft.queries.EventQueries.all ++
       graft.queries.MultimodalQueries.all ++
-      graft.queries.AdvancedQueries.all
+      graft.queries.AdvancedQueries.all ++
+      graft.queries.MedallionQueries.all
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(sys.error(s"no such query: $name"))

@@ -264,6 +264,45 @@ object CoreQueries {
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  /** E1 literal — currency-rate enrichment: a tiny GBP→{EUR,USD,JPY} rates
+    * lookup broadcast onto a money column, then a monthly converted-total
+    * rollup. This is the reference's exploratory FX join
+    * (/root/reference/notebooks/currency_ex_rate_api.ipynb cell 1 — GBP
+    * base rates applied to transaction amounts) with literal rates standing
+    * in for the API payload; q08 covers the join *shape* on TPC-H dims,
+    * this covers the actual rates semantics. Broadcast: the rates side is
+    * 3 rows at any corpus scale, so the join is shuffle-free.
+    */
+  private val q45 = GraftQuery(
+    "q45_currency_enrichment",
+    (s, dir) => {
+      import s.implicits._
+      val rates = Seq(
+        ("GBP", "EUR", 1.17), ("GBP", "USD", 1.27), ("GBP", "JPY", 188.34))
+        .toDF("from_ccy", "to_ccy", "rate")
+      Tables.orders(s, dir)
+        .withColumn("currency", lit("GBP"))
+        .join(broadcast(rates), col("currency") === col("from_ccy"))
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"),
+          col("to_ccy"))
+        .agg(
+          count(lit(1)).as("n_tx"),
+          Exact.sumD(col("o_totalprice") * col("rate")).as("converted_total"))
+        .orderBy("o_year", "o_month", "to_ccy")
+    },
+    Some("""WITH rates(from_ccy, to_ccy, rate) AS (
+              VALUES ('GBP', 'EUR', CAST(1.17 AS DOUBLE)),
+                     ('GBP', 'USD', CAST(1.27 AS DOUBLE)),
+                     ('GBP', 'JPY', CAST(188.34 AS DOUBLE)))
+            SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+                   to_ccy, count(*) AS n_tx,
+                   CAST(sum(CAST(o_totalprice * rate AS DECIMAL(30,4))) AS DOUBLE)
+                     AS converted_total
+            FROM orders JOIN rates ON 'GBP' = from_ccy
+            GROUP BY 1, 2, 3 ORDER BY o_year, o_month, to_ccy"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q34)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q34, q45)
 }

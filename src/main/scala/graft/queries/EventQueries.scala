@@ -150,5 +150,48 @@ object EventQueries {
         .orderBy("event_type"),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29)
+  /** The stream-stream interval join ([[graft.streaming.StreamOps
+    * .clickPurchaseJoin]]) run for real — file-source stream, watermarks,
+    * Append mode, AvailableNow lifecycle — and hash-compared against a
+    * DuckDB range-join oracle. All input arrives in the first micro-batch
+    * (single file), so no row can be watermark-evicted before matching and
+    * the streaming answer equals the batch interval join exactly.
+    */
+  private val q46 = GraftQuery(
+    "q46_stream_interval_join",
+    (s, dir) => {
+      import graft.streaming.StreamOps
+      val src = StreamOps.eventsStream(s, dir)
+      // unique sink name per run: memory-sink table names are session-global
+      val name = "q46_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // stream-stream join state is partitioned by shuffle.partitions AT
+      // QUERY START and each state-store partition pays fixed per-batch
+      // setup/commit I/O; the join keys here are a few thousand users, so
+      // scope the stream to 8 state partitions (restored after — the memory
+      // sink has fully materialized by then). At real stream scale this is
+      // the same knob, sized to key cardinality instead.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val out =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          StreamOps.runAvailableNow(
+            s,
+            StreamOps.clickPurchaseJoin(
+              src.filter(col("event_type") === "purchase"),
+              src.filter(col("event_type") === "click")),
+            name, org.apache.spark.sql.streaming.OutputMode.Append())
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      out.orderBy("purchase_id", "click_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id,
+                   CAST(p.ts AS TIMESTAMP) AS p_ts,
+                   c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS c_ts
+            FROM events p JOIN events c
+              ON p.event_type = 'purchase' AND c.event_type = 'click'
+             AND p.user_id = c.user_id
+             AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '1 hour'
+             AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+            ORDER BY purchase_id, click_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q46)
 }

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.pipeline.Medallion
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end medallion pipeline under the correctness gate: a
+  * deterministic Monzo-shaped bronze batch is derived from the harness's
+  * `orders ⋈ customer` tables, pushed through the REAL
+  * [[graft.pipeline.Medallion]] orchestration (two overlapping batch loads
+  * → idempotent keyed bronze, bronze → silver dims + fact, silver → gold),
+  * and the layer read-backs are compared against a DuckDB oracle that
+  * re-derives the same layers in SQL — proving the reference's actual
+  * transform (/root/reference/src/sql/transform_bronze_to_silver.sql:1-59,
+  * src/load/load.py:25-128), not just its operator analogs.
+  *
+  * The two-batch load (batch 1 = o_orderkey % 4 ≠ 0 at t1, batch 2 = ALL
+  * rows at t2) means the oracle's `date_retrieved` must equal t1 exactly
+  * for the re-sent rows — i.e. a broken insert-if-absent (duplicate or
+  * re-stamped rows) fails the hash compare, which is the point.
+  *
+  * All derived values are integer-arithmetic or string-concat only, so
+  * both engines compute bit-identical columns with no float parsing.
+  */
+object MedallionQueries {
+
+  private val T1 = "2026-01-01 00:00:00"
+  private val T2 = "2026-01-02 00:00:00"
+
+  /** Monzo-bronze-shaped batch derived from orders ⋈ customer. `where`
+    * filters on the raw order columns before projection (batch slicing).
+    */
+  private def fixtureBatch(s: SparkSession, dir: String, where: Column): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .filter(where)
+      .select(
+        concat(lit("tx_"), lpad(col("o_orderkey").cast("string"), 9, "0")).as("id"),
+        concat(lit("order "), col("o_orderpriority")).as("description"),
+        (when(col("o_orderkey") % 5 === 0, lit(1)).otherwise(lit(-1))
+          * (col("o_orderkey") % 9000 + 100)).cast("int").as("amount"),
+        lit("GBP").as("currency"),
+        col("o_orderdate").as("created"),
+        col("c_mktsegment").as("category"),
+        col("o_orderstatus").as("notes"),
+        (col("o_orderkey") % 97 === 0).as("is_load"),
+        (col("o_orderstatus") === "F").as("settled"),
+        (when(col("o_orderkey") % 5 === 0, lit(1)).otherwise(lit(-1))
+          * (col("o_orderkey") % 9000 + 100)).cast("int").as("local_amount"),
+        lit("GBP").as("local_currency"),
+        when(col("o_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(lpad((col("o_custkey") % 200).cast("string"), 8, "0"))
+          .as("counterparty_account_num"),
+        lpad((col("o_custkey") % 20).cast("string"), 6, "0").as("counterparty_sort_code"),
+        col("c_name").as("counterparty_name"),
+        when(col("o_custkey") % 11 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("m_"), lpad((col("o_custkey") % 50).cast("string"), 3, "0")))
+          .as("merchant_id"),
+        concat(lit("Merchant "), col("c_name")).as("merchant_name"),
+        col("c_mktsegment").as("merchant_category"))
+
+  /** Run the full pipeline into a fresh temp root and return it. Batch 1
+    * loads 3/4 of the rows at T1; batch 2 re-sends everything at T2, so
+    * only the remaining quarter may land (L1 idempotence under test).
+    */
+  private def runPipeline(s: SparkSession, dir: String): Medallion = {
+    val root = java.nio.file.Files.createTempDirectory("graft_medallion_").toString
+    val m = Medallion(root)
+    m.loadBronzeTransactions(s,
+      fixtureBatch(s, dir, col("o_orderkey") % 4 =!= 0), to_timestamp(lit(T1)))
+    m.loadBronzeTransactions(s,
+      fixtureBatch(s, dir, lit(true)), to_timestamp(lit(T2)))
+    m.transformSilver(s)
+    m.buildGold(s)
+    m
+  }
+
+  /** The oracle's re-derivation of what bronze must contain after the two
+    * loads: every order exactly once, stamped T1 unless only batch 2
+    * carried it (o_orderkey % 4 = 0).
+    */
+  private val bronzeCte =
+    s"""WITH bronze AS (
+          SELECT 'tx_' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') AS id,
+                 'order ' || o_orderpriority AS description,
+                 CAST((CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE -1 END)
+                      * (o_orderkey % 9000 + 100) AS INT) AS amount,
+                 'GBP' AS currency,
+                 o_orderdate AS created,
+                 c_mktsegment AS category,
+                 o_orderstatus AS notes,
+                 o_orderkey % 97 = 0 AS is_load,
+                 o_orderstatus = 'F' AS settled,
+                 CAST((CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE -1 END)
+                      * (o_orderkey % 9000 + 100) AS INT) AS local_amount,
+                 'GBP' AS local_currency,
+                 CASE WHEN o_custkey % 7 = 0 THEN NULL
+                      ELSE lpad(CAST(o_custkey % 200 AS VARCHAR), 8, '0') END
+                   AS counterparty_account_num,
+                 lpad(CAST(o_custkey % 20 AS VARCHAR), 6, '0') AS counterparty_sort_code,
+                 c_name AS counterparty_name,
+                 CASE WHEN o_custkey % 11 = 0 THEN NULL
+                      ELSE 'm_' || lpad(CAST(o_custkey % 50 AS VARCHAR), 3, '0') END
+                   AS merchant_id,
+                 'Merchant ' || c_name AS merchant_name,
+                 c_mktsegment AS merchant_category,
+                 CASE WHEN o_orderkey % 4 <> 0 THEN TIMESTAMP '$T1'
+                      ELSE TIMESTAMP '$T2' END AS date_retrieved
+          FROM orders JOIN customer ON o_custkey = c_custkey)"""
+
+  /** One shared pipeline run per scale dir for the secondary layer
+    * read-backs (q47–q49): they verify additional OUTPUTS of the same run,
+    * so re-executing the whole load→transform per query would triple-count
+    * the identical work. q44 always runs it fresh — that row carries the
+    * honest end-to-end cost.
+    */
+  private val shared = new java.util.concurrent.ConcurrentHashMap[String, Medallion]()
+  private def sharedPipeline(s: SparkSession, dir: String): Medallion =
+    shared.computeIfAbsent(dir, d => runPipeline(s, d))
+
+  /** Silver fact read-back (T3+T4: projection, INTEGER→REAL widening,
+    * inserted_at carry) after the full load→transform run.
+    */
+  private val q44 = GraftQuery(
+    "q44_medallion_silver_fact",
+    (s, dir) =>
+      s.read.parquet(runPipeline(s, dir).silverTx).orderBy("id"),
+    Some(s"""$bronzeCte
+             SELECT id, description, CAST(amount AS DOUBLE) AS amount, currency,
+                    created, category, notes, is_load, settled,
+                    local_amount, local_currency,
+                    counterparty_account_num, counterparty_sort_code, merchant_id,
+                    date_retrieved AS inserted_at
+             FROM bronze ORDER BY id"""))
+
+  /** Merchants dim read-back (T2: first-writer-wins on attribute conflicts
+    * under the deterministic (date_retrieved, created, id) order).
+    */
+  private val q47 = GraftQuery(
+    "q47_medallion_merchants_dim",
+    (s, dir) =>
+      s.read.parquet(sharedPipeline(s, dir).silverMerchants).orderBy("id"),
+    Some(s"""$bronzeCte
+             SELECT id, name, category FROM (
+               SELECT merchant_id AS id, merchant_name AS name,
+                      merchant_category AS category,
+                      row_number() OVER (PARTITION BY merchant_id
+                        ORDER BY date_retrieved, created, id) AS rn
+               FROM bronze WHERE merchant_id IS NOT NULL)
+             WHERE rn = 1 ORDER BY id"""))
+
+  /** Counterparties dim read-back (T1: composite-key dim, NOT NULL keys). */
+  private val q48 = GraftQuery(
+    "q48_medallion_counterparties_dim",
+    (s, dir) =>
+      s.read.parquet(sharedPipeline(s, dir).silverCounterparties)
+        .orderBy("account_num", "sort_code"),
+    Some(s"""$bronzeCte
+             SELECT account_num, sort_code, name FROM (
+               SELECT counterparty_account_num AS account_num,
+                      counterparty_sort_code AS sort_code,
+                      counterparty_name AS name,
+                      row_number() OVER (
+                        PARTITION BY counterparty_account_num, counterparty_sort_code
+                        ORDER BY date_retrieved, created, id) AS rn
+               FROM bronze
+               WHERE counterparty_account_num IS NOT NULL
+                 AND counterparty_sort_code IS NOT NULL)
+             WHERE rn = 1 ORDER BY account_num, sort_code"""))
+
+  /** Gold monthly-spend read-back (G1 over the silver fact: spend =
+    * negated negative amounts, calendar-month rollup).
+    */
+  private val q49 = GraftQuery(
+    "q49_medallion_gold",
+    (s, dir) =>
+      s.read.parquet(sharedPipeline(s, dir).goldMonthly)
+        .withColumn("year", col("year").cast("long"))
+        .withColumn("month", col("month").cast("long"))
+        .orderBy("year", "month"),
+    Some(s"""$bronzeCte
+             SELECT year(created) AS year, month(created) AS month,
+                    CAST(SUM(CAST(-CAST(amount AS DOUBLE) AS DECIMAL(30,4))) AS DOUBLE)
+                      AS total_spend,
+                    CAST(CAST(SUM(CAST(-CAST(amount AS DOUBLE) AS DECIMAL(30,4))) AS DOUBLE)
+                         / COUNT(*) AS DOUBLE) AS avg_spend
+             FROM bronze WHERE CAST(amount AS DOUBLE) < 0
+             GROUP BY 1, 2 ORDER BY year, month"""))
+
+  val all: Seq[GraftQuery] = Seq(q44, q47, q48, q49)
+}
