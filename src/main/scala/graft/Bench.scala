@@ -1,6 +1,41 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Best-of-`runs` wall time per query; `None` when any run threw — a
+    * crashing query must never report a near-zero elapsed time that would
+    * silently flatter the total.
+    */
+  def timeQueries(
+      spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      runs: Int): Seq[(String, Option[Double])] =
+    queries.map { case (name, fn) =>
+      val times = (0 until runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+            None
+        }
+      }
+      (name, if (times.size == runs) Some(times.min) else None)
+    }
+
+  /** The driver-contract JSON line: failed queries carry "err" in `queries`
+    * and are listed in `failed`; only successful times enter the total.
+    */
+  def toJson(results: Seq[(String, Option[Double])], sfDir: String, runs: Int): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"") }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,27 +57,8 @@ object Bench {
     // shared-hardware noise; the minimum is the standard stable estimator
     // of a query's actual cost
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    // a query that throws is reported as "err" (and in `failed`), never as
-    // a near-zero time that would silently flatter the total
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case t: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
-            None
-        }
-      }
-      (name, if (times.size == runs) Some(times.min) else None)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"") }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min"}""")
+    val results = timeQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1), runs)
+    println(toJson(results, sfDir, runs))
     spark.stop()
   }
 }

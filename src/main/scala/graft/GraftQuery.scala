@@ -22,7 +22,8 @@ object Registry {
       graft.queries.EventQueries.all ++
       graft.queries.MultimodalQueries.all ++
       graft.queries.AdvancedQueries.all ++
-      graft.queries.MedallionQueries.all
+      graft.queries.MedallionQueries.all ++
+      graft.queries.CurationQueries.all
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(sys.error(s"no such query: $name"))

@@ -85,6 +85,25 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Redact common PII shapes — emails, IPv4 addresses, phone-like digit
+    * runs — with typed placeholders. Replacement ORDER is part of the
+    * contract (emails first so their digits can't half-match as phones,
+    * IPs before phones for the same reason) and is mirrored verbatim in
+    * the DuckDB oracle. Patterns use explicit character classes only:
+    * Java and RE2 disagree on `\s`/`\d` shorthand but agree on these.
+    * One codegen'd projection — runs at scan speed on 100 TB.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   private val stopwordsByLang: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "in", "is", "to", "it", "that", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "zu"),

@@ -277,31 +277,35 @@ object CoreQueries {
     "q45_currency_enrichment",
     (s, dir) => {
       import s.implicits._
-      val rates = Seq(
-        ("GBP", "EUR", 1.17), ("GBP", "USD", 1.27), ("GBP", "JPY", 188.34))
-        .toDF("from_ccy", "to_ccy", "rate")
+      val rates = Seq(("GBP", 1.0), ("EUR", 1.17), ("USD", 0.79))
+        .toDF("ccy", "rate_to_gbp")
       Tables.orders(s, dir)
-        .withColumn("currency", lit("GBP"))
-        .join(broadcast(rates), col("currency") === col("from_ccy"))
+        .withColumn("currency",
+          when(col("o_orderkey") % 3 === 0, lit("GBP"))
+            .when(col("o_orderkey") % 3 === 1, lit("EUR"))
+            .otherwise(lit("USD")))
+        .join(broadcast(rates), col("currency") === col("ccy"))
         .groupBy(
           year(col("o_orderdate")).cast("long").as("o_year"),
-          month(col("o_orderdate")).cast("long").as("o_month"),
-          col("to_ccy"))
+          month(col("o_orderdate")).cast("long").as("o_month"))
         .agg(
           count(lit(1)).as("n_tx"),
-          Exact.sumD(col("o_totalprice") * col("rate")).as("converted_total"))
-        .orderBy("o_year", "o_month", "to_ccy")
+          Exact.sumD(col("o_totalprice") * col("rate_to_gbp")).as("gbp_total"))
+        .orderBy("o_year", "o_month")
     },
-    Some("""WITH rates(from_ccy, to_ccy, rate) AS (
-              VALUES ('GBP', 'EUR', CAST(1.17 AS DOUBLE)),
-                     ('GBP', 'USD', CAST(1.27 AS DOUBLE)),
-                     ('GBP', 'JPY', CAST(188.34 AS DOUBLE)))
+    Some("""WITH rates(ccy, rate_to_gbp) AS (
+              VALUES ('GBP', CAST(1.0 AS DOUBLE)),
+                     ('EUR', CAST(1.17 AS DOUBLE)),
+                     ('USD', CAST(0.79 AS DOUBLE)))
             SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
-                   to_ccy, count(*) AS n_tx,
-                   CAST(sum(CAST(o_totalprice * rate AS DECIMAL(30,4))) AS DOUBLE)
-                     AS converted_total
-            FROM orders JOIN rates ON 'GBP' = from_ccy
-            GROUP BY 1, 2, 3 ORDER BY o_year, o_month, to_ccy"""))
+                   count(*) AS n_tx,
+                   CAST(sum(CAST(o_totalprice * rate_to_gbp AS DECIMAL(30,4))) AS DOUBLE)
+                     AS gbp_total
+            FROM orders JOIN rates
+              ON (CASE WHEN o_orderkey % 3 = 0 THEN 'GBP'
+                       WHEN o_orderkey % 3 = 1 THEN 'EUR'
+                       ELSE 'USD' END) = ccy
+            GROUP BY 1, 2 ORDER BY o_year, o_month"""))
 
   val all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q34, q45)

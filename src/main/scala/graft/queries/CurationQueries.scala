@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Training-data curation surface (driver north star §2b): data mixing
+  * (stratified sampling), eval decontamination, and PII scrubbing — each
+  * with a bit-exact DuckDB oracle.
+  */
+object CurationQueries {
+
+  /** Deterministic stratified sample of events — the data-mixing stage
+    * ("keep 5% of views, 20% of clicks, all purchases, half of signups,
+    * no errors"). The sampling gate here is integer arithmetic (so DuckDB
+    * computes the identical gate); production uses the xxhash64 gate
+    * ([[Curation.uniformFromHash]], spec-covered) — same operator, better
+    * mixing.
+    */
+  private val q50 = GraftQuery(
+    "q50_stratified_sample",
+    (s, dir) => {
+      val rates = Map(
+        "view" -> 0.05, "click" -> 0.2, "purchase" -> 1.0, "signup" -> 0.5)
+      val gate = (((col("event_id") % 100003) * 31 + 7) % 10000)
+        .cast("double") / lit(10000.0)
+      Curation.stratifiedSample(Tables.events(s, dir), "event_type", rates, gate)
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type, user_id FROM events
+            WHERE ((event_id % 100003) * 31 + 7) % 10000 / 10000.0 <
+              CASE event_type
+                WHEN 'view' THEN 0.05 WHEN 'click' THEN 0.2
+                WHEN 'purchase' THEN 1.0 WHEN 'signup' THEN 0.5
+                ELSE 0.0 END
+            ORDER BY event_id"""))
+
+  /** Eval-decontamination: documents sharing ≥ 3 distinct word 3-grams
+    * with the "benchmark" slice (doc_id % 20 = 0 stands in for a held-out
+    * eval set) are dropped from the training corpus; survivors returned.
+    */
+  private val q51 = GraftQuery(
+    "q51_decontaminate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminate(
+        corpus = docs.filter(col("doc_id") % 20 =!= 0),
+        blocklist = docs.filter(col("doc_id") % 20 === 0),
+        n = 3, minShared = 3)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS s
+              FROM norm WHERE len(t) >= 3),
+            bl AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+            contaminated AS (
+              SELECT doc_id FROM sh JOIN bl USING (s)
+              WHERE doc_id % 20 <> 0
+              GROUP BY doc_id HAVING count(*) >= 3)
+            SELECT doc_id FROM documents
+            WHERE doc_id % 20 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ORDER BY doc_id"""))
+
+  /** PII scrubbing: deterministic synthetic PII (email, IP, phone derived
+    * from doc_id) is appended to each document, then redacted; the oracle
+    * builds the identical dirty text and applies the identical replacement
+    * chain, so any pattern/order divergence is a hash mismatch.
+    */
+  private val q52 = GraftQuery(
+    "q52_pii_redaction",
+    (s, dir) => {
+      val dirty = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +44 20 79"), (col("doc_id") % 100).cast("string"),
+        lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.redactPii(dirty).as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +44 20 79' || CAST(doc_id % 100 AS VARCHAR)
+                      || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+                 '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+                 '${TextFunctions.Ipv4Re}', '<IP>', 'g'),
+                 '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS clean_text
+             FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q50, q51, q52)
+}

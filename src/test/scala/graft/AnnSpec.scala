@@ -26,6 +26,29 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("ivfTopK: adaptive nlist holds the recall bound at a 10x corpus") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = emb.filter(col("vec_id") < 20)
+    // default nlist <= 0 → max(16, ceil(sqrt(n))) — the cell count must
+    // track corpus growth without recall collapsing
+    val ivf = Ann.ivfTopK(spark, q, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bfSet = NearDup.knnBruteForce(q, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.count(bfSet.contains).toDouble / bfSet.size
+    assert(recall >= 0.5, s"IVF recall@5 at sf0.01 = $recall")
+  }
+
+  test("ivfTopK: shuffle-join fallback returns the same rows as broadcast") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 20)
+    def rows(limit: Long) =
+      Ann.ivfTopK(spark, q, emb, k = 5, broadcastQueryRows = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // limit 0 forces the non-broadcast path; results must be identical
+    assert(rows(0L) === rows(500000L))
+  }
+
   test("connectedComponents merges transitively, labels by min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
     val got = Components.neardupClusters(pairs)

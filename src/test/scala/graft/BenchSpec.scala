@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The bench harness must surface a crashing query as "err", never as a
+  * near-zero elapsed time silently improving the best-of-N total.
+  */
+class BenchSpec extends SparkSpec {
+
+  test("crashing query reports err + failed entry; good query reports a time") {
+    val good: (String, (SparkSession, String) => DataFrame) =
+      ("good_query", (s, _) => s.range(3).toDF())
+    val bad: (String, (SparkSession, String) => DataFrame) =
+      ("bad_query", (_, _) => throw new RuntimeException("deliberately broken"))
+    val res = Bench.timeQueries(spark, "unused", Seq(good, bad), runs = 2)
+    assert(res.toMap.apply("good_query").exists(_ > 0.0))
+    assert(res.toMap.apply("bad_query").isEmpty)
+    val json = Bench.toJson(res, "unused", 2)
+    assert(json.contains("\"bad_query\":\"err\""))
+    assert(json.contains("\"failed\":[\"bad_query\"]"))
+    // the total must count only the successful query's time
+    assert(!json.contains("-1"))
+  }
+}
