@@ -22,13 +22,18 @@ object Tables {
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read nanos as long and truncate to microseconds (values
     * are µs-aligned in the generator, and DuckDB reads the column as µs too).
+    *
+    * The legacy nanos-as-long flag is passed as a per-read option (reader
+    * options are merged into the scan's Hadoop conf) with an explicit schema
+    * so footer inference never runs — the session conf is left untouched.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .schema("event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string")
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(s"$sfDir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 }

@@ -24,14 +24,12 @@ object StreamOps {
   /** The events table as a file-source stream (µs-truncated `ts`, same as
     * [[graft.Tables.events]]).
     */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
-      .schema(schema)
+      .schema("event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string")
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
       .parquet(streamDir(sfDir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** The parquet file source requires a directory; the harness ships one
     * file per table, so stage a directory containing a symlink to it (a
