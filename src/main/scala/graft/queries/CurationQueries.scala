@@ -98,5 +98,77 @@ object CurationQueries {
                  '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS clean_text
              FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q50, q51, q52)
+  /** Gopher-style repetitive-document filter: duplicate-word fraction,
+    * most-common-bigram fraction, and duplicate-character fraction, each
+    * from one pass of the native [[graft.expressions.RepetitionStats]]
+    * scalar (no shuffle — the relational formulation would pay two full
+    * shuffles of the exploded corpus). Thresholds are adapted to this
+    * synthetic corpus's tiny vocabulary (Gopher's originals are tuned for
+    * web text); the shape — compute fractions, gate on them — is the
+    * production operator. Fractions round to 12 dp on both sides before
+    * the gate so IEEE 1-ulp divide differences can't flip `keep`.
+    */
+  private val q53 = GraftQuery(
+    "q53_repetition_filter",
+    (s, dir) => {
+      val st = graft.expressions.RepetitionStats
+        .repetitionStats(TextFunctions.tokens(col("text")))
+      val dupWord = coalesce(round(lit(1.0)
+        - col("st.distinct_words").cast("double")
+          / nullif(col("st.total_words"), lit(0)).cast("double"), 12), lit(0.0))
+      val topBigram = coalesce(round(col("st.top_bigram").cast("double")
+        / nullif(col("st.total_words") - lit(1), lit(0)).cast("double"), 12), lit(0.0))
+      val dupChar = coalesce(round(col("st.dup_chars").cast("double")
+        / nullif(col("st.total_chars"), lit(0L)).cast("double"), 12), lit(0.0))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), st.as("st"))
+        .select(
+          col("doc_id"),
+          col("st.total_words").cast("long").as("total_words"),
+          col("st.distinct_words").cast("long").as("distinct_words"),
+          dupWord.as("dup_word_frac"),
+          topBigram.as("top_bigram_frac"),
+          dupChar.as("dup_char_frac"))
+        .withColumn("keep",
+          col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.08)
+        .orderBy("doc_id")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+            words AS (SELECT doc_id, unnest(toks) AS word FROM norm),
+            stats AS (
+              SELECT doc_id, count(*) AS total_words,
+                     count(DISTINCT word) AS distinct_words,
+                     sum(len(word)) AS total_chars
+              FROM words GROUP BY doc_id),
+            wc AS (SELECT doc_id, word, count(*) AS c, len(word) AS l
+                   FROM words GROUP BY doc_id, word),
+            dc AS (SELECT doc_id, sum((c-1)*l) AS dup_chars
+                   FROM wc WHERE c > 1 GROUP BY doc_id),
+            bg AS (SELECT doc_id,
+                          unnest([toks[i] || ' ' || toks[i+1]
+                                  for i in generate_series(1, len(toks)-1)]) AS b
+                   FROM norm WHERE len(toks) >= 2),
+            bt AS (SELECT doc_id, max(c) AS top_bigram FROM
+                     (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+                   GROUP BY doc_id),
+            m AS (
+              SELECT stats.doc_id, total_words, distinct_words,
+                     COALESCE(round(1.0 - CAST(distinct_words AS DOUBLE)
+                       / NULLIF(total_words, 0), 12), 0.0) AS dup_word_frac,
+                     COALESCE(round(CAST(COALESCE(top_bigram, 0) AS DOUBLE)
+                       / NULLIF(total_words - 1, 0), 12), 0.0) AS top_bigram_frac,
+                     COALESCE(round(CAST(COALESCE(dup_chars, 0) AS DOUBLE)
+                       / NULLIF(total_chars, 0), 12), 0.0) AS dup_char_frac
+              FROM stats LEFT JOIN dc USING (doc_id) LEFT JOIN bt USING (doc_id))
+            SELECT doc_id,
+                   CAST(total_words AS BIGINT) AS total_words,
+                   CAST(distinct_words AS BIGINT) AS distinct_words,
+                   dup_word_frac, top_bigram_frac, dup_char_frac,
+                   (dup_word_frac <= 0.6 AND top_bigram_frac <= 0.08) AS keep
+            FROM m ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q50, q51, q52, q53)
 }

@@ -55,4 +55,22 @@ class CurationSpec extends SparkSpec {
       .select(TextFunctions.redactPii(col("text"))).as[String].collect()
     assert(got.toSeq === rows.map(_._2))
   }
+
+  test("repetitionStats: counts match a naive reference on hand cases") {
+    import graft.expressions.RepetitionStats.repetitionStats
+    // (text, total, distinct, topBigram, dupChars, totalChars)
+    val cases = Seq(
+      ("a a b", 3, 2, 1, 1L, 3L),                   // "a a" once; one dup 'a'
+      ("x y x y x", 5, 2, 2, 3L, 5L),               // "x y" twice, "y x" twice
+      ("one two three", 3, 3, 1, 0L, 11L),          // all unique, every bigram count 1
+      ("aa aa aa", 3, 1, 2, 4L, 6L),                // "aa aa" twice; 2 extra 'aa' = 4 chars
+      ("", 1, 1, 0, 0L, 0L))                        // split('') = [''], no bigrams
+    val df = cases.map(_._1).toDF("text")
+      .select(repetitionStats(TextFunctions.tokens(col("text"))).as("st"))
+      .select("st.total_words", "st.distinct_words", "st.top_bigram",
+        "st.dup_chars", "st.total_chars")
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === cases.map(c => (c._2, c._3, c._4, c._5, c._6)))
+  }
 }
