@@ -149,5 +149,76 @@ object TextQueries {
                         ELSE 'es' END AS predicted_lang
             FROM s ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q13, q14, q15, q16, q17)
+  /** BM25 (k1=1.2, b=0.75) document ranking for a fixed term query — the
+    * retrieval scorer behind corpus search / eval-set mining. Plan shape:
+    * the exploded corpus is filtered to the query terms BEFORE the
+    * (doc, term) hash aggregate, so the shuffle carries only matching
+    * occurrences (≪ corpus); document frequencies and the corpus stats
+    * row are broadcast. Per-term scores land in fixed columns and sum in
+    * fixed order (no float partition-order dependence); per-term round 12,
+    * total round 9 so a 1-ulp `ln` divergence between engines can't flip
+    * the ranking gate.
+    */
+  private val q54 = GraftQuery(
+    "q54_bm25_rank", {
+      (s, dir) =>
+        val terms = Seq("spark", "join", "table")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")))
+        val stats = docs.agg(
+          count(lit(1)).as("n"), sum(col("dl").cast("long")).as("sumdl"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("toks")).as("word"))
+          .filter(col("word").isin(terms: _*))
+          .groupBy("doc_id", "dl", "word")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        val avgdl = col("sumdl").cast("double") / col("n")
+        val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+        val score = round(idf * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+            + lit(0.75) * col("dl") / avgdl)), 12)
+        val perTerm = tf
+          .join(broadcast(dfreq), "word")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("word"), score.as("s"))
+          .groupBy("doc_id")
+          .agg(
+            coalesce(sum(when(col("word") === terms(0), col("s"))), lit(0.0)).as("s_spark"),
+            coalesce(sum(when(col("word") === terms(1), col("s"))), lit(0.0)).as("s_join"),
+            coalesce(sum(when(col("word") === terms(2), col("s"))), lit(0.0)).as("s_table"))
+        perTerm
+          .withColumn("bm25", round(col("s_spark") + col("s_join") + col("s_table"), 9))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+            d AS (SELECT doc_id, len(toks) AS dl, toks FROM norm),
+            stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM d),
+            occ AS (SELECT doc_id, dl, unnest(toks) AS word FROM d),
+            tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM occ
+                   WHERE word IN ('spark', 'join', 'table')
+                   GROUP BY doc_id, dl, word),
+            dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+            scored AS (
+              SELECT doc_id, word,
+                     round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+                       / (tf + 1.2 * (1.0 - 0.75
+                         + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 12) AS s
+              FROM tf JOIN dfreq USING (word) CROSS JOIN stats),
+            per_doc AS (
+              SELECT doc_id,
+                     COALESCE(sum(CASE WHEN word = 'spark' THEN s END), 0.0) AS s_spark,
+                     COALESCE(sum(CASE WHEN word = 'join' THEN s END), 0.0) AS s_join,
+                     COALESCE(sum(CASE WHEN word = 'table' THEN s END), 0.0) AS s_table
+              FROM scored GROUP BY doc_id)
+            SELECT doc_id, s_spark, s_join, s_table,
+                   round(s_spark + s_join + s_table, 9) AS bm25
+            FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+
+  val all: Seq[GraftQuery] = Seq(q13, q14, q15, q16, q17, q54)
 }

@@ -56,4 +56,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m("prose") > m("soup"))
     assert(m("prose") > m("tiny"))
   }
+
+  test("q54 BM25: descending rank, positive scores, per-term decomposition sums") {
+    val rows = graft.Registry.byName("q54_bm25_rank")
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    assert(scores.forall(_ > 0.0))
+    rows.foreach { r =>
+      val total = BigDecimal(r.getAs[Double]("s_spark")) +
+        BigDecimal(r.getAs[Double]("s_join")) + BigDecimal(r.getAs[Double]("s_table"))
+      assert((total.toDouble - r.getAs[Double]("bm25")).abs < 1e-9)
+    }
+  }
 }
