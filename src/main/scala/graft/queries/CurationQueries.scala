@@ -170,5 +170,40 @@ object CurationQueries {
                    (dup_word_frac <= 0.6 AND top_bigram_frac <= 0.08) AS keep
             FROM m ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q50, q51, q52, q53)
+  /** Training-sequence packing (concat-and-chunk): documents laid
+    * head-to-tail in doc_id order on a token tape cut every 2048 tokens.
+    * Runs the distributed two-phase prefix scan
+    * ([[graft.operators.Packing.prefixSum]]) — range repartition,
+    * per-partition totals to the driver, broadcast base offsets,
+    * within-partition window — never a global single-task window. All
+    * integer arithmetic, so the oracle (a plain exclusive window sum) is
+    * bit-exact.
+    */
+  private val q55 = GraftQuery(
+    "q55_sequence_packing",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.packBins(docs, "doc_id", "n_tokens", 2048L)
+        .withColumnRenamed("offset", "tape_offset")
+        .select("doc_id", "n_tokens", "tape_offset", "bin_id", "bin_pos")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) = 0 THEN 0
+                          ELSE len(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) END AS BIGINT) AS n_tokens
+              FROM documents),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tape_offset
+              FROM d)
+            SELECT doc_id, n_tokens, CAST(tape_offset AS BIGINT) AS tape_offset,
+                   CAST(tape_offset // 2048 AS BIGINT) AS bin_id,
+                   CAST(tape_offset % 2048 AS BIGINT) AS bin_pos
+            FROM p ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q50, q51, q52, q53, q55)
 }
