@@ -193,5 +193,37 @@ object EventQueries {
              AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
             ORDER BY purchase_id, click_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q46)
+  /** Streaming exact dedup under the gate: at-least-once delivery dropped
+    * to exactly-once per key via `dropDuplicatesWithinWatermark`
+    * ([[graft.streaming.StreamOps.dedupStream]]). The output projects to
+    * the key columns only, so whichever physical row wins the race is
+    * byte-identical — the AvailableNow run (one file ⇒ one microbatch ⇒ no
+    * mid-run eviction) then equals DISTINCT, which DuckDB verifies.
+    * Multi-batch watermark eviction behavior is covered in StreamingSpec.
+    */
+  private val q56 = GraftQuery(
+    "q56_stream_dedup",
+    (s, dir) => {
+      import graft.streaming.StreamOps
+      val name = "q56_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val out =
+        try {
+          // dedup state is partitioned by shuffle.partitions at query
+          // start; key cardinality here is small, so 8 state stores
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          StreamOps.runAvailableNow(
+            s,
+            StreamOps.dedupStream(
+              StreamOps.eventsStream(s, dir).select("user_id", "event_type", "ts"),
+              Seq("user_id", "event_type"), "1 hour")
+              .select("user_id", "event_type"),
+            name, org.apache.spark.sql.streaming.OutputMode.Append())
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      out.orderBy("user_id", "event_type")
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q46, q56)
 }
