@@ -84,5 +84,39 @@ object SimilarityQueries {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(q22, q23, q24, q32)
+  /** Per-label centroid vectors in long form (label, dim, mean, n) — the
+    * primitive behind IVF coarse quantizers, class prototypes, and
+    * diversity-aware mixing. posexplode inflates rows 64× only INSIDE the
+    * map task: the hash aggregate's map-side partials collapse each
+    * partition to ≤ labels×64 rows before the exchange, so the shuffle is
+    * O(labels·dim) at any corpus size. Decimal accumulation keeps the sum
+    * partition-order independent (bit-identical to the serial oracle);
+    * means round to 12 dp on both sides.
+    */
+  private val q57 = GraftQuery(
+    "q57_label_centroids",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(
+          round((sum(col("v").cast("double").cast(DecimalType(38, 20)))
+            .cast("double") / count(lit(1))).cast("double"), 12).as("mean_v"),
+          count(lit(1)).as("n"))
+        .withColumn("dim", col("dim").cast("long"))
+        .orderBy("label", "dim")
+    },
+    Some("""WITH e AS (
+              SELECT label,
+                     unnest(embedding) AS v,
+                     unnest(generate_series(0, len(embedding) - 1)) AS dim
+              FROM embeddings)
+            SELECT label, dim,
+                   round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
+                     / count(*), 12) AS mean_v,
+                   count(*) AS n
+            FROM e GROUP BY label, dim ORDER BY label, dim"""))
+
+  val all: Seq[GraftQuery] = Seq(q22, q23, q24, q32, q57)
 }
