@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Data-layout utilities: how tables should be WRITTEN so reads scale.
   *
@@ -30,6 +31,57 @@ object Layout {
     df.repartitionByRange(files, df(col))
       .sortWithinPartitions(col)
       .write.mode("overwrite").parquet(dir)
+
+  /** Morton (Z-order) value over numeric columns, each first normalized to
+    * a `bits`-bit bucket index by [[bucketize]], then bit-interleaved
+    * (result bit i·k+j = bit i of column j). Built entirely from codegen'd
+    * shift/and/or built-ins — no UDF on the write path.
+    */
+  def zValue(buckets: Seq[Column], bits: Int): Column = {
+    require(buckets.nonEmpty && bits * buckets.size <= 63,
+      s"z-value needs bits*cols <= 63, got $bits*${buckets.size}")
+    val k = buckets.size
+    buckets.zipWithIndex.map { case (c, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Scale a numeric column to integer buckets [0, 2^bits) between lo and
+    * hi (inclusive). Width-based (min/max come from ONE corpus aggregate —
+    * no global window, no sort): heavily skewed columns get uneven bucket
+    * occupancy, where a range-partitioner rank would equalize them at the
+    * cost of a sampling pass; both normalizations feed the same interleave.
+    */
+  def bucketize(c: Column, lo: Column, hi: Column, bits: Int): Column = {
+    val n = 1L << bits
+    least(lit(n - 1), greatest(lit(0L),
+      floor((c.cast("double") - lo) / nullif(hi - lo, lit(0.0)) * n).cast("long")))
+  }
+
+  /** Z-ordered parquet: rows clustered by the Morton value of `cols`, so
+    * per-file (and row-group) min/max stay tight on EVERY listed column —
+    * multi-dimensional box predicates skip files, where a linear sort only
+    * serves its leading column. The curve value is computed per row from
+    * broadcast min/max, range-partitioned, sorted within files, dropped
+    * before write.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, cols: Seq[String], files: Int,
+      bits: Int = 12): Unit = {
+    val aggExprs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__lo_$c"),
+      max(col(c).cast("double")).as(s"__hi_$c")))
+    val agg = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val z = df
+      .crossJoin(broadcast(agg))
+      .withColumn("__z", zValue(
+        cols.map(c => bucketize(col(c), col(s"__lo_$c"), col(s"__hi_$c"), bits)), bits))
+    z.repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop(cols.map(c => Seq(s"__lo_$c", s"__hi_$c")).flatten :+ "__z": _*)
+      .write.mode("overwrite").parquet(dir)
+  }
 
   /** True iff reading `dir` with `condition` prunes partitions at plan
     * time (some scan carries a non-empty partition-filter list — inspected

@@ -6,6 +6,7 @@ import java.nio.file.Files
 
 /** Written layout drives read-side pruning. */
 class LayoutSpec extends SparkSpec {
+  import spark.implicits._
 
   test("hive-partitioned write prunes directories on the partition predicate") {
     val root = Files.createTempDirectory("graft-layout").toString
@@ -37,5 +38,52 @@ class LayoutSpec extends SparkSpec {
       case _ => ()
     }
     assert(spark.read.parquet(s"$root/by_user").count() === events.count())
+  }
+
+  test("z-order beats linear sort on 2-D box skipping; interleave is correct") {
+    // zValue: interleave of buckets 0b101 (cols=1: identity-ish) — hand case
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zValue(Seq(col("a"), col("b")), bits = 3).as("z"))
+      .head().getLong(0)
+    // a=101, b=011 -> bits (a0,b0)(a1,b1)(a2,b2) = (1,1)(0,1)(1,0) -> z = 0b011011 = 27
+    assert(z === 27L)
+
+    val root = Files.createTempDirectory("graft-layout-z").toString
+    // deterministic decorrelated 2-D points (events sf0.001 has only 15
+    // distinct user_ids — too lumpy to measure curve locality)
+    val pts = spark.range(65536).select(
+      (col("id") * 40503 % 4096).as("user_id"),
+      (col("id") * 10859 % 4096).as("event_id"))
+    Layout.writeZOrdered(pts, s"$root/z", Seq("user_id", "event_id"), files = 16)
+    Layout.writeRangeSorted(pts, s"$root/linear", "user_id", files = 16)
+
+    assert(spark.read.parquet(s"$root/z").count() === pts.count())
+
+    // candidate files for a 2-D box = files whose min/max intersect the box
+    // on BOTH columns — exactly the stats any row-group/file pruner uses
+    def candidates(dir: String, uLo: Long, uHi: Long, eLo: Long, eHi: Long): Long =
+      spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col("user_id"), col("event_id"))
+        .groupBy("f")
+        .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+          min("event_id").as("elo"), max("event_id").as("ehi"))
+        .filter(col("uhi") >= uLo && col("ulo") <= uHi &&
+          col("ehi") >= eLo && col("elo") <= eHi)
+        .count()
+
+    val stats = pts.agg(
+      min("user_id"), max("user_id"), min("event_id"), max("event_id")).head()
+    val (uLo, uHi) = (stats.getLong(0), stats.getLong(1))
+    val (eLo, eHi) = (stats.getLong(2), stats.getLong(3))
+    // a box covering ~1/4 of each dimension's range
+    val box = (uLo + (uHi - uLo) / 4, uLo + (uHi - uLo) / 2,
+      eLo + (eHi - eLo) / 4, eLo + (eHi - eLo) / 2)
+
+    val zCand = candidates(s"$root/z", box._1, box._2, box._3, box._4)
+    val linCand = candidates(s"$root/linear", box._1, box._2, box._3, box._4)
+    // linear sort on user_id keeps event_id min/max near-full-range in every
+    // file, so essentially every user-range file is a candidate; the z
+    // layout must do strictly better
+    assert(zCand < linCand, s"z-order candidates $zCand not < linear $linCand")
   }
 }
