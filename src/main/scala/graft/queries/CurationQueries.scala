@@ -205,5 +205,44 @@ object CurationQueries {
                    CAST(tape_offset % 2048 AS BIGINT) AS bin_pos
             FROM p ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q50, q51, q52, q53, q55)
+  /** Overlapping token-window chunking (size 64, stride 48 ⇒ 16-token
+    * overlap) — the RAG / long-context prep step. Pure narrow ops:
+    * `sequence` generates chunk starts, `explode` fans out, `slice` +
+    * `concat_ws` rebuild chunk text; no shuffle before the final ORDER BY,
+    * so the operator is embarrassingly parallel at any corpus size.
+    */
+  private val q58 = GraftQuery(
+    "q58_doc_chunking",
+    (s, dir) => {
+      val size64 = 64
+      val stride = 48
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("start",
+          explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride))))
+        .select(
+          col("doc_id"),
+          expr(s"start div $stride").cast("long").as("chunk_id"),
+          size(slice(col("toks"), col("start") + 1, lit(size64)))
+            .cast("long").as("n_chunk_tokens"),
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(size64)))
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, 48)) AS start
+              FROM norm)
+            SELECT doc_id,
+                   CAST(start // 48 AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q50, q51, q52, q53, q55, q58)
 }
