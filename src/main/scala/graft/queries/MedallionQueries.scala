@@ -188,5 +188,42 @@ object MedallionQueries {
              FROM bronze WHERE CAST(amount AS DOUBLE) < 0
              GROUP BY 1, 2 ORDER BY year, month"""))
 
-  val all: Seq[GraftQuery] = Seq(q44, q47, q48, q49)
+  /** SCD Type-2 dimension built from yearly snapshots ([[graft.operators.Scd2]]):
+    * each customer's yearly order-count band (1, 2, 3+) becomes validity
+    * runs with `valid_from`/`valid_to`/`is_current`. All-integer
+    * attributes, so change detection and the interval edges are bit-exact
+    * against the window-function oracle.
+    */
+  private val q59 = GraftQuery(
+    "q59_scd2_dim",
+    (s, dir) => {
+      val snapshots = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("cust"),
+          year(col("o_orderdate")).cast("long").as("snap_year"))
+        .agg(least(count(lit(1)), lit(3L)).as("band"))
+      graft.operators.Scd2.buildScd2(
+          snapshots, keyCols = Seq("cust"), orderCol = "snap_year",
+          attrCols = Seq("band"))
+        .select("cust", "band", "valid_from", "valid_to", "is_current")
+        .orderBy("cust", "valid_from")
+    },
+    Some("""WITH snap AS (
+              SELECT o_custkey AS cust, CAST(year(o_orderdate) AS BIGINT) AS snap_year,
+                     least(count(*), 3) AS band
+              FROM orders GROUP BY 1, 2),
+            chg AS (
+              SELECT *, lag(band) OVER (PARTITION BY cust ORDER BY snap_year) AS prev
+              FROM snap),
+            kept AS (
+              SELECT cust, snap_year, band FROM chg
+              WHERE prev IS NULL OR band <> prev),
+            scd AS (
+              SELECT cust, band, snap_year AS valid_from,
+                     lead(snap_year) OVER (PARTITION BY cust ORDER BY snap_year) AS valid_to
+              FROM kept)
+            SELECT cust, band, valid_from, valid_to,
+                   (valid_to IS NULL) AS is_current
+            FROM scd ORDER BY cust, valid_from"""))
+
+  val all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59)
 }

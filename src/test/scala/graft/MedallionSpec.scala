@@ -103,4 +103,27 @@ class MedallionSpec extends SparkSpec {
     assert(spark.read.parquet(m.silverTx).count() === 4)
     assert(spark.read.parquet(m.bronzeBalance).count() === 2)
   }
+
+  test("Scd2.buildScd2: runs, null attrs, re-emerging values, open tail") {
+    import spark.implicits._
+    val snaps = Seq(
+      ("A", 2020L, Some("x")), ("A", 2021L, Some("x")), ("A", 2022L, Some("y")),
+      ("A", 2023L, Some("x")),
+      ("B", 2020L, None), ("B", 2021L, None), ("B", 2022L, Some("z")))
+      .toDF("k", "yr", "attr")
+    val got = graft.operators.Scd2
+      .buildScd2(snaps, Seq("k"), "yr", Seq("attr"))
+      .select("k", "attr", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    val want = Seq(
+      ("A", Some("x"), 2020L, 2022L, false),
+      ("A", Some("y"), 2022L, 2023L, false),
+      ("A", Some("x"), 2023L, -1L, true),
+      ("B", None, 2020L, 2022L, false),
+      ("B", Some("z"), 2022L, -1L, true))
+    assert(got.toSeq === want)
+  }
 }
