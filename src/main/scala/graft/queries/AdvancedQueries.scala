@@ -235,5 +235,52 @@ object AdvancedQueries {
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, ts, event_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39, q40, q41, q42, q43)
+  /** ANALYZE-style table profile: one pass over lineitem computes row
+    * count, null count, exact NDV, and numeric min/max for six columns,
+    * unpivoted to long form with `stack`. Multiple exact DISTINCT
+    * aggregates ride Spark's Expand rewrite — one shuffle total, map-side
+    * partials intact (the production variant swaps exact NDV for
+    * approx_count_distinct to drop the expand factor; exact here because
+    * the oracle must match bit-for-bit).
+    */
+  private val q60 = {
+    val numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    val profiled = numeric ++ strings
+    GraftQuery(
+      "q60_table_profile",
+      (s, dir) => {
+        val aggs = count(lit(1)).as("n_rows") +: profiled.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")) ++ (
+          if (numeric.contains(c))
+            Seq(min(col(c).cast("double")).as(s"mn_$c"),
+              max(col(c).cast("double")).as(s"mx_$c"))
+          else Seq.empty))
+        val stackRows = profiled.map { c =>
+          val (mn, mx) =
+            if (numeric.contains(c)) (s"mn_$c", s"mx_$c")
+            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+          s"'$c', n_rows - nn_$c, nd_$c, $mn, $mx"
+        }
+        Tables.lineitem(s, dir)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr("n_rows",
+            s"""stack(${profiled.size}, ${stackRows.mkString(", ")})
+                AS (col_name, n_nulls, n_distinct, min_d, max_d)""")
+          .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_d", "max_d")
+          .orderBy("col_name")
+      },
+      Some(profiled.map { c =>
+        val (mn, mx) =
+          if (numeric.contains(c)) (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+               count(*) - count($c) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               $mn AS min_d, $mx AS max_d FROM lineitem"""
+      }.mkString(" UNION ALL ") + " ORDER BY col_name"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60)
 }
