@@ -8,8 +8,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * gets the native functions without a registration call.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.functionSet.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+  }
 }

@@ -282,5 +282,24 @@ object AdvancedQueries {
       }.mkString(" UNION ALL ") + " ORDER BY col_name"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60)
+  /** q37's as-of attribution planned through the CUSTOM physical operator
+    * ([[graft.plans.AsOfJoinExec]]: logical node → strategy → co-partitioned
+    * merge-scan) instead of the window formulation — same DuckDB ASOF
+    * oracle, so the custom plan path is hash-verified end to end.
+    */
+  private val q61 = GraftQuery(
+    "q61_asof_custom_exec",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts", "event_type")
+      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+      val clicks = e.filter(col("event_type") === "click").drop("event_type")
+      graft.plans.AsOfJoinPlan.asOfExec(
+        purchases, clicks, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("event_id", "ts"), prefix = "click_")
+        .select("event_id", "user_id", "ts", "click_event_id", "click_ts")
+        .orderBy("event_id")
+    },
+    q37.oracle)
+
+  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61)
 }
