@@ -225,5 +225,44 @@ object EventQueries {
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q46, q56)
+  /** Campaign-window attribution via the bucketized range join
+    * ([[graft.operators.RangeJoin]]): 40 overlapping 9-hour windows (6-hour
+    * cadence from the corpus start) joined to purchase events on
+    * `ts BETWEEN start AND end` as a hash equi-join on 6-hour buckets —
+    * the plan that survives when BOTH sides are too big to broadcast.
+    * All bucket arithmetic in epoch-micros longs; the revenue sum rides
+    * exact decimals.
+    */
+  private val q62 = GraftQuery(
+    "q62_range_join_windows",
+    (s, dir) => {
+      val HourUs = 3600L * 1000000L
+      val ev = Tables.events(s, dir)
+      val t0 = broadcast(ev.agg(unix_micros(min(col("ts"))).as("t0_us")))
+      val windows = s.range(0, 40).toDF("w_id").crossJoin(t0)
+        .select(col("w_id"),
+          (col("t0_us") + col("w_id") * (6L * HourUs)).as("ws_us"),
+          (col("t0_us") + col("w_id") * (6L * HourUs) + 9L * HourUs).as("we_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"), unix_micros(col("ts")).as("p_us"))
+      graft.operators.RangeJoin
+        .pointInInterval(purchases, "p_us", windows, "ws_us", "we_us", 6L * HourUs)
+        .groupBy("w_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          graft.functions.Exact.sumD(col("value")).as("revenue"))
+        .orderBy("w_id")
+    },
+    Some("""WITH b AS (SELECT epoch_us(min(CAST(ts AS TIMESTAMP))) AS t0 FROM events),
+            w AS (SELECT g.i AS w_id,
+                         t0 + g.i * 21600000000 AS ws,
+                         t0 + g.i * 21600000000 + 32400000000 AS we
+                  FROM generate_series(0, 39) AS g(i), b),
+            p AS (SELECT event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS pu
+                  FROM events WHERE event_type = 'purchase')
+            SELECT w_id, count(*) AS n_purchases,
+                   CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+            FROM w JOIN p ON p.pu >= w.ws AND p.pu <= w.we
+            GROUP BY w_id ORDER BY w_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q46, q56, q62)
 }
