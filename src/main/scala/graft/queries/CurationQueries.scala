@@ -244,5 +244,55 @@ object CurationQueries {
                    array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
             FROM c ORDER BY doc_id, chunk_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q50, q51, q52, q53, q55, q58)
+  /** Curriculum binning: documents ranked corpus-wide by quality and cut
+    * into 10 equal-frequency bins (train easy→hard schedules, quality-
+    * tiered mixing). The global rank is the distributed two-phase prefix
+    * scan over a (quality, doc_id) composite order — row_number without a
+    * single-task global window; the corpus count arrives by broadcast, so
+    * nothing collects to the driver.
+    */
+  private val q64 = GraftQuery(
+    "q64_curriculum_bins",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .withColumn("__ord", struct(col("quality"), col("doc_id")))
+        .withColumn("__one", lit(1L))
+      val n = broadcast(docs.agg(count(lit(1)).as("n")))
+      graft.operators.Packing.prefixSum(docs, "__ord", "__one", "rank")
+        .crossJoin(n)
+        .select(col("doc_id"), col("quality"), col("rank"),
+          expr("rank * 10 div n").as("bin"))
+        .orderBy("rank")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, text,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS toks,
+                     CASE WHEN length(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) = 0 THEN 0
+                          ELSE len(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) END AS n,
+                     length(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS nlen
+              FROM documents),
+            m AS (
+              SELECT doc_id, n,
+                     CAST(len(list_filter(toks, x -> x IN
+                       ('the','a','an','and','of','in','to','is','it','for','on','with'))) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS stopword_ratio,
+                     CAST(nlen - n + 1 AS DOUBLE) / NULLIF(n, 0) AS mean_len
+              FROM t),
+            q AS (
+              SELECT doc_id,
+                     COALESCE(0.4 * least(1.0, CAST(n AS DOUBLE) / 50.0)
+                     + 0.3 * (1.0 - least(1.0, abs(stopword_ratio - 0.45) * 2.0))
+                     + 0.3 * (1.0 - least(1.0, abs(mean_len - 5.0) / 5.0)), 0.0) AS quality
+              FROM m),
+            r AS (
+              SELECT doc_id, quality,
+                     row_number() OVER (ORDER BY quality, doc_id) - 1 AS rank,
+                     count(*) OVER () AS n
+              FROM q)
+            SELECT doc_id, quality, CAST(rank AS BIGINT) AS rank,
+                   CAST(rank * 10 // n AS BIGINT) AS bin
+            FROM r ORDER BY rank"""))
+
+  val all: Seq[GraftQuery] = Seq(q50, q51, q52, q53, q55, q58, q64)
 }

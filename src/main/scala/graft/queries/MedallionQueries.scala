@@ -225,5 +225,46 @@ object MedallionQueries {
                    (valid_to IS NULL) AS is_current
             FROM scd ORDER BY cust, valid_from"""))
 
-  val all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59)
+  /** CDC merge ([[graft.operators.Cdc]]): a deterministic changeset —
+    * deletes for custkey%10=0, name updates for %10=1, fresh inserts above
+    * the key range — applied to the customer snapshot as one anti-join +
+    * union. The oracle recomputes the merge relationally, so dropped
+    * deletes, missed updates, or duplicated inserts all hash-mismatch.
+    */
+  private val q63 = GraftQuery(
+    "q63_cdc_merge",
+    (s, dir) => {
+      val snap = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_mktsegment")
+      val updates = snap.filter(col("c_custkey") % 10 === 1)
+        .withColumn("c_name", concat(lit("UPDATED "), col("c_name")))
+        .withColumn("op", lit("U"))
+      val deletes = snap.filter(col("c_custkey") % 10 === 0)
+        .withColumn("op", lit("D"))
+      val inserts = snap.filter(col("c_custkey") % 10 === 2)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("NEW "), col("c_name")).as("c_name"),
+          col("c_mktsegment"), lit("I").as("op"))
+      graft.operators.Cdc.applyChanges(
+          snap, updates.unionByName(deletes).unionByName(inserts),
+          keys = Seq("c_custkey"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH snap AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+            changes AS (
+              SELECT c_custkey, 'UPDATED ' || c_name AS c_name, c_mktsegment, 'U' AS op
+              FROM snap WHERE c_custkey % 10 = 1
+              UNION ALL
+              SELECT c_custkey, c_name, c_mktsegment, 'D' AS op
+              FROM snap WHERE c_custkey % 10 = 0
+              UNION ALL
+              SELECT c_custkey + 1000000, 'NEW ' || c_name, c_mktsegment, 'I' AS op
+              FROM snap WHERE c_custkey % 10 = 2)
+            SELECT c_custkey, c_name, c_mktsegment FROM snap
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+            UNION ALL
+            SELECT c_custkey, c_name, c_mktsegment FROM changes WHERE op IN ('I', 'U')
+            ORDER BY c_custkey"""))
+
+  val all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63)
 }

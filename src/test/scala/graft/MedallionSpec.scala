@@ -126,4 +126,19 @@ class MedallionSpec extends SparkSpec {
       ("B", Some("z"), 2022L, -1L, true))
     assert(got.toSeq === want)
   }
+
+  test("Cdc.applyChanges: upsert/delete semantics incl. absent keys") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", "U"),   // update existing
+      (3L, "c", "D"),    // delete existing
+      (4L, "d", "I"),    // insert new
+      (5L, "e2", "U"),   // update absent -> upserts
+      (6L, "x", "D"))    // delete absent -> no-op
+      .toDF("k", "v", "op")
+    val got = graft.operators.Cdc.applyChanges(snap, changes, Seq("k"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b2"), (4L, "d"), (5L, "e2")))
+  }
 }
