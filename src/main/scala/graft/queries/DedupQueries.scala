@@ -138,5 +138,94 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b"),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q18, q19, q20, q21, q33, q35)
+  /** Canonical-document selection — the step AFTER near-dup clustering:
+    * every document lands in a cluster (q33's transitive closure;
+    * singletons form their own), and each cluster keeps its best-quality
+    * member (ties → lowest doc_id, via a max-struct on (quality, −doc_id)
+    * so the argmax is a plain hash aggregate, not a window sort). This is
+    * the actual dedup DELETE list a training pipeline executes.
+    */
+  private val q65 = GraftQuery(
+    "q65_canonical_docs",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      val clusters = graft.operators.Components.neardupClusters(
+        NearDup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3))
+        .select("doc_id", "cluster_id")
+      val assigned = docs.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val best = assigned.groupBy("cluster_id")
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("b"))
+        .select(col("cluster_id"), (-col("b.nd")).as("canonical_id"))
+      // no broadcast hint: cluster count ≈ doc count on a clean corpus, so
+      // the canonical map can be fact-sized — AQE picks the strategy
+      assigned.join(best, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("keep"), col("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS s
+              FROM norm WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM common
+              JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            cmap AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src),
+            tq AS (
+              SELECT doc_id, text,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS toks,
+                     CASE WHEN length(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) = 0 THEN 0
+                          ELSE len(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) END AS n,
+                     length(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS nlen
+              FROM documents),
+            mq AS (
+              SELECT doc_id, n,
+                     CAST(len(list_filter(toks, x -> x IN
+                       ('the','a','an','and','of','in','to','is','it','for','on','with'))) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS stopword_ratio,
+                     CAST(nlen - n + 1 AS DOUBLE) / NULLIF(n, 0) AS mean_len
+              FROM tq),
+            q AS (
+              SELECT doc_id,
+                     COALESCE(0.4 * least(1.0, CAST(n AS DOUBLE) / 50.0)
+                     + 0.3 * (1.0 - least(1.0, abs(stopword_ratio - 0.45) * 2.0))
+                     + 0.3 * (1.0 - least(1.0, abs(mean_len - 5.0) / 5.0)), 0.0) AS quality
+              FROM mq),
+            assigned AS (
+              SELECT q.doc_id, COALESCE(cmap.cluster_id, q.doc_id) AS cluster_id, quality
+              FROM q LEFT JOIN cmap ON q.doc_id = cmap.doc_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality DESC, doc_id ASC) AS rn
+              FROM assigned),
+            canon AS (SELECT cluster_id, doc_id AS canonical_id FROM ranked WHERE rn = 1)
+            SELECT a.doc_id, a.cluster_id, c.canonical_id,
+                   (a.doc_id = c.canonical_id) AS keep, a.quality
+            FROM assigned a JOIN canon c ON a.cluster_id = c.cluster_id
+            ORDER BY a.doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q18, q19, q20, q21, q33, q35, q65)
 }
