@@ -264,5 +264,25 @@ object EventQueries {
             FROM w JOIN p ON p.pu >= w.ws AND p.pu <= w.we
             GROUP BY w_id ORDER BY w_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q46, q56, q62)
+  /** Mergeable HLL sketch ([[graft.functions.HllAgg]]) vs exact distinct,
+    * per event type. Rows-only like the other sketch internals (the
+    * estimate is engine-specific); HllAggSpec proves partition-order
+    * invariance and the error bound, and the emitted `within_bound`
+    * column re-asserts the bound on every driver run.
+    */
+  private val q66 = GraftQuery(
+    "q66_hll_distinct",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          graft.functions.HllAgg.hllDistinct(col("user_id")).as("est_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .withColumn("within_bound",
+          abs(col("est_users") - col("exact_users")).cast("double")
+            / col("exact_users") <= 0.10)
+        .orderBy("event_type"),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66)
 }
