@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-quality regression guard: the shapes that make these queries
+  * scale must stay in the physical plan — filters reaching the parquet
+  * scan, dimension joins broadcast, LIMIT planned as TakeOrdered (no full
+  * sort), the custom as-of operator actually planned, and no cartesian
+  * products anywhere in the audited set.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q02 filter reaches the parquet scan as PushedFilters") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull"), p.take(800))
+  }
+
+  test("q01 LIMIT plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q01_scan_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("TPC-H shapes broadcast their dimension chains") {
+    assert(plan("q41_ship_priority").contains("BroadcastHashJoin"))
+    assert(plan("q42_local_supplier_volume").contains("BroadcastHashJoin"))
+  }
+
+  test("q61 plans through the custom AsOfJoin operator") {
+    assert(plan("q61_asof_custom_exec").contains("AsOfJoin"))
+  }
+
+  test("no cartesian product in any audited plan") {
+    Seq("q01_scan_sort_limit", "q02_filter_project", "q19_ngram_jaccard_pairs",
+      "q34_salted_join_agg", "q41_ship_priority", "q42_local_supplier_volume",
+      "q54_bm25_rank", "q57_label_centroids", "q61_asof_custom_exec",
+      "q62_range_join_windows", "q63_cdc_merge")
+      .foreach { n =>
+        assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
+      }
+  }
+}
