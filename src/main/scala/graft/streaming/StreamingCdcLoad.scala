@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.operators.{Cdc, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming CDC apply: a change stream (I/U/D rows) folded into a keyed
+  * snapshot, one copy-on-write version per micro-batch.
+  *
+  * [[StreamingBronzeLoad]] is the reference's insert-only L1; this is the
+  * general MERGE form. Each batch is compacted to its latest change per
+  * key (ordered by `seqCol` — CDC feeds carry a log sequence number),
+  * merged with [[Cdc.applyChanges]], and written to `v<batchId>` with a
+  * marker-file pointer flip — the same two-phase publish a transactional
+  * table format does natively. Re-delivered batches (foreachBatch replays
+  * after failure) are detected by batch id and skipped, making the sink
+  * effectively exactly-once on top of an at-least-once stream.
+  */
+object StreamingCdcLoad {
+
+  private val Marker = "_LATEST"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (version, dir) of the current snapshot, if any batch has committed. */
+  def latest(spark: SparkSession, root: String): Option[(Long, String)] = {
+    val f = fs(spark, root)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/$Marker")
+    if (!f.exists(marker)) None
+    else {
+      val in = f.open(marker)
+      val v = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+      Some((v, s"$root/v$v"))
+    }
+  }
+
+  /** Apply one change batch; returns true if applied, false if `batchId`
+    * was already committed (replay after failure — skipped).
+    */
+  def applyBatch(spark: SparkSession, changes: DataFrame, root: String,
+      keys: Seq[String], seqCol: String, opCol: String = "op",
+      batchId: Long = 0L): Boolean = {
+    val current = latest(spark, root)
+    if (current.exists(_._1 >= batchId)) return false
+    val compacted = Dedup.firstWriterWins(
+      changes, keys, Seq(col(seqCol).desc)).drop(seqCol)
+    val snapshot = current match {
+      case Some((_, dir)) => spark.read.parquet(dir)
+      case None => compacted.drop(opCol).limit(0)
+    }
+    val next = Cdc.applyChanges(snapshot, compacted, keys, opCol)
+    next.write.mode("overwrite").parquet(s"$root/v$batchId")
+    val f = fs(spark, root)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$root/$Marker"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  /** Drain all available change files from `srcDir` into the snapshot at
+    * `root`, one version per micro-batch, then stop.
+    */
+  def run(spark: SparkSession, srcDir: String, root: String, keys: Seq[String],
+      seqCol: String, checkpointDir: String, filesPerBatch: Int = 1): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(batch.sparkSession, batch, root, keys, seqCol, batchId = id); ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

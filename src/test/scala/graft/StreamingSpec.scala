@@ -91,4 +91,37 @@ class StreamingSpec extends SparkSpec {
       lastPerUser.orderBy("user_id").collect().toSeq ===
         want.orderBy("user_id").collect().toSeq)
   }
+
+  test("StreamingCdcLoad: per-batch upserts, replay skipped, stream drain") {
+    import spark.implicits._
+    val root = tmpDir("graft-cdc-root")
+    // batch 0: insert k1,k2 (k1 updated within the batch: seq wins)
+    val b0 = Seq(
+      (1L, "a", "I", 10L), (1L, "a2", "U", 11L), (2L, "b", "I", 12L))
+      .toDF("k", "v", "op", "seq")
+    assert(graft.streaming.StreamingCdcLoad.applyBatch(spark, b0, root, Seq("k"), "seq", batchId = 0))
+    // batch 1: delete k2, insert k3
+    val b1 = Seq((2L, "b", "D", 20L), (3L, "c", "I", 21L)).toDF("k", "v", "op", "seq")
+    assert(graft.streaming.StreamingCdcLoad.applyBatch(spark, b1, root, Seq("k"), "seq", batchId = 1))
+    // replay of batch 1 must be a no-op
+    assert(!graft.streaming.StreamingCdcLoad.applyBatch(spark, b1, root, Seq("k"), "seq", batchId = 1))
+
+    val (v, dir) = graft.streaming.StreamingCdcLoad.latest(spark, root).get
+    assert(v === 1L)
+    val snap = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(snap === Seq((1L, "a2"), (3L, "c")))
+
+    // end-to-end: drain a staged change dir file-by-file through the stream
+    val root2 = tmpDir("graft-cdc-root2")
+    val flat = tmpDir("graft-cdc-flat")
+    b0.coalesce(1).write.mode("append").parquet(flat)
+    b1.coalesce(1).write.mode("append").parquet(flat)
+    graft.streaming.StreamingCdcLoad.run(
+      spark, flat, root2, Seq("k"), "seq", tmpDir("graft-cdc-ckpt"))
+    val (_, dir2) = graft.streaming.StreamingCdcLoad.latest(spark, root2).get
+    val snap2 = spark.read.parquet(dir2).as[(Long, String)].collect().toSet
+    // file->batch order is not guaranteed, but the k3 insert survives either
+    // order and k1 resolves to one of its written states
+    assert(snap2.map(_._1).contains(3L))
+  }
 }
