@@ -91,4 +91,48 @@ object OpsProps extends Properties("Operators") {
       got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty
     }
   }
+
+  // SCD2 invariants on arbitrary snapshot histories: per key, runs tile the
+  // observed timeline (first valid_from = first snapshot, each valid_to =
+  // next valid_from, one open run), the attribute is constant inside a run
+  // and differs across adjacent runs, and the reconstruction at every
+  // snapshot time equals the raw snapshot value.
+  private val snapGen = for {
+    n <- Gen.chooseNum(1, 30)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0L, 3L)
+      t <- Gen.chooseNum(0L, 15L)
+      a <- Gen.oneOf("x", "y", "z")
+    } yield (k, t, a))
+  } yield rows.groupBy(r => (r._1, r._2)).map(_._2.head).toList // unique (k,t)
+
+  property("scd2 runs tile the snapshot history") = Prop.forAllNoShrink(snapGen) { rows =>
+    import spark.implicits._
+    val df = rows.toDF("k", "t", "a")
+    val scd = graft.operators.Scd2.buildScd2(df, Seq("k"), "t", Seq("a"))
+      .select("k", "a", "valid_from", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+      .groupBy(_._1)
+
+    rows.groupBy(_._1).forall { case (k, snaps) =>
+      val hist = snaps.map(s => (s._2, s._3)).sortBy(_._1)
+      val runs = scd(k).sortBy(_._3)
+      val tiles = runs.head._3 == hist.head._1 &&
+        runs.last._4 == Long.MaxValue &&
+        runs.sliding(2).forall {
+          case Array((_, _, _, hi), (_, _, lo, _)) => hi == lo
+          case _ => true
+        }
+      val adjacentDiffer = runs.sliding(2).forall {
+        case Array((_, a1, _, _), (_, a2, _, _)) => a1 != a2
+        case _ => true
+      }
+      val reconstructs = hist.forall { case (t, a) =>
+        runs.find(r => r._3 <= t && t < r._4).exists(_._2 == a)
+      }
+      tiles && adjacentDiffer && reconstructs
+    }
+  }
 }
