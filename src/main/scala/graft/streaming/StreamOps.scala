@@ -120,6 +120,37 @@ object StreamOps {
       }
   }
 
+  final case class TypeDistinct(event_type: String, est_distinct_users: Long)
+
+  /** Streaming approximate distinct users per event type: the mergeable
+    * HLL register array ([[graft.functions.HllAgg]]) IS the group state —
+    * 2^p bytes per key forever, no per-user state growth — and the sketch
+    * is deterministic, so the running estimate after draining a stream
+    * equals the batch aggregate over the same rows exactly (asserted in
+    * StreamingSpec). The per-row hash is the same seed-42 xxhash64 the
+    * batch column form applies.
+    */
+  def streamingDistinctUsers(spark: SparkSession, events: DataFrame,
+      p: Int = 12): Dataset[TypeDistinct] = {
+    import spark.implicits._
+    import graft.functions.HllAgg
+    events
+      .select(col("event_type").as[String], col("user_id").as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], TypeDistinct](GroupStateTimeout.NoTimeout) {
+        case (tpe, rows, state: GroupState[Array[Byte]]) =>
+          val agg = new HllAgg.HllAggregator(p)
+          val buf = state.getOption.map(HllAgg.Buf(_)).getOrElse(agg.zero)
+          rows.foreach { case (_, uid) =>
+            agg.reduce(buf,
+              org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+                uid, org.apache.spark.sql.types.LongType, 42L))
+          }
+          state.update(buf.regs)
+          TypeDistinct(tpe, agg.finish(buf))
+      }
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * clicks from the preceding hour. Both sides are watermarked and the
     * join condition bounds event-time distance, so each side's join state

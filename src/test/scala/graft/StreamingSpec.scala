@@ -124,4 +124,24 @@ class StreamingSpec extends SparkSpec {
     // order and k1 resolves to one of its written states
     assert(snap2.map(_._1).contains(3L))
   }
+
+  test("streaming HLL distinct == batch HLL estimates after drain") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val name = "hll_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val out = StreamOps.runAvailableNow(
+      spark,
+      StreamOps.streamingDistinctUsers(spark, StreamOps.eventsStream(spark, sf)).toDF(),
+      name, OutputMode.Update())
+    // last emitted estimate per key is the final state
+    val streamed = out.withColumn("rn", monotonically_increasing_id())
+      .groupBy("event_type")
+      .agg(max_by(col("est_distinct_users"), col("rn")).as("est"))
+      .as[(String, Long)].collect().toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(graft.functions.HllAgg.hllDistinct(col("user_id")).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed === batch)
+  }
 }
