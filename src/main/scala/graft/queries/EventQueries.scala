@@ -284,5 +284,25 @@ object EventQueries {
         .orderBy("event_type"),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66)
+  /** Mergeable DDSketch quantiles ([[graft.functions.DdSketchAgg]]) per
+    * event type, flattened to scalar columns (array outputs crash the
+    * driver compare — round-1 lesson). Rows-only: the log-bucket estimate
+    * is sketch-specific; DdSketchAggSpec proves partition invariance and
+    * the α relative-error bound.
+    */
+  private val q67 = GraftQuery(
+    "q67_ddsketch_quantiles",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(graft.functions.DdSketchAgg
+          .quantiles(col("value"), Seq(0.5, 0.95, 0.99)).as("e"))
+        .select(col("event_type"),
+          round(element_at(col("e"), 1), 6).as("dd_p50"),
+          round(element_at(col("e"), 2), 6).as("dd_p95"),
+          round(element_at(col("e"), 3), 6).as("dd_p99"))
+        .orderBy("event_type"),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67)
 }
