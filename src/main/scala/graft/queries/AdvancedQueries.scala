@@ -301,5 +301,35 @@ object AdvancedQueries {
     },
     q37.oracle)
 
-  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61)
+  /** Bloom semi-join reduction ([[graft.operators.BloomSemiJoin]]):
+    * lineitem pruned by a bloom over one nation's suppliers before the
+    * shuffled join. The exact join clears bloom false positives, so the
+    * result — and therefore the oracle — is the plain join's; the sketch
+    * only moves the shuffle volume.
+    */
+  private val q68 = GraftQuery(
+    "q68_bloom_semi_join",
+    (s, dir) => {
+      val suppliers = Tables.supplier(s, dir)
+        .filter(col("s_nationkey") === 3)
+        .select("s_suppkey", "s_name")
+      val li = Tables.lineitem(s, dir)
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+      graft.operators.BloomSemiJoin
+        .reduceThenJoin(li, "l_suppkey", suppliers, "s_suppkey",
+          expectedKeys = 10000L)
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("n_items"),
+          Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name, count(*) AS n_items,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey = 3
+            GROUP BY s_suppkey, s_name ORDER BY s_suppkey"""))
+
+  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68)
 }

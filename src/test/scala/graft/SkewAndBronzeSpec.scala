@@ -42,4 +42,23 @@ class SkewAndBronzeSpec extends SparkSpec {
     assert(got.select("id").as[String].collect().sorted === Array("tx_1", "tx_2", "tx_3"))
     assert(got.columns.contains("date_retrieved"))
   }
+
+  test("bloom semi-join: equals plain join, actually prunes the fact side") {
+    import spark.implicits._
+    val fact = (0 until 5000).map(i => (i.toLong % 500, i.toLong)).toDF("fk", "payload")
+    val dim = (0 until 25).map(i => (i.toLong * 17, s"d$i")).toDF("dk", "name")
+
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "name").collect().map(_.toString).sorted
+    val bloomed = graft.operators.BloomSemiJoin
+      .reduceThenJoin(fact, "fk", dim, "dk", expectedKeys = 100L, fpp = 0.01)
+      .select("fk", "payload", "name").collect().map(_.toString).sorted
+    assert(bloomed === plain)
+
+    val kept = graft.operators.BloomSemiJoin
+      .prefilter(fact, "fk", dim, "dk", expectedKeys = 100L, fpp = 0.01).count()
+    // 25 of 500 keys qualify (5%); with fpp=1% the prefilter must drop the
+    // overwhelming majority of fact rows
+    assert(kept < 1000, s"bloom kept $kept of 5000 rows")
+  }
 }
