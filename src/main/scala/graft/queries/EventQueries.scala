@@ -304,5 +304,59 @@ object EventQueries {
         .orderBy("event_type"),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67)
+  /** Daily conversion funnel: per (user, day), the first view, the first
+    * click AT/AFTER that view, and the first purchase AT/AFTER that click —
+    * ordered-subsequence matching expressed as three keyed min-aggregates
+    * chained by joins (each stage shuffles only its event type, already
+    * reduced by map-side partials; no per-user sorting, no window over the
+    * full stream). Day-level rollup counts users reaching each stage.
+    */
+  private val q69 = GraftQuery(
+    "q69_funnel_daily",
+    (s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), col("ts"))
+      val keys = Seq("user_id", "day")
+      val v = base.filter(col("event_type") === "view")
+        .groupBy(keys.map(col): _*).agg(min(col("ts")).as("t_view"))
+      val c = base.filter(col("event_type") === "click")
+        .join(v, keys).filter(col("ts") >= col("t_view"))
+        .groupBy(keys.map(col): _*).agg(min(col("ts")).as("t_click"))
+      val p = base.filter(col("event_type") === "purchase")
+        .join(c, keys).filter(col("ts") >= col("t_click"))
+        .groupBy(keys.map(col): _*).agg(min(col("ts")).as("t_purchase"))
+      v.join(c.select(col("user_id"), col("day"), col("t_click")), keys, "left")
+        .join(p.select(col("user_id"), col("day"), col("t_purchase")), keys, "left")
+        .groupBy("day")
+        .agg(
+          count(lit(1)).as("n_view_users"),
+          count(col("t_click")).as("n_clicked_after_view"),
+          count(col("t_purchase")).as("n_purchased_after_click"))
+        .orderBy("day")
+    },
+    Some("""WITH base AS (
+              SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                     event_type, CAST(ts AS TIMESTAMP) AS ts
+              FROM events),
+            v AS (SELECT user_id, day, min(ts) AS t_view
+                  FROM base WHERE event_type = 'view' GROUP BY 1, 2),
+            c AS (SELECT b.user_id, b.day, min(b.ts) AS t_click
+                  FROM base b JOIN v USING (user_id, day)
+                  WHERE b.event_type = 'click' AND b.ts >= v.t_view
+                  GROUP BY 1, 2),
+            p AS (SELECT b.user_id, b.day, min(b.ts) AS t_purchase
+                  FROM base b JOIN c USING (user_id, day)
+                  WHERE b.event_type = 'purchase' AND b.ts >= c.t_click
+                  GROUP BY 1, 2)
+            SELECT day,
+                   count(*) AS n_view_users,
+                   count(t_click) AS n_clicked_after_view,
+                   count(t_purchase) AS n_purchased_after_click
+            FROM v LEFT JOIN c USING (user_id, day)
+                   LEFT JOIN p USING (user_id, day)
+            GROUP BY day ORDER BY day"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69)
 }
