@@ -118,5 +118,19 @@ object SimilarityQueries {
                    count(*) AS n
             FROM e GROUP BY label, dim ORDER BY label, dim"""))
 
-  val all: Seq[GraftQuery] = Seq(q22, q23, q24, q32, q57)
+  /** PQ/ADC top-k ([[graft.operators.Pq]]): 8-byte codes + table-lookup
+    * scoring with exact re-rank — the third ANN scale path next to LSH
+    * (q24) and IVF (q32). Rows-only (sketch-specific ranking); AnnSpec
+    * bounds recall against the exact q22 baseline.
+    */
+  private val q70 = GraftQuery(
+    "q70_pq_adc_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Pq.pqTopK(s, emb.filter(col("vec_id") < 20), emb, k = 5)
+        .orderBy("q_id", "rank")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q22, q23, q24, q32, q57, q70)
 }

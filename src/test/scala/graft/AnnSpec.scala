@@ -74,4 +74,35 @@ class AnnSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(asSet(0L) === asSet(1000L))
   }
+
+  test("pqTopK: valid ranks, exact-rerank dominance, decent recall@5") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 20)
+    val pq = graft.operators.Pq.pqTopK(spark, q, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val bf = NearDup.knnBruteForce(q, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(pq.map(_._1).distinct.sorted === (0L until 20L))
+    pq.groupBy(_._1).values.foreach(rows => assert(rows.map(_._4).sorted === (1 to 5)))
+    // survivors are exactly re-ranked, so no PQ cosine can beat brute force
+    val bfAtRank = bf.map(r => (r._1, r._4) -> r._3).toMap
+    pq.foreach { case (qid, _, cos, rank) => assert(cos <= bfAtRank((qid, rank)) + 1e-12) }
+    val bfSet = bf.map(r => (r._1, r._2)).toSet
+    val recall = pq.map(r => (r._1, r._2)).count(bfSet.contains).toDouble / bfSet.size
+    assert(recall >= 0.5, s"PQ recall@5 = $recall")
+  }
+
+  test("pq codes compress 32x and round-trip deterministically") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = graft.operators.Pq.trainCodebooks(spark, emb, m = 8, ksub = 16)
+    assert(cb.length === 8 && cb.forall(_.length === 16) && cb(0)(0).length === 8)
+    val codes1 = graft.operators.Pq.encode(emb, cb)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val codes2 = graft.operators.Pq.encode(emb, cb)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes1 === codes2)
+    assert(codes1.values.forall(c => c.length === 8 && c.forall(j => j >= 0 && j < 16)))
+  }
 }
