@@ -294,5 +294,65 @@ object CurationQueries {
                    CAST(rank * 10 // n AS BIGINT) AS bin
             FROM r ORDER BY rank"""))
 
-  val all: Seq[GraftQuery] = Seq(q50, q51, q52, q53, q55, q58, q64)
+  /** Deterministic k-per-key sampling: keep the 3 "randomly" smallest
+    * events per user under an integer scramble both engines compute
+    * identically (a Knuth multiplicative hash — production uses xxhash64,
+    * same operator). Runs through the bounded [[graft.functions.TopKAgg]]
+    * aggregator: O(users·k) shuffle, no per-user window sort.
+    */
+  private val q71 = GraftQuery(
+    "q71_per_key_sample",
+    (s, dir) => {
+      val topk = graft.functions.TopKAgg.topK(3)
+      val scramble = -(((col("event_id") * 2654435761L) % 1000000007L)
+        .cast("double")) // negate: TopKAgg keeps highest = smallest scramble
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), scramble.as("score"))
+        .groupBy("user_id")
+        .agg(topk(col("score"), col("event_id")).as("top"))
+        .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(
+          col("user_id"),
+          col("t.id").as("event_id"),
+          (col("pos") + 1).cast("long").as("draw"))
+        .orderBy("user_id", "draw")
+    },
+    Some("""SELECT user_id, event_id, CAST(rn AS BIGINT) AS draw
+            FROM (SELECT user_id, event_id,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY -CAST((event_id * 2654435761) % 1000000007 AS DOUBLE) DESC,
+                                    event_id) AS rn
+                  FROM events)
+            WHERE rn <= 3 ORDER BY user_id, draw"""))
+
+  /** Weighted source-interleaving schedule (data mixing): documents from
+    * each source get a deterministic position key seq/weight, so a reader
+    * consuming in key order sees sources at their target ratios from the
+    * start (not source-by-source). Per-source sequence is a key-partitioned
+    * window; the global order is the final sort — no global window.
+    */
+  private val q72 = GraftQuery(
+    "q72_mixing_schedule",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val weightCol = when(col("source") === "src1", 4.0)
+        .when(col("source") === "src2", 2.0).otherwise(1.0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("seq_in_source", row_number().over(w).cast("long"))
+        .withColumn("mix_key",
+          round(col("seq_in_source").cast("double") / weightCol, 6))
+        .orderBy("mix_key", "source", "doc_id")
+    },
+    Some("""SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+                     AS seq_in_source,
+                   round(CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE)
+                     / (CASE source WHEN 'src1' THEN 4.0 WHEN 'src2' THEN 2.0 ELSE 1.0 END), 6)
+                     AS mix_key
+            FROM documents
+            ORDER BY mix_key, source, doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72)
 }
