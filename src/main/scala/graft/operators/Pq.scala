@@ -2,11 +2,11 @@ package graft.operators
 
 import graft.functions.Similarity
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Product quantization (PQ) for embedding search — the memory/shuffle
   * scale path that complements LSH (q24) and IVF (q32): each vector
@@ -18,10 +18,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Spark shape mirrors [[Ann]]: codebooks are tiny (M·ksub·dsub floats)
   * driver-side literals trained with a few distributed Lloyd passes per
-  * sub-space (decimal-exact means, deterministic lowest-id seeds);
-  * encoding is a codegen'd argmax over codeword dot products per
-  * sub-space (no shuffle); ADC scoring is a native row-granularity
-  * expression (per-element HOF lookups were the round-1 27× lesson).
+  * sub-space (decimal-exact means, deterministic lowest-id seeds,
+  * hash-gated training sample); encoding, table build, and ADC scoring
+  * are single fused native expressions (per-element HOF lookups were the
+  * round-1 27× lesson; literal expression TREES cost seconds of Catalyst
+  * analysis per plan, so one node replaces each 128-node tree).
   */
 object Pq {
 
@@ -56,6 +57,89 @@ object Pq {
     GraftColumnBridge.column(PqAdcScore(
       GraftColumnBridge.expression(table), GraftColumnBridge.expression(codes), ksub))
 
+  /** All M codes in one fused primitive loop (argmin L2 per sub-space,
+    * lower index on ties). One expression node instead of a
+    * greatest-of-128-structs literal tree — the big trees were costing
+    * seconds of Catalyst analysis PER LLOYD ITERATION, dwarfing the
+    * actual compute (the round-1 fused-vector-loop lesson, applied to
+    * plan-build time).
+    */
+  case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "graft_pq_encode"
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val halfNorms: Array[Array[Double]] =
+      codebooks.map(_.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x) / 2.0))
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val m = codebooks.length
+      val dsub = codebooks(0)(0).length
+      val codes = new Array[Int](m)
+      var sub = 0
+      while (sub < m) {
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var j = 0
+        while (j < codebooks(sub).length) {
+          val c = codebooks(sub)(j)
+          var dot = 0.0
+          var d = 0
+          while (d < dsub) {
+            dot += v.getFloat(sub * dsub + d).toDouble * c(d)
+            d += 1
+          }
+          val score = dot - halfNorms(sub)(j)
+          if (score > bestScore) { bestScore = score; best = j }
+          j += 1
+        }
+        codes(sub) = best
+        sub += 1
+      }
+      new GenericArrayData(codes)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Per-query ADC lookup table (M·ksub dot products) in one fused loop. */
+  case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Float]]])
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "graft_pq_adc_table"
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val m = codebooks.length
+      val ksub = codebooks(0).length
+      val dsub = codebooks(0)(0).length
+      val table = new Array[Double](m * ksub)
+      var sub = 0
+      while (sub < m) {
+        var j = 0
+        while (j < ksub) {
+          val c = codebooks(sub)(j)
+          var dot = 0.0
+          var d = 0
+          while (d < dsub) {
+            dot += v.getFloat(sub * dsub + d).toDouble * c(d)
+            d += 1
+          }
+          table(sub * ksub + j) = dot
+          j += 1
+        }
+        sub += 1
+      }
+      new GenericArrayData(table)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Train per-sub-space codebooks: M sub-spaces of dsub dims, ksub
     * codewords each, seeded from the lowest-vec_id subvectors and refined
     * with `iters` Lloyd steps (L2 assignment, decimal-exact means).
@@ -71,50 +155,50 @@ object Pq {
     val seeds = corpus.orderBy("vec_id").limit(ksub)
       .select(col("embedding").as[Array[Float]]).collect()
     require(seeds.length == ksub, s"corpus smaller than ksub=$ksub")
-    (0 until m).toArray.map { sub =>
-      var codebook: Array[Array[Float]] =
-        seeds.map(_.slice(sub * dsub, (sub + 1) * dsub))
-      val subCol = slice(col("embedding"), sub * dsub + 1, dsub)
-      for (_ <- 0 until iters) {
-        val assigned = corpus.withColumn("code",
-          nearestCode(subCol, codebook))
-        val sums = assigned
-          .select(col("code"), posexplode(subCol).as(Seq("d", "v")))
-          .groupBy("code", "d")
-          .agg(sum(col("v").cast("double").cast(DecimalType(38, 20)))
-            .cast("double").as("s"), count(lit(1)).as("n"))
-          .collect()
-        val next = codebook.map(_.clone())
-        sums.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
-        }
-        codebook = next
+    // codebooks need ~10³ vectors per codeword, not the whole corpus:
+    // train on a deterministic hash-gated sample so the Lloyd explode cost
+    // is bounded regardless of corpus size (the encode pass that follows
+    // still covers every vector)
+    val maxTrain = 16384L
+    val n = corpus.count()
+    val trainSet =
+      if (n <= maxTrain) corpus
+      else corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(1000000L * maxTrain / n))
+    var codebooks: Array[Array[Array[Float]]] = (0 until m).toArray.map { sub =>
+      seeds.map(_.slice(sub * dsub, (sub + 1) * dsub))
+    }
+    // ONE distributed job per Lloyd iteration for ALL sub-spaces: encode,
+    // explode every dimension, route it to (sub-space, codeword, local dim)
+    // and take decimal-exact means — m·ksub·dsub tiny rows to the driver
+    for (_ <- 0 until iters) {
+      val sums = encode(trainSet, codebooks)
+        .select(col("codes"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(
+          (col("dim") / dsub).cast("int").as("sub"),
+          (col("dim") % dsub).cast("int").as("d"),
+          element_at(col("codes"), (col("dim") / dsub).cast("int") + 1).as("code"),
+          col("v"))
+        .groupBy("sub", "code", "d")
+        .agg(sum(col("v").cast("double").cast(DecimalType(38, 20)))
+          .cast("double").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          (r.getDouble(3) / r.getLong(4)).toFloat
       }
-      codebook
+      codebooks = next
     }
+    codebooks
   }
 
-  /** argmin_j ‖x − c_j‖² = argmax_j (dot(x, c_j) − ‖c_j‖²/2), as a
-    * greatest-of-structs with lower-index tie-break (the [[Ann]] negidx
-    * contract).
+  /** Add `codes`: array<int> of length M — the PQ encoding (argmin L2 per
+    * sub-space via [[PqEncode]]'s fused loop).
     */
-  private def nearestCode(sub: Column, codebook: Array[Array[Float]]): Column = {
-    val scored = codebook.zipWithIndex.map { case (c, j) =>
-      val c2 = c.foldLeft(0.0)((a, x) => a + x.toDouble * x)
-      struct((Similarity.dotFast(sub, typedLit(c.toSeq)) - lit(c2 / 2.0)).as("score"),
-        lit(-j).as("negidx"))
-    }
-    (-greatest(scored: _*).getField("negidx")).cast("int")
-  }
-
-  /** Add `codes`: array<int> of length M — the PQ encoding. */
-  def encode(corpus: DataFrame, codebooks: Array[Array[Array[Float]]]): DataFrame = {
-    val dsub = codebooks(0)(0).length
-    val codeCols = codebooks.zipWithIndex.map { case (cb, sub) =>
-      nearestCode(slice(col("embedding"), sub * dsub + 1, dsub), cb)
-    }
-    corpus.withColumn("codes", array(codeCols: _*))
-  }
+  def encode(corpus: DataFrame, codebooks: Array[Array[Array[Float]]]): DataFrame =
+    corpus.withColumn("codes", GraftColumnBridge.column(
+      PqEncode(GraftColumnBridge.expression(col("embedding")), codebooks)))
 
   /** Top-k by ADC over PQ codes with exact cosine re-rank of the
     * `refine`·k approximate survivors. One broadcast of the (tiny) query
@@ -123,30 +207,34 @@ object Pq {
   def pqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 2, refine: Int = 4): DataFrame = {
     val codebooks = trainCodebooks(spark, corpus, m, ksub, iters)
-    val dsub = codebooks(0)(0).length
+    // SLIM approximate phase: only (ids, codes, tables) flow through the
+    // scan and the top-(k·refine) window — never the embeddings, whose 2M
+    // wide rows would dominate the sort (the round-1 slim-shuffle lesson)
     val encoded = encode(corpus, codebooks)
-      .select(col("vec_id").as("n_id"), col("codes"), col("embedding").as("ne"),
-        Similarity.normExact(col("embedding")).as("nn"))
+      .select(col("vec_id").as("n_id"), col("codes"))
     // per-query ADC table: entry m*ksub+j = dot(q_sub_m, codeword_j of m)
-    val tableEntries = for {
-      sub <- codebooks.indices
-      j <- 0 until ksub
-    } yield Similarity.dotFast(
-      slice(col("embedding"), sub * dsub + 1, dsub),
-      typedLit(codebooks(sub)(j).toSeq))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-      Similarity.normExact(col("embedding")).as("qn"),
-      array(tableEntries: _*).as("adc_table"))
-    val approx = broadcast(q).crossJoin(encoded)
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("approx_dot", adcScore(col("adc_table"), col("codes"), ksub))
+    val q = queries.select(col("vec_id").as("q_id"),
+      GraftColumnBridge.column(PqAdcTable(
+        GraftColumnBridge.expression(col("embedding")), codebooks)).as("adc_table"))
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("approx_dot").desc, col("n_id").asc)
-    val survivors = approx.withColumn("arank", row_number().over(wApprox))
+    val survivors = broadcast(q).crossJoin(encoded)
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        adcScore(col("adc_table"), col("codes"), ksub).as("approx_dot"))
+      .withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= k * refine)
+      .select("q_id", "n_id")
+    // re-attach vectors only for the |Q|·k·refine survivors, exact re-rank
+    val qv = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      Similarity.normExact(col("embedding")).as("qn"))
+    val cv = corpus.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+      Similarity.normExact(col("embedding")).as("nn"))
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     survivors
+      .join(broadcast(qv), "q_id")
+      .join(cv, "n_id") // survivors are tiny — AQE broadcasts them into the corpus scan
       .withColumn("cos", Similarity.cosineFromParts(
         Similarity.dotExact(col("qe"), col("ne")), col("qn"), col("nn")))
       .withColumn("rank", row_number().over(wExact))

@@ -67,10 +67,16 @@ object MedallionQueries {
   private def runPipeline(s: SparkSession, dir: String): Medallion = {
     val root = java.nio.file.Files.createTempDirectory("graft_medallion_").toString
     val m = Medallion(root)
+    // materialize the orders⋈customer fixture once (an extra slice key
+    // rides along so batch 1 can filter WITHOUT re-running the join);
+    // eager localCheckpoint, so the two batch loads share the result
+    val base = fixtureBatch(s, dir, lit(true))
+      .withColumn("__okey",
+        substring(col("id"), 4, 9).cast("long")) // tx_%09d ⇒ o_orderkey
+      .localCheckpoint()
     m.loadBronzeTransactions(s,
-      fixtureBatch(s, dir, col("o_orderkey") % 4 =!= 0), to_timestamp(lit(T1)))
-    m.loadBronzeTransactions(s,
-      fixtureBatch(s, dir, lit(true)), to_timestamp(lit(T2)))
+      base.filter(col("__okey") % 4 =!= 0).drop("__okey"), to_timestamp(lit(T1)))
+    m.loadBronzeTransactions(s, base.drop("__okey"), to_timestamp(lit(T2)))
     m.transformSilver(s)
     m.buildGold(s)
     m
