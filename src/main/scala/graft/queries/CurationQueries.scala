@@ -354,5 +354,107 @@ object CurationQueries {
             FROM documents
             ORDER BY mix_key, source, doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72)
+  /** Passage-level dedup across the corpus (Lee et al.-style span dedup,
+    * at chunk granularity): non-overlapping 32-token chunks fingerprint
+    * with md5, the corpus-wide first occurrence survives (earliest doc,
+    * then earliest chunk — one hash-partitioned window, no pair joins),
+    * and each document reports how many of its chunks survive vs repeat
+    * earlier text. Output is the per-doc retention profile a span-dedup
+    * pass acts on.
+    */
+  private val q73 = GraftQuery(
+    "q73_passage_dedup",
+    (s, dir) => {
+      val stride = 32
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("start",
+          explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+        .select(col("doc_id"), expr(s"start div $stride").as("chunk_id"),
+          md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(stride))))
+            .as("fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy(col("doc_id"), col("chunk_id"))
+      chunks
+        .withColumn("keep", row_number().over(w) === 1)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("retention",
+          round(col("n_kept").cast("double") / col("n_chunks"), 12))
+        .orderBy("doc_id")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, 32)) AS start
+              FROM norm),
+            fp AS (
+              SELECT doc_id, start // 32 AS chunk_id,
+                     md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS fp
+              FROM c),
+            kept AS (
+              SELECT doc_id, chunk_id,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) = 1 AS keep
+              FROM fp)
+            SELECT doc_id, count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 12) AS retention
+            FROM kept GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Quality-weighted importance sampling (DSIR-flavored): each document's
+    * keep probability is a deterministic function of its quality score
+    * (clamped to [0.1, 0.9]), gated by the same integer scramble both
+    * engines compute identically — the continuous-rate generalization of
+    * q50's per-stratum rates. No shuffle: scan → scalar gate → filter.
+    */
+  private val q74 = GraftQuery(
+    "q74_importance_sample",
+    (s, dir) => {
+      val quality = TextFunctions.qualityScore(col("text"))
+      val rate = least(lit(0.9), greatest(lit(0.1), round(quality, 6)))
+      val gate = (((col("doc_id") % 100003) * 31 + 7) % 10000)
+        .cast("double") / lit(10000.0)
+      Tables.documents(s, dir)
+        .withColumn("rate", rate)
+        .withColumn("gate", round(gate, 6))
+        .filter(col("gate") < col("rate"))
+        .select("doc_id", "rate", "gate")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, text,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS toks,
+                     CASE WHEN length(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) = 0 THEN 0
+                          ELSE len(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) END AS n,
+                     length(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS nlen
+              FROM documents),
+            m AS (
+              SELECT doc_id, n,
+                     CAST(len(list_filter(toks, x -> x IN
+                       ('the','a','an','and','of','in','to','is','it','for','on','with'))) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS stopword_ratio,
+                     CAST(nlen - n + 1 AS DOUBLE) / NULLIF(n, 0) AS mean_len
+              FROM t),
+            q AS (
+              SELECT doc_id,
+                     COALESCE(0.4 * least(1.0, CAST(n AS DOUBLE) / 50.0)
+                     + 0.3 * (1.0 - least(1.0, abs(stopword_ratio - 0.45) * 2.0))
+                     + 0.3 * (1.0 - least(1.0, abs(mean_len - 5.0) / 5.0)), 0.0) AS quality
+              FROM m),
+            g AS (
+              SELECT doc_id,
+                     least(0.9, greatest(0.1, round(quality, 6))) AS rate,
+                     round(((doc_id % 100003) * 31 + 7) % 10000 / 10000.0, 6) AS gate
+              FROM q)
+            SELECT doc_id, rate, gate FROM g
+            WHERE gate < rate ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74)
 }
