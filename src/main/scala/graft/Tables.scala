@@ -19,6 +19,13 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
+  /** Shared by the batch reader and StreamOps.eventsStream so the two
+    * paths can never disagree on the events shape.
+    */
+  val EventsRawSchema =
+    "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+  val NanosAsLongOption = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read nanos as long and truncate to microseconds (values
     * are µs-aligned in the generator, and DuckDB reads the column as µs too).
@@ -29,8 +36,8 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read
-      .schema("event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string")
-      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .schema(EventsRawSchema)
+      .option(NanosAsLongOption, "true")
       .parquet(s"$sfDir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

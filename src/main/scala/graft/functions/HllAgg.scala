@@ -67,7 +67,7 @@ object HllAgg {
       val raw = alpha * m * m / invSum
       val est =
         if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
-        else if (raw > 1.4411518807585587e17) // 2^64/30: large-range correction
+        else if (raw > 6.148914691236517e17) // 2^64/30: large-range correction
           -1.8446744073709552e19 * math.log1p(-raw / 1.8446744073709552e19)
         else raw
       math.round(est)

@@ -114,8 +114,13 @@ object Ann {
       .withColumn("probe", explode(col("probes")))
       .withColumn("cell", -col("probe.negcell"))
       .drop("probes", "probe")
-    val probeSide =
-      if (queries.count() * nprobe <= broadcastQueryRows) broadcast(probed) else probed
+    // bounded existence probe, not a full count: scanning stops once the
+    // limit is exceeded, so deciding the hint never re-executes the whole
+    // query-side plan (it sits on the timed path of every call)
+    val broadcastable = queries
+      .limit((broadcastQueryRows / math.max(1, nprobe) + 1).toInt)
+      .count() * nprobe <= broadcastQueryRows
+    val probeSide = if (broadcastable) broadcast(probed) else probed
     val scored = probeSide.join(corpusCells, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")

@@ -2,11 +2,11 @@ package graft.operators
 
 import graft.functions.Similarity
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Product quantization (PQ) for embedding search — the memory/shuffle
   * scale path that complements LSH (q24) and IVF (q32): each vector
@@ -30,19 +30,25 @@ object Pq {
     * expression over (per-query table array, per-candidate code array).
     */
   case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
     override def prettyName: String = "graft_pq_adc_score"
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(IntegerType))
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
 
     override def nullSafeEval(table: Any, codes: Any): Any = {
       val t = table.asInstanceOf[ArrayData]
       val c = codes.asInstanceOf[ArrayData]
+      val tn = t.numElements()
       var s = 0.0
       var m = 0
       val n = c.numElements()
       while (m < n) {
-        s += t.getDouble(m * ksub + c.getInt(m))
+        val idx = m * ksub + c.getInt(m)
+        require(idx >= 0 && idx < tn,
+          s"ADC code ${c.getInt(m)} out of range for table of $tn entries (ksub=$ksub)")
+        s += t.getDouble(idx)
         m += 1
       }
       s
@@ -65,8 +71,9 @@ object Pq {
     * plan-build time).
     */
   case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
     override def prettyName: String = "graft_pq_encode"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullIntolerant: Boolean = true
     @transient private lazy val halfNorms: Array[Array[Double]] =
@@ -106,8 +113,9 @@ object Pq {
 
   /** Per-query ADC lookup table (M·ksub dot products) in one fused loop. */
   case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Float]]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
     override def prettyName: String = "graft_pq_adc_table"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullIntolerant: Boolean = true
 

@@ -56,6 +56,16 @@ case class AsOfJoinExec(
     rightTieBreak: Seq[Expression],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
+  // the merge compares right values with orderings built from the LEFT
+  // types, and co-partitioning hashes each side's own keys — a type
+  // mismatch would silently mis-partition and mis-compare (equi-joins get
+  // this from analyzer coercion; a custom exec must check itself)
+  require(leftKeys.length == rightKeys.length &&
+    leftKeys.zip(rightKeys).forall { case (l, r) => l.dataType == r.dataType },
+    s"as-of key types differ: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of timestamp types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 

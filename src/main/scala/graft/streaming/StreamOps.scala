@@ -26,8 +26,8 @@ object StreamOps {
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
-      .schema("event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string")
-      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .schema(graft.Tables.EventsRawSchema)
+      .option(graft.Tables.NanosAsLongOption, "true")
       .parquet(streamDir(sfDir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
@@ -199,6 +199,12 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // pin the result as block-store partitions and drop the sink's temp
+    // view — otherwise every run leaves its whole materialized output in
+    // driver memory for the session lifetime (checkpoint blocks are freed
+    // by the ContextCleaner once the returned frame is unreferenced)
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 }

@@ -45,7 +45,18 @@ object StreamingCdcLoad {
       keys: Seq[String], seqCol: String, opCol: String = "op",
       batchId: Long = 0L): Boolean = {
     val current = latest(spark, root)
-    if (current.exists(_._1 >= batchId)) return false
+    if (current.exists(_._1 >= batchId)) {
+      // normal only for a genuine foreachBatch replay (same checkpoint).
+      // A restart with a CLEARED checkpoint restarts batch ids at 0 and
+      // would land here for every batch — surface it loudly, because the
+      // snapshot would otherwise silently stop advancing. (The batch-id ↔
+      // marker coupling is the exactly-once contract: keep the checkpoint
+      // directory paired with the snapshot root.)
+      System.err.println(
+        s"[StreamingCdcLoad] skipping batch $batchId: snapshot $root already at " +
+          s"version ${current.get._1} (replay, or a checkpoint/marker mismatch)")
+      return false
+    }
     val compacted = Dedup.firstWriterWins(
       changes, keys, Seq(col(seqCol).desc)).drop(seqCol)
     val snapshot = current match {
