@@ -117,8 +117,10 @@ object Ann {
     // bounded existence probe, not a full count: scanning stops once the
     // limit is exceeded, so deciding the hint never re-executes the whole
     // query-side plan (it sits on the timed path of every call)
+    val probeLimit =
+      math.min(broadcastQueryRows / math.max(1, nprobe) + 1, Int.MaxValue.toLong).toInt
     val broadcastable = queries
-      .limit((broadcastQueryRows / math.max(1, nprobe) + 1).toInt)
+      .limit(probeLimit)
       .count() * nprobe <= broadcastQueryRows
     val probeSide = if (broadcastable) broadcast(probed) else probed
     val scored = probeSide.join(corpusCells, Seq("cell"))

@@ -83,6 +83,8 @@ object Pq {
       val v = input.asInstanceOf[ArrayData]
       val m = codebooks.length
       val dsub = codebooks(0)(0).length
+      require(v.numElements() >= m * dsub,
+        s"embedding has ${v.numElements()} dims, codebooks need ${m * dsub}")
       val codes = new Array[Int](m)
       var sub = 0
       while (sub < m) {
@@ -124,6 +126,8 @@ object Pq {
       val m = codebooks.length
       val ksub = codebooks(0).length
       val dsub = codebooks(0)(0).length
+      require(v.numElements() >= m * dsub,
+        s"embedding has ${v.numElements()} dims, codebooks need ${m * dsub}")
       val table = new Array[Double](m * ksub)
       var sub = 0
       while (sub < m) {
@@ -172,7 +176,10 @@ object Pq {
     val trainSet =
       if (n <= maxTrain) corpus
       else corpus.filter(
-        pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(1000000L * maxTrain / n))
+        // max(1, ...): at extreme corpus sizes the integer rate would floor
+        // to 0 and silently train on an EMPTY sample (seeds never refined)
+        pmod(xxhash64(col("vec_id")), lit(1000000L))
+          < lit(math.max(1L, 1000000L * maxTrain / n)))
     var codebooks: Array[Array[Array[Float]]] = (0 until m).toArray.map { sub =>
       seeds.map(_.slice(sub * dsub, (sub + 1) * dsub))
     }

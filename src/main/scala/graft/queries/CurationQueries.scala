@@ -417,14 +417,20 @@ object CurationQueries {
     "q74_importance_sample",
     (s, dir) => {
       val quality = TextFunctions.qualityScore(col("text"))
-      val rate = least(lit(0.9), greatest(lit(0.1), round(quality, 6)))
+      // filter on RAW doubles (bit-identical across engines: quality is
+      // q16-proven, the gate is pure integer arithmetic + one IEEE divide);
+      // rounding happens only on the displayed columns — round-then-filter
+      // would reopen the half-boundary divergence the gotchas file bans
+      val rate = least(lit(0.9), greatest(lit(0.1), quality))
       val gate = (((col("doc_id") % 100003) * 31 + 7) % 10000)
         .cast("double") / lit(10000.0)
       Tables.documents(s, dir)
-        .withColumn("rate", rate)
-        .withColumn("gate", round(gate, 6))
-        .filter(col("gate") < col("rate"))
-        .select("doc_id", "rate", "gate")
+        .withColumn("rate_raw", rate)
+        .withColumn("gate_raw", gate)
+        .filter(col("gate_raw") < col("rate_raw"))
+        .select(col("doc_id"),
+          round(col("rate_raw"), 6).as("rate"),
+          round(col("gate_raw"), 6).as("gate"))
         .orderBy("doc_id")
     },
     Some("""WITH t AS (
@@ -449,11 +455,11 @@ object CurationQueries {
               FROM m),
             g AS (
               SELECT doc_id,
-                     least(0.9, greatest(0.1, round(quality, 6))) AS rate,
-                     round(((doc_id % 100003) * 31 + 7) % 10000 / 10000.0, 6) AS gate
+                     least(0.9, greatest(0.1, quality)) AS rate_raw,
+                     ((doc_id % 100003) * 31 + 7) % 10000 / 10000.0 AS gate_raw
               FROM q)
-            SELECT doc_id, rate, gate FROM g
-            WHERE gate < rate ORDER BY doc_id"""))
+            SELECT doc_id, round(rate_raw, 6) AS rate, round(gate_raw, 6) AS gate
+            FROM g WHERE gate_raw < rate_raw ORDER BY doc_id"""))
 
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74)
