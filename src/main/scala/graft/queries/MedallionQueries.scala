@@ -272,5 +272,33 @@ object MedallionQueries {
             SELECT c_custkey, c_name, c_mktsegment FROM changes WHERE op IN ('I', 'U')
             ORDER BY c_custkey"""))
 
-  val all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63)
+  /** Incremental gold maintenance ([[graft.operators.GoldAgg]] state
+    * form): the monthly order-volume mart refreshed from three disjoint
+    * fact batches by state merge instead of full rebuild. Decimal-carried
+    * totals make the fold associative-exact, so the published mart — and
+    * therefore the oracle, which aggregates everything at once — is
+    * bit-identical to a from-scratch rebuild for ANY batch split.
+    */
+  private val q75 = GraftQuery(
+    "q75_incremental_gold",
+    (s, dir) => {
+      import graft.operators.GoldAgg
+      val fact = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      def batch(r: Int) = fact.filter(col("o_orderkey") % 3 === r)
+      val state = GoldAgg.mergeMonthlyState(
+        GoldAgg.mergeMonthlyState(
+          GoldAgg.monthlySpendState(batch(0), "o_orderdate", "o_totalprice"),
+          GoldAgg.monthlySpendState(batch(1), "o_orderdate", "o_totalprice")),
+        GoldAgg.monthlySpendState(batch(2), "o_orderdate", "o_totalprice"))
+      GoldAgg.finishMonthly(state)
+    },
+    Some("""SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_spend,
+                   CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                        / count(o_totalprice) AS DOUBLE) AS avg_spend,
+                   count(*) AS n_rows
+            FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month"""))
+
+  val all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63, q75)
 }

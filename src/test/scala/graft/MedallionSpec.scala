@@ -141,4 +141,21 @@ class MedallionSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(got === Seq((1L, "a"), (2L, "b2"), (4L, "d"), (5L, "e2")))
   }
+
+  test("incremental gold state fold == full rebuild, for any batch split") {
+    val fact = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val full = graft.operators.GoldAgg
+      .monthlySpend(fact, "o_orderdate", "o_totalprice")
+      .collect().map(_.toString).sorted
+    for (parts <- Seq(2, 5)) {
+      val states = (0 until parts).map(r =>
+        graft.operators.GoldAgg.monthlySpendState(
+          fact.filter(col("o_orderkey") % parts === r), "o_orderdate", "o_totalprice"))
+      val merged = states.reduce(graft.operators.GoldAgg.mergeMonthlyState(_, _))
+      val inc = graft.operators.GoldAgg.finishMonthly(merged)
+        .collect().map(_.toString).sorted
+      assert(inc === full, s"incremental diverged from full at $parts batches")
+    }
+  }
 }
