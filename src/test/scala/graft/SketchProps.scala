@@ -47,4 +47,32 @@ object SketchProps extends Properties("Sketches") {
         .forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.25)
     }
   }
+
+  // RepetitionStats (q53's one-pass native scalar) vs a naive Scala
+  // recomputation on arbitrary token streams
+  property("repetitionStats == naive reference") = {
+    import org.apache.spark.sql.functions._
+    Prop.forAllNoShrink(Gen.chooseNum(1, 80).flatMap(n => Gen.listOfN(n, word))) { toks =>
+      import spark.implicits._
+      val text = toks.mkString(" ")
+      val row = Seq(text).toDF("text")
+        .select(graft.expressions.RepetitionStats
+          .repetitionStats(graft.functions.TextFunctions.tokens(col("text"))).as("st"))
+        .select("st.total_words", "st.distinct_words", "st.top_bigram",
+          "st.dup_chars", "st.total_chars")
+        .head()
+      val counts = toks.groupBy(identity).view.mapValues(_.size).toMap
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val topBigram = if (bigrams.isEmpty) 0
+        else bigrams.groupBy(identity).values.map(_.size).max
+      val dupChars = counts.collect {
+        case (w, c) if c > 1 => (c - 1).toLong * w.length
+      }.sum
+      row.getInt(0) == toks.length &&
+        row.getInt(1) == counts.size &&
+        row.getInt(2) == topBigram &&
+        row.getLong(3) == dupChars &&
+        row.getLong(4) == toks.map(_.length.toLong).sum
+    }
+  }
 }
