@@ -25,10 +25,17 @@ object CoreQueries {
     "q01_scan_sort_limit",
     (s, dir) =>
       Tables.lineitem(s, dir)
-        .orderBy(col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        // (l_orderkey, l_linenumber) is NOT unique in the generator's
+        // lineitem — extend to a TOTAL order so positional compares and the
+        // limit boundary are deterministic (ties become identical rows)
+        .orderBy(col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"))
         .limit(200),
     Some("""SELECT * FROM lineitem
-            ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 200"""))
+            ORDER BY l_shipdate DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     l_quantity, l_extendedprice, l_discount, l_tax,
+                     l_returnflag, l_linestatus LIMIT 200"""))
 
   /** S4 — predicate pushdown + projection (reference pushes `since`/`before`
     * to the API, api_client.py:176-187; here the filter reaches the parquet
@@ -42,12 +49,12 @@ object CoreQueries {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "revenue"),
     Some("""SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1.0 - l_discount) AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_discount > 0.05
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, revenue"""))
 
   /** T1 — DISTINCT projection + NOT NULL key filter → dimension table
     * (counterparties dim, transform_bronze_to_silver.sql:1-8). Here:
@@ -73,12 +80,14 @@ object CoreQueries {
         Tables.lineitem(s, dir),
         keyCols = Seq("l_partkey"),
         attrCols = Seq("l_suppkey", "l_shipdate", "l_extendedprice"),
-        order = Seq(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc))
+        order = Seq(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_suppkey").asc, col("l_extendedprice").asc))
         .orderBy("l_partkey"),
     Some("""SELECT l_partkey, l_suppkey, l_shipdate, l_extendedprice
             FROM (SELECT l_partkey, l_suppkey, l_shipdate, l_extendedprice,
                          row_number() OVER (PARTITION BY l_partkey
-                           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                    l_suppkey, l_extendedprice) AS rn
                   FROM lineitem)
             WHERE rn = 1 ORDER BY l_partkey"""))
 
@@ -95,11 +104,14 @@ object CoreQueries {
           col("l_orderkey"), col("l_linenumber"),
           col("l_suppkey").cast("double").as("suppkey_real"),
           col("l_quantity"), col("l_extendedprice"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "suppkey_real", "l_quantity",
+          "l_extendedprice"),
     Some("""SELECT l_orderkey, l_linenumber,
                    CAST(l_suppkey AS DOUBLE) AS suppkey_real,
                    l_quantity, l_extendedprice
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, suppkey_real, l_quantity,
+                     l_extendedprice"""))
 
   /** L1 — keyed insert-if-absent dedup sink (load.py:25-128): the append set
     * is the anti join of incoming rows against existing keys. "Existing" here
@@ -112,12 +124,16 @@ object CoreQueries {
       val existing = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey").as("l_orderkey"))
       Dedup.insertIfAbsent(incoming, existing, Seq("l_orderkey"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
     },
     Some("""SELECT * FROM lineitem
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     l_quantity, l_extendedprice, l_discount, l_tax,
+                     l_returnflag, l_linestatus, l_shipdate"""))
 
   /** G1 — gold monthly-spend rollup (create_gold_layer.sql:1-6, the
     * reference's one declared analytics query; never populated there).
