@@ -83,6 +83,24 @@ object Layout {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** Compact a parquet directory toward `targetFileBytes` per output file
+    * (small-file maintenance: streaming appends and per-batch loads leave
+    * many small files, and file-open overhead then dominates scans). File
+    * count derives from the CURRENT on-disk size — one listing, no data
+    * pass — then a single coalesce-rewrite into a fresh directory (the
+    * atomic-swap publish is the caller's/table-format's job; compaction
+    * never overwrites what it is reading).
+    */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(dir).coalesce(files).write.mode("overwrite").parquet(outDir)
+  }
+
   /** True iff reading `dir` with `condition` prunes partitions at plan
     * time (some scan carries a non-empty partition-filter list — inspected
     * on the plan nodes, not the display string, which truncates).

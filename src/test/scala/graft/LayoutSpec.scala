@@ -86,4 +86,19 @@ class LayoutSpec extends SparkSpec {
     // layout must do strictly better
     assert(zCand < linCand, s"z-order candidates $zCand not < linear $linCand")
   }
+
+  test("compact merges a many-file directory and round-trips the data") {
+    val root = Files.createTempDirectory("graft-layout-compact").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events.repartition(24).write.parquet(s"$root/frag")
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$root/frag") === 24)
+
+    Layout.compact(spark, s"$root/frag", s"$root/tight")
+    assert(parquetFiles(s"$root/tight") === 1) // tiny data, one target file
+    val back = spark.read.parquet(s"$root/tight")
+    assert(back.count() === events.count())
+    assert(back.columns.sorted === events.columns.sorted)
+  }
 }
