@@ -1,8 +1,12 @@
 package graft.operators
 
 import graft.functions.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 
 /** IVF (inverted-file) approximate nearest-neighbor search — the classic
   * cluster-then-probe scale path: partition the corpus into `nlist` Voronoi
@@ -10,9 +14,11 @@ import org.apache.spark.sql.functions._
   * each query. Versus [[NearDup.knnBruteForce]]'s O(|Q|·|C|) scoring, IVF
   * scores ~|Q|·|C|·nprobe/nlist — the standard recall/throughput dial.
   *
-  * Spark shape: centroids are tiny (nlist × dim floats) and live in
-  * broadcast literals; assignment is a codegen'd argmax of [[Similarity]]
-  * dot products (no shuffle); the probe is an equi-join on cell id (one
+  * Spark shape: centroids are tiny (nlist × dim floats) carried inside two
+  * fused native expressions ([[Ann.CentroidArgmax]] / [[Ann.CentroidTopCells]]
+  * — ONE Catalyst node each regardless of nlist, so plan analysis stays O(1)
+  * as the adaptive cell count grows); assignment is a per-row argmax of dot
+  * products (no shuffle); the probe is an equi-join on cell id (one
   * shuffle, AQE-skew-safe); top-k is a per-query window. Training is
   * Lloyd iterations with per-dimension distributed means (posexplode →
   * groupBy(cell, dim)), so no vector ever aggregates on the driver beyond
@@ -23,6 +29,107 @@ import org.apache.spark.sql.functions._
   * decimal sums; ties in argmax break toward the lower cell index.
   */
 object Ann {
+
+  /** Nearest-centroid cell id as ONE native expression carrying the whole
+    * centroid matrix — replacing the former `greatest(struct(dot_i, -i))`
+    * literal tree, whose O(nlist) Catalyst nodes made analysis time (and,
+    * past Janino's 64 KB method limit, codegen itself) grow with the
+    * corpus under the adaptive `nlist = ⌈√n⌉` rule. One node means plan
+    * build is O(1) in nlist; the loop below is the same fused-primitive
+    * shape as [[Pq.PqEncode]].
+    *
+    * Scoring is bit-identical to the old tree: dot accumulated
+    * left-to-right in double, divided by the driver-computed centroid
+    * norm; ties keep the LOWEST cell index (strict `>` while scanning in
+    * index order).
+    */
+  case class CentroidArgmax(child: Expression, centroids: Array[Array[Float]])
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def prettyName: String = "graft_centroid_argmax"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val norms: Array[Double] = centroids.map(Ann.norm2)
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < centroids.length) {
+        val c = centroids(i)
+        var dot = 0.0
+        var d = 0
+        val n = math.min(v.numElements(), c.length)
+        while (d < n) {
+          dot += v.getFloat(d).toDouble * c(d).toDouble
+          d += 1
+        }
+        val score = dot / norms(i)
+        if (score > bestScore) { bestScore = score; best = i }
+        i += 1
+      }
+      best
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** The `nprobe` nearest cells per query vector, ordered (score DESC,
+    * cell ASC) — the probe-side twin of [[CentroidArgmax]], replacing the
+    * former `slice(reverse(array_sort(array(struct_0..struct_nlist))))`
+    * tree. Partial selection keeps it O(nlist · nprobe) with nprobe tiny.
+    */
+  case class CentroidTopCells(
+      child: Expression, centroids: Array[Array[Float]], nprobe: Int)
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def prettyName: String = "graft_centroid_top_cells"
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val norms: Array[Double] = centroids.map(Ann.norm2)
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val nlist = centroids.length
+      val scores = new Array[Double](nlist)
+      var i = 0
+      while (i < nlist) {
+        val c = centroids(i)
+        var dot = 0.0
+        var d = 0
+        val n = math.min(v.numElements(), c.length)
+        while (d < n) {
+          dot += v.getFloat(d).toDouble * c(d).toDouble
+          d += 1
+        }
+        scores(i) = dot / norms(i)
+        i += 1
+      }
+      val out = new Array[Int](math.min(nprobe, nlist))
+      val taken = new Array[Boolean](nlist)
+      var p = 0
+      while (p < out.length) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var j = 0
+        while (j < nlist) {
+          // strict > in index order = lowest cell index on score ties,
+          // matching the old (score, -cell) struct-sort contract
+          if (!taken(j) && scores(j) > bestScore) { bestScore = scores(j); best = j }
+          j += 1
+        }
+        taken(best) = true
+        out(p) = best
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 
   /** Train centroids: seed with the nlist lowest-id vectors, then `iters`
     * Lloyd steps of (assign to nearest-by-cosine centroid, recompute
@@ -59,18 +166,13 @@ object Ann {
     * L2-normalized comparison (cosine order == dot order after dividing by
     * the row norm, which is constant per row — so plain dots suffice).
     */
-  private def assignCells(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
-    val dots = centroids.zipWithIndex.map { case (c, i) =>
-      // argmax target: dot/|c| — the row's own norm is constant per row, so
-      // this ranks identically to full cosine
-      struct((Similarity.dotFast(col("embedding"), typedLit(c.toSeq)) / lit(norm2(c))).as("score"),
-        lit(-i).as("negidx"))
-    }
-    // array_max over (score, -idx) structs = highest dot, lowest index on ties
-    corpus.withColumn("cell", (-greatest(dots: _*).getField("negidx")).cast("int"))
-  }
+  private[operators] def assignCells(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    // argmax target: dot/|c| — the row's own norm is constant per row, so
+    // this ranks identically to full cosine
+    corpus.withColumn("cell", GraftColumnBridge.column(
+      CentroidArgmax(GraftColumnBridge.expression(col("embedding")), centroids)))
 
-  private def norm2(v: Array[Float]): Double =
+  private[operators] def norm2(v: Array[Float]): Double =
     math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
 
   /** Top-k cosine neighbors per query via IVF probe. Output matches
@@ -94,26 +196,24 @@ object Ann {
       if (nlist > 0) nlist
       else {
         val n = corpus.count()
-        math.max(16L, math.min(n, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+        // ⌈√n⌉ balances per-cell scan vs probe fan-out; the cap bounds the
+        // per-row assignment cost (O(nlist·dim) flops) and the size of the
+        // broadcast centroid matrix — past ~16 M vectors raise nlist
+        // explicitly or switch to pqTopK's IVF-PQ routing
+        math.min(4096L,
+          math.max(16L, math.min(n, math.ceil(math.sqrt(n.toDouble)).toLong))).toInt
       }
     val centroids = trainCentroids(spark, corpus, effNlist, iters)
     val corpusCells = assignCells(corpus, centroids)
       .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
         Similarity.normExact(col("embedding")).as("nn"), col("cell"))
-    // nprobe nearest cells per query: score all nlist centroids, explode the
-    // top nprobe. Sort key is (score, -cell) so ties prefer the LOWER cell
-    // index — the same contract as assignCells' negidx argmax.
-    val probeStructs = centroids.zipWithIndex.map { case (c, i) =>
-      struct((Similarity.dotFast(col("embedding"), typedLit(c.toSeq)) / lit(norm2(c))).as("score"),
-        lit(-i).as("negcell"))
-    }
+    // nprobe nearest cells per query, (score DESC, cell ASC) — one fused
+    // expression over the centroid matrix, same tie contract as assignCells
     val probed = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         Similarity.normExact(col("embedding")).as("qn"),
-        slice(reverse(array_sort(array(probeStructs: _*))), 1, nprobe).as("probes"))
-      .withColumn("probe", explode(col("probes")))
-      .withColumn("cell", -col("probe.negcell"))
-      .drop("probes", "probe")
+        explode(GraftColumnBridge.column(CentroidTopCells(
+          GraftColumnBridge.expression(col("embedding")), centroids, nprobe))).as("cell"))
     // bounded existence probe, not a full count: scanning stops once the
     // limit is exceeded, so deciding the hint never re-executes the whole
     // query-side plan (it sits on the timed path of every call)

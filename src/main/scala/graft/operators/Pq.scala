@@ -216,24 +216,54 @@ object Pq {
       PqEncode(GraftColumnBridge.expression(col("embedding")), codebooks)))
 
   /** Top-k by ADC over PQ codes with exact cosine re-rank of the
-    * `refine`·k approximate survivors. One broadcast of the (tiny) query
-    * side carrying its lookup tables; candidates shuffle only codes.
+    * `refine`·k approximate survivors — IVF-PQ composition: the ADC scan is
+    * routed through [[Ann]] cells (equi-join on `cell`), so each query
+    * scores only ~nprobe/nlist of the corpus codes instead of the former
+    * flat `crossJoin` over every code. At 100 TB that routing is the
+    * difference between a full-corpus scan per query batch and touching a
+    * bounded slice of it; recall is spec-bounded (AnnSpec) and tunable via
+    * `nprobe`. One broadcast of the (tiny) query side carrying its lookup
+    * tables; candidates shuffle only codes + one int cell id.
     */
   def pqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 16, iters: Int = 2, refine: Int = 4): DataFrame = {
+      m: Int = 8, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
+      nlist: Int = 0, nprobe: Int = 8,
+      broadcastQueryRows: Long = 500000L): DataFrame = {
     val codebooks = trainCodebooks(spark, corpus, m, ksub, iters)
-    // SLIM approximate phase: only (ids, codes, tables) flow through the
-    // scan and the top-(k·refine) window — never the embeddings, whose 2M
-    // wide rows would dominate the sort (the round-1 slim-shuffle lesson)
-    val encoded = encode(corpus, codebooks)
-      .select(col("vec_id").as("n_id"), col("codes"))
-    // per-query ADC table: entry m*ksub+j = dot(q_sub_m, codeword_j of m)
+    val effNlist =
+      if (nlist > 0) nlist
+      else {
+        val n = corpus.count()
+        // same ⌈√n⌉-with-cap rule as [[Ann.ivfTopK]]
+        math.min(4096L,
+          math.max(16L, math.min(n, math.ceil(math.sqrt(n.toDouble)).toLong))).toInt
+      }
+    val centroids = Ann.trainCentroids(spark, corpus, effNlist, iters = 1)
+    // SLIM approximate phase: only (ids, codes, cell, tables) flow through
+    // the scan and the top-(k·refine) window — never the embeddings, whose
+    // 2M wide rows would dominate the sort (the round-1 slim-shuffle lesson)
+    val encoded = encode(Ann.assignCells(corpus, centroids), codebooks)
+      .select(col("vec_id").as("n_id"), col("codes"), col("cell"))
+    // per-query ADC table + the nprobe nearest cells (one fused expression
+    // each); exploding cells up front keeps the probe an equi-join
     val q = queries.select(col("vec_id").as("q_id"),
       GraftColumnBridge.column(PqAdcTable(
-        GraftColumnBridge.expression(col("embedding")), codebooks)).as("adc_table"))
+        GraftColumnBridge.expression(col("embedding")), codebooks)).as("adc_table"),
+      explode(GraftColumnBridge.column(Ann.CentroidTopCells(
+        GraftColumnBridge.expression(col("embedding")), centroids, nprobe))).as("cell"))
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("approx_dot").desc, col("n_id").asc)
-    val survivors = broadcast(q).crossJoin(encoded)
+    // bounded existence probe (same shape as Ann.ivfTopK): broadcast the
+    // exploded query side only while it stays small, else let the equi-join
+    // shuffle on cell (AQE skew-splits)
+    val probeLimit =
+      math.min(broadcastQueryRows / math.max(1, nprobe) + 1, Int.MaxValue.toLong).toInt
+    val broadcastable =
+      queries.limit(probeLimit).count() * nprobe <= broadcastQueryRows
+    val qSide = if (broadcastable) broadcast(q) else q
+    // each corpus vector lives in exactly one cell and a query's probed
+    // cells are distinct, so (q_id, n_id) pairs are already unique
+    val survivors = qSide.join(encoded, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         adcScore(col("adc_table"), col("codes"), ksub).as("approx_dot"))

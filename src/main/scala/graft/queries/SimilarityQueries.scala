@@ -118,10 +118,11 @@ object SimilarityQueries {
                    count(*) AS n
             FROM e GROUP BY label, dim ORDER BY label, dim"""))
 
-  /** PQ/ADC top-k ([[graft.operators.Pq]]): 8-byte codes + table-lookup
-    * scoring with exact re-rank — the third ANN scale path next to LSH
-    * (q24) and IVF (q32). Rows-only (sketch-specific ranking); AnnSpec
-    * bounds recall against the exact q22 baseline.
+  /** IVF-PQ top-k ([[graft.operators.Pq]]): 8-byte codes + table-lookup
+    * scoring routed through IVF cells (equi-join, no corpus cross join)
+    * with exact re-rank — the third ANN scale path next to LSH (q24) and
+    * IVF (q32). Rows-only (sketch-specific ranking); AnnSpec bounds recall
+    * against the exact q22 baseline and pins the no-cross-join plan.
     */
   private val q70 = GraftQuery(
     "q70_pq_adc_topk",

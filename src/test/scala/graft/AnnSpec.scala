@@ -39,6 +39,27 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@5 at sf0.01 = $recall")
   }
 
+  test("ivfTopK: nlist=1024 on a synthetic corpus — no codegen/analysis blowup") {
+    // 4096 deterministic 16-dim vectors; the former greatest-over-structs
+    // tree would build 1024 literal struct nodes per plan here (minutes of
+    // Catalyst analysis); the fused CentroidArgmax/CentroidTopCells nodes
+    // must make this complete quickly with a valid result shape
+    val dims = (0 until 16).map(d =>
+      ((pmod(xxhash64(col("vec_id") * 16 + d), lit(1000L)) - 500L) / 500.0).cast("float"))
+    val emb = spark.range(4096).select(col("id").as("vec_id"), array(dims: _*).as("embedding"))
+    val q = emb.filter(col("vec_id") < 10)
+    val started = System.nanoTime()
+    val ivf = Ann.ivfTopK(spark, q, emb, k = 5, nlist = 1024, nprobe = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val elapsedSec = (System.nanoTime() - started) / 1e9
+    assert(ivf.map(_._1).distinct.sorted === (0L until 10L))
+    ivf.groupBy(_._1).values.foreach(rows => assert(rows.map(_._4).sorted === (1 to 5)))
+    val bfAtRank = NearDup.knnBruteForce(q, emb, 5)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getDouble(2))).toMap
+    ivf.foreach { case (qid, _, cos, rank) => assert(cos <= bfAtRank((qid, rank)) + 1e-12) }
+    assert(elapsedSec < 120.0, s"nlist=1024 ivfTopK took ${elapsedSec}s — plan-build blowup?")
+  }
+
   test("ivfTopK: shuffle-join fallback returns the same rows as broadcast") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 20)
@@ -75,10 +96,17 @@ class AnnSpec extends SparkSpec {
     assert(asSet(0L) === asSet(1000L))
   }
 
-  test("pqTopK: valid ranks, exact-rerank dominance, decent recall@5") {
+  test("pqTopK: valid ranks, exact-rerank dominance, decent recall@5, no cross join") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 20)
-    val pq = graft.operators.Pq.pqTopK(spark, q, emb, k = 5)
+    val pqDf = graft.operators.Pq.pqTopK(spark, q, emb, k = 5)
+    // IVF-PQ contract: the ADC scan is an equi-join on cell, never a
+    // cross join over the corpus codes
+    val plan = pqDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Cross"),
+      s"pqTopK plan contains a cross join:\n$plan")
+    val pq = pqDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     val bf = NearDup.knnBruteForce(q, emb, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
