@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{udaf, xxhash64}
+import org.apache.spark.sql.functions.{udaf, when, xxhash64}
 
 /** Mergeable HyperLogLog distinct-count sketch as a typed `Aggregator`
   * (SURVEY §2c) — the sketch every 100 TB pipeline keeps PER PARTITION /
@@ -24,7 +24,9 @@ object HllAgg {
 
   final case class Buf(regs: Array[Byte])
 
-  class HllAggregator(p: Int) extends Aggregator[Long, Buf, Long] {
+  // input is boxed so a NULL (excluded value) can flow through the udaf
+  // and be skipped in reduce — a primitive-Long encoder would throw on it
+  class HllAggregator(p: Int) extends Aggregator[java.lang.Long, Buf, Long] {
     require(p >= 4 && p <= 16, s"precision must be in [4,16], got $p")
     private val m = 1 << p
 
@@ -37,7 +39,9 @@ object HllAgg {
 
     override def zero: Buf = Buf(new Array[Byte](m))
 
-    override def reduce(b: Buf, hash: Long): Buf = {
+    override def reduce(b: Buf, boxedHash: java.lang.Long): Buf = {
+      if (boxedHash == null) return b // NULL input value: not counted
+      val hash = boxedHash.longValue()
       val idx = (hash >>> (64 - p)).toInt
       // rank = leading zeros of the remaining 64-p bits, +1; cap 64-p+1
       val rest = hash << p
@@ -78,8 +82,12 @@ object HllAgg {
   }
 
   /** Column form: approximate distinct count of `c` at precision `p`
-    * (standard error ≈ 1.04/√(2^p)).
+    * (standard error ≈ 1.04/√(2^p)). NULLs are excluded, matching
+    * `count(DISTINCT c)` / `approx_count_distinct` semantics — without the
+    * guard, `xxhash64(NULL)` passes the bare seed hash through and NULL
+    * would count as one extra distinct value.
     */
   def hllDistinct(c: Column, p: Int = 12): Column =
-    udaf(new HllAggregator(p), Encoders.scalaLong)(xxhash64(c))
+    udaf(new HllAggregator(p), Encoders.LONG)(
+      when(c.isNotNull, xxhash64(c)))
 }

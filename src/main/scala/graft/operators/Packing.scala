@@ -39,7 +39,9 @@ object Packing {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint() // pin partition ids + cut lineage (scoped, eager)
     val totals = parted.groupBy("__pid").agg(sum(col(valueCol).cast("long")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // an all-NULL partition sums to NULL — treat as 0, matching the
+      // window sum below which skips nulls
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     val offsets = (0 until n).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
     val offsetDf = df.sparkSession.createDataFrame(
       (0 until n).map(i => (i, offsets(i))).toList).toDF("__pid", "__base")

@@ -304,7 +304,11 @@ object CurationQueries {
     "q71_per_key_sample",
     (s, dir) => {
       val topk = graft.functions.TopKAgg.topK(3)
-      val scramble = -(((col("event_id") * 2654435761L) % 1000000007L)
+      // reduce mod p BEFORE multiplying: (p-1)·2654435761 ≈ 2.65e18 stays
+      // inside Long, whereas event_id·2654435761 overflows past event_id
+      // ≈ 3.5e9 — where Spark wraps silently but DuckDB widens/raises,
+      // breaking oracle equivalence exactly when the data gets big
+      val scramble = -((((col("event_id") % 1000000007L) * 2654435761L) % 1000000007L)
         .cast("double")) // negate: TopKAgg keeps highest = smallest scramble
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), scramble.as("score"))
@@ -320,7 +324,7 @@ object CurationQueries {
     Some("""SELECT user_id, event_id, CAST(rn AS BIGINT) AS draw
             FROM (SELECT user_id, event_id,
                          row_number() OVER (PARTITION BY user_id
-                           ORDER BY -CAST((event_id * 2654435761) % 1000000007 AS DOUBLE) DESC,
+                           ORDER BY -CAST(((event_id % 1000000007) * 2654435761) % 1000000007 AS DOUBLE) DESC,
                                     event_id) AS rn
                   FROM events)
             WHERE rn <= 3 ORDER BY user_id, draw"""))

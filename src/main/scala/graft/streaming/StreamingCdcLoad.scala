@@ -25,17 +25,41 @@ object StreamingCdcLoad {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (version, dir) of the current snapshot, if any batch has committed. */
+  /** (version, dir) of the current snapshot, if any batch has committed.
+    * Tolerates a corrupt/empty marker (crash between create and write of a
+    * non-atomic writer, or a torn concurrent read) by falling back to the
+    * highest committed `v*` directory — the marker is a pointer cache, the
+    * version directories are the source of truth.
+    */
   def latest(spark: SparkSession, root: String): Option[(Long, String)] = {
     val f = fs(spark, root)
     val marker = new org.apache.hadoop.fs.Path(s"$root/$Marker")
-    if (!f.exists(marker)) None
-    else {
-      val in = f.open(marker)
-      val v = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
-      Some((v, s"$root/v$v"))
-    }
+    val fromMarker =
+      if (!f.exists(marker)) None
+      else {
+        val in = f.open(marker)
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        s.toLongOption
+      }
+    fromMarker.orElse(maxVersionDir(f, root)).map(v => (v, s"$root/v$v"))
+  }
+
+  /** Highest `v<n>` directory under `root` that holds a completed parquet
+    * write (`_SUCCESS`), or None. Recovery path only — O(#versions) listing.
+    */
+  private def maxVersionDir(
+      f: org.apache.hadoop.fs.FileSystem, root: String): Option[Long] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!f.exists(rootPath)) None
+    else f.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => {
+        val n = st.getPath.getName
+        if (n.startsWith("v")) n.drop(1).toLongOption else None
+      })
+      .filter(v => f.exists(new org.apache.hadoop.fs.Path(s"$root/v$v/_SUCCESS")))
+      .maxOption
   }
 
   /** Apply one change batch; returns true if applied, false if `batchId`
@@ -65,9 +89,16 @@ object StreamingCdcLoad {
     }
     val next = Cdc.applyChanges(snapshot, compacted, keys, opCol)
     next.write.mode("overwrite").parquet(s"$root/v$batchId")
+    // atomic pointer flip: write-then-rename, so a reader never observes a
+    // truncated/empty marker (create(overwrite=true) would truncate in
+    // place before the new bytes land)
     val f = fs(spark, root)
-    val out = f.create(new org.apache.hadoop.fs.Path(s"$root/$Marker"), true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/$Marker.tmp")
+    val out = f.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(s"$root/$Marker")
+    if (f.exists(marker)) f.delete(marker, false)
+    require(f.rename(tmp, marker), s"marker rename failed for $root")
     true
   }
 

@@ -37,6 +37,16 @@ class HllAggSpec extends SparkSpec {
     }
   }
 
+  test("NULL inputs are excluded, matching count(DISTINCT) semantics") {
+    val df = Seq(Some(1L), Some(2L), Some(3L), None, None)
+      .toDF("v")
+    val withNulls = df.agg(HllAgg.hllDistinct(col("v")).as("e")).as[Long].head()
+    val withoutNulls = df.filter(col("v").isNotNull)
+      .agg(HllAgg.hllDistinct(col("v")).as("e")).as[Long].head()
+    assert(withNulls === withoutNulls)
+    assert(withNulls === 3L) // tiny cardinality => linear counting is exact
+  }
+
   test("large-cardinality accuracy past the linear-counting regime") {
     val n = 200000
     val df = (0 until n).map(_.toLong).toDF("v")

@@ -111,6 +111,20 @@ class StreamingSpec extends SparkSpec {
     val snap = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(snap === Seq((1L, "a2"), (3L, "c")))
 
+    // corrupt-marker recovery: a truncated _LATEST (crash mid-publish) must
+    // fall back to the highest committed v* directory, not throw
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_LATEST")
+    val out = fs.create(marker, true)
+    out.close() // empty marker = torn write
+    val (vRec, dirRec) = graft.streaming.StreamingCdcLoad.latest(spark, root).get
+    assert(vRec === 1L && dirRec === dir)
+    // and the next batch must re-publish a readable marker over the corrupt one
+    val b2 = Seq((4L, "d", "I", 30L)).toDF("k", "v", "op", "seq")
+    assert(graft.streaming.StreamingCdcLoad.applyBatch(spark, b2, root, Seq("k"), "seq", batchId = 2))
+    assert(graft.streaming.StreamingCdcLoad.latest(spark, root).get._1 === 2L)
+
     // end-to-end: drain a staged change dir file-by-file through the stream
     val root2 = tmpDir("graft-cdc-root2")
     val flat = tmpDir("graft-cdc-flat")
