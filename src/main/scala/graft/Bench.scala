@@ -59,6 +59,19 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = timeQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1), runs)
     println(toJson(results, sfDir, runs))
+    // the full line above is the driver contract, but its recorded copy has
+    // been tail/head-truncated between rounds — also drop a tiny summary
+    // file so the headline number always survives intact
+    val total = results.flatMap(_._2).sum
+    val failed = results.count(_._2.isEmpty)
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"failed_count":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min"}"""
+    try {
+      val w = new java.io.PrintWriter("/root/repo/BENCH_total.json")
+      try w.println(summary) finally w.close()
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_total.json: $t")
+    }
     spark.stop()
   }
 }
