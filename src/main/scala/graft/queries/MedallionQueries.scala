@@ -300,5 +300,122 @@ object MedallionQueries {
                    count(*) AS n_rows
             FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month"""))
 
-  val all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63, q75)
+  /** Where q76's nested fixture lands; a fixed path so the DuckDB oracle —
+    * which receives only the sfDir tables as views — can read the same
+    * structs back with `read_parquet`.
+    */
+  private val Q76FixturePath = "/tmp/graft_q76_nested.parquet"
+
+  /** API-shaped nested transactions (counterparty struct, merchant struct
+    * with nested address + tags array) derived deterministically from
+    * orders ⋈ customer — the /transactions?expand[]=merchant payload shape
+    * the reference flattens driver-side
+    * (/root/reference/src/utils/api/api_client.py:32-109). Null patterns
+    * exercise every default the flatten applies: missing amount/is_load/
+    * local_amount, absent merchant (all 15 attribute columns NULL but the
+    * two booleans FALSE), missing settled, nulls inside nested structs.
+    */
+  private def nestedFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(
+        concat(lit("tx_"), lpad(col("o_orderkey").cast("string"), 9, "0")).as("id"),
+        concat(lit("order "), col("o_orderpriority")).as("description"),
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("long"))
+          .otherwise((when(col("o_orderkey") % 5 === 0, lit(1)).otherwise(lit(-1))
+            * (col("o_orderkey") % 9000 + 100)).cast("long")).as("amount"),
+        lit("GBP").as("currency"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("created"),
+        col("c_mktsegment").as("category"),
+        col("o_orderstatus").as("notes"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("boolean"))
+          .otherwise(col("o_orderkey") % 97 === 0).as("is_load"),
+        when(col("o_orderkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit(" 12:34:56")))
+          .as("settled"),
+        when(col("o_orderkey") % 17 === 0, lit(null).cast("long"))
+          .otherwise((col("o_orderkey") % 9000 + 100).cast("long")).as("local_amount"),
+        lit("GBP").as("local_currency"),
+        struct(
+          col("c_name").as("name"),
+          when(col("o_custkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(lpad((col("o_custkey") % 200).cast("string"), 8, "0"))
+            .as("account_number"),
+          lpad((col("o_custkey") % 20).cast("string"), 6, "0").as("sort_code"))
+          .as("counterparty"),
+        when(col("o_custkey") % 11 === 0, lit(null)).otherwise(struct(
+          concat(lit("m_"), lpad((col("o_custkey") % 50).cast("string"), 3, "0")).as("id"),
+          concat(lit("Merchant "), col("c_name")).as("name"),
+          col("c_mktsegment").as("category"),
+          concat(lit("https://logo.example/"), (col("o_custkey") % 50).cast("string")).as("logo"),
+          lit(":shop:").as("emoji"),
+          when(col("o_orderkey") % 19 === 0, lit(null).cast("boolean"))
+            .otherwise(col("o_orderkey") % 2 === 0).as("online"),
+          (col("o_orderkey") % 23 === 0).as("atm"),
+          struct(
+            concat((col("o_custkey") % 99).cast("string"), lit(" High St")).as("address"),
+            when(col("o_custkey") % 13 === 0, lit(null).cast("string"))
+              .otherwise(lit("London")).as("city"),
+            concat(lit("N"), (col("o_custkey") % 20).cast("string")).as("postcode"),
+            lit("GBR").as("country"),
+            ((col("o_custkey") % 180) - 90 + lit(0.5)).cast("double").as("latitude"),
+            ((col("o_orderkey") % 360) - 180 + lit(0.25)).cast("double").as("longitude"))
+            .as("address"),
+          concat(lit("gp_"), (col("o_custkey") % 1000).cast("string")).as("google_places_id"),
+          when(col("o_orderkey") % 29 === 0,
+              lit(null).cast(org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType)))
+            .otherwise(array(lit("tag"), concat(lit("seg:"), col("c_mktsegment"))))
+            .as("suggested_tags"),
+          concat(lit("fsq_"), (col("o_custkey") % 1000).cast("string")).as("foursquare_id"),
+          when(col("o_custkey") % 31 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("https://m"), (col("o_custkey") % 50).cast("string"),
+              lit(".example"))).as("website")))
+          .as("merchant"))
+
+  /** P1 flatten under the oracle gate (closing the one §2a row that was
+    * spec-only): the nested fixture is round-tripped through parquet, run
+    * through the REAL [[graft.sources.MonzoSource.flattenTransactions]],
+    * and compared against DuckDB accessing the same structs directly —
+    * so every struct path, null default, timestamp parse, and the
+    * tags→JSON encode are hash-gated, not just spec-asserted.
+    */
+  private val q76 = GraftQuery(
+    "q76_monzo_nested_flatten",
+    (s, dir) => {
+      nestedFixture(s, dir).write.mode("overwrite").parquet(Q76FixturePath)
+      graft.sources.MonzoSource.flattenTransactions(s.read.parquet(Q76FixturePath))
+        .orderBy("id")
+    },
+    Some(s"""SELECT id, description, COALESCE(amount, 0) AS amount, currency,
+                    CAST(created AS TIMESTAMP) AS created, category, notes,
+                    COALESCE(is_load, false) AS is_load,
+                    CAST(settled AS TIMESTAMP) AS settled,
+                    COALESCE(local_amount, 0) AS local_amount, local_currency,
+                    t.counterparty.name AS counterparty_name,
+                    t.counterparty.account_number AS counterparty_account_num,
+                    t.counterparty.sort_code AS counterparty_sort_code,
+                    t.merchant.id AS merchant_id,
+                    t.merchant.name AS merchant_name,
+                    t.merchant.category AS merchant_category,
+                    t.merchant.logo AS merchant_logo,
+                    t.merchant.emoji AS merchant_emoji,
+                    COALESCE(t.merchant.online, false) AS merchant_online,
+                    COALESCE(t.merchant.atm, false) AS merchant_atm,
+                    t.merchant.address.address AS merchant_address,
+                    t.merchant.address.city AS merchant_city,
+                    t.merchant.address.postcode AS merchant_postcode,
+                    t.merchant.address.country AS merchant_country,
+                    t.merchant.address.latitude AS merchant_latitude,
+                    t.merchant.address.longitude AS merchant_longitude,
+                    t.merchant.google_places_id AS merchant_google_places_id,
+                    CASE WHEN t.merchant.suggested_tags IS NULL THEN NULL
+                         ELSE CAST(to_json(t.merchant.suggested_tags) AS VARCHAR)
+                    END AS merchant_suggested_tags,
+                    t.merchant.foursquare_id AS merchant_foursquare_id,
+                    t.merchant.website AS merchant_website
+             FROM read_parquet('$Q76FixturePath/*.parquet') t
+             ORDER BY id"""))
+
+  val all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63, q75, q76)
 }
