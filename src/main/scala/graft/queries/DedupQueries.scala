@@ -75,15 +75,56 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b"),
     q19.oracle)
 
-  /** SimHash(64-bit) near-dup pairs within Hamming distance 3, complete
-    * 4×16-bit blocking. Rows-only (xxhash64-based).
+  /** Where q21 lands its SimHash candidate pairs so the oracle can replay
+    * the exact verification over the same list (the sketch itself is
+    * xxhash64-seeded and has no DuckDB twin).
+    */
+  private val Q21PairsPath = "/tmp/graft_q21_pairs.parquet"
+
+  /** SimHash(64-bit) near-dup pairs within Hamming distance 3 (complete
+    * 4×16-bit blocking), VERIFIED with the exact 3-gram Jaccard. The
+    * sketch stays the candidate generator; the emitted pair list is
+    * written to parquet and DuckDB recomputes the exact jaccard for
+    * exactly those pairs — so the verification math (shingling, exact
+    * set overlap, the ratio) is hash-gated even though the candidate
+    * predicate is sketch-specific. Candidate recall vs the exact q19
+    * pairs is bounded in NearDupSpec.
     */
   private val q21 = GraftQuery(
     "q21_simhash_pairs",
-    (s, dir) =>
+    (s, dir) => {
       NearDup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
-        .orderBy("doc_a", "doc_b"),
-    None)
+        .write.mode("overwrite").parquet(Q21PairsPath)
+      NearDup.verifyPairsJaccard(
+          Tables.documents(s, dir), s.read.parquet(Q21PairsPath), n = 3)
+        .select("doc_a", "doc_b", "hamming", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS s
+              FROM norm WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT doc_a, doc_b, hamming
+              FROM read_parquet('$Q21PairsPath/*.parquet')),
+            cnt AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT p.doc_a, p.doc_b, p.hamming,
+                   CAST(COALESCE(cnt.c, 0) AS DOUBLE)
+                     / (sa.n + sb.n - COALESCE(cnt.c, 0)) AS jaccard
+            FROM pairs p
+            LEFT JOIN cnt ON p.doc_a = cnt.doc_a AND p.doc_b = cnt.doc_b
+            JOIN sizes sa ON p.doc_a = sa.doc_id
+            JOIN sizes sb ON p.doc_b = sb.doc_id
+            ORDER BY p.doc_a, p.doc_b"""))
 
   /** Near-dup pairs → dedup clusters (connected components, min-label
     * propagation) + survivor flag. Oracle: recursive-CTE transitive closure
@@ -127,16 +168,53 @@ object DedupQueries {
                    least(src, min(dst)) = src AS is_survivor
             FROM reach GROUP BY src ORDER BY doc_id"""))
 
+  /** q35's emitted winnowing candidate pairs, for oracle replay of the
+    * exact-containment verification (see [[Q21PairsPath]] for the scheme).
+    */
+  private val Q35PairsPath = "/tmp/graft_q35_pairs.parquet"
+
   /** Winnowing (rolling-hash) fingerprint overlap pairs — containment
-    * detection. Rows-only (the fingerprint set is engine-specific);
-    * NearDupSpec plants a copied paragraph and asserts the pair.
+    * detection — VERIFIED with the exact 3-gram containment
+    * |A∩B|/min(|A|,|B|). The fingerprint sketch (engine-specific rolling
+    * hash) generates candidates; the emitted list is parquet-landed and
+    * DuckDB recomputes the exact containment for those pairs, hash-gating
+    * the verification math. AdvancedOpsSpec plants a copied paragraph and
+    * asserts the pair + bounds recall.
     */
   private val q35 = GraftQuery(
     "q35_winnow_overlap_pairs",
-    (s, dir) =>
+    (s, dir) => {
       NearDup.winnowingPairs(Tables.documents(s, dir))
-        .orderBy("doc_a", "doc_b"),
-    None)
+        .write.mode("overwrite").parquet(Q35PairsPath)
+      NearDup.verifyPairsContainment(
+          Tables.documents(s, dir), s.read.parquet(Q35PairsPath), n = 3)
+        .select("doc_a", "doc_b", "n_shared", "containment")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS s
+              FROM norm WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT doc_a, doc_b, n_shared
+              FROM read_parquet('$Q35PairsPath/*.parquet')),
+            cnt AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT p.doc_a, p.doc_b, p.n_shared,
+                   CAST(COALESCE(cnt.c, 0) AS DOUBLE) / least(sa.n, sb.n) AS containment
+            FROM pairs p
+            LEFT JOIN cnt ON p.doc_a = cnt.doc_a AND p.doc_b = cnt.doc_b
+            JOIN sizes sa ON p.doc_a = sa.doc_id
+            JOIN sizes sb ON p.doc_b = sb.doc_id
+            ORDER BY p.doc_a, p.doc_b"""))
 
   /** Canonical-document selection — the step AFTER near-dup clustering:
     * every document lands in a cluster (q33's transitive closure;

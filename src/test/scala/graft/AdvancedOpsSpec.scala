@@ -78,4 +78,20 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("winnowing candidate recall vs exact containment (q35's sketch)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // exact high-containment pairs: |A∩B|/min >= 0.5 over 3-gram sets
+    val allPairs = NearDup.ngramJaccardPairs(docs, 3, 0.01)
+      .select("doc_a", "doc_b")
+    val exact = NearDup.verifyPairsContainment(docs, allPairs, 3)
+      .filter(org.apache.spark.sql.functions.col("containment") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = NearDup.winnowingPairs(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = cand.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"winnow recall vs containment>=0.5: $recall")
+    info(s"winnow candidate recall vs exact containment: $recall")
+  }
 }

@@ -45,6 +45,21 @@ class NearDupSpec extends SparkSpec {
     assert(asMap.get((1L, 4L)) === Some(0))
   }
 
+  test("simhash candidate recall vs exact jaccard pairs (q21's sketch)") {
+    val docs = Tables.documents(spark, sf)
+    val exact = NearDup.ngramJaccardPairs(docs, 3, 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = NearDup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = cand.intersect(exact).size.toDouble / exact.size
+    // SimHash hamming<=3 approximates COSINE of token-frequency vectors,
+    // not set Jaccard, so recall < 1 by design; the bound documents the
+    // sketch's catch rate on the harness near-dup families
+    assert(recall >= 0.5, s"simhash recall vs exact J>=0.3: $recall")
+    info(s"simhash candidate recall vs exact: $recall")
+  }
+
   test("embedding LSH ANN is a subset of brute force with decent recall") {
     val emb = Tables.embeddings(spark, sf)
     val exact = NearDup.embeddingNearDupPairs(emb, 0.4)
