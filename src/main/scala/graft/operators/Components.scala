@@ -137,15 +137,90 @@ object Components {
       labels = next.select("id", "label")
       iter += 1
     }
+    if (changed > 0)
+      // O(diameter) propagation ran out of rounds — labels are a valid
+      // coarsening but components may still be split. Surface it loudly;
+      // high-diameter graphs should use largeStarSmallStar (O(log²n)
+      // rounds, diameter-independent).
+      System.err.println(
+        s"[Components] min-label propagation did NOT converge in " +
+          s"${maxIters}×2 hops ($changed labels still changing) — " +
+          "use largeStarSmallStar for high-diameter graphs")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): alternating
+    * rounds where every node links its larger neighbors (large-star) /
+    * its smaller neighbors and itself (small-star) to the minimum of its
+    * neighborhood. Converges in O(log² n) rounds — crucially INDEPENDENT
+    * of graph diameter, where [[distributedCC]]'s min-label propagation
+    * needs O(diameter) rounds and a long path/lattice (linked page chains,
+    * boilerplate ladders) would stall it. Differential-tested against the
+    * propagation path on chains, blobs, and multi-component graphs
+    * (AnnSpec). Same output contract: (id, cluster_id = component min).
+    */
+  def largeStarSmallStar(
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 50): DataFrame = {
+    // canonical (hi, lo) orientation, self-loops dropped
+    var edges = pairs
+      .select(greatest(col(srcCol), col(dstCol)).as("hi"),
+        least(col(srcCol), col(dstCol)).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIters) {
+      // LARGE-STAR: for each u, link every strictly-larger neighbor v to
+      // m(u) = min(Γ(u) ∪ {u}) — each (u,v) edge is covered from its
+      // smaller endpoint, so this set REPLACES the edge list
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mLarge = sym.groupBy("u").agg(min("v").as("mn"))
+      val ls = sym.join(mLarge, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), least(col("u"), col("mn")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // SMALL-STAR: for each hi, link its smaller neighbors and itself to
+      // the smallest of them
+      val mSmall = ls.groupBy("hi").agg(min("lo").as("mn"))
+      val next = ls.join(mSmall, "hi")
+        .select(col("lo").as("a"), col("mn").as("b"))
+        .union(mSmall.select(col("hi").as("a"), col("mn").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .distinct()
+        .localCheckpoint(true)
+      done =
+        next.except(edges).limit(1).count() == 0 &&
+          edges.except(next).limit(1).count() == 0
+      edges = next
+      iter += 1
+    }
+    // converged: every non-root points straight at its component min
+    // (min-agg guards the contract even if maxIters cut convergence short)
+    val roots = edges.groupBy(col("hi").as("id")).agg(min("lo").as("root"))
+    val nodes = pairs.select(col(srcCol).as("id"))
+      .union(pairs.select(col(dstCol).as("id")))
+      .distinct()
+    nodes.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
   /** Cluster assignment for near-duplicate documents plus the survivor
     * flag (lowest doc_id in each cluster survives — the cross-document
-    * generalization of [[Dedup.firstWriterWins]]).
+    * generalization of [[Dedup.firstWriterWins]]). `driverEdgeThreshold`
+    * passes through to [[connectedComponents]]; 0 forces the distributed
+    * closure (how q77 proves that path end-to-end under the oracle).
     */
-  def neardupClusters(pairs: DataFrame): DataFrame =
-    connectedComponents(pairs, "doc_a", "doc_b")
+  def neardupClusters(
+      pairs: DataFrame, driverEdgeThreshold: Long = 1000000L): DataFrame =
+    connectedComponents(pairs, "doc_a", "doc_b",
+        driverEdgeThreshold = driverEdgeThreshold)
       .select(col("id").as("doc_id"), col("cluster_id"),
         (col("id") === col("cluster_id")).as("is_survivor"))
 }

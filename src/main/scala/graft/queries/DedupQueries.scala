@@ -216,6 +216,21 @@ object DedupQueries {
             JOIN sizes sb ON p.doc_b = sb.doc_id
             ORDER BY p.doc_a, p.doc_b"""))
 
+  /** q33's pipeline with `driverEdgeThreshold = 0` — the distributed
+    * min-label-propagation closure forced end-to-end under the SAME
+    * recursive-CTE oracle, so the scale path (the one a 100 TB corpus
+    * would actually take) is hash-gated too, not just spec-differenced
+    * against the driver union-find.
+    */
+  private val q77 = GraftQuery(
+    "q77_neardup_clusters_distributed",
+    (s, dir) =>
+      graft.operators.Components.neardupClusters(
+        NearDup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3),
+        driverEdgeThreshold = 0L)
+        .orderBy("doc_id"),
+    q33.oracle)
+
   /** Canonical-document selection — the step AFTER near-dup clustering:
     * every document lands in a cluster (q33's transitive closure;
     * singletons form their own), and each cluster keeps its best-quality
@@ -305,5 +320,5 @@ object DedupQueries {
             FROM assigned a JOIN canon c ON a.cluster_id = c.cluster_id
             ORDER BY a.doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q18, q19, q20, q21, q33, q35, q65)
+  val all: Seq[GraftQuery] = Seq(q18, q19, q20, q21, q33, q35, q65, q77)
 }

@@ -96,6 +96,38 @@ class AnnSpec extends SparkSpec {
     assert(asSet(0L) === asSet(1000L))
   }
 
+  test("largeStarSmallStar agrees with union-find ground truth; beats propagation on diameter") {
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cases = Seq(
+      // long chain: diameter 49 — the shape that stalls O(diameter)
+      // propagation (it silently under-converges at default maxIters,
+      // now warned), while LSS halves the diameter every round
+      (0L until 50L).sliding(2).map(s => (s(0), s(1))).toSeq,
+      // two dense blobs + a bridge + a separate pair
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L), (10L, 11L), (11L, 12L),
+        (20L, 21L)),
+      // star with high-id center, reversed orientations
+      Seq((100L, 1L), (100L, 2L), (100L, 3L), (4L, 100L)),
+      // self-loop + isolated edge
+      Seq((5L, 5L), (6L, 7L)))
+    cases.foreach { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val lss = labels(Components.largeStarSmallStar(df, "doc_a", "doc_b"))
+      // driver union-find = exact ground truth, instant at this size
+      val truth = labels(Components.connectedComponents(df, "doc_a", "doc_b"))
+      assert(lss === truth, s"mismatch on $edges")
+    }
+    // propagation differential on a SMALL-diameter graph (its home turf);
+    // the 49-chain above is exactly where it would need 25 materialization
+    // rounds, which is the point of having LSS
+    val small = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 4L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    assert(labels(Components.largeStarSmallStar(small, "doc_a", "doc_b")) ===
+      labels(Components.connectedComponents(small, "doc_a", "doc_b",
+        driverEdgeThreshold = 0L)))
+  }
+
   test("pqTopK: valid ranks, exact-rerank dominance, decent recall@5, no cross join") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 20)
