@@ -58,31 +58,74 @@ object SimilarityQueries {
              WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
              ORDER BY vec_a, vec_b"""))
 
+  /** Paths where the ANN queries land their emitted pairs so DuckDB can
+    * replay the exact-cosine verification (and, for top-k, the ranking)
+    * over the same lists — the q21/q35 verified-pairs scheme applied to
+    * embeddings. The bucketing/probing sketch stays engine-specific; the
+    * scoring math it feeds is hash-gated.
+    */
+  private val Q24PairsPath = "/tmp/graft_q24_pairs.parquet"
+  private val Q32OutPath = "/tmp/graft_q32_out.parquet"
+  private val Q70OutPath = "/tmp/graft_q70_out.parquet"
+
   /** Random-hyperplane LSH ANN pairs at cosine ≥ 0.4 — the bucketed scale
     * path (8 tables × 4 bits; per-table hit prob (1−θ/π)^4 ≈ 0.16 at the
-    * threshold, ≈ 0.75 over all tables). Rows-only; recall vs q23 asserted
-    * in NearDupSpec.
+    * threshold, ≈ 0.75 over all tables). The emitted pair list is
+    * parquet-landed and the oracle recomputes the exact cosine for those
+    * pairs; recall vs q23 is asserted in NearDupSpec.
     */
   private val q24 = GraftQuery(
     "q24_embedding_ann_lsh",
-    (s, dir) =>
+    (s, dir) => {
       NearDup.embeddingNearDupLsh(Tables.embeddings(s, dir), threshold = 0.4)
-        .orderBy("vec_a", "vec_b"),
-    None)
+        .write.mode("overwrite").parquet(Q24PairsPath)
+      s.read.parquet(Q24PairsPath)
+        .withColumn("cos", round(col("cos"), 12))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""WITH pairs AS (
+               SELECT vec_a, vec_b FROM read_parquet('$Q24PairsPath/*.parquet'))
+             SELECT p.vec_a, p.vec_b,
+                    round(${cosSql("a.embedding", "b.embedding")}, 12) AS cos
+             FROM pairs p
+             JOIN embeddings a ON a.vec_id = p.vec_a
+             JOIN embeddings b ON b.vec_id = p.vec_b
+             ORDER BY p.vec_a, p.vec_b"""))
+
+  /** Shared oracle for landed top-k output (q32/q70): recompute the exact
+    * cosine for every emitted (q_id, n_id) pair and RE-DERIVE the ranks by
+    * windowing over the recomputed scores — so a ranking inconsistent with
+    * the scores, or any cosine arithmetic drift, hash-mismatches even
+    * though the candidate probe itself is sketch-specific.
+    */
+  private def topKReplayOracle(path: String): String =
+    s"""WITH pairs AS (
+          SELECT q_id, n_id FROM read_parquet('$path/*.parquet')),
+        scored AS (
+          SELECT p.q_id, p.n_id, ${cosSql("a.embedding", "b.embedding")} AS cos
+          FROM pairs p
+          JOIN embeddings a ON a.vec_id = p.q_id
+          JOIN embeddings b ON b.vec_id = p.n_id)
+        SELECT q_id, n_id, round(cos, 12) AS cos,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+        FROM scored ORDER BY q_id, rank"""
 
   /** IVF (cluster-then-probe) top-5 ANN for the first 20 vectors — the
     * scale path for [[q22]]'s brute force (scores nprobe/nlist of the
-    * corpus per query). Rows-only; AnnSpec bounds recall@5 against the
-    * brute-force baseline.
+    * corpus per query). Output is landed and the oracle replays exact
+    * cosine + rank over it; AnnSpec bounds recall@5 against brute force.
     */
   private val q32 = GraftQuery(
     "q32_ivf_topk",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Ann.ivfTopK(s, emb.filter(col("vec_id") < 20), emb, k = 5)
+        .write.mode("overwrite").parquet(Q32OutPath)
+      s.read.parquet(Q32OutPath)
+        .withColumn("cos", round(col("cos"), 12))
         .orderBy("q_id", "rank")
     },
-    None)
+    Some(topKReplayOracle(Q32OutPath)))
 
   /** Per-label centroid vectors in long form (label, dim, mean, n) — the
     * primitive behind IVF coarse quantizers, class prototypes, and
@@ -121,17 +164,21 @@ object SimilarityQueries {
   /** IVF-PQ top-k ([[graft.operators.Pq]]): 8-byte codes + table-lookup
     * scoring routed through IVF cells (equi-join, no corpus cross join)
     * with exact re-rank — the third ANN scale path next to LSH (q24) and
-    * IVF (q32). Rows-only (sketch-specific ranking); AnnSpec bounds recall
-    * against the exact q22 baseline and pins the no-cross-join plan.
+    * IVF (q32). Output is landed and the oracle replays exact cosine +
+    * rank over it; AnnSpec bounds recall against the exact q22 baseline
+    * and pins the no-cross-join plan.
     */
   private val q70 = GraftQuery(
     "q70_pq_adc_topk",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Pq.pqTopK(s, emb.filter(col("vec_id") < 20), emb, k = 5)
+        .write.mode("overwrite").parquet(Q70OutPath)
+      s.read.parquet(Q70OutPath)
+        .withColumn("cos", round(col("cos"), 12))
         .orderBy("q_id", "rank")
     },
-    None)
+    Some(topKReplayOracle(Q70OutPath)))
 
   val all: Seq[GraftQuery] = Seq(q22, q23, q24, q32, q57, q70)
 }
