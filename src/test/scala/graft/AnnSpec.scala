@@ -12,7 +12,13 @@ class AnnSpec extends SparkSpec {
   test("ivfTopK: valid ranks, cosines dominated by brute force, decent recall@5") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 20)
-    val ivf = Ann.ivfTopK(spark, q, emb, k = 5)
+    val ivfDf = Ann.ivfTopK(spark, q, emb, k = 5)
+    // probe contract: equi-join on cell, never a cross join over the corpus
+    val plan = ivfDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Cross"),
+      s"ivfTopK plan contains a cross join:\n$plan")
+    val ivf = ivfDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     val bf = NearDup.knnBruteForce(q, emb, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
