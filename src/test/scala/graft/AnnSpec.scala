@@ -134,6 +134,33 @@ class AnnSpec extends SparkSpec {
         driverEdgeThreshold = 0L)))
   }
 
+  test("largeStarSmallStar == local union-find on seeded random graphs") {
+    import scala.collection.mutable
+    val rng = new scala.util.Random(42)
+    (0 until 8).foreach { trial =>
+      val n = 12 + rng.nextInt(20)
+      val edges = Seq.fill(8 + rng.nextInt(20))(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val got = Components.largeStarSmallStar(
+          edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val parent = mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.groupBy(find).values
+        .flatMap(ns => { val m = ns.min; ns.map(_ -> m) }).toMap
+      assert(got === want, s"trial $trial: edges=$edges")
+    }
+  }
+
   test("pqTopK: valid ranks, exact-rerank dominance, decent recall@5, no cross join") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 20)
