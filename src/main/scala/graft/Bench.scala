@@ -66,11 +66,15 @@ object Bench {
     val failed = results.count(_._2.isEmpty)
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"failed_count":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min"}"""
-    try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_total.json")
-      try w.println(summary) finally w.close()
-    } catch { case t: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_total.json: $t")
+    // Files.write throws on any I/O failure (a PrintWriter only sets a
+    // silent error flag — a truncated summary would defeat the point);
+    // relative path = the sbt working dir, overridable for other layouts
+    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOTAL", "BENCH_total.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(summaryPath),
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write $summaryPath: $t")
     }
     spark.stop()
   }

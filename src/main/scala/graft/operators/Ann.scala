@@ -66,7 +66,11 @@ object Ann {
           d += 1
         }
         val score = dot / norms(i)
-        if (score > bestScore) { bestScore = score; best = i }
+        // Double.compare, not >: replicates the old greatest()-tree NaN
+        // ordering (NaN sorts greatest in Spark), so a NaN embedding or a
+        // zero-norm centroid degrades deterministically instead of
+        // diverging from the replaced implementation
+        if (java.lang.Double.compare(score, bestScore) > 0) { bestScore = score; best = i }
         i += 1
       }
       best
@@ -112,12 +116,16 @@ object Ann {
       var p = 0
       while (p < out.length) {
         var best = -1
-        var bestScore = Double.NegativeInfinity
         var j = 0
         while (j < nlist) {
-          // strict > in index order = lowest cell index on score ties,
-          // matching the old (score, -cell) struct-sort contract
-          if (!taken(j) && scores(j) > bestScore) { bestScore = scores(j); best = j }
+          // Double.compare in index order: lowest cell on score ties, NaN
+          // treated as greatest — the old (score, -cell) struct-sort
+          // contract (plain > would skip NaN cells and leave best = -1,
+          // crashing on taken(-1) once only NaN scores remain)
+          if (!taken(j) &&
+              (best < 0 || java.lang.Double.compare(scores(j), scores(best)) > 0)) {
+            best = j
+          }
           j += 1
         }
         taken(best) = true
@@ -172,6 +180,34 @@ object Ann {
     corpus.withColumn("cell", GraftColumnBridge.column(
       CentroidArgmax(GraftColumnBridge.expression(col("embedding")), centroids)))
 
+  /** The IVF cell-count rule shared by [[ivfTopK]] and [[Pq.pqTopK]]:
+    * explicit `nlist` wins; otherwise ⌈√n⌉ (cells of ~√n vectors — the
+    * standard balance point between per-cell scan and probe fan-out),
+    * floored at 16 and capped at 4096. The cap bounds the per-row
+    * assignment cost (O(nlist·dim) flops) and the size of the centroid
+    * matrix carried in the fused expressions — past ~16 M vectors raise
+    * nlist explicitly.
+    */
+  private[operators] def effectiveNlist(corpus: DataFrame, nlist: Int): Int =
+    if (nlist > 0) nlist
+    else {
+      val n = corpus.count()
+      math.min(4096L,
+        math.max(16L, math.min(n, math.ceil(math.sqrt(n.toDouble)).toLong))).toInt
+    }
+
+  /** Broadcast the probe side only while the exploded (query × nprobe) row
+    * count stays under `broadcastQueryRows` — decided with a bounded
+    * existence probe (scanning stops at the limit), so the check never
+    * re-executes the whole query-side plan on the timed path.
+    */
+  private[operators] def broadcastableQuerySide(
+      queries: DataFrame, nprobe: Int, broadcastQueryRows: Long): Boolean = {
+    val probeLimit =
+      math.min(broadcastQueryRows / math.max(1, nprobe) + 1, Int.MaxValue.toLong).toInt
+    queries.limit(probeLimit).count() * nprobe <= broadcastQueryRows
+  }
+
   private[operators] def norm2(v: Array[Float]): Double =
     math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
 
@@ -192,18 +228,7 @@ object Ann {
       spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 0, nprobe: Int = 4, iters: Int = 1,
       broadcastQueryRows: Long = 500000L): DataFrame = {
-    val effNlist =
-      if (nlist > 0) nlist
-      else {
-        val n = corpus.count()
-        // ⌈√n⌉ balances per-cell scan vs probe fan-out; the cap bounds the
-        // per-row assignment cost (O(nlist·dim) flops) and the size of the
-        // broadcast centroid matrix — past ~16 M vectors raise nlist
-        // explicitly or switch to pqTopK's IVF-PQ routing
-        math.min(4096L,
-          math.max(16L, math.min(n, math.ceil(math.sqrt(n.toDouble)).toLong))).toInt
-      }
-    val centroids = trainCentroids(spark, corpus, effNlist, iters)
+    val centroids = trainCentroids(spark, corpus, effectiveNlist(corpus, nlist), iters)
     val corpusCells = assignCells(corpus, centroids)
       .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
         Similarity.normExact(col("embedding")).as("nn"), col("cell"))
@@ -214,15 +239,9 @@ object Ann {
         Similarity.normExact(col("embedding")).as("qn"),
         explode(GraftColumnBridge.column(CentroidTopCells(
           GraftColumnBridge.expression(col("embedding")), centroids, nprobe))).as("cell"))
-    // bounded existence probe, not a full count: scanning stops once the
-    // limit is exceeded, so deciding the hint never re-executes the whole
-    // query-side plan (it sits on the timed path of every call)
-    val probeLimit =
-      math.min(broadcastQueryRows / math.max(1, nprobe) + 1, Int.MaxValue.toLong).toInt
-    val broadcastable = queries
-      .limit(probeLimit)
-      .count() * nprobe <= broadcastQueryRows
-    val probeSide = if (broadcastable) broadcast(probed) else probed
+    val probeSide =
+      if (broadcastableQuerySide(queries, nprobe, broadcastQueryRows)) broadcast(probed)
+      else probed
     val scored = probeSide.join(corpusCells, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")

@@ -201,6 +201,12 @@ object Components {
       edges = next
       iter += 1
     }
+    if (!done)
+      // same loud contract as distributedCC: a truncated run yields a
+      // valid coarsening, not full components
+      System.err.println(
+        s"[Components] large-star/small-star did NOT converge in $maxIters " +
+          "rounds — components may still be split; raise maxIters")
     // converged: every non-root points straight at its component min
     // (min-agg guards the contract even if maxIters cut convergence short)
     val roots = edges.groupBy(col("hi").as("id")).agg(min("lo").as("root"))

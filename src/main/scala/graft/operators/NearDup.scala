@@ -158,37 +158,40 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Both shingle sets attached to a candidate pair list — the shingling
+    * pass runs ONCE (materialized) even though it feeds both join sides.
+    * Pairs whose docs have no n-grams (< n tokens) drop out (inner join),
+    * matching the shingle-CTE oracle shape.
+    */
+  private def pairsWithShingles(docs: DataFrame, pairs: DataFrame, n: Int): DataFrame = {
+    val sets = materialized(shingleSets(docs, n))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+  }
+
   /** Exact n-gram Jaccard recomputed for an explicit (doc_a, doc_b)
     * candidate list — the verification half of a sketch pipeline, exposed
     * separately so the emitted pairs can be oracle-replayed: the sketch
     * generates candidates, this computes the exact score a serial engine
-    * can hash-compare. Pairs whose docs have no n-grams (< n tokens) drop
-    * out (inner join), matching the shingle-CTE oracle shape.
+    * can hash-compare.
     */
-  def verifyPairsJaccard(docs: DataFrame, pairs: DataFrame, n: Int): DataFrame = {
-    val sets = shingleSets(docs, n)
-    pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+  def verifyPairsJaccard(docs: DataFrame, pairs: DataFrame, n: Int): DataFrame =
+    pairsWithShingles(docs, pairs, n)
       .withColumn("jaccard", Sketches.jaccard(col("sh_a"), col("sh_b")))
       .drop("sh_a", "sh_b")
-  }
 
   /** Exact n-gram containment |A∩B| / min(|A|,|B|) for an explicit
     * candidate list — the partial-overlap twin of [[verifyPairsJaccard]]
     * (containment is the score winnowing candidates are judged by, since
     * whole-set Jaccard dilutes a copied paragraph).
     */
-  def verifyPairsContainment(docs: DataFrame, pairs: DataFrame, n: Int): DataFrame = {
-    val sets = shingleSets(docs, n)
-    pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+  def verifyPairsContainment(docs: DataFrame, pairs: DataFrame, n: Int): DataFrame =
+    pairsWithShingles(docs, pairs, n)
       .withColumn("containment",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
       .drop("sh_a", "sh_b")
-  }
 
   /** (vec_id, embedding, nrm) with the exact per-vector norm — computed
     * once per vector so pair verification needs a single dot product.

@@ -230,15 +230,8 @@ object Pq {
       nlist: Int = 0, nprobe: Int = 8,
       broadcastQueryRows: Long = 500000L): DataFrame = {
     val codebooks = trainCodebooks(spark, corpus, m, ksub, iters)
-    val effNlist =
-      if (nlist > 0) nlist
-      else {
-        val n = corpus.count()
-        // same ⌈√n⌉-with-cap rule as [[Ann.ivfTopK]]
-        math.min(4096L,
-          math.max(16L, math.min(n, math.ceil(math.sqrt(n.toDouble)).toLong))).toInt
-      }
-    val centroids = Ann.trainCentroids(spark, corpus, effNlist, iters = 1)
+    val centroids =
+      Ann.trainCentroids(spark, corpus, Ann.effectiveNlist(corpus, nlist), iters = 1)
     // SLIM approximate phase: only (ids, codes, cell, tables) flow through
     // the scan and the top-(k·refine) window — never the embeddings, whose
     // 2M wide rows would dominate the sort (the round-1 slim-shuffle lesson)
@@ -253,14 +246,11 @@ object Pq {
         GraftColumnBridge.expression(col("embedding")), centroids, nprobe))).as("cell"))
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("approx_dot").desc, col("n_id").asc)
-    // bounded existence probe (same shape as Ann.ivfTopK): broadcast the
-    // exploded query side only while it stays small, else let the equi-join
-    // shuffle on cell (AQE skew-splits)
-    val probeLimit =
-      math.min(broadcastQueryRows / math.max(1, nprobe) + 1, Int.MaxValue.toLong).toInt
-    val broadcastable =
-      queries.limit(probeLimit).count() * nprobe <= broadcastQueryRows
-    val qSide = if (broadcastable) broadcast(q) else q
+    // broadcast the exploded query side only while it stays small, else
+    // let the equi-join shuffle on cell (AQE skew-splits)
+    val qSide =
+      if (Ann.broadcastableQuerySide(queries, nprobe, broadcastQueryRows)) broadcast(q)
+      else q
     // each corpus vector lives in exactly one cell and a query's probed
     // cells are distinct, so (q_id, n_id) pairs are already unique
     val survivors = qSide.join(encoded, Seq("cell"))

@@ -94,6 +94,11 @@ object DedupQueries {
     "q21_simhash_pairs",
     (s, dir) => {
       NearDup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
+        // one part file: a zero-pair result still lands a schema-bearing
+        // parquet (zero partitions would write only _SUCCESS and break
+        // both the read-back and the oracle's glob); candidate lists are
+        // small by construction
+        .repartition(1)
         .write.mode("overwrite").parquet(Q21PairsPath)
       NearDup.verifyPairsJaccard(
           Tables.documents(s, dir), s.read.parquet(Q21PairsPath), n = 3)
@@ -185,6 +190,7 @@ object DedupQueries {
     "q35_winnow_overlap_pairs",
     (s, dir) => {
       NearDup.winnowingPairs(Tables.documents(s, dir))
+        .repartition(1) // see Q21PairsPath: empty-safe single part file
         .write.mode("overwrite").parquet(Q35PairsPath)
       NearDup.verifyPairsContainment(
           Tables.documents(s, dir), s.read.parquet(Q35PairsPath), n = 3)

@@ -78,6 +78,10 @@ object SimilarityQueries {
     "q24_embedding_ann_lsh",
     (s, dir) => {
       NearDup.embeddingNearDupLsh(Tables.embeddings(s, dir), threshold = 0.4)
+        // one part file: a zero-pair result still lands a schema-bearing
+        // parquet (zero partitions would write only _SUCCESS and break
+        // both the read-back and the oracle's glob)
+        .repartition(1)
         .write.mode("overwrite").parquet(Q24PairsPath)
       s.read.parquet(Q24PairsPath)
         .withColumn("cos", round(col("cos"), 12))
@@ -120,6 +124,7 @@ object SimilarityQueries {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Ann.ivfTopK(s, emb.filter(col("vec_id") < 20), emb, k = 5)
+        .repartition(1) // see Q24PairsPath: empty-safe single part file
         .write.mode("overwrite").parquet(Q32OutPath)
       s.read.parquet(Q32OutPath)
         .withColumn("cos", round(col("cos"), 12))
@@ -173,6 +178,7 @@ object SimilarityQueries {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Pq.pqTopK(s, emb.filter(col("vec_id") < 20), emb, k = 5)
+        .repartition(1) // see Q24PairsPath: empty-safe single part file
         .write.mode("overwrite").parquet(Q70OutPath)
       s.read.parquet(Q70OutPath)
         .withColumn("cos", round(col("cos"), 12))

@@ -80,12 +80,17 @@ class AdvancedOpsSpec extends SparkSpec {
   }
 
   test("winnowing candidate recall vs exact containment (q35's sketch)") {
+    import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    // exact high-containment pairs: |A∩B|/min >= 0.5 over 3-gram sets
-    val allPairs = NearDup.ngramJaccardPairs(docs, 3, 0.01)
-      .select("doc_a", "doc_b")
+    // TRUE all-pairs ground truth (feasible at 500 docs): a jaccard
+    // prefilter would drop exactly the small-doc-inside-huge-doc pairs
+    // winnowing exists to catch (containment high, whole-set jaccard ~0)
+    val ids = docs.select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("doc_a"))
+      .crossJoin(ids.select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") < col("doc_b"))
     val exact = NearDup.verifyPairsContainment(docs, allPairs, 3)
-      .filter(org.apache.spark.sql.functions.col("containment") >= 0.5)
+      .filter(col("containment") >= 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val cand = NearDup.winnowingPairs(docs)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
