@@ -417,5 +417,45 @@ object MedallionQueries {
              FROM read_parquet('$Q76FixturePath/*.parquet') t
              ORDER BY id"""))
 
-  val all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63, q75, q76)
+  /** Streaming CDC sink end-to-end under the oracle gate (q63 proves the
+    * MERGE operator in batch; this proves the [[graft.streaming.StreamingCdcLoad]]
+    * SINK): three staged change files — disjoint c_custkey%3 slices, so
+    * the final state is independent of file→batch arrival order — drain
+    * through an AvailableNow stream, one copy-on-write snapshot version
+    * per micro-batch with the atomic marker flip, and the published
+    * snapshot is read back through `latest()`. Every key carries an
+    * insert; keys %5=0 also carry a higher-seq delete, so the per-batch
+    * seq compaction (delete must beat the insert WITHIN its batch) and
+    * the apply-to-empty-snapshot path are both hash-gated.
+    */
+  private val q80 = GraftQuery(
+    "q80_streaming_cdc_snapshot",
+    (s, dir) => {
+      val staged = java.nio.file.Files.createTempDirectory("graft_q80_staged_").toString
+      val root = java.nio.file.Files.createTempDirectory("graft_q80_root_").toString + "/snap"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q80_ckpt_").toString
+      val base = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        concat(lit("V"), col("c_name")).as("c_name"),
+        lit("I").as("op"),
+        (col("c_custkey") * 10L).as("seq"))
+      val deletes = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          lit("D").as("op"), (col("c_custkey") * 10L + 1L).as("seq"))
+      (0 until 3).foreach { slice =>
+        base.unionByName(deletes).filter(col("c_custkey") % 3 === slice)
+          .coalesce(1).write.mode("append").parquet(staged)
+      }
+      graft.streaming.StreamingCdcLoad.run(
+        s, staged, root, keys = Seq("c_custkey"), seqCol = "seq",
+        checkpointDir = ckpt)
+      val (_, snapDir) = graft.streaming.StreamingCdcLoad.latest(s, root).get
+      s.read.parquet(snapDir).orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, 'V' || c_name AS c_name
+            FROM customer WHERE c_custkey % 5 <> 0
+            ORDER BY c_custkey"""))
+
+  val all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63, q75, q76, q80)
 }

@@ -132,6 +132,37 @@ object SimilarityQueries {
     },
     Some(topKReplayOracle(Q32OutPath)))
 
+  /** Semantic (embedding-space) dedup clusters — the composition a
+    * training pipeline actually runs: exact cosine near-dup pairs at
+    * τ = 0.4 ([[q23]]'s oracle-proven edge set) closed into clusters
+    * (transitive closure, min-id label, lowest id survives). The text
+    * twin is q33; this is the embedding twin, against the same
+    * recursive-CTE oracle shape over cosine edges.
+    */
+  private val q78 = GraftQuery(
+    "q78_embedding_dedup_clusters",
+    (s, dir) =>
+      graft.operators.Components.neardupClusters(
+        NearDup.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_survivor"))
+        .orderBy("vec_id"),
+    Some(s"""WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+            edges AS (
+              SELECT va AS src, vb AS dst FROM pairs
+              UNION SELECT vb, va FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+            SELECT src AS vec_id,
+                   least(src, min(dst)) AS cluster_id,
+                   least(src, min(dst)) = src AS is_survivor
+            FROM reach GROUP BY src ORDER BY vec_id"""))
+
   /** Per-label centroid vectors in long form (label, dim, mean, n) — the
     * primitive behind IVF coarse quantizers, class prototypes, and
     * diversity-aware mixing. posexplode inflates rows 64× only INSIDE the
@@ -186,5 +217,42 @@ object SimilarityQueries {
     },
     Some(topKReplayOracle(Q70OutPath)))
 
-  val all: Seq[GraftQuery] = Seq(q22, q23, q24, q32, q57, q70)
+  /** Int8 scalar quantization of embeddings (per-dimension min-max): the
+    * standard 4× compression before ANN serving / shipping a corpus —
+    * codes = floor((v − min_d)·255/(max_d − min_d)) clamped to [0,255].
+    * The per-dim stats aggregate collapses map-side (64 rows per
+    * partition) and broadcasts back, so the corpus never shuffles.
+    * floor (not round) keeps the integer codes bit-identical across
+    * engines — round's half-up vs half-even would diverge on exact .5
+    * boundaries.
+    */
+  private val q79 = GraftQuery(
+    "q79_int8_quantize",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val stats = e.groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+      e.join(broadcast(stats), "dim")
+        .withColumn("code", when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor((col("v") - col("lo")) * 255.0 / (col("hi") - col("lo"))))))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("code"))
+        .orderBy("vec_id", "dim")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id,
+                     unnest(embedding) AS v,
+                     unnest(generate_series(0, len(embedding) - 1)) AS dim
+              FROM embeddings),
+            ed AS (SELECT vec_id, dim, CAST(v AS DOUBLE) AS v FROM e),
+            stats AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM ed GROUP BY dim)
+            SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+                   CASE WHEN hi = lo THEN 0
+                        ELSE least(255, CAST(floor((v - lo) * 255.0 / (hi - lo)) AS BIGINT))
+                   END AS code
+            FROM ed JOIN stats USING (dim)
+            ORDER BY vec_id, dim"""))
+
+  val all: Seq[GraftQuery] = Seq(q22, q23, q24, q32, q57, q70, q78, q79)
 }
