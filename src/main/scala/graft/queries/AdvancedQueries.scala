@@ -331,5 +331,27 @@ object AdvancedQueries {
             WHERE s_nationkey = 3
             GROUP BY s_suppkey, s_name ORDER BY s_suppkey"""))
 
-  val all: Seq[GraftQuery] = Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68)
+  /** Z-order clustered write under the oracle gate: orders re-laid-out on
+    * the (o_custkey, o_totalprice) Morton curve
+    * ([[graft.operators.Layout.writeZOrdered]]) and read back — the hash
+    * compare proves the layout path moves/sorts/drops its curve column
+    * without losing, duplicating, or mutating a single row. The actual
+    * multi-dimensional file-skipping win is LayoutSpec's job; this row
+    * makes the write path itself driver-verified.
+    */
+  private val q82 = GraftQuery(
+    "q82_zorder_readback",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_q82_z_").toString + "/zorders"
+      graft.operators.Layout.writeZOrdered(
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        out, Seq("o_custkey", "o_totalprice"), files = 8)
+      s.read.parquet(out).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            FROM orders ORDER BY o_orderkey"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82)
 }

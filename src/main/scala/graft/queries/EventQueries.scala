@@ -225,6 +225,38 @@ object EventQueries {
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type"""))
 
+  /** Custom stateful streaming under the oracle gate: per-user running
+    * totals via `mapGroupsWithState` ([[graft.streaming.StreamOps.userRunningTotals]])
+    * drained AvailableNow; the LAST emission per user (Update mode emits
+    * one row per key per batch; n_events is monotone, so max-struct picks
+    * it without a window sort) must equal the batch aggregate — decimal
+    * state accumulation makes the sum independent of arrival order, so
+    * DuckDB's serial `sum(CAST(value AS DECIMAL(30,4)))` hash-matches.
+    */
+  private val q81 = GraftQuery(
+    "q81_stream_running_totals",
+    (s, dir) => {
+      import graft.streaming.StreamOps
+      val name = "q81_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val out =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          StreamOps.runAvailableNow(
+            s,
+            StreamOps.userRunningTotals(s, StreamOps.eventsStream(s, dir)).toDF(),
+            name, org.apache.spark.sql.streaming.OutputMode.Update())
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      out.groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("sum_value"))).as("last"))
+        .select(col("user_id"), col("last.n_events").as("n_events"),
+          col("last.sum_value").as("sum_value"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   /** Campaign-window attribution via the bucketized range join
     * ([[graft.operators.RangeJoin]]): 40 overlapping 9-hour windows (6-hour
     * cadence from the corpus start) joined to purchase events on
@@ -358,5 +390,5 @@ object EventQueries {
             GROUP BY day ORDER BY day"""))
 
   val all: Seq[GraftQuery] =
-    Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69)
+    Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81)
 }

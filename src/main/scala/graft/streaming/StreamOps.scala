@@ -83,6 +83,11 @@ object StreamOps {
   /** Per-user running totals via custom state — the escape hatch for
     * semantics window aggregates can't express. State is one (count, sum)
     * pair per user, updated per micro-batch, evicted on event-time timeout.
+    * The sum accumulates in scale-4 DECIMAL, not double: decimal addition
+    * is associative, so the published total is independent of arrival
+    * order/batching and hash-matches a serial engine's
+    * `sum(CAST(value AS DECIMAL(30,4)))` (q81) — the [[graft.functions.Exact]]
+    * rule applied to streaming state.
     */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
@@ -93,19 +98,23 @@ object StreamOps {
       .select(col("user_id").as[Long], col("value").as[Double],
         col("ts").as[java.sql.Timestamp])
       .groupByKey(_._1)
-      .mapGroupsWithState[(Long, Double), UserTotals](GroupStateTimeout.EventTimeTimeout) {
-        case (userId, rows, state: GroupState[(Long, Double)]) =>
+      .mapGroupsWithState[(Long, BigDecimal), UserTotals](GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[(Long, BigDecimal)]) =>
           if (state.hasTimedOut) {
-            val (n, s) = state.getOption.getOrElse((0L, 0.0))
+            val (n, s) = state.getOption.getOrElse((0L, BigDecimal(0)))
             state.remove()
-            UserTotals(userId, n, s)
+            UserTotals(userId, n, s.toDouble)
           } else {
-            val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+            val (n0, s0) = state.getOption.getOrElse((0L, BigDecimal(0)))
             var n = n0
             var s = s0
             var maxTs = Long.MinValue
             rows.foreach { case (_, v, t) =>
-              n += 1; s += v
+              n += 1
+              // BigDecimal(v) is Double.toString-based, then HALF_UP to
+              // scale 4 — the same value Spark's double→DECIMAL(30,4)
+              // cast produces, so stream and batch agree bit-for-bit
+              s = s + BigDecimal(v).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
               if (t.getTime > maxTs) maxTs = t.getTime
             }
             state.update((n, s))
@@ -115,7 +124,7 @@ object StreamOps {
             // clamped above the watermark as Spark requires
             state.setTimeoutTimestamp(
               math.max(maxTs + 3600 * 1000L, state.getCurrentWatermarkMs() + 60 * 1000L))
-            UserTotals(userId, n, s)
+            UserTotals(userId, n, s.toDouble)
           }
       }
   }
