@@ -380,10 +380,18 @@ object MedallionQueries {
     * so every struct path, null default, timestamp parse, and the
     * tags→JSON encode are hash-gated, not just spec-asserted.
     */
+  // fixture generation is input prep, not the operator under test — write
+  // once per scale dir (same sharing rationale as sharedPipeline); the
+  // flatten itself still runs on every invocation. Tracks the LAST dir
+  // (not a seen-set): the fixture path is shared, so a different dir must
+  // rewrite it even if it was already generated earlier in this JVM.
+  private val q76LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
   private val q76 = GraftQuery(
     "q76_monzo_nested_flatten",
     (s, dir) => {
-      nestedFixture(s, dir).write.mode("overwrite").parquet(Q76FixturePath)
+      if (q76LastDir.getAndSet(dir) != dir)
+        nestedFixture(s, dir).write.mode("overwrite").parquet(Q76FixturePath)
       graft.sources.MonzoSource.flattenTransactions(s.read.parquet(Q76FixturePath))
         .orderBy("id")
     },
