@@ -237,6 +237,18 @@ object EventQueries {
     "q81_stream_running_totals",
     (s, dir) => {
       import graft.streaming.StreamOps
+      // the final-totals reconstruction (and the batch-oracle equality)
+      // requires ONE state lifetime per user: a multi-batch drain could
+      // evict an idle user mid-stream and reset their totals. One source
+      // file ⇒ one AvailableNow micro-batch — enforce it loudly rather
+      // than silently undercount if the harness ever splits the table.
+      // filesystem listing, not spark.read: the events table is
+      // TIMESTAMP(NANOS) and a plain parquet read rejects it
+      val src = new java.io.File(s"$dir/events.parquet")
+      val nFiles =
+        if (src.isDirectory) src.listFiles.count(_.getName.endsWith(".parquet")) else 1
+      require(nFiles == 1,
+        s"q81 needs a single-file events table (one micro-batch drain), got $nFiles files")
       val name = "q81_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       val out =
@@ -247,11 +259,7 @@ object EventQueries {
             StreamOps.userRunningTotals(s, StreamOps.eventsStream(s, dir)).toDF(),
             name, org.apache.spark.sql.streaming.OutputMode.Update())
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      out.groupBy("user_id")
-        .agg(max(struct(col("n_events"), col("sum_value"))).as("last"))
-        .select(col("user_id"), col("last.n_events").as("n_events"),
-          col("last.sum_value").as("sum_value"))
-        .orderBy("user_id")
+      StreamOps.finalUserTotals(out).orderBy("user_id")
     },
     Some("""SELECT user_id, count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value

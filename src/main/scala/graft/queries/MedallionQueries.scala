@@ -390,8 +390,12 @@ object MedallionQueries {
   private val q76 = GraftQuery(
     "q76_monzo_nested_flatten",
     (s, dir) => {
-      if (q76LastDir.getAndSet(dir) != dir)
+      if (q76LastDir.get() != dir) {
         nestedFixture(s, dir).write.mode("overwrite").parquet(Q76FixturePath)
+        // mark AFTER the write: overwrite deletes the old fixture first,
+        // so caching on exception would poison every later run in the JVM
+        q76LastDir.set(dir)
+      }
       graft.sources.MonzoSource.flattenTransactions(s.read.parquet(Q76FixturePath))
         .orderBy("id")
     },

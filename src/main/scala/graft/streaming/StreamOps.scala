@@ -129,6 +129,19 @@ object StreamOps {
       }
   }
 
+  /** Final totals from an Update-mode [[userRunningTotals]] emission log:
+    * one row per key per batch, n_events monotone per user WITHIN a state
+    * lifetime — so max-struct picks the last emission without a window
+    * sort. Callers must guarantee a single state lifetime per user (a
+    * one-micro-batch drain: event-time eviction across batches would
+    * reset state and make the max a segment total, not the run total).
+    */
+  def finalUserTotals(emitted: DataFrame): DataFrame =
+    emitted.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("last"))
+      .select(col("user_id"), col("last.n_events").as("n_events"),
+        col("last.sum_value").as("sum_value"))
+
   final case class TypeDistinct(event_type: String, est_distinct_users: Long)
 
   /** Streaming approximate distinct users per event type: the mergeable

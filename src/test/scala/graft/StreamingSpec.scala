@@ -84,10 +84,7 @@ class StreamingSpec extends SparkSpec {
     // Update mode emits one row per key per batch; the last emit per user
     // carries the final totals. Decimal state accumulation makes the SUM
     // comparable too (double state would be arrival-order-dependent).
-    val lastPerUser = got.groupBy("user_id")
-      .agg(max(struct(col("n_events"), col("sum_value"))).as("last"))
-      .select(col("user_id"), col("last.n_events").as("n_events"),
-        col("last.sum_value").as("sum_value"))
+    val lastPerUser = StreamOps.finalUserTotals(got)
     val want = Tables.events(spark, sf).groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         graft.functions.Exact.sumD(col("value")).as("sum_value"))
