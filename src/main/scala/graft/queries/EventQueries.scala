@@ -225,6 +225,30 @@ object EventQueries {
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type"""))
 
+  /** EXACT interpolated percentiles per event type — the hash-checkable
+    * complement to q29's sketches: Spark's `percentile` and DuckDB's
+    * `quantile_cont` both compute the standard type-7 quantile, so with
+    * 12-dp rounding (interpolation formula ulps) the values hash-match.
+    * Scale note: exact percentile aggregates a value-count map per group
+    * (memory ∝ distinct values) — the right tool for moderate-cardinality
+    * columns; q67's DDSketch is the unbounded-cardinality path.
+    */
+  private val q83 = GraftQuery(
+    "q83_exact_percentiles",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 12).as("p50"),
+          round(expr("percentile(value, 0.95)"), 12).as("p95"),
+          round(expr("percentile(value, 0.99)"), 12).as("p99"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+                   round(quantile_cont(value, 0.5), 12) AS p50,
+                   round(quantile_cont(value, 0.95), 12) AS p95,
+                   round(quantile_cont(value, 0.99), 12) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** Custom stateful streaming under the oracle gate: per-user running
     * totals via `mapGroupsWithState` ([[graft.streaming.StreamOps.userRunningTotals]])
     * drained AvailableNow; the LAST emission per user (Update mode emits
@@ -398,5 +422,5 @@ object EventQueries {
             GROUP BY day ORDER BY day"""))
 
   val all: Seq[GraftQuery] =
-    Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81)
+    Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83)
 }
