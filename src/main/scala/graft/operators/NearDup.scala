@@ -264,27 +264,36 @@ object NearDup {
   /** Exact top-k cosine neighbors for each query vector (brute force with a
     * broadcast query side; ties broken by vec_id). Ranking uses the exact
     * cosine so the order is reproducible against a serial oracle.
+    *
+    * Phase 1 cuts the field to k + margin per query with double-precision
+    * scores (|fast − exact| ≲ 1e-13, so an exact-top-k member can only be
+    * lost if ≥ margin candidates sit within that band of the cut — not a
+    * thing on real data) — through [[graft.functions.TopKAgg]], NOT a
+    * window: a window sort shuffles every scored (query, candidate) row
+    * (O(|Q|·|C|)), while the bounded aggregator's map-side partials carry
+    * ≤ k+margin rows per query per partition, so the exchange is
+    * O(|Q|·k·partitions) no matter how big the corpus is. Same output:
+    * the aggregator's (score DESC, id ASC, NaN first) order is the window
+    * ordering verbatim. Phase 2: decimal-exact re-rank of the survivors
+    * only, with the slim shortlist broadcast back onto the corpus.
     */
   def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(withNorm(queries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")))
     val c = withNorm(corpus)
       .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn"))
-    // phase 1: double-precision scores cut the field to k + margin per query
-    // (|fast − exact| ≲ 1e-13, so an exact-top-k member can only be lost if
-    // ≥ margin candidates sit within that band of the cut — not a thing on
-    // real data); phase 2: decimal-exact re-rank of the survivors only.
     val margin = 20
-    val wFast = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("fast").desc, col("n_id").asc)
+    val topkFn = graft.functions.TopKAgg.topK(k + margin)
     val shortlist = c.join(q, col("q_id") =!= col("n_id"))
-      .withColumn("fast", Similarity.cosineFromParts(
-        Similarity.dotFast(col("qe"), col("ne")), col("qn"), col("nn")))
-      .withColumn("fast_rank", row_number().over(wFast))
-      .filter(col("fast_rank") <= k + margin)
+      .select(col("q_id"), col("n_id"), Similarity.cosineFromParts(
+        Similarity.dotFast(col("qe"), col("ne")), col("qn"), col("nn")).as("fast"))
+      .groupBy("q_id")
+      .agg(topkFn(col("fast"), col("n_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-    shortlist
+    c.join(broadcast(shortlist.join(q, "q_id")), "n_id")
       .withColumn("cos", Similarity.cosineFromParts(
         Similarity.dotExact(col("qe"), col("ne")), col("qn"), col("nn")))
       .withColumn("rank", row_number().over(w))
