@@ -247,10 +247,14 @@ object Ann {
       .dropDuplicates("q_id", "n_id")
       .withColumn("cos", Similarity.cosineFromParts(
         Similarity.dotExact(col("qe"), col("ne")), col("qn"), col("nn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "cos", "rank")
+    // bounded top-k aggregation, not a window: a window would shuffle
+    // every probed candidate row; TopKAgg's map-side partials carry ≤ k
+    // per query per partition (same (cos DESC, n_id ASC) order contract)
+    val topkFn = graft.functions.TopKAgg.topK(k)
+    scored.groupBy("q_id")
+      .agg(topkFn(col("cos"), col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"), col("t.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 }

@@ -244,8 +244,10 @@ object Pq {
         GraftColumnBridge.expression(col("embedding")), codebooks)).as("adc_table"),
       explode(GraftColumnBridge.column(Ann.CentroidTopCells(
         GraftColumnBridge.expression(col("embedding")), centroids, nprobe))).as("cell"))
-    val wApprox = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("approx_dot").desc, col("n_id").asc)
+    // bounded top-(k·refine) aggregation, not a window: the window would
+    // shuffle every ADC-scored candidate row; TopKAgg's partials carry
+    // ≤ k·refine per query per partition (same order contract)
+    val approxTopK = graft.functions.TopKAgg.topK(k * refine)
     // broadcast the exploded query side only while it stays small, else
     // let the equi-join shuffle on cell (AQE skew-splits)
     val qSide =
@@ -257,23 +259,24 @@ object Pq {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         adcScore(col("adc_table"), col("codes"), ksub).as("approx_dot"))
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= k * refine)
-      .select("q_id", "n_id")
+      .groupBy("q_id")
+      .agg(approxTopK(col("approx_dot"), col("n_id")).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("n_id"))
     // re-attach vectors only for the |Q|·k·refine survivors, exact re-rank
     val qv = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
       Similarity.normExact(col("embedding")).as("qn"))
     val cv = corpus.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
       Similarity.normExact(col("embedding")).as("nn"))
-    val wExact = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    val exactTopK = graft.functions.TopKAgg.topK(k)
     survivors
       .join(broadcast(qv), "q_id")
       .join(cv, "n_id") // survivors are tiny — AQE broadcasts them into the corpus scan
       .withColumn("cos", Similarity.cosineFromParts(
         Similarity.dotExact(col("qe"), col("ne")), col("qn"), col("nn")))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "cos", "rank")
+      .groupBy("q_id")
+      .agg(exactTopK(col("cos"), col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"), col("t.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 }
