@@ -215,18 +215,22 @@ object CoreQueries {
 
   /** Q2/L2 — latest-snapshot-per-key (bronze_balance/pots are append-only
     * snapshots read back ORDER BY date_retrieved DESC; the per-key variant
-    * is the scalable form). One shuffle on user_id.
+    * is the scalable form). A max-struct hash AGGREGATE, not a window: the
+    * window sorts every event inside the shuffle, while the aggregate's
+    * map-side partials collapse each partition to one row per user before
+    * the exchange — O(keys) shuffled instead of O(rows). (ts, event_id)
+    * leads the struct and is total per user, so the lexicographic max is
+    * exactly the `row_number() = 1` row and the payload never tie-breaks.
     */
   private val q11 = GraftQuery(
     "q11_latest_snapshot_per_key",
-    (s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    (s, dir) =>
       Tables.events(s, dir)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
-        .orderBy("user_id")
-    },
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("event_id"), col("m.ts").as("ts"),
+          col("m.event_type").as("event_type"), col("m.value").as("value"))
+        .orderBy("user_id"),
     Some("""SELECT user_id, event_id, ts, event_type, value
             FROM (SELECT user_id, event_id, ts, event_type, value,
                          row_number() OVER (PARTITION BY user_id
