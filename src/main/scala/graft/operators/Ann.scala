@@ -19,11 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * — ONE Catalyst node each regardless of nlist, so plan analysis stays O(1)
   * as the adaptive cell count grows); assignment is a per-row argmax of dot
   * products (no shuffle); the probe is an equi-join on cell id (one
-  * shuffle, AQE-skew-safe); top-k is a per-query window. Training is
-  * Lloyd iterations with per-dimension distributed means (posexplode →
-  * groupBy(cell, dim)), so no vector ever aggregates on the driver beyond
-  * the nlist centroids themselves — at 100 TB the corpus pass count is
-  * `iters + 1`, all linear scans.
+  * shuffle, AQE-skew-safe); top-k is a bounded [[graft.functions.TopKAgg]]
+  * aggregation (map-side partials carry ≤ k per query per partition).
+  * Training is Lloyd iterations over a hash-gated ≤16 k sample with
+  * per-dimension distributed means (posexplode → groupBy(cell, dim)), so
+  * no vector ever aggregates on the driver beyond the nlist centroids
+  * themselves and the training cost is bounded regardless of corpus size —
+  * at 100 TB the only full-corpus passes are the seed scan and the final
+  * assignment, both linear.
   *
   * Deterministic: seeds are the `nlist` lowest vec_ids; means are exact
   * decimal sums; ties in argmax break toward the lower cell index.
@@ -142,18 +145,37 @@ object Ann {
   /** Train centroids: seed with the nlist lowest-id vectors, then `iters`
     * Lloyd steps of (assign to nearest-by-cosine centroid, recompute
     * per-cell mean). Returns nlist × dim (cells may be empty → seed kept).
+    *
+    * Lloyd iterations run on a deterministic hash-gated sample of at most
+    * `maxTrain` vectors (the [[Pq.trainCodebooks]] pattern): centroid
+    * estimates need ~10³ vectors per cell, not the corpus, and the
+    * per-iteration `posexplode` otherwise generates n·dim intermediate
+    * rows — at 1 B × 768-dim that is ~10¹² rows per pass for centroids a
+    * 16 k sample estimates just as well. Seeds stay the nlist lowest
+    * vec_ids of the FULL corpus, and the gate is a pure function of
+    * vec_id, so training is reproducible run-to-run and corpora at or
+    * under `maxTrain` rows (every current fixture) train bit-identically
+    * to the unsampled implementation.
     */
   def trainCentroids(
       spark: SparkSession, corpus: DataFrame,
-      nlist: Int, iters: Int = 2): Array[Array[Float]] = {
+      nlist: Int, iters: Int = 2, maxTrain: Long = 16384L): Array[Array[Float]] = {
     import spark.implicits._
     var centroids: Array[Array[Float]] = corpus
       .orderBy("vec_id").limit(nlist)
       .select(col("embedding").as[Array[Float]])
       .collect()
     val dim = centroids.head.length
+    val n = corpus.count()
+    val trainSet =
+      if (n <= maxTrain) corpus
+      else corpus.filter(
+        // max(1, ...): at extreme corpus sizes the integer rate would floor
+        // to 0 and silently train on an EMPTY sample (seeds never refined)
+        pmod(xxhash64(col("vec_id")), lit(1000000L))
+          < lit(math.max(1L, 1000000L * maxTrain / n)))
     for (_ <- 0 until iters) {
-      val assigned = assignCells(corpus, centroids)
+      val assigned = assignCells(trainSet, centroids)
       val sums = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
@@ -242,9 +264,12 @@ object Ann {
     val probeSide =
       if (broadcastableQuerySide(queries, nprobe, broadcastQueryRows)) broadcast(probed)
       else probed
+    // each corpus vector lives in exactly one cell and a query's probed
+    // cells are distinct (CentroidTopCells emits each index once), so
+    // (q_id, n_id) pairs are already unique — no dedup shuffle needed
+    // before the bounded top-k aggregation (same invariant as Pq.pqTopK)
     val scored = probeSide.join(corpusCells, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .dropDuplicates("q_id", "n_id")
       .withColumn("cos", Similarity.cosineFromParts(
         Similarity.dotExact(col("qe"), col("ne")), col("qn"), col("nn")))
     // bounded top-k aggregation, not a window: a window would shuffle

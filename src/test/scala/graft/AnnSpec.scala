@@ -66,6 +66,40 @@ class AnnSpec extends SparkSpec {
     assert(elapsedSec < 120.0, s"nlist=1024 ivfTopK took ${elapsedSec}s — plan-build blowup?")
   }
 
+  test("ivfTopK: exactly one shuffle Exchange (probe rows reach TopKAgg undeduped)") {
+    // (q_id, n_id) pairs out of the probe join are already unique (one cell
+    // per corpus vector, distinct probed cells per query), so the only
+    // shuffle in the plan is the final groupBy(q_id) — a dropDuplicates
+    // here would add a second full shuffle of every probed candidate row,
+    // defeating the bounded TopKAgg partials
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 20)
+    val plan = Ann.ivfTopK(spark, q, emb, k = 5).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = raw"\(\d+\) Exchange\b".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected 1 shuffle Exchange, got $shuffles:\n$plan")
+  }
+
+  test("trainCentroids: hash-gated sampling is deterministic and holds recall") {
+    // synthetic corpus larger than maxTrain so the gate actually engages
+    val dims = (0 until 16).map(d =>
+      ((pmod(xxhash64(col("vec_id") * 16 + d), lit(1000L)) - 500L) / 500.0).cast("float"))
+    val emb = spark.range(2048).select(col("id").as("vec_id"), array(dims: _*).as("embedding"))
+    def train() = Ann.trainCentroids(spark, emb, nlist = 16, iters = 2, maxTrain = 512L)
+    val c1 = train()
+    val c2 = train()
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq,
+      "sampled training must be reproducible run-to-run")
+    // sampled centroids must still deliver usable recall end-to-end
+    val q = emb.filter(col("vec_id") < 10)
+    val ivf = Ann.ivfTopK(spark, q, emb, k = 5, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bfSet = NearDup.knnBruteForce(q, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.count(bfSet.contains).toDouble / bfSet.size
+    assert(recall >= 0.5, s"recall@5 with sampled training = $recall")
+  }
+
   test("ivfTopK: shuffle-join fallback returns the same rows as broadcast") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 20)
