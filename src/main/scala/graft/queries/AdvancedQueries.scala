@@ -342,7 +342,9 @@ object AdvancedQueries {
   private val q82 = GraftQuery(
     "q82_zorder_readback",
     (s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_q82_z_").toString + "/zorders"
+      // Scratch: removed at JVM exit — the oracle re-derives from orders,
+      // so nothing outside this run reads the z-ordered copy
+      val out = Scratch.tempDir("graft_q82_z_") + "/zorders"
       graft.operators.Layout.writeZOrdered(
         Tables.orders(s, dir)
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),

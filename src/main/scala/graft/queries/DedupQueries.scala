@@ -75,11 +75,11 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b"),
     q19.oracle)
 
-  /** Where q21 lands its SimHash candidate pairs so the oracle can replay
-    * the exact verification over the same list (the sketch itself is
-    * xxhash64-seeded and has no DuckDB twin).
-    */
-  private val Q21PairsPath = "/tmp/graft_q21_pairs.parquet"
+  // q21 lands its SimHash candidate pairs (via Landed: per-process +
+  // per-scale-dir path, recorded for the post-run oracle dump) so the
+  // oracle can replay the exact verification over the same list (the
+  // sketch itself is xxhash64-seeded and has no DuckDB twin). def, not
+  // val, so the oracle SQL embeds the recorded path at dump time.
 
   /** SimHash(64-bit) near-dup pairs within Hamming distance 3 (complete
     * 4×16-bit blocking), VERIFIED with the exact 3-gram Jaccard. The
@@ -90,18 +90,19 @@ object DedupQueries {
     * predicate is sketch-specific. Candidate recall vs the exact q19
     * pairs is bounded in NearDupSpec.
     */
-  private val q21 = GraftQuery(
+  private def q21 = GraftQuery(
     "q21_simhash_pairs",
     (s, dir) => {
+      val path = Landed.land("q21_simhash_pairs", dir)
       NearDup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
         // one part file: a zero-pair result still lands a schema-bearing
         // parquet (zero partitions would write only _SUCCESS and break
         // both the read-back and the oracle's glob); candidate lists are
         // small by construction
         .repartition(1)
-        .write.mode("overwrite").parquet(Q21PairsPath)
+        .write.mode("overwrite").parquet(path)
       NearDup.verifyPairsJaccard(
-          Tables.documents(s, dir), s.read.parquet(Q21PairsPath), n = 3)
+          Tables.documents(s, dir), s.read.parquet(path), n = 3)
         .select("doc_a", "doc_b", "hamming", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
@@ -117,7 +118,7 @@ object DedupQueries {
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             pairs AS (
               SELECT doc_a, doc_b, hamming
-              FROM read_parquet('$Q21PairsPath/*.parquet')),
+              FROM read_parquet('${Landed.oraclePath("q21_simhash_pairs")}/*.parquet')),
             cnt AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -173,11 +174,6 @@ object DedupQueries {
                    least(src, min(dst)) = src AS is_survivor
             FROM reach GROUP BY src ORDER BY doc_id"""))
 
-  /** q35's emitted winnowing candidate pairs, for oracle replay of the
-    * exact-containment verification (see [[Q21PairsPath]] for the scheme).
-    */
-  private val Q35PairsPath = "/tmp/graft_q35_pairs.parquet"
-
   /** Winnowing (rolling-hash) fingerprint overlap pairs — containment
     * detection — VERIFIED with the exact 3-gram containment
     * |A∩B|/min(|A|,|B|). The fingerprint sketch (engine-specific rolling
@@ -186,14 +182,15 @@ object DedupQueries {
     * the verification math. AdvancedOpsSpec plants a copied paragraph and
     * asserts the pair + bounds recall.
     */
-  private val q35 = GraftQuery(
+  private def q35 = GraftQuery(
     "q35_winnow_overlap_pairs",
     (s, dir) => {
+      val path = Landed.land("q35_winnow_overlap_pairs", dir)
       NearDup.winnowingPairs(Tables.documents(s, dir))
-        .repartition(1) // see Q21PairsPath: empty-safe single part file
-        .write.mode("overwrite").parquet(Q35PairsPath)
+        .repartition(1) // see q21: empty-safe single part file
+        .write.mode("overwrite").parquet(path)
       NearDup.verifyPairsContainment(
-          Tables.documents(s, dir), s.read.parquet(Q35PairsPath), n = 3)
+          Tables.documents(s, dir), s.read.parquet(path), n = 3)
         .select("doc_a", "doc_b", "n_shared", "containment")
         .orderBy("doc_a", "doc_b")
     },
@@ -209,7 +206,7 @@ object DedupQueries {
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             pairs AS (
               SELECT doc_a, doc_b, n_shared
-              FROM read_parquet('$Q35PairsPath/*.parquet')),
+              FROM read_parquet('${Landed.oraclePath("q35_winnow_overlap_pairs")}/*.parquet')),
             cnt AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -326,5 +323,7 @@ object DedupQueries {
             FROM assigned a JOIN canon c ON a.cluster_id = c.cluster_id
             ORDER BY a.doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q18, q19, q20, q21, q33, q35, q65, q77)
+  // def, not val: q21/q35 rebuild their oracle SQL from the recorded
+  // landing path on every access (see the Landed note above)
+  def all: Seq[GraftQuery] = Seq(q18, q19, q20, q21, q33, q35, q65, q77)
 }

@@ -65,7 +65,9 @@ object MedallionQueries {
     * only the remaining quarter may land (L1 idempotence under test).
     */
   private def runPipeline(s: SparkSession, dir: String): Medallion = {
-    val root = java.nio.file.Files.createTempDirectory("graft_medallion_").toString
+    // Scratch: removed at JVM exit — repeated bench invocations previously
+    // leaked a full medallion tree under /tmp per q44 run
+    val root = Scratch.tempDir("graft_medallion_")
     val m = Medallion(root)
     // materialize the orders⋈customer fixture once (an extra slice key
     // rides along so batch 1 can filter WITHOUT re-running the join);
@@ -300,11 +302,11 @@ object MedallionQueries {
                    count(*) AS n_rows
             FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month"""))
 
-  /** Where q76's nested fixture lands; a fixed path so the DuckDB oracle —
-    * which receives only the sfDir tables as views — can read the same
-    * structs back with `read_parquet`.
-    */
-  private val Q76FixturePath = "/tmp/graft_q76_nested.parquet"
+  // q76's nested fixture lands via Landed (per-process + per-scale-dir
+  // path, recorded for the post-run oracle dump) so the DuckDB oracle —
+  // which receives only the sfDir tables as views — can read the same
+  // structs back with `read_parquet` without concurrent runs clobbering
+  // each other. def q76 + def all so the oracle embeds the recorded path.
 
   /** API-shaped nested transactions (counterparty struct, merchant struct
     * with nested address + tags array) derived deterministically from
@@ -381,22 +383,22 @@ object MedallionQueries {
     * tags→JSON encode are hash-gated, not just spec-asserted.
     */
   // fixture generation is input prep, not the operator under test — write
-  // once per scale dir (same sharing rationale as sharedPipeline); the
-  // flatten itself still runs on every invocation. Tracks the LAST dir
-  // (not a seen-set): the fixture path is shared, so a different dir must
-  // rewrite it even if it was already generated earlier in this JVM.
-  private val q76LastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  // once per (JVM, scale dir); the flatten itself still runs on every
+  // invocation. Landed paths are already distinct per dir, so a seen-set
+  // of written paths is the correct cache key (marked AFTER the write:
+  // overwrite deletes the old fixture first, so caching on exception
+  // would poison every later run in the JVM).
+  private val q76Written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private val q76 = GraftQuery(
+  private def q76 = GraftQuery(
     "q76_monzo_nested_flatten",
     (s, dir) => {
-      if (q76LastDir.get() != dir) {
-        nestedFixture(s, dir).write.mode("overwrite").parquet(Q76FixturePath)
-        // mark AFTER the write: overwrite deletes the old fixture first,
-        // so caching on exception would poison every later run in the JVM
-        q76LastDir.set(dir)
+      val path = Landed.land("q76_monzo_nested_flatten", dir)
+      if (!q76Written.contains(path)) {
+        nestedFixture(s, dir).write.mode("overwrite").parquet(path)
+        q76Written.add(path)
       }
-      graft.sources.MonzoSource.flattenTransactions(s.read.parquet(Q76FixturePath))
+      graft.sources.MonzoSource.flattenTransactions(s.read.parquet(path))
         .orderBy("id")
     },
     Some(s"""SELECT id, description, COALESCE(amount, 0) AS amount, currency,
@@ -426,7 +428,7 @@ object MedallionQueries {
                     END AS merchant_suggested_tags,
                     t.merchant.foursquare_id AS merchant_foursquare_id,
                     t.merchant.website AS merchant_website
-             FROM read_parquet('$Q76FixturePath/*.parquet') t
+             FROM read_parquet('${Landed.oraclePath("q76_monzo_nested_flatten")}/*.parquet') t
              ORDER BY id"""))
 
   /** Streaming CDC sink end-to-end under the oracle gate (q63 proves the
@@ -443,9 +445,11 @@ object MedallionQueries {
   private val q80 = GraftQuery(
     "q80_streaming_cdc_snapshot",
     (s, dir) => {
-      val staged = java.nio.file.Files.createTempDirectory("graft_q80_staged_").toString
-      val root = java.nio.file.Files.createTempDirectory("graft_q80_root_").toString + "/snap"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q80_ckpt_").toString
+      // Scratch: removed at JVM exit — the oracle re-derives from the
+      // customer table, so nothing outside this run reads these
+      val staged = Scratch.tempDir("graft_q80_staged_")
+      val root = Scratch.tempDir("graft_q80_root_") + "/snap"
+      val ckpt = Scratch.tempDir("graft_q80_ckpt_")
       val base = Tables.customer(s, dir).select(
         col("c_custkey"),
         concat(lit("V"), col("c_name")).as("c_name"),
@@ -469,5 +473,7 @@ object MedallionQueries {
             FROM customer WHERE c_custkey % 5 <> 0
             ORDER BY c_custkey"""))
 
-  val all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63, q75, q76, q80)
+  // def, not val: q76 rebuilds its oracle SQL from the recorded landing
+  // path on every access (see the Landed note above)
+  def all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63, q75, q76, q80)
 }

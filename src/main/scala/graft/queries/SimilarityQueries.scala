@@ -58,15 +58,14 @@ object SimilarityQueries {
              WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
              ORDER BY vec_a, vec_b"""))
 
-  /** Paths where the ANN queries land their emitted pairs so DuckDB can
-    * replay the exact-cosine verification (and, for top-k, the ranking)
-    * over the same lists — the q21/q35 verified-pairs scheme applied to
-    * embeddings. The bucketing/probing sketch stays engine-specific; the
-    * scoring math it feeds is hash-gated.
-    */
-  private val Q24PairsPath = "/tmp/graft_q24_pairs.parquet"
-  private val Q32OutPath = "/tmp/graft_q32_out.parquet"
-  private val Q70OutPath = "/tmp/graft_q70_out.parquet"
+  // q24/q32/q70 land their emitted pairs (via Landed, per-process +
+  // per-scale-dir paths) so DuckDB can replay the exact-cosine
+  // verification — and, for top-k, the ranking — over the same lists:
+  // the q21/q35 verified-pairs scheme applied to embeddings. The
+  // bucketing/probing sketch stays engine-specific; the scoring math it
+  // feeds is hash-gated. These queries are defs (and `all` is a def) so
+  // the oracle SQL is re-built when Verify dumps it AFTER the run,
+  // embedding the recorded landing path of THIS process/scale-dir.
 
   /** Random-hyperplane LSH ANN pairs at cosine ≥ 0.4 — the bucketed scale
     * path (8 tables × 4 bits; per-table hit prob (1−θ/π)^4 ≈ 0.16 at the
@@ -74,21 +73,22 @@ object SimilarityQueries {
     * parquet-landed and the oracle recomputes the exact cosine for those
     * pairs; recall vs q23 is asserted in NearDupSpec.
     */
-  private val q24 = GraftQuery(
+  private def q24 = GraftQuery(
     "q24_embedding_ann_lsh",
     (s, dir) => {
+      val path = Landed.land("q24_embedding_ann_lsh", dir)
       NearDup.embeddingNearDupLsh(Tables.embeddings(s, dir), threshold = 0.4)
         // one part file: a zero-pair result still lands a schema-bearing
         // parquet (zero partitions would write only _SUCCESS and break
         // both the read-back and the oracle's glob)
         .repartition(1)
-        .write.mode("overwrite").parquet(Q24PairsPath)
-      s.read.parquet(Q24PairsPath)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
         .withColumn("cos", round(col("cos"), 12))
         .orderBy("vec_a", "vec_b")
     },
     Some(s"""WITH pairs AS (
-               SELECT vec_a, vec_b FROM read_parquet('$Q24PairsPath/*.parquet'))
+               SELECT vec_a, vec_b FROM read_parquet('${Landed.oraclePath("q24_embedding_ann_lsh")}/*.parquet'))
              SELECT p.vec_a, p.vec_b,
                     round(${cosSql("a.embedding", "b.embedding")}, 12) AS cos
              FROM pairs p
@@ -119,18 +119,19 @@ object SimilarityQueries {
     * corpus per query). Output is landed and the oracle replays exact
     * cosine + rank over it; AnnSpec bounds recall@5 against brute force.
     */
-  private val q32 = GraftQuery(
+  private def q32 = GraftQuery(
     "q32_ivf_topk",
     (s, dir) => {
+      val path = Landed.land("q32_ivf_topk", dir)
       val emb = Tables.embeddings(s, dir)
       graft.operators.Ann.ivfTopK(s, emb.filter(col("vec_id") < 20), emb, k = 5)
-        .repartition(1) // see Q24PairsPath: empty-safe single part file
-        .write.mode("overwrite").parquet(Q32OutPath)
-      s.read.parquet(Q32OutPath)
+        .repartition(1) // see q24: empty-safe single part file
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
         .withColumn("cos", round(col("cos"), 12))
         .orderBy("q_id", "rank")
     },
-    Some(topKReplayOracle(Q32OutPath)))
+    Some(topKReplayOracle(Landed.oraclePath("q32_ivf_topk"))))
 
   /** Semantic (embedding-space) dedup clusters — the composition a
     * training pipeline actually runs: exact cosine near-dup pairs at
@@ -204,18 +205,19 @@ object SimilarityQueries {
     * rank over it; AnnSpec bounds recall against the exact q22 baseline
     * and pins the no-cross-join plan.
     */
-  private val q70 = GraftQuery(
+  private def q70 = GraftQuery(
     "q70_pq_adc_topk",
     (s, dir) => {
+      val path = Landed.land("q70_pq_adc_topk", dir)
       val emb = Tables.embeddings(s, dir)
       graft.operators.Pq.pqTopK(s, emb.filter(col("vec_id") < 20), emb, k = 5)
-        .repartition(1) // see Q24PairsPath: empty-safe single part file
-        .write.mode("overwrite").parquet(Q70OutPath)
-      s.read.parquet(Q70OutPath)
+        .repartition(1) // see q24: empty-safe single part file
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
         .withColumn("cos", round(col("cos"), 12))
         .orderBy("q_id", "rank")
     },
-    Some(topKReplayOracle(Q70OutPath)))
+    Some(topKReplayOracle(Landed.oraclePath("q70_pq_adc_topk"))))
 
   /** Int8 scalar quantization of embeddings (per-dimension min-max): the
     * standard 4× compression before ANN serving / shipping a corpus —
@@ -254,5 +256,7 @@ object SimilarityQueries {
             FROM ed JOIN stats USING (dim)
             ORDER BY vec_id, dim"""))
 
-  val all: Seq[GraftQuery] = Seq(q22, q23, q24, q32, q57, q70, q78, q79)
+  // def, not val: q24/q32/q70 rebuild their oracle SQL from the recorded
+  // landing path on every access (see the Landed note above)
+  def all: Seq[GraftQuery] = Seq(q22, q23, q24, q32, q57, q70, q78, q79)
 }

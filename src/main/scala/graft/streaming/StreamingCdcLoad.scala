@@ -89,16 +89,25 @@ object StreamingCdcLoad {
     }
     val next = Cdc.applyChanges(snapshot, compacted, keys, opCol)
     next.write.mode("overwrite").parquet(s"$root/v$batchId")
-    // atomic pointer flip: write-then-rename, so a reader never observes a
+    // pointer flip: write-then-rename, so a reader never observes a
     // truncated/empty marker (create(overwrite=true) would truncate in
-    // place before the new bytes land)
+    // place before the new bytes land). FileContext.rename(OVERWRITE) is
+    // a SINGLE atomic replace on HDFS and local FS — the previous
+    // delete-then-rename left a window with no marker at all, dropping
+    // every concurrent reader onto the O(#versions) listing. On object
+    // stores (S3A) rename itself is copy+delete, so the flip is NOT
+    // atomic there; [[latest]]'s max-v* fallback keeps readers correct —
+    // just slower — through that window, and a transactional table format
+    // is the real answer at that tier.
     val f = fs(spark, root)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/$Marker.tmp")
     val out = f.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     val marker = new org.apache.hadoop.fs.Path(s"$root/$Marker")
-    if (f.exists(marker)) f.delete(marker, false)
-    require(f.rename(tmp, marker), s"marker rename failed for $root")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(f.makeQualified(tmp), f.makeQualified(marker),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     true
   }
 
