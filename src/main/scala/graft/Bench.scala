@@ -70,11 +70,18 @@ object Bench {
     // silent error flag — a truncated summary would defeat the point);
     // relative path = the sbt working dir, overridable for other layouts
     val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOTAL", "BENCH_total.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(summaryPath),
-      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case t: Throwable =>
-      System.err.println(s"[bench] could not write $summaryPath: $t")
+    // ... and the FULL per-query line to its own file: the stdout copy has
+    // been tail-truncated by the harness two rounds running, losing the
+    // first ~30 query timings
+    val queriesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "BENCH_queries.json")
+    Seq(summaryPath -> summary, queriesPath -> toJson(results, sfDir, runs)).foreach {
+      case (path, payload) =>
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get(path),
+          (payload + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] could not write $path: $t")
+        }
     }
     spark.stop()
   }
