@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,8 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * behind Gopher-style repetitive-document filters (duplicate-word
   * fraction, most-common-bigram fraction, duplicate-character fraction).
   *
-  * A per-row scalar (row-granularity CodegenFallback, primitive loops and
-  * open hash maps inside), so the filter is embarrassingly parallel: no
+  * A per-row scalar (one static-kernel call per row inside whole-stage
+  * codegen, primitive loops and open hash maps inside), so the filter is
+  * embarrassingly parallel: no
   * shuffle at any scale, the whole quality pass runs at scan speed. The
   * equivalent relational formulation (explode → two hash aggregates + a
   * window for bigrams) pays two full shuffles of the exploded corpus —
@@ -29,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   total_chars    — Σ len(token) over all occurrences
   */
 case class RepetitionStats(child: Expression)
-    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "graft_repetition_stats"
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = StructType(Seq(
@@ -40,10 +41,26 @@ case class RepetitionStats(child: Expression)
     StructField("total_chars", LongType, nullable = false)))
   override def nullIntolerant: Boolean = true
 
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.statsKernel(input.asInstanceOf[ArrayData])
+
+  // kernel-call codegen (see Ann.CentroidArgmax for the pattern)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks =>
+      s"${ev.value} = graft.expressions.RepetitionStats.statsKernel($toks);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  def repetitionStats(tokens: Column): Column =
+    GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(tokens)))
+
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** Shared eval/codegen kernel for [[RepetitionStats]]. */
+  def statsKernel(toks: ArrayData): InternalRow = {
     val m = toks.numElements()
     val wordCounts = new java.util.HashMap[UTF8String, Array[Long]](m * 2)
     val bigramCounts = new java.util.HashMap[UTF8String, Array[Long]](m * 2)
@@ -81,14 +98,6 @@ case class RepetitionStats(child: Expression)
     row.setInt(2, topBigram.toInt)
     row.setLong(3, dupChars)
     row.setLong(4, totalChars)
-    row: InternalRow
+    row
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object RepetitionStats {
-  def repetitionStats(tokens: Column): Column =
-    GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(tokens)))
 }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.Similarity
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
@@ -47,40 +47,58 @@ object Ann {
     * index order).
     */
   case class CentroidArgmax(child: Expression, centroids: Array[Array[Float]])
-      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def prettyName: String = "graft_centroid_argmax"
     override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = IntegerType
     override def nullIntolerant: Boolean = true
     @transient private lazy val norms: Array[Double] = centroids.map(Ann.norm2)
 
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      var best = 0
-      var bestScore = Double.NegativeInfinity
-      var i = 0
-      while (i < centroids.length) {
-        val c = centroids(i)
-        var dot = 0.0
-        var d = 0
-        val n = math.min(v.numElements(), c.length)
-        while (d < n) {
-          dot += v.getFloat(d).toDouble * c(d).toDouble
-          d += 1
-        }
-        val score = dot / norms(i)
-        // Double.compare, not >: replicates the old greatest()-tree NaN
-        // ordering (NaN sorts greatest in Spark), so a NaN embedding or a
-        // zero-norm centroid degrades deterministically instead of
-        // diverging from the replaced implementation
-        if (java.lang.Double.compare(score, bestScore) > 0) { bestScore = score; best = i }
-        i += 1
-      }
-      best
-    }
+    // Double.compare, not >: replicates the old greatest()-tree NaN
+    // ordering (NaN sorts greatest in Spark), so a NaN embedding or a
+    // zero-norm centroid degrades deterministically instead of diverging
+    // from the replaced implementation. eval and codegen share this one
+    // kernel so the two paths cannot drift.
+    override def nullSafeEval(input: Any): Any =
+      Ann.centroidArgmax(input.asInstanceOf[ArrayData], centroids, norms)
+
+    // generated code is a CALL into the same static kernel, with the
+    // centroid matrix carried in the codegen references array: the
+    // expression stays inside whole-stage codegen (no per-row
+    // CodegenFallback boxing), the method body stays a single JIT-compiled
+    // loop regardless of nlist, and Janino never sees an unrolled matrix
+    // (64 KB method limit)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+        val ns = ctx.addReferenceObj("norms", norms, "double[]")
+        s"${ev.value} = graft.operators.Ann.centroidArgmax($v, $cents, $ns);"
+      })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Shared eval/codegen kernel for [[CentroidArgmax]]. */
+  def centroidArgmax(
+      v: ArrayData, centroids: Array[Array[Float]], norms: Array[Double]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var dot = 0.0
+      var d = 0
+      val n = math.min(v.numElements(), c.length)
+      while (d < n) {
+        dot += v.getFloat(d).toDouble * c(d).toDouble
+        d += 1
+      }
+      val score = dot / norms(i)
+      if (java.lang.Double.compare(score, bestScore) > 0) { bestScore = score; best = i }
+      i += 1
+    }
+    best
   }
 
   /** The `nprobe` nearest cells per query vector, ordered (score DESC,
@@ -90,56 +108,68 @@ object Ann {
     */
   case class CentroidTopCells(
       child: Expression, centroids: Array[Array[Float]], nprobe: Int)
-      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def prettyName: String = "graft_centroid_top_cells"
     override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullIntolerant: Boolean = true
     @transient private lazy val norms: Array[Double] = centroids.map(Ann.norm2)
 
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val nlist = centroids.length
-      val scores = new Array[Double](nlist)
-      var i = 0
-      while (i < nlist) {
-        val c = centroids(i)
-        var dot = 0.0
-        var d = 0
-        val n = math.min(v.numElements(), c.length)
-        while (d < n) {
-          dot += v.getFloat(d).toDouble * c(d).toDouble
-          d += 1
-        }
-        scores(i) = dot / norms(i)
-        i += 1
-      }
-      val out = new Array[Int](math.min(nprobe, nlist))
-      val taken = new Array[Boolean](nlist)
-      var p = 0
-      while (p < out.length) {
-        var best = -1
-        var j = 0
-        while (j < nlist) {
-          // Double.compare in index order: lowest cell on score ties, NaN
-          // treated as greatest — the old (score, -cell) struct-sort
-          // contract (plain > would skip NaN cells and leave best = -1,
-          // crashing on taken(-1) once only NaN scores remain)
-          if (!taken(j) &&
-              (best < 0 || java.lang.Double.compare(scores(j), scores(best)) > 0)) {
-            best = j
-          }
-          j += 1
-        }
-        taken(best) = true
-        out(p) = best
-        p += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      Ann.centroidTopCells(input.asInstanceOf[ArrayData], centroids, norms, nprobe)
+
+    // same kernel-call codegen shape as CentroidArgmax
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+        val ns = ctx.addReferenceObj("norms", norms, "double[]")
+        s"${ev.value} = graft.operators.Ann.centroidTopCells($v, $cents, $ns, $nprobe);"
+      })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Shared eval/codegen kernel for [[CentroidTopCells]]. */
+  def centroidTopCells(v: ArrayData, centroids: Array[Array[Float]],
+      norms: Array[Double], nprobe: Int): ArrayData = {
+    val nlist = centroids.length
+    val scores = new Array[Double](nlist)
+    var i = 0
+    while (i < nlist) {
+      val c = centroids(i)
+      var dot = 0.0
+      var d = 0
+      val n = math.min(v.numElements(), c.length)
+      while (d < n) {
+        dot += v.getFloat(d).toDouble * c(d).toDouble
+        d += 1
+      }
+      scores(i) = dot / norms(i)
+      i += 1
+    }
+    val out = new Array[Int](math.min(nprobe, nlist))
+    val taken = new Array[Boolean](nlist)
+    var p = 0
+    while (p < out.length) {
+      var best = -1
+      var j = 0
+      while (j < nlist) {
+        // Double.compare in index order: lowest cell on score ties, NaN
+        // treated as greatest — the old (score, -cell) struct-sort
+        // contract (plain > would skip NaN cells and leave best = -1,
+        // crashing on taken(-1) once only NaN scores remain)
+        if (!taken(j) &&
+            (best < 0 || java.lang.Double.compare(scores(j), scores(best)) > 0)) {
+          best = j
+        }
+        j += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Train centroids: seed with the nlist lowest-id vectors, then `iters`

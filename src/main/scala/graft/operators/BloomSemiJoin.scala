@@ -2,9 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Semi-join reduction with a Bloom filter — the shuffle-volume lever for
@@ -23,7 +23,7 @@ object BloomSemiJoin {
     * `org.apache.spark.util.sketch.BloomFilter` (long and string keys).
     */
   case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def prettyName: String = "graft_bloom_might_contain"
     override def dataType: DataType = BooleanType
     override def nullIntolerant: Boolean = true
@@ -38,6 +38,24 @@ object BloomSemiJoin {
       case s: UTF8String => bloom.mightContainString(s.toString)
       case other => bloom.mightContain(other)
     }
+
+    // the probe stays inside whole-stage codegen (it sits on the fact-scan
+    // hot path by design): the deserialized filter rides the references
+    // array, and the probe dispatch the interpreted path does per row via
+    // runtime type match is resolved at CODEGEN time from child.dataType.
+    // Types beyond long/int/string keep the boxed mightContain(Object)
+    // catch-all — same behavior as eval, where the sketch library decides.
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val b = ctx.addReferenceObj("bloom", bloom,
+          "org.apache.spark.util.sketch.BloomFilter")
+        child.dataType match {
+          case LongType => s"${ev.value} = $b.mightContainLong($v);"
+          case IntegerType => s"${ev.value} = $b.mightContainLong((long) $v);"
+          case StringType => s"${ev.value} = $b.mightContainString($v.toString());"
+          case _ => s"${ev.value} = $b.mightContain($v);"
+        }
+      })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.Similarity
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
@@ -30,33 +30,42 @@ object Pq {
     * expression over (per-query table array, per-candidate code array).
     */
   case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
-      extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def prettyName: String = "graft_pq_adc_score"
     override def inputTypes: Seq[DataType] =
       Seq(ArrayType(DoubleType), ArrayType(IntegerType))
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
 
-    override def nullSafeEval(table: Any, codes: Any): Any = {
-      val t = table.asInstanceOf[ArrayData]
-      val c = codes.asInstanceOf[ArrayData]
-      val tn = t.numElements()
-      var s = 0.0
-      var m = 0
-      val n = c.numElements()
-      while (m < n) {
-        val idx = m * ksub + c.getInt(m)
-        require(idx >= 0 && idx < tn,
-          s"ADC code ${c.getInt(m)} out of range for table of $tn entries (ksub=$ksub)")
-        s += t.getDouble(idx)
-        m += 1
-      }
-      s
-    }
+    // eval and codegen share one static kernel (the hottest expression in
+    // the ADC scan: one call per probed (query, candidate) pair)
+    override def nullSafeEval(table: Any, codes: Any): Any =
+      Pq.adcScoreKernel(
+        table.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], ksub)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, c) =>
+        s"${ev.value} = graft.operators.Pq.adcScoreKernel($t, $c, $ksub);")
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Shared eval/codegen kernel for [[PqAdcScore]]. */
+  def adcScoreKernel(t: ArrayData, c: ArrayData, ksub: Int): Double = {
+    val tn = t.numElements()
+    var s = 0.0
+    var m = 0
+    val n = c.numElements()
+    while (m < n) {
+      val idx = m * ksub + c.getInt(m)
+      require(idx >= 0 && idx < tn,
+        s"ADC code ${c.getInt(m)} out of range for table of $tn entries (ksub=$ksub)")
+      s += t.getDouble(idx)
+      m += 1
+    }
+    s
   }
 
   private def adcScore(table: Column, codes: Column, ksub: Int): Column =
@@ -71,7 +80,7 @@ object Pq {
     * plan-build time).
     */
   case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
-      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def prettyName: String = "graft_pq_encode"
     override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -79,77 +88,99 @@ object Pq {
     @transient private lazy val halfNorms: Array[Array[Double]] =
       codebooks.map(_.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x) / 2.0))
 
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val m = codebooks.length
-      val dsub = codebooks(0)(0).length
-      require(v.numElements() >= m * dsub,
-        s"embedding has ${v.numElements()} dims, codebooks need ${m * dsub}")
-      val codes = new Array[Int](m)
-      var sub = 0
-      while (sub < m) {
-        var best = 0
-        var bestScore = Double.NegativeInfinity
-        var j = 0
-        while (j < codebooks(sub).length) {
-          val c = codebooks(sub)(j)
-          var dot = 0.0
-          var d = 0
-          while (d < dsub) {
-            dot += v.getFloat(sub * dsub + d).toDouble * c(d)
-            d += 1
-          }
-          val score = dot - halfNorms(sub)(j)
-          if (score > bestScore) { bestScore = score; best = j }
-          j += 1
-        }
-        codes(sub) = best
-        sub += 1
-      }
-      new GenericArrayData(codes)
-    }
+    override def nullSafeEval(input: Any): Any =
+      Pq.encodeKernel(input.asInstanceOf[ArrayData], codebooks, halfNorms)
+
+    // kernel-call codegen with the codebook tensor in the references
+    // array — see Ann.CentroidArgmax for the pattern rationale
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val cb = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+        val hn = ctx.addReferenceObj("halfNorms", halfNorms, "double[][]")
+        s"${ev.value} = graft.operators.Pq.encodeKernel($v, $cb, $hn);"
+      })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
+  /** Shared eval/codegen kernel for [[PqEncode]]. */
+  def encodeKernel(v: ArrayData, codebooks: Array[Array[Array[Float]]],
+      halfNorms: Array[Array[Double]]): ArrayData = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    require(v.numElements() >= m * dsub,
+      s"embedding has ${v.numElements()} dims, codebooks need ${m * dsub}")
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < codebooks(sub).length) {
+        val c = codebooks(sub)(j)
+        var dot = 0.0
+        var d = 0
+        while (d < dsub) {
+          dot += v.getFloat(sub * dsub + d).toDouble * c(d)
+          d += 1
+        }
+        val score = dot - halfNorms(sub)(j)
+        if (score > bestScore) { bestScore = score; best = j }
+        j += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    new GenericArrayData(codes)
+  }
+
   /** Per-query ADC lookup table (M·ksub dot products) in one fused loop. */
   case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Float]]])
-      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def prettyName: String = "graft_pq_adc_table"
     override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullIntolerant: Boolean = true
 
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val m = codebooks.length
-      val ksub = codebooks(0).length
-      val dsub = codebooks(0)(0).length
-      require(v.numElements() >= m * dsub,
-        s"embedding has ${v.numElements()} dims, codebooks need ${m * dsub}")
-      val table = new Array[Double](m * ksub)
-      var sub = 0
-      while (sub < m) {
-        var j = 0
-        while (j < ksub) {
-          val c = codebooks(sub)(j)
-          var dot = 0.0
-          var d = 0
-          while (d < dsub) {
-            dot += v.getFloat(sub * dsub + d).toDouble * c(d)
-            d += 1
-          }
-          table(sub * ksub + j) = dot
-          j += 1
-        }
-        sub += 1
-      }
-      new GenericArrayData(table)
-    }
+    override def nullSafeEval(input: Any): Any =
+      Pq.adcTableKernel(input.asInstanceOf[ArrayData], codebooks)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val cb = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+        s"${ev.value} = graft.operators.Pq.adcTableKernel($v, $cb);"
+      })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Shared eval/codegen kernel for [[PqAdcTable]]. */
+  def adcTableKernel(v: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    require(v.numElements() >= m * dsub,
+      s"embedding has ${v.numElements()} dims, codebooks need ${m * dsub}")
+    val table = new Array[Double](m * ksub)
+    var sub = 0
+    while (sub < m) {
+      var j = 0
+      while (j < ksub) {
+        val c = codebooks(sub)(j)
+        var dot = 0.0
+        var d = 0
+        while (d < dsub) {
+          dot += v.getFloat(sub * dsub + d).toDouble * c(d)
+          d += 1
+        }
+        table(sub * ksub + j) = dot
+        j += 1
+      }
+      sub += 1
+    }
+    new GenericArrayData(table)
   }
 
   /** Train per-sub-space codebooks: M sub-spaces of dsub dims, ksub
