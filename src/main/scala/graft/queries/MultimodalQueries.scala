@@ -31,27 +31,45 @@ object MultimodalQueries {
                      AS n_frames
             FROM documents ORDER BY media_id"""))
 
-  /** Pooled feature vectors from the (stubbed) decode — rows-only; the
-    * MultimodalSpec asserts determinism, shape, and L2 normalization.
-    * The vector is emitted as a JSON string plus scalar digests (dim, L2
-    * norm, first component) — array columns aren't comparable downstream,
-    * and the JSON form is deterministic (single JVM float formatting).
+  /** Pooled feature vectors from the (stubbed) decode. The decoded-feature
+    * frame (media_id, embedding, embedding_json) is parquet-landed (per-run
+    * path, see [[Landed]]) and the digests — dim, decimal-accumulated L2
+    * norm, first component, md5 of the JSON form — are recomputed by BOTH
+    * engines over the same landed arrays, so the digest arithmetic
+    * (size/dot/element/md5) is cross-checked hash-exactly while the
+    * splitmix64 sample stream stays engine-specific (its determinism,
+    * shape, and normalization are pinned by MultimodalSpec). A `def` (and
+    * `all` a def) so the oracle SQL dumped after the run embeds this run's
+    * landing path.
     */
-  private val q31 = GraftQuery(
+  private def q31 = GraftQuery(
     "q31_multimodal_features",
-    (s, dir) =>
+    (s, dir) => {
+      val path = Landed.land("q31_multimodal_features", dir)
       Multimodal.extractFeatures(
         s, Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
         .toDF()
+        .withColumn("embedding_json", to_json(col("embedding")))
+        .repartition(1) // see q24: empty-safe single part file
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
         .select(
           col("media_id"),
           size(col("embedding")).as("dim"),
-          round(sqrt(graft.functions.Similarity.dotFast(
-            col("embedding"), col("embedding"))), 6).as("l2_norm"),
-          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
-          to_json(col("embedding")).as("embedding_json"))
-        .orderBy("media_id"),
-    None)
+          round(sqrt(graft.functions.Similarity.dotExact(
+            col("embedding"), col("embedding"))), 12).as("l2_norm"),
+          element_at(col("embedding"), 1).cast("double").as("e0"),
+          md5(col("embedding_json")).as("feature_md5"))
+        .orderBy("media_id")
+    },
+    Some(s"""SELECT media_id,
+                    CAST(len(embedding) AS INT) AS dim,
+                    round(sqrt(CAST(list_sum(list_transform(embedding,
+                      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)), 12) AS l2_norm,
+                    CAST(embedding[1] AS DOUBLE) AS e0,
+                    md5(embedding_json) AS feature_md5
+             FROM read_parquet('${Landed.oraclePath("q31_multimodal_features")}/*.parquet')
+             ORDER BY media_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q30, q31)
+  def all: Seq[GraftQuery] = Seq(q30, q31)
 }
