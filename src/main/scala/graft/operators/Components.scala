@@ -12,12 +12,30 @@ import org.apache.spark.sql.functions._
   * neighbors' labels; converged when nothing changes. Rounds ≤ graph
   * diameter, and near-dup graphs are unions of small dense blobs
   * (diameter ~2-3), so 3-5 rounds close them. Each round is one
-  * join + groupBy shuffle on the edge list; lineage is cut per round with
-  * `localCheckpoint` so the plan doesn't grow (at cluster scale use
-  * `checkpoint` to reliable storage; the large-star/small-star algorithm
-  * of Kiveris et al. is the drop-in upgrade if diameters ever get large).
+  * join + groupBy shuffle on the edge list; lineage is cut per round so
+  * the plan doesn't grow. By default the cut is `localCheckpoint` (blocks
+  * pinned to executors — fine single-JVM, lost with a dead executor at
+  * cluster scale); pass `checkpointDir` to cut to reliable storage
+  * (HDFS/object store) instead, making every iterative path here
+  * executor-loss-safe. If propagation runs out of rounds, it
+  * auto-finishes on [[largeStarSmallStar]] over the label-contracted
+  * graph, so callers never receive silently-split clusters.
   */
 object Components {
+
+  /** Cut lineage after an iterative round: reliable `checkpoint` when a
+    * checkpoint dir is given (set once per SparkContext; Spark appends a
+    * per-context UUID subdir, so runs don't collide), `localCheckpoint`
+    * otherwise.
+    */
+  private def cut(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
 
   /** (id, cluster_id) for every node appearing in `pairs`, cluster_id =
     * min node id of the component.
@@ -30,7 +48,8 @@ object Components {
     */
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 20, driverEdgeThreshold: Long = 1000000L): DataFrame = {
+      maxIters: Int = 20, driverEdgeThreshold: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     // scoped persist: the threshold probe AND the chosen path both execute
     // `pairs` (often an expensive near-dup pipeline). Persist before the
     // probe, unpersist after the path has materialized (driver path
@@ -41,7 +60,7 @@ object Components {
       if (driverEdgeThreshold > 0 &&
           cached.limit(driverEdgeThreshold.toInt + 1).count() <= driverEdgeThreshold)
         driverUnionFind(cached, srcCol, dstCol)
-      else distributedCC(cached, srcCol, dstCol, maxIters)
+      else distributedCC(cached, srcCol, dstCol, maxIters, checkpointDir)
     } finally cached.unpersist()
   }
 
@@ -99,17 +118,16 @@ object Components {
   }
 
   private def distributedCC(
-      pairs: DataFrame, srcCol: String, dstCol: String, maxIters: Int): DataFrame = {
+      pairs: DataFrame, srcCol: String, dstCol: String, maxIters: Int,
+      checkpointDir: Option[String]): DataFrame = {
     // no cast: the algorithm only needs an orderable id type, and casting
     // would silently null non-numeric ids
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val sym = edges
+    val sym = cut(edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .distinct(), checkpointDir)
+    var labels = cut(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")), checkpointDir)
     def propagate(ls: DataFrame): DataFrame = {
       val nbrMin = sym
         .join(ls.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
@@ -127,25 +145,43 @@ object Components {
       // The intermediate hop is cached — it feeds both the second hop's
       // aggregation and its final join, and would otherwise recompute.
       val mid = propagate(labels).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val next = propagate(mid)
+      val next = cut(propagate(mid)
         .withColumnRenamed("label", "new_label")
         .join(labels, "id")
-        .select(col("id"), col("label").as("old_label"), col("new_label").as("label"))
-        .localCheckpoint(true)
+        .select(col("id"), col("label").as("old_label"), col("new_label").as("label")),
+        checkpointDir)
       changed = next.filter(col("label") =!= col("old_label")).count()
       mid.unpersist()
       labels = next.select("id", "label")
       iter += 1
     }
-    if (changed > 0)
+    if (changed > 0) {
       // O(diameter) propagation ran out of rounds — labels are a valid
-      // coarsening but components may still be split. Surface it loudly;
-      // high-diameter graphs should use largeStarSmallStar (O(log²n)
-      // rounds, diameter-independent).
+      // coarsening (every label is a node id of the same component, and the
+      // component-min node always labels itself), but components may still
+      // be split. Finish EXACTLY with diameter-independent O(log²n)
+      // large-star/small-star over the label-CONTRACTED graph — far
+      // smaller than the input after the rounds already run — then map
+      // each node through its label's final root. Callers therefore never
+      // receive a silent coarsening.
       System.err.println(
-        s"[Components] min-label propagation did NOT converge in " +
-          s"${maxIters}×2 hops ($changed labels still changing) — " +
-          "use largeStarSmallStar for high-diameter graphs")
+        s"[Components] min-label propagation hit the ${maxIters}×2-hop cap " +
+          s"($changed labels still changing) — finishing on " +
+          "largeStarSmallStar over the label-contracted graph")
+      val contracted = sym
+        .join(labels.select(col("id").as("src"), col("label").as("lsrc")), "src")
+        .join(labels.select(col("id").as("dst"), col("label").as("ldst")), "dst")
+        .select(col("lsrc"), col("ldst"))
+        .filter(col("lsrc") =!= col("ldst"))
+        .distinct()
+      val roots = largeStarSmallStar(contracted, "lsrc", "ldst",
+        checkpointDir = checkpointDir)
+        .select(col("id").as("label"), col("cluster_id").as("root"))
+      // labels whose component fully converged have no cross-label edge →
+      // absent from `contracted`; their label IS the component min
+      return labels.join(roots, Seq("label"), "left")
+        .select(col("id"), coalesce(col("root"), col("label")).as("cluster_id"))
+    }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -159,17 +195,23 @@ object Components {
     * boilerplate ladders) would stall it. Differential-tested against the
     * propagation path on chains, blobs, and multi-component graphs
     * (AnnSpec). Same output contract: (id, cluster_id = component min).
+    *
+    * Non-convergence in `maxIters` rounds (pathological — the bound is
+    * O(log²n) worst case, single digits in practice) THROWS under
+    * `strict` (the default): a truncated edge set is a valid coarsening
+    * but NOT full components, and a stderr line is not a contract. Pass
+    * `strict = false` to accept the coarsening with a warning.
     */
   def largeStarSmallStar(
       pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, checkpointDir: Option[String] = None,
+      strict: Boolean = true): DataFrame = {
     // canonical (hi, lo) orientation, self-loops dropped
-    var edges = pairs
+    var edges = cut(pairs
       .select(greatest(col(srcCol), col(dstCol)).as("hi"),
         least(col(srcCol), col(dstCol)).as("lo"))
       .filter(col("hi") =!= col("lo"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), checkpointDir)
     var iter = 0
     var done = edges.isEmpty
     while (!done && iter < maxIters) {
@@ -187,26 +229,25 @@ object Components {
       // SMALL-STAR: for each hi, link its smaller neighbors and itself to
       // the smallest of them
       val mSmall = ls.groupBy("hi").agg(min("lo").as("mn"))
-      val next = ls.join(mSmall, "hi")
+      val next = cut(ls.join(mSmall, "hi")
         .select(col("lo").as("a"), col("mn").as("b"))
         .union(mSmall.select(col("hi").as("a"), col("mn").as("b")))
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("hi"),
           least(col("a"), col("b")).as("lo"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct(), checkpointDir)
       done =
         next.except(edges).limit(1).count() == 0 &&
           edges.except(next).limit(1).count() == 0
       edges = next
       iter += 1
     }
-    if (!done)
-      // same loud contract as distributedCC: a truncated run yields a
-      // valid coarsening, not full components
-      System.err.println(
-        s"[Components] large-star/small-star did NOT converge in $maxIters " +
-          "rounds — components may still be split; raise maxIters")
+    if (!done) {
+      val msg = s"[Components] large-star/small-star did NOT converge in " +
+        s"$maxIters rounds — components may still be split; raise maxIters"
+      if (strict) throw new IllegalStateException(msg)
+      System.err.println(msg + " (strict = false: returning the coarsening)")
+    }
     // converged: every non-root points straight at its component min
     // (min-agg guards the contract even if maxIters cut convergence short)
     val roots = edges.groupBy(col("hi").as("id")).agg(min("lo").as("root"))
@@ -220,13 +261,16 @@ object Components {
   /** Cluster assignment for near-duplicate documents plus the survivor
     * flag (lowest doc_id in each cluster survives — the cross-document
     * generalization of [[Dedup.firstWriterWins]]). `driverEdgeThreshold`
-    * passes through to [[connectedComponents]]; 0 forces the distributed
-    * closure (how q77 proves that path end-to-end under the oracle).
+    * and `checkpointDir` pass through to [[connectedComponents]]; a
+    * threshold of 0 forces the distributed closure (how q77 proves that
+    * path end-to-end under the oracle).
     */
   def neardupClusters(
-      pairs: DataFrame, driverEdgeThreshold: Long = 1000000L): DataFrame =
+      pairs: DataFrame, driverEdgeThreshold: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame =
     connectedComponents(pairs, "doc_a", "doc_b",
-        driverEdgeThreshold = driverEdgeThreshold)
+        driverEdgeThreshold = driverEdgeThreshold,
+        checkpointDir = checkpointDir)
       .select(col("id").as("doc_id"), col("cluster_id"),
         (col("id") === col("cluster_id")).as("is_survivor"))
 }

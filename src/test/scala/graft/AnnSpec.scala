@@ -136,6 +136,42 @@ class AnnSpec extends SparkSpec {
     assert(asSet(0L) === asSet(1000L))
   }
 
+  test("reliable-checkpoint path: distributed CC cuts lineage to the checkpoint dir") {
+    val dir = graft.queries.Scratch.tempDir("graft_cc_ckpt")
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("doc_a", "doc_b")
+    val labels = Components.connectedComponents(chain, "doc_a", "doc_b",
+        driverEdgeThreshold = 0L, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(1)).distinct
+    assert(labels === Array(0L))
+    // the cuts really went to (stand-in) reliable storage: RDD checkpoint
+    // part files exist under the dir — executor loss can't kill the run
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try assert(files.anyMatch(p => p.getFileName.toString.startsWith("part-")))
+    finally files.close()
+  }
+
+  test("propagation hitting its round cap auto-finishes exactly via LSS fallback") {
+    // 50-chain (diameter 49), forced distributed, capped at 2 iterations =
+    // 4 hops of propagation: labels are then only a coarsening. Previously
+    // this returned SPLIT clusters with a stderr warning; the contract now
+    // is exact components via largeStarSmallStar over the contracted graph.
+    val chain = (0L until 50L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("doc_a", "doc_b")
+    val got = Components.connectedComponents(chain, "doc_a", "doc_b",
+        maxIters = 2, driverEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (0L until 50L).map(i => (i, 0L)).toSet)
+  }
+
+  test("largeStarSmallStar: strict throws on non-convergence; strict=false returns the coarsening") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Components.largeStarSmallStar(edges, "doc_a", "doc_b", maxIters = 0)
+    }
+    val coarse = Components.largeStarSmallStar(edges, "doc_a", "doc_b",
+      maxIters = 0, strict = false)
+    assert(coarse.count() === 3L)
+  }
+
   test("largeStarSmallStar agrees with union-find ground truth; beats propagation on diameter") {
     def labels(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
