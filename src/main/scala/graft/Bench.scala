@@ -5,13 +5,19 @@ object Bench {
   /** Best-of-`runs` wall time per query; `None` when any run threw — a
     * crashing query must never report a near-zero elapsed time that would
     * silently flatter the total.
+    *
+    * Adaptive rerun: when the base runs disagree by more than 20%, ONE
+    * extra run is taken before the min — round-over-round comparisons have
+    * repeatedly flagged phantom "regressions" that were transient host
+    * contention landing on both base runs (see PLANS.md round-4 triage);
+    * a third sample at a different instant collapses most of them.
     */
   def timeQueries(
       spark: SparkSession, sfDir: String,
       queries: Seq[(String, (SparkSession, String) => DataFrame)],
       runs: Int): Seq[(String, Option[Double])] =
     queries.map { case (name, fn) =>
-      val times = (0 until runs).flatMap { _ =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -22,7 +28,16 @@ object Bench {
             None
         }
       }
-      (name, if (times.size == runs) Some(times.min) else None)
+      val base = (0 until runs).map(_ => once())
+      if (base.exists(_.isEmpty)) (name, None)
+      else {
+        val times = base.flatten
+        if (runs > 1 && times.max > times.min * 1.2)
+          // a throw on the rerun is still a flaky query — report err, not
+          // the min of the runs that happened to survive
+          (name, once().map(t => (times :+ t).min))
+        else (name, Some(times.min))
+      }
     }
 
   /** The driver-contract JSON line: failed queries carry "err" in `queries`
@@ -33,7 +48,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","adaptive_rerun":"1 extra run when base runs disagree >20%"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -65,7 +80,7 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val failed = results.count(_._2.isEmpty)
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"failed_count":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"failed_count":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","adaptive_rerun":"1 extra run when base runs disagree >20%"}"""
     // Files.write throws on any I/O failure (a PrintWriter only sets a
     // silent error flag — a truncated summary would defeat the point);
     // relative path = the sbt working dir, overridable for other layouts

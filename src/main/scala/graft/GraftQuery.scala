@@ -23,7 +23,8 @@ object Registry {
       graft.queries.MultimodalQueries.all ++
       graft.queries.AdvancedQueries.all ++
       graft.queries.MedallionQueries.all ++
-      graft.queries.CurationQueries.all
+      graft.queries.CurationQueries.all ++
+      graft.queries.ShardQueries.all
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(sys.error(s"no such query: $name"))

@@ -30,12 +30,22 @@ object Packing {
     * would make the total order, and so the sum, ambiguous).
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String, out: String,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    prefixSumBy(df, Seq(orderCol), valueCol, out, numPartitions)
+
+  /** [[prefixSum]] over a composite order key: ascending lexicographic
+    * (orderCols...) order, which must be duplicate-free as a TUPLE — this
+    * is how a non-unique primary sort column (a hash, a score) gets a
+    * deterministic total order by appending a unique tiebreaker.
+    */
+  def prefixSumBy(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      out: String, numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "prefixSumBy needs at least one order column")
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val parted = df
-      .repartitionByRange(n, col(orderCol))
-      .sortWithinPartitions(orderCol)
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint() // pin partition ids + cut lineage (scoped, eager)
     val totals = parted.groupBy("__pid").agg(sum(col(valueCol).cast("long")).as("t"))
@@ -45,7 +55,7 @@ object Packing {
     val offsets = (0 until n).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
     val offsetDf = df.sparkSession.createDataFrame(
       (0 until n).map(i => (i, offsets(i))).toList).toDF("__pid", "__base")
-    val local = Window.partitionBy("__pid").orderBy(orderCol)
+    val local = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     parted
       .join(broadcast(offsetDf), "__pid")

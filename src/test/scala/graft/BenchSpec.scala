@@ -21,4 +21,24 @@ class BenchSpec extends SparkSpec {
     // the total must count only the successful query's time
     assert(!json.contains("-1"))
   }
+
+  test("adaptive rerun: >20% disagreement triggers exactly one extra sample") {
+    var noisyCalls = 0
+    val noisy: (String, (SparkSession, String) => DataFrame) =
+      ("noisy", (s, _) => {
+        noisyCalls += 1
+        if (noisyCalls == 2) Thread.sleep(400) // force >20% spread
+        s.range(1).toDF()
+      })
+    var stableCalls = 0
+    val stable: (String, (SparkSession, String) => DataFrame) =
+      ("stable", (s, _) => {
+        stableCalls += 1
+        Thread.sleep(500) // sleep dominates → runs agree within 20%
+        s.range(1).toDF()
+      })
+    val res = Bench.timeQueries(spark, "unused", Seq(noisy, stable), runs = 2).toMap
+    assert(noisyCalls === 3 && res("noisy").isDefined)
+    assert(stableCalls === 2 && res("stable").isDefined)
+  }
 }
