@@ -68,4 +68,59 @@ object Curation {
       .select("doc_id")
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
+
+  /** C4/RefinedWeb-style boilerplate removal: any segment whose
+    * fingerprint occurs in ≥ `minDocs` DISTINCT documents is boilerplate
+    * and is removed from EVERY document — including its first occurrence,
+    * which is what distinguishes the frequency-threshold rule from
+    * passage DEDUP's keep-first (q73): navigation bars, cookie banners
+    * and license headers should survive in no document at all.
+    *
+    * Natural-text pipelines segment on newlines/sentences; the harness
+    * corpus has no line structure, so segments are `chunkTokens`-token
+    * stride-aligned windows (same segmentation as q73) — the threshold
+    * semantics are identical either way.
+    *
+    * Scale shape: fingerprints shuffle once to count distinct docs (the
+    * boiler set is then a vanishing fraction of the corpus), the verdict
+    * equi-joins back on fingerprint, and the per-doc reassembly is one
+    * hash aggregate carrying ≤ n_chunks (chunk_id, text) pairs per doc.
+    * Nothing is all-pairs.
+    *
+    * Per doc: `n_chunks`, `n_boiler`, `retention`, and `kept_md5` — the
+    * md5 of the surviving token stream in chunk order, which pins the
+    * actual reconstruction, not just the counts.
+    */
+  def boilerplateChunkFilter(
+      docs: DataFrame, chunkTokens: Int, minDocs: Int): DataFrame = {
+    require(chunkTokens > 0 && minDocs > 1,
+      s"need chunkTokens > 0 and minDocs > 1, got $chunkTokens / $minDocs")
+    val chunks = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(chunkTokens))))
+      .select(col("doc_id"), expr(s"start div $chunkTokens").as("chunk_id"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))).as("txt"))
+      .withColumn("fp", md5(col("txt")))
+    val boiler = chunks.groupBy("fp")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("fp"), lit(true).as("is_boiler"))
+    chunks.join(boiler, Seq("fp"), "left")
+      .withColumn("keep", !coalesce(col("is_boiler"), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_boiler"),
+        // nulls (dropped chunks) are skipped by collect_list; sort_array
+        // on (chunk_id, txt) structs restores document order
+        sort_array(collect_list(when(col("keep"), struct(col("chunk_id"), col("txt")))))
+          .as("kept"))
+      .select(
+        col("doc_id"), col("n_chunks"), col("n_boiler"),
+        round(lit(1.0) - col("n_boiler").cast("double") / col("n_chunks"), 12)
+          .as("retention"),
+        md5(concat_ws(" ", transform(col("kept"), k => k.getField("txt"))))
+          .as("kept_md5"))
+  }
 }

@@ -465,6 +465,41 @@ object CurationQueries {
             SELECT doc_id, round(rate_raw, 6) AS rate, round(gate_raw, 6) AS gate
             FROM g WHERE gate_raw < rate_raw ORDER BY doc_id"""))
 
+  /** C4-style frequency-threshold boilerplate removal — a chunk seen in
+    * ≥2 distinct docs is stripped from ALL of them (vs q73's keep-first
+    * dedup). `kept_md5` hash-gates the reconstructed surviving token
+    * stream, so the oracle pins the actual filtered text.
+    */
+  private val q85 = GraftQuery(
+    "q85_boilerplate_filter",
+    (s, dir) =>
+      graft.operators.Curation.boilerplateChunkFilter(
+        Tables.documents(s, dir), chunkTokens = 16, minDocs = 2)
+        .orderBy("doc_id"),
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, greatest(len(toks) - 1, 0), 16)) AS start
+              FROM norm),
+            ch AS (
+              SELECT doc_id, start // 16 AS chunk_id,
+                     array_to_string(list_slice(toks, start + 1, start + 16), ' ') AS txt
+              FROM c),
+            f AS (SELECT doc_id, chunk_id, txt, md5(txt) AS fp FROM ch),
+            b AS (SELECT fp FROM f GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+            SELECT f.doc_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                   round(1.0 - CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 12) AS retention,
+                   md5(coalesce(string_agg(f.txt, ' ' ORDER BY f.chunk_id)
+                     FILTER (WHERE b.fp IS NULL), '')) AS kept_md5
+            FROM f LEFT JOIN b ON f.fp = b.fp
+            GROUP BY f.doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74)
+    Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85)
 }

@@ -30,6 +30,31 @@ class CurationSpec extends SparkSpec {
     assert(again === sampled.select("event_id").collect().map(_.getLong(0)).sorted)
   }
 
+  test("boilerplateChunkFilter removes ALL occurrences of a shared chunk, keep-first does not apply") {
+    // 4-token chunks; docs 1 and 2 share their first chunk verbatim
+    // (boilerplate), doc 3 is clean. Every doc also has a unique tail.
+    val docs = Seq(
+      (1L, "cookie banner accept all unique tail one two"),
+      (2L, "cookie banner accept all other ending words here"),
+      (3L, "entirely original content with no repeats at all")).toDF("doc_id", "text")
+    val got = graft.operators.Curation.boilerplateChunkFilter(docs, chunkTokens = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    // both sharers lose the chunk — including the FIRST occurrence
+    assert(got(1L)._1 === 2 && got(1L)._2 === 1)
+    assert(got(2L)._1 === 2 && got(2L)._2 === 1)
+    assert(got(3L)._2 === 0)
+    // the reconstructed survivor stream is exactly the unique tail
+    def md5Of(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got(1L)._3 === md5Of("unique tail one two"))
+    assert(got(3L)._3 === md5Of("entirely original content with no repeats at all"))
+    // deterministic across runs (collect_list order is tamed by sort_array)
+    val again = graft.operators.Curation.boilerplateChunkFilter(docs, 4, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(again === got.map { case (k, v) => k -> v._3 })
+  }
+
   test("decontaminate: drops the doc sharing a benchmark passage, keeps clean docs") {
     val benchmark = Seq(
       (1000L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")

@@ -33,6 +33,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q61_asof_custom_exec").contains("AsOfJoin"))
   }
 
+  test("q84 permutation rank has no single-partition stage (no global window)") {
+    val p = plan("q84_shuffle_shard_split")
+    assert(p.contains("Window"), "expected the per-partition rank window")
+    assert(!p.contains("SinglePartition"),
+      "global-sort rank would collapse the corpus onto one task:\n" + p.take(1200))
+  }
+
   test("no cartesian product in any audited plan") {
     Seq("q01_scan_sort_limit", "q02_filter_project", "q19_ngram_jaccard_pairs",
       "q34_salted_join_agg", "q41_ship_priority", "q42_local_supplier_volume",
