@@ -16,6 +16,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // subset runs re-dump oracle SQL for ALL queries; landed-path oracles
+    // outside the subset resolve through the per-scale path registry
+    graft.queries.Landed.setDir(sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name))

@@ -21,12 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * products (no shuffle); the probe is an equi-join on cell id (one
   * shuffle, AQE-skew-safe); top-k is a bounded [[graft.functions.TopKAgg]]
   * aggregation (map-side partials carry ≤ k per query per partition).
-  * Training is Lloyd iterations over a hash-gated ≤16 k sample with
-  * per-dimension distributed means (posexplode → groupBy(cell, dim)), so
-  * no vector ever aggregates on the driver beyond the nlist centroids
+  * Training is Lloyd iterations over a hash-gated ~16 k sample (expected
+  * size within 2× of the bound at ANY corpus size — see [[trainSample]])
+  * with per-dimension distributed means (posexplode → groupBy(cell, dim)),
+  * so no vector ever aggregates on the driver beyond the nlist centroids
   * themselves and the training cost is bounded regardless of corpus size —
-  * at 100 TB the only full-corpus passes are the seed scan and the final
-  * assignment, both linear.
+  * at 100 TB the only full-corpus passes are the seed scan, ONE count
+  * (reused across the trainers and the gate), the sample's gate filter
+  * (persisted, so not per-iteration), and the final assignment, all linear.
   *
   * Deterministic: seeds are the `nlist` lowest vec_ids; means are exact
   * decimal sums; ties in argmax break toward the lower cell index.
@@ -172,52 +174,73 @@ object Ann {
     new GenericArrayData(out)
   }
 
+  /** Deterministic hash-gated training sample: expected size in
+    * [maxTrain, 2·maxTrain) for any corpus up to ~maxTrain·2⁴⁰ rows. The
+    * gate modulus is 2⁴⁰, NOT 10⁶ — a 10⁶ modulus floors the pass rate at
+    * one-in-a-million, so past n = 10⁶·maxTrain the "bounded" sample grows
+    * again as n/10⁶ (61× maxTrain at 10¹² rows). Pure function of the id:
+    * reproducible run-to-run and stable under repartitioning.
+    */
+  private[operators] def trainSample(
+      corpus: DataFrame, idCol: String, n: Long, maxTrain: Long): DataFrame = {
+    val gate = 1L << 40
+    // BigInt: gate·maxTrain overflows Long for maxTrain ≳ 8e6
+    val thr = (BigInt(gate) * maxTrain / n).toLong.max(1L)
+    corpus.filter(pmod(xxhash64(col(idCol)), lit(gate)) < lit(thr))
+  }
+
   /** Train centroids: seed with the nlist lowest-id vectors, then `iters`
     * Lloyd steps of (assign to nearest-by-cosine centroid, recompute
     * per-cell mean). Returns nlist × dim (cells may be empty → seed kept).
     *
-    * Lloyd iterations run on a deterministic hash-gated sample of at most
-    * `maxTrain` vectors (the [[Pq.trainCodebooks]] pattern): centroid
-    * estimates need ~10³ vectors per cell, not the corpus, and the
-    * per-iteration `posexplode` otherwise generates n·dim intermediate
-    * rows — at 1 B × 768-dim that is ~10¹² rows per pass for centroids a
-    * 16 k sample estimates just as well. Seeds stay the nlist lowest
-    * vec_ids of the FULL corpus, and the gate is a pure function of
-    * vec_id, so training is reproducible run-to-run and corpora at or
-    * under `maxTrain` rows (every current fixture) train bit-identically
-    * to the unsampled implementation.
+    * Lloyd iterations run on a deterministic hash-gated [[trainSample]]
+    * of ~`maxTrain` vectors, persisted for the duration of training:
+    * centroid estimates need ~10³ vectors per cell, not the corpus, and
+    * the per-iteration `posexplode` otherwise generates n·dim
+    * intermediate rows — at 1 B × 768-dim that is ~10¹² rows per pass
+    * for centroids a 16 k sample estimates just as well. Seeds stay the
+    * nlist lowest vec_ids of the FULL corpus, and the gate is a pure
+    * function of vec_id, so training is reproducible run-to-run and
+    * corpora at or under `maxTrain` rows (every current fixture) train
+    * bit-identically to the unsampled implementation. Pass `knownCount`
+    * when the caller already counted the corpus (ivfTopK/pqTopK do) so
+    * training adds no extra full pass beyond the seed scan.
     */
   def trainCentroids(
       spark: SparkSession, corpus: DataFrame,
-      nlist: Int, iters: Int = 2, maxTrain: Long = 16384L): Array[Array[Float]] = {
+      nlist: Int, iters: Int = 2, maxTrain: Long = 16384L,
+      knownCount: Long = -1L): Array[Array[Float]] = {
     import spark.implicits._
     var centroids: Array[Array[Float]] = corpus
       .orderBy("vec_id").limit(nlist)
       .select(col("embedding").as[Array[Float]])
       .collect()
     val dim = centroids.head.length
-    val n = corpus.count()
+    val n = if (knownCount >= 0L) knownCount else corpus.count()
+    val sampled = n > maxTrain
+    // persist the (tiny) sample: without it every Lloyd iteration re-runs
+    // the full upstream pipeline through the hash gate
     val trainSet =
-      if (n <= maxTrain) corpus
-      else corpus.filter(
-        // max(1, ...): at extreme corpus sizes the integer rate would floor
-        // to 0 and silently train on an EMPTY sample (seeds never refined)
-        pmod(xxhash64(col("vec_id")), lit(1000000L))
-          < lit(math.max(1L, 1000000L * maxTrain / n)))
-    for (_ <- 0 until iters) {
-      val assigned = assignCells(trainSet, centroids)
-      val sums = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim")
-        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = centroids.map(_.clone())
-      sums.foreach { r =>
-        val cell = r.getInt(0)
-        next(cell)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+      if (sampled)
+        trainSample(corpus, "vec_id", n, maxTrain)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else corpus
+    try {
+      for (_ <- 0 until iters) {
+        val assigned = assignCells(trainSet, centroids)
+        val sums = assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("cell", "dim")
+          .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        sums.foreach { r =>
+          val cell = r.getInt(0)
+          next(cell)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+        }
+        centroids = next
       }
-      centroids = next
-    }
+    } finally if (sampled) trainSet.unpersist()
     require(centroids.forall(_.length == dim))
     centroids
   }
@@ -240,13 +263,11 @@ object Ann {
     * matrix carried in the fused expressions — past ~16 M vectors raise
     * nlist explicitly.
     */
-  private[operators] def effectiveNlist(corpus: DataFrame, nlist: Int): Int =
+  private[operators] def effectiveNlist(n: Long, nlist: Int): Int =
     if (nlist > 0) nlist
-    else {
-      val n = corpus.count()
+    else
       math.min(4096L,
         math.max(16L, math.min(n, math.ceil(math.sqrt(n.toDouble)).toLong))).toInt
-    }
 
   /** Broadcast the probe side only while the exploded (query × nprobe) row
     * count stays under `broadcastQueryRows` — decided with a bounded
@@ -280,7 +301,9 @@ object Ann {
       spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 0, nprobe: Int = 4, iters: Int = 1,
       broadcastQueryRows: Long = 500000L): DataFrame = {
-    val centroids = trainCentroids(spark, corpus, effectiveNlist(corpus, nlist), iters)
+    val n = corpus.count() // the one counting pass — threaded through
+    val centroids =
+      trainCentroids(spark, corpus, effectiveNlist(n, nlist), iters, knownCount = n)
     val corpusCells = assignCells(corpus, centroids)
       .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
         Similarity.normExact(col("embedding")).as("nn"), col("cell"))

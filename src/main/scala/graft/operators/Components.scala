@@ -24,15 +24,27 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** Cut lineage after an iterative round: reliable `checkpoint` when a
-    * checkpoint dir is given (set once per SparkContext; Spark appends a
-    * per-context UUID subdir, so runs don't collide), `localCheckpoint`
-    * otherwise.
+    * checkpoint dir is given, `localCheckpoint` otherwise.
+    *
+    * `setCheckpointDir` is SparkContext-GLOBAL and appends a per-set UUID
+    * subdir, so it is re-issued only when the requested dir changes (not
+    * per cut — that would spray one subdir per iteration, and not never —
+    * that would silently ignore a second caller's different dir, sending
+    * its checkpoints, and any cleanup it does of its own dir, to the
+    * wrong location). Checkpoint files are NOT auto-deleted unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set; the
+    * caller owns the dir's lifecycle.
     */
+  private val lastSetDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+
   private def cut(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        if (sc.getCheckpointDir.isEmpty || lastSetDir.get != dir) {
+          sc.setCheckpointDir(dir)
+          lastSetDir.set(dir)
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

@@ -189,7 +189,7 @@ object Pq {
     * Returns codebooks(m)(j) = codeword j of sub-space m.
     */
   def trainCodebooks(spark: SparkSession, corpus: DataFrame, m: Int, ksub: Int,
-      iters: Int = 2): Array[Array[Array[Float]]] = {
+      iters: Int = 2, knownCount: Long = -1L): Array[Array[Array[Float]]] = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val dim = corpus.select(size(col("embedding"))).as[Int].head()
@@ -199,25 +199,26 @@ object Pq {
       .select(col("embedding").as[Array[Float]]).collect()
     require(seeds.length == ksub, s"corpus smaller than ksub=$ksub")
     // codebooks need ~10³ vectors per codeword, not the whole corpus:
-    // train on a deterministic hash-gated sample so the Lloyd explode cost
-    // is bounded regardless of corpus size (the encode pass that follows
-    // still covers every vector)
+    // train on a deterministic hash-gated sample ([[Ann.trainSample]] —
+    // 2⁴⁰ gate modulus, expected size within 2× of maxTrain at ANY corpus
+    // size) so the Lloyd explode cost is bounded (the encode pass that
+    // follows still covers every vector); persisted so iterations don't
+    // re-run the upstream pipeline through the gate
     val maxTrain = 16384L
-    val n = corpus.count()
+    val n = if (knownCount >= 0L) knownCount else corpus.count()
+    val sampled = n > maxTrain
     val trainSet =
-      if (n <= maxTrain) corpus
-      else corpus.filter(
-        // max(1, ...): at extreme corpus sizes the integer rate would floor
-        // to 0 and silently train on an EMPTY sample (seeds never refined)
-        pmod(xxhash64(col("vec_id")), lit(1000000L))
-          < lit(math.max(1L, 1000000L * maxTrain / n)))
+      if (sampled)
+        Ann.trainSample(corpus, "vec_id", n, maxTrain)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else corpus
     var codebooks: Array[Array[Array[Float]]] = (0 until m).toArray.map { sub =>
       seeds.map(_.slice(sub * dsub, (sub + 1) * dsub))
     }
     // ONE distributed job per Lloyd iteration for ALL sub-spaces: encode,
     // explode every dimension, route it to (sub-space, codeword, local dim)
     // and take decimal-exact means — m·ksub·dsub tiny rows to the driver
-    for (_ <- 0 until iters) {
+    try for (_ <- 0 until iters) {
       val sums = encode(trainSet, codebooks)
         .select(col("codes"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(
@@ -235,7 +236,7 @@ object Pq {
           (r.getDouble(3) / r.getLong(4)).toFloat
       }
       codebooks = next
-    }
+    } finally if (sampled) trainSet.unpersist()
     codebooks
   }
 
@@ -260,9 +261,10 @@ object Pq {
       m: Int = 8, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
       nlist: Int = 0, nprobe: Int = 8,
       broadcastQueryRows: Long = 500000L): DataFrame = {
-    val codebooks = trainCodebooks(spark, corpus, m, ksub, iters)
-    val centroids =
-      Ann.trainCentroids(spark, corpus, Ann.effectiveNlist(corpus, nlist), iters = 1)
+    val n = corpus.count() // one counting pass, threaded into both trainers
+    val codebooks = trainCodebooks(spark, corpus, m, ksub, iters, knownCount = n)
+    val centroids = Ann.trainCentroids(spark, corpus,
+      Ann.effectiveNlist(n, nlist), iters = 1, knownCount = n)
     // SLIM approximate phase: only (ids, codes, cell, tables) flow through
     // the scan and the top-(k·refine) window — never the embeddings, whose
     // 2M wide rows would dominate the sort (the round-1 slim-shuffle lesson)

@@ -27,32 +27,62 @@ object Landed {
 
   private val sweepOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Scale dir of this run, set by Verify at startup: lets [[oraclePath]]
+    * fall back to the path registry of the right scale when THIS JVM never
+    * landed the query (a subset Verify re-dumps oracle SQL for every
+    * query; without the fallback it would embed dead paths for the landed
+    * queries outside the subset, failing their — still present, still
+    * valid — parquet in the dump dir against a nonexistent fixture).
+    */
+  @volatile private var fallbackDir: Option[String] = None
+
+  def setDir(dir: String): Unit = fallbackDir = Some(dir)
+
   private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9]+", "_")
 
+  private def registryFile(name: String, dir: String) =
+    Paths.get(s"/tmp/graft_landed/registry/${sanitize(dir)}__$name.path")
+
   /** Landing path for `name` at scale dir `dir` — unique per (JVM, dir,
-    * query) — recorded so [[oraclePath]] (read when Verify dumps
-    * oracle_sql.json AFTER running the queries in the same JVM) references
-    * exactly the files this run wrote.
+    * query) — recorded in-memory (for this JVM's oracle dump) and in the
+    * per-scale path registry (for later subset runs' dumps).
     */
   def land(name: String, dir: String): String = {
     sweepStale()
     val p = s"/tmp/graft_landed/p${runTag}_${sanitize(dir)}/$name.parquet"
     recorded.put(name, p)
+    try {
+      Files.createDirectories(registryFile(name, dir).getParent)
+      Files.writeString(registryFile(name, dir), p)
+    } catch { case _: Throwable => () } // registry is best-effort
     p
   }
 
-  /** The path the query actually landed at in this JVM. The fallback (query
-    * never ran here — e.g. a subset Verify) is deterministic but points at
-    * nothing; it is only ever embedded in oracle SQL the harness won't
-    * execute, because local_verify/the driver compare only queries whose
-    * output parquet exists in the dump dir.
+  /** The path the query landed at in this JVM; else (subset Verify) the
+    * last path landed for this scale dir by ANY process, read from the
+    * registry. The final fallback points at nothing and is only embedded
+    * in oracle SQL the harness won't execute (local_verify/the driver
+    * compare only queries whose output parquet exists in the dump dir —
+    * which, on a fresh dump dir, a never-run query's won't).
     */
   def oraclePath(name: String): String =
-    recorded.getOrDefault(name, s"/tmp/graft_landed/unrun/$name.parquet")
+    Option(recorded.get(name))
+      .orElse(fallbackDir.flatMap { dir =>
+        try {
+          val f = registryFile(name, dir)
+          if (Files.isRegularFile(f)) {
+            val p = Files.readString(f).trim
+            if (Files.exists(Paths.get(p))) Some(p) else None
+          } else None
+        } catch { case _: Throwable => None }
+      })
+      .getOrElse(s"/tmp/graft_landed/unrun/$name.parquet")
 
-  /** Best-effort removal of landed dirs from runs older than 6 hours: keeps
-    * the un-deletable-at-exit lifetime from accumulating across rounds
-    * while staying far clear of any concurrently live run.
+  /** Best-effort removal of landed dirs from DEAD runs older than 6 hours:
+    * keeps the un-deletable-at-exit lifetime from accumulating across
+    * rounds. A dir whose owning pid is still alive is never touched (a
+    * >6h run's oracle would otherwise lose its fixtures mid-flight), and
+    * the path registry is not a landed dir and is never swept.
     */
   private def sweepStale(): Unit =
     if (sweepOnce.compareAndSet(false, true)) {
@@ -61,9 +91,15 @@ object Landed {
       try if (Files.isDirectory(root)) {
         val children = Files.list(root)
         try children.forEach { p =>
-          try if (Files.getLastModifiedTime(p).toMillis < cutoff)
-            Scratch.deleteRecursively(p)
-          catch { case _: Throwable => () }
+          try {
+            val n = p.getFileName.toString
+            val ownerAlive = n.startsWith("p") &&
+              n.drop(1).takeWhile(_.isDigit).toLongOption
+                .exists(pid => java.lang.ProcessHandle.of(pid).isPresent)
+            if (n.startsWith("p") && !ownerAlive &&
+                Files.getLastModifiedTime(p).toMillis < cutoff)
+              Scratch.deleteRecursively(p)
+          } catch { case _: Throwable => () }
         } finally children.close()
       } catch { case _: Throwable => () }
     }

@@ -36,11 +36,16 @@ object StreamingCdcLoad {
     val marker = new org.apache.hadoop.fs.Path(s"$root/$Marker")
     val fromMarker =
       if (!f.exists(marker)) None
-      else {
+      else try {
         val in = f.open(marker)
         val s = try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
         s.toLongOption
+      } catch {
+        // torn read, stale checksum sidecar, marker deleted between exists
+        // and open — all the same case: the pointer cache is unreadable,
+        // the version directories are the source of truth
+        case scala.util.control.NonFatal(_) => None
       }
     fromMarker.orElse(maxVersionDir(f, root)).map(v => (v, s"$root/v$v"))
   }
@@ -91,23 +96,45 @@ object StreamingCdcLoad {
     next.write.mode("overwrite").parquet(s"$root/v$batchId")
     // pointer flip: write-then-rename, so a reader never observes a
     // truncated/empty marker (create(overwrite=true) would truncate in
-    // place before the new bytes land). FileContext.rename(OVERWRITE) is
-    // a SINGLE atomic replace on HDFS and local FS — the previous
-    // delete-then-rename left a window with no marker at all, dropping
-    // every concurrent reader onto the O(#versions) listing. On object
-    // stores (S3A) rename itself is copy+delete, so the flip is NOT
-    // atomic there; [[latest]]'s max-v* fallback keeps readers correct —
-    // just slower — through that window, and a transactional table format
-    // is the real answer at that tier.
+    // place before the new bytes land). The replace must be a SINGLE
+    // atomic op, and WHICH op that is depends on the filesystem:
+    //  - local fs: POSIX rename(2) via Files.move(ATOMIC_MOVE) — Hadoop's
+    //    FileContext.rename(OVERWRITE) is NOT atomic here (RawLocalFs
+    //    inherits AbstractFileSystem's delete-then-rename default, which
+    //    reopens the no-marker window);
+    //  - HDFS: FileContext.rename(OVERWRITE), which HDFS implements as an
+    //    atomic namespace operation;
+    //  - object stores (S3A): rename is copy+delete — NOT atomic;
+    //    [[latest]]'s max-v* fallback keeps readers correct (just slower)
+    //    through that window, and a transactional table format is the
+    //    real answer at that tier.
     val f = fs(spark, root)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/$Marker.tmp")
-    val out = f.create(tmp, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     val marker = new org.apache.hadoop.fs.Path(s"$root/$Marker")
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
-      .rename(f.makeQualified(tmp), f.makeQualified(marker),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val scheme = f.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // raw java.nio on the local branch throughout: going through
+      // LocalFileSystem.create would spawn .crc sidecars that a raw
+      // rename then leaves stale (checksum failure on the next read)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath),
+        batchId.toString.getBytes("UTF-8"))
+      // a FOREIGN checksummed writer may have left a marker sidecar;
+      // drop it so post-flip reads are raw (readers between the delete
+      // and the move still see the old marker — never none)
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/.$Marker.crc"), false)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(f.makeQualified(marker).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val out = f.create(tmp, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+        .rename(f.makeQualified(tmp), f.makeQualified(marker),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     true
   }
 

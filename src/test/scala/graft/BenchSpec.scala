@@ -30,15 +30,14 @@ class BenchSpec extends SparkSpec {
         if (noisyCalls == 2) Thread.sleep(400) // force >20% spread
         s.range(1).toDF()
       })
-    var stableCalls = 0
-    val stable: (String, (SparkSession, String) => DataFrame) =
-      ("stable", (s, _) => {
-        stableCalls += 1
-        Thread.sleep(500) // sleep dominates → runs agree within 20%
-        s.range(1).toDF()
-      })
-    val res = Bench.timeQueries(spark, "unused", Seq(noisy, stable), runs = 2).toMap
+    val res = Bench.timeQueries(spark, "unused", Seq(noisy), runs = 2).toMap
+    // exactly one rerun — 3 calls, not 4 (the trigger must not cascade);
+    // a "stable query takes exactly 2" counterpart would be timing-flaky
+    // (first-run scheduling overhead can push two equal sleeps past the
+    // 20% cutoff on a loaded host), so only the deterministic side is
+    // asserted
     assert(noisyCalls === 3 && res("noisy").isDefined)
-    assert(stableCalls === 2 && res("stable").isDefined)
+    // the reported min is the fast run, not the degraded one
+    assert(res("noisy").get < 0.4)
   }
 }

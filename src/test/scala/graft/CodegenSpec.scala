@@ -16,19 +16,27 @@ class CodegenSpec extends SparkSpec {
   private def codegenOf(df: DataFrame): String =
     org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
 
-  /** Rows collected with whole-stage codegen + no-fallback vs interpreted. */
+  /** Rows collected with whole-stage codegen + no-fallback vs TRULY
+    * interpreted eval. The interpreted leg must pin factoryMode=NO_CODEGEN:
+    * wholeStage=false alone still compiles expressions through
+    * GenerateUnsafeProjection (doGenCode), so without it the "drift check"
+    * would compare the kernel against itself and an eval-vs-codegen
+    * divergence in any expression would sail through.
+    */
   private def bothPaths(df: => DataFrame): (Array[String], Array[String]) = {
-    def collectWith(wholeStage: Boolean, fallback: Boolean) = {
+    def collectWith(wholeStage: Boolean, fallback: Boolean, factory: String) = {
       spark.conf.set("spark.sql.codegen.wholeStage", wholeStage.toString)
       spark.conf.set("spark.sql.codegen.fallback", fallback.toString)
+      spark.conf.set("spark.sql.codegen.factoryMode", factory)
       try df.collect().map(_.toString).sorted
       finally {
         spark.conf.set("spark.sql.codegen.wholeStage", "true")
         spark.conf.set("spark.sql.codegen.fallback", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
       }
     }
-    (collectWith(wholeStage = true, fallback = false),
-      collectWith(wholeStage = false, fallback = true))
+    (collectWith(wholeStage = true, fallback = false, factory = "CODEGEN_ONLY"),
+      collectWith(wholeStage = false, fallback = true, factory = "NO_CODEGEN"))
   }
 
   private val centroids: Array[Array[Float]] =
