@@ -69,6 +69,36 @@ object Curation {
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** FineWeb-style source balancing: cap any single source's share of the
+    * corpus at `maxShare` by deterministically downsampling
+    * overrepresented sources — rate_s = min(1, maxShare·total/n_s), so
+    * underrepresented sources pass untouched and a capped source's kept
+    * volume lands at ≈ maxShare·total. Rates are DATA-DERIVED (they move
+    * as the corpus grows) while the keep decision per row is a pure
+    * function of the id, so a kept row stays kept across reruns and
+    * repartitionings of the same snapshot.
+    *
+    * Two stages: a per-source count aggregate (tiny — source cardinality,
+    * not corpus; its total is a broadcast single-row cross join, no
+    * driver collect), broadcast back onto the corpus, then one codegen'd
+    * filter. The corpus itself never shuffles. `gate` defaults to the
+    * q74 integer-scramble arithmetic replayable in any engine.
+    */
+  def capSourceShare(
+      df: DataFrame, sourceCol: String, idCol: String, maxShare: Double,
+      gate: Column = null): DataFrame = {
+    require(maxShare > 0.0 && maxShare <= 1.0, s"maxShare in (0,1], got $maxShare")
+    val g = Option(gate).getOrElse(
+      (((col(idCol) % 100003L) * 53L + 11L) % 10000L).cast("double") / lit(10000.0))
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(sum("__n").as("__total"))))
+      .withColumn("__rate", least(lit(1.0), lit(maxShare) * col("__total") / col("__n")))
+      .select(col(sourceCol), col("__rate"))
+    df.join(broadcast(rates), sourceCol)
+      .filter(g < col("__rate"))
+  }
+
   /** C4/RefinedWeb-style boilerplate removal: any segment whose
     * fingerprint occurs in ≥ `minDocs` DISTINCT documents is boilerplate
     * and is removed from EVERY document — including its first occurrence,

@@ -500,6 +500,27 @@ object CurationQueries {
             FROM f LEFT JOIN b ON f.fp = b.fp
             GROUP BY f.doc_id ORDER BY doc_id"""))
 
+  /** Data-derived per-source cap (FineWeb source balancing): rates are
+    * computed FROM the corpus (min(1, cap·total/n_s)) rather than fixed
+    * like q50's; the keep gate is the engine-replayable integer scramble.
+    * Raw-double rate comparison on both sides, rounding only on display
+    * (q74's contract).
+    */
+  private val q86 = GraftQuery(
+    "q86_source_share_cap",
+    (s, dir) =>
+      graft.operators.Curation.capSourceShare(
+        Tables.documents(s, dir), "source", "doc_id", maxShare = 0.03)
+        .select(col("doc_id"), col("source"), round(col("__rate"), 6).as("rate"))
+        .orderBy("doc_id"),
+    Some("""WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+            t AS (SELECT count(*) AS total FROM documents),
+            r AS (SELECT source, least(1.0, 0.03 * total / ns) AS rate FROM n, t)
+            SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+            FROM documents d JOIN r USING (source)
+            WHERE ((d.doc_id % 100003) * 53 + 11) % 10000 / 10000.0 < r.rate
+            ORDER BY d.doc_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85)
+    Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86)
 }

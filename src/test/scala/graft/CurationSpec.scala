@@ -55,6 +55,26 @@ class CurationSpec extends SparkSpec {
     assert(again === got.map { case (k, v) => k -> v._3 })
   }
 
+  test("capSourceShare: overrepresented source capped near maxShare, small source untouched") {
+    // 900 rows of "big", 100 of "small"; cap at 50% of the 1000-row corpus
+    val df = spark.range(1000)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 900, "big").otherwise("small").as("source"))
+    val kept = graft.operators.Curation.capSourceShare(df, "source", "doc_id", maxShare = 0.5)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // big: rate = 0.5*1000/900 ≈ 0.556 → ~500 kept (the cap's target volume)
+    assert(math.abs(kept("big") - 500L) < 60, s"big kept ${kept("big")}")
+    // small: rate = 5.0 clamps to 1.0 → ALL 100 kept, deterministically
+    assert(kept("small") === 100L)
+    // pure-hash gate ⇒ bit-identical keep set on re-run
+    val a = graft.operators.Curation.capSourceShare(df, "source", "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = graft.operators.Curation.capSourceShare(df, "source", "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a === b)
+  }
+
   test("decontaminate: drops the doc sharing a benchmark passage, keeps clean docs") {
     val benchmark = Seq(
       (1000L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
