@@ -135,4 +135,50 @@ object OpsProps extends Properties("Operators") {
       tiles && adjacentDiffer && reconstructs
     }
   }
+
+  // composite-key two-phase scan == serial exclusive scan, any partition count
+  property("prefixSumBy == serial scan") = {
+    val pRowGen = for {
+      k <- Gen.chooseNum(0L, 5L) // duplicate-heavy primary key
+      id <- Gen.chooseNum(0L, 1000L)
+      v <- Gen.chooseNum(0L, 50L)
+    } yield (k, id, v)
+    val pTableGen = Gen.listOfN(30, pRowGen)
+      .map(_.groupBy(_._2).map(_._2.head).toList) // unique tiebreaker ids
+    val nPartGen = Gen.chooseNum(1, 6)
+    Prop.forAllNoShrink(pTableGen, nPartGen) { (rows, nPart) =>
+      rows.isEmpty || {
+        import spark.implicits._
+        val got = graft.operators.Packing.prefixSumBy(
+            rows.toDF("k", "id", "v"), Seq("k", "id"), "v", "off", nPart)
+          .select("id", "off").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val sorted = rows.sortBy(r => (r._1, r._2))
+        val offsets = sorted.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
+        got == sorted.map(_._2).zip(offsets).toMap
+      }
+    }
+  }
+
+  // shuffleShards: permutation + balance + pure-function split on any id set
+  property("shuffleShards invariants") = {
+    val idsGen = Gen.listOfN(40, Gen.chooseNum(0L, 10000L)).map(_.distinct)
+    val shardsGen = Gen.chooseNum(1, 9)
+    Prop.forAllNoShrink(idsGen, shardsGen) { (ids, nShards) =>
+      ids.isEmpty || {
+        import spark.implicits._
+        val rows = graft.operators.Sharding.shuffleShards(
+            ids.toDF("doc_id"), "doc_id", nShards, seed = 7L)
+          .select("doc_id", "rank", "shard_id", "shard_pos")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        val n = ids.length
+        val perm = rows.map(_._2).sorted.sameElements(0L until n.toLong)
+        val sizes = rows.groupBy(_._3).map(_._2.length)
+        val balanced = sizes.max - sizes.min <= 1
+        val consistent = rows.forall { case (_, rank, sh, pos) =>
+          sh == (rank % nShards).toInt && pos == rank / nShards
+        }
+        perm && balanced && consistent
+      }
+    }
+  }
 }
