@@ -274,6 +274,46 @@ object MedallionQueries {
             SELECT c_custkey, c_name, c_mktsegment FROM changes WHERE op IN ('I', 'U')
             ORDER BY c_custkey"""))
 
+  /** Snapshot diff ([[graft.operators.Cdc.diff]]): the time-travel audit
+    * between two keyed snapshot versions — every key classified
+    * insert/delete/update off ONE full-outer key join, unchanged keys
+    * dropped. Versions are deterministic functions of `customer` (key
+    * presence by modulus, a balance bump for a third of the survivors),
+    * so the oracle rebuilds both sides and replays the classification.
+    */
+  private val q87 = GraftQuery(
+    "q87_snapshot_diff",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val oldSnap = cust.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val newSnap = cust.filter(col("c_custkey") % 5 =!= 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") +
+            when(col("c_custkey") % 3 === 0, 10.0).otherwise(0.0)).as("c_acctbal"))
+      graft.operators.Cdc.diff(oldSnap, newSnap,
+          keys = Seq("c_custkey"), compareCols = Seq("c_acctbal"))
+        .select(col("c_custkey"), col("change"),
+          col("old_c_acctbal"), col("new_c_acctbal"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH o AS (
+              SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 7 <> 0),
+            n AS (
+              SELECT c_custkey,
+                     c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 10.0 ELSE 0.0 END AS c_acctbal
+              FROM customer WHERE c_custkey % 5 <> 0)
+            SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+                   CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                        WHEN n.c_custkey IS NULL THEN 'delete'
+                        WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update' END AS change,
+                   o.c_acctbal AS old_c_acctbal,
+                   n.c_acctbal AS new_c_acctbal
+            FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+            WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+               OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+            ORDER BY c_custkey"""))
+
   /** Incremental gold maintenance ([[graft.operators.GoldAgg]] state
     * form): the monthly order-volume mart refreshed from three disjoint
     * fact batches by state merge instead of full rebuild. Decimal-carried
@@ -475,5 +515,5 @@ object MedallionQueries {
 
   // def, not val: q76 rebuilds its oracle SQL from the recorded landing
   // path on every access (see the Landed note above)
-  def all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63, q75, q76, q80)
+  def all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63, q75, q76, q80, q87)
 }

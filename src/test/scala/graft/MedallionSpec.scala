@@ -142,6 +142,33 @@ class MedallionSpec extends SparkSpec {
     assert(got === Seq((1L, "a"), (2L, "b2"), (4L, "d"), (5L, "e2")))
   }
 
+  test("Cdc.diff: insert/delete/update classification, null-safe compare, unchanged dropped") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, Some("a")),  // unchanged -> dropped
+      (2L, Some("b")),  // value change -> update
+      (3L, Some("c")),  // only in old -> delete
+      (5L, None),       // null -> value: update
+      (6L, None))       // null -> null: unchanged, dropped
+      .toDF("k", "v")
+    val newSnap = Seq(
+      (1L, Some("a")),
+      (2L, Some("b2")),
+      (4L, Some("d")),  // only in new -> insert
+      (5L, Some("e")),
+      (6L, None))
+      .toDF("k", "v")
+    val got = graft.operators.Cdc.diff(oldSnap, newSnap, Seq("k"), Seq("v"))
+      .select("k", "change", "old_v", "new_v")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (2L, "update", Some("b"), Some("b2")),
+      (3L, "delete", Some("c"), None),
+      (4L, "insert", None, Some("d")),
+      (5L, "update", None, Some("e"))))
+  }
+
   test("incremental gold state fold == full rebuild, for any batch split") {
     val fact = Tables.orders(spark, "/root/testdata/sf0.001")
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
