@@ -82,7 +82,8 @@ object Curation {
     * not corpus; its total is a broadcast single-row cross join, no
     * driver collect), broadcast back onto the corpus, then one codegen'd
     * filter. The corpus itself never shuffles. `gate` defaults to the
-    * q74 integer-scramble arithmetic replayable in any engine.
+    * q74 integer-scramble arithmetic replayable in any engine. Output =
+    * the kept rows plus their source's `source_keep_rate`.
     */
   def capSourceShare(
       df: DataFrame, sourceCol: String, idCol: String, maxShare: Double,
@@ -93,10 +94,11 @@ object Curation {
     val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
     val rates = counts
       .crossJoin(broadcast(counts.agg(sum("__n").as("__total"))))
-      .withColumn("__rate", least(lit(1.0), lit(maxShare) * col("__total") / col("__n")))
-      .select(col(sourceCol), col("__rate"))
+      .withColumn("source_keep_rate",
+        least(lit(1.0), lit(maxShare) * col("__total") / col("__n")))
+      .select(col(sourceCol), col("source_keep_rate"))
     df.join(broadcast(rates), sourceCol)
-      .filter(g < col("__rate"))
+      .filter(g < col("source_keep_rate"))
   }
 
   /** C4/RefinedWeb-style boilerplate removal: any segment whose

@@ -511,7 +511,8 @@ object CurationQueries {
     (s, dir) =>
       graft.operators.Curation.capSourceShare(
         Tables.documents(s, dir), "source", "doc_id", maxShare = 0.03)
-        .select(col("doc_id"), col("source"), round(col("__rate"), 6).as("rate"))
+        .select(col("doc_id"), col("source"),
+          round(col("source_keep_rate"), 6).as("rate"))
         .orderBy("doc_id"),
     Some("""WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
             t AS (SELECT count(*) AS total FROM documents),

@@ -225,6 +225,41 @@ object EventQueries {
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type"""))
 
+  /** Stream-static enrichment under the gate
+    * ([[graft.streaming.StreamOps.enrichStream]]): the full event stream
+    * left-joined per micro-batch to a broadcast literal dimension
+    * (event-type weights — the q45 literal-rates pattern), drained with
+    * AvailableNow and hash-compared against DuckDB's batch join. No state
+    * store and no watermark: the one streaming execution mode not yet
+    * under the oracle (windows, joins, dedup, mapGroupsWithState, CDC
+    * sink all are).
+    */
+  private val q88 = GraftQuery(
+    "q88_stream_static_enrich",
+    (s, dir) => {
+      import graft.streaming.StreamOps
+      import s.implicits._
+      val name = "q88_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val dim = Seq(
+        ("view", 0.0), ("click", 0.1), ("purchase", 1.0),
+        ("signup", 0.5), ("error", -1.0)).toDF("event_type", "weight")
+      val out = StreamOps.runAvailableNow(
+        s,
+        StreamOps.enrichStream(
+          StreamOps.eventsStream(s, dir).select("event_id", "event_type", "value"),
+          dim, "event_type")
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * coalesce(col("weight"), lit(0.0)), 12).as("weighted")),
+        name, org.apache.spark.sql.streaming.OutputMode.Append())
+      out.orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type,
+                   round(value * CASE event_type
+                     WHEN 'view' THEN 0.0 WHEN 'click' THEN 0.1
+                     WHEN 'purchase' THEN 1.0 WHEN 'signup' THEN 0.5
+                     WHEN 'error' THEN -1.0 ELSE 0.0 END, 12) AS weighted
+            FROM events ORDER BY event_id"""))
+
   /** EXACT interpolated percentiles per event type — the hash-checkable
     * complement to q29's sketches: Spark's `percentile` and DuckDB's
     * `quantile_cont` both compute the standard type-7 quantile, so with
@@ -422,5 +457,5 @@ object EventQueries {
             GROUP BY day ORDER BY day"""))
 
   val all: Seq[GraftQuery] =
-    Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83)
+    Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88)
 }

@@ -207,6 +207,16 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment: every streaming row left-joined to a
+    * STATIC (bounded) dimension — the streaming twin of the batch E1
+    * currency enrichment. Completely stateless: Spark re-plans the static
+    * side per micro-batch and broadcasts it; no state store, no
+    * watermark, the stream passes through row-for-row (so this composes
+    * under any downstream stateful op).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Run a streaming DataFrame to an in-memory table until all currently
     * available input is processed; returns the result. This is the
     * AvailableNow lifecycle the reference's scheduled Lambda approximates.

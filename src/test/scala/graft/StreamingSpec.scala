@@ -31,6 +31,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("stream-static enrich == batch broadcast join, unknown keys null-weighted") {
+    import spark.implicits._
+    // dim deliberately missing some event types → left-join nulls
+    val dim = Seq(("purchase", 2.0), ("click", 0.5)).toDF("event_type", "weight")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"),
+        round(col("value") * coalesce(col("weight"), lit(0.0)), 12).as("w"))
+      .orderBy("event_id")
+    val events = StreamOps.eventsStream(spark, sf).select("event_id", "event_type", "value")
+    val got = shape(StreamOps.runAvailableNow(
+      spark, StreamOps.enrichStream(events, dim, "event_type"),
+      "s_enrich", OutputMode.Append()))
+    val want = shape(Tables.events(spark, sf).select("event_id", "event_type", "value")
+      .join(broadcast(dim), Seq("event_type"), "left"))
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
   test("stream-stream interval join == batch interval join") {
     import org.apache.spark.sql.functions._
     val src = StreamOps.eventsStream(spark, sf)
