@@ -184,8 +184,11 @@ object Ann {
   private[operators] def trainSample(
       corpus: DataFrame, idCol: String, n: Long, maxTrain: Long): DataFrame = {
     val gate = 1L << 40
-    // BigInt: gate·maxTrain overflows Long for maxTrain ≳ 8e6
-    val thr = (BigInt(gate) * maxTrain / n).toLong.max(1L)
+    // ceiling division, and BigInt because gate·maxTrain overflows Long for
+    // maxTrain ≳ 8e6: expected kept = n·thr/2⁴⁰ ∈ [maxTrain, maxTrain + n/2⁴⁰)
+    // — floor division would land on the LOW side of the bound (down to
+    // maxTrain/2 near divisor boundaries)
+    val thr = ((BigInt(gate) * maxTrain + n - 1) / n).toLong.max(1L)
     corpus.filter(pmod(xxhash64(col(idCol)), lit(gate)) < lit(thr))
   }
 

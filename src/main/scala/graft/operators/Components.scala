@@ -35,17 +35,24 @@ object Components {
     * `spark.cleaner.referenceTracking.cleanCheckpoints` is set; the
     * caller owns the dir's lifecycle.
     */
-  private val lastSetDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val cutLock = new Object
+  private var lastSetDir: String = null
 
   private def cut(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty || lastSetDir.get != dir) {
-          sc.setCheckpointDir(dir)
-          lastSetDir.set(dir)
+        // the whole set-dir + checkpoint pair is serialized: check-then-act
+        // on the CONTEXT-GLOBAL dir without the lock would let a concurrent
+        // caller's setCheckpointDir land between this caller's set and its
+        // checkpoint — the exact misdirected-checkpoint bug being prevented
+        cutLock.synchronized {
+          val sc = df.sparkSession.sparkContext
+          if (sc.getCheckpointDir.isEmpty || lastSetDir != dir) {
+            sc.setCheckpointDir(dir)
+            lastSetDir = dir
+          }
+          df.checkpoint(eager = true)
         }
-        df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
 

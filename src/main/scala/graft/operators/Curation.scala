@@ -89,8 +89,12 @@ object Curation {
       df: DataFrame, sourceCol: String, idCol: String, maxShare: Double,
       gate: Column = null): DataFrame = {
     require(maxShare > 0.0 && maxShare <= 1.0, s"maxShare in (0,1], got $maxShare")
+    // pmod, not %: Spark's % is sign-preserving, so a signed id column
+    // (e.g. xxhash64-derived) would make the gate negative and those rows
+    // bypass the cap entirely; pmod == % on non-negative ids, so the q86
+    // oracle replay is unaffected (a signed-id oracle needs ((x%m)+m)%m)
     val g = Option(gate).getOrElse(
-      (((col(idCol) % 100003L) * 53L + 11L) % 10000L).cast("double") / lit(10000.0))
+      pmod((col(idCol) % 100003L) * 53L + 11L, lit(10000L)).cast("double") / lit(10000.0))
     val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
     val rates = counts
       .crossJoin(broadcast(counts.agg(sum("__n").as("__total"))))

@@ -52,8 +52,14 @@ object Landed {
     val p = s"/tmp/graft_landed/p${runTag}_${sanitize(dir)}/$name.parquet"
     recorded.put(name, p)
     try {
-      Files.createDirectories(registryFile(name, dir).getParent)
-      Files.writeString(registryFile(name, dir), p)
+      // write-tmp-then-ATOMIC_MOVE (the StreamingCdcLoad marker pattern):
+      // a concurrent subset-Verify reading the registry must never see a
+      // torn truncate-in-place path
+      val f = registryFile(name, dir)
+      Files.createDirectories(f.getParent)
+      val tmp = f.resolveSibling(f.getFileName.toString + s".$runTag.tmp")
+      Files.writeString(tmp, p)
+      Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch { case _: Throwable => () } // registry is best-effort
     p
   }
@@ -72,7 +78,9 @@ object Landed {
           val f = registryFile(name, dir)
           if (Files.isRegularFile(f)) {
             val p = Files.readString(f).trim
-            if (Files.exists(Paths.get(p))) Some(p) else None
+            // _SUCCESS gate: the registry entry is written when the landing
+            // STARTS; only a completed parquet write is a usable fixture
+            if (Files.exists(Paths.get(p, "_SUCCESS"))) Some(p) else None
           } else None
         } catch { case _: Throwable => None }
       })
