@@ -159,6 +159,58 @@ object OpsProps extends Properties("Operators") {
     }
   }
 
+  // boilerplate filter == naive in-memory reference on random corpora
+  property("boilerplateChunkFilter == naive reference") = {
+    val docGen = Gen.listOfN(9, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(8, docGen)
+    Prop.forAllNoShrink(corpusGen) { docs =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.operators.Curation.boilerplateChunkFilter(df, chunkTokens = 3, minDocs = 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+      // naive: stride-3 chunks, chunk boiler iff its text occurs in >= 2 docs
+      val chunked = docs.zipWithIndex.map { case (t, i) =>
+        val toks = t.split("\\s+").toSeq
+        i.toLong -> (0 until toks.length by 3).map(s => toks.slice(s, s + 3).mkString(" "))
+      }
+      val docsPerChunk = chunked.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+      def md5Of(s: String) =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      chunked.forall { case (id, cs) =>
+        val boiler = cs.count(c => docsPerChunk(c) >= 2)
+        val kept = cs.filter(c => docsPerChunk(c) < 2).mkString(" ")
+        got(id) == ((cs.length.toLong, boiler.toLong, md5Of(kept)))
+      }
+    }
+  }
+
+  // source cap == exact arithmetic replay, including negative ids
+  property("capSourceShare == exact replay") = {
+    val rowGen = for {
+      id <- Gen.chooseNum(-1000L, 1000L)
+      src <- Gen.oneOf("s1", "s2", "s3")
+    } yield (id, src)
+    val corpusGen = Gen.listOfN(60, rowGen).map(_.groupBy(_._1).map(_._2.head).toList)
+    val shareGen = Gen.chooseNum(10, 90).map(_ / 100.0)
+    Prop.forAllNoShrink(corpusGen, shareGen) { (rows, share) =>
+      rows.isEmpty || {
+        import spark.implicits._
+        val got = graft.operators.Curation.capSourceShare(
+            rows.toDF("doc_id", "source"), "source", "doc_id", share)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val bySrc = rows.groupBy(_._2).view.mapValues(_.size).toMap
+        val total = rows.size
+        val expect = rows.filter { case (id, src) =>
+          val rate = math.min(1.0, share * total / bySrc(src))
+          Math.floorMod((id % 100003L) * 53L + 11L, 10000L) / 10000.0 < rate
+        }.map(_._1).toSet
+        got == expect
+      }
+    }
+  }
+
   // shuffleShards: permutation + balance + pure-function split on any id set
   property("shuffleShards invariants") = {
     val idsGen = Gen.listOfN(40, Gen.chooseNum(0L, 10000L)).map(_.distinct)
