@@ -327,6 +327,41 @@ object CoreQueries {
                        ELSE 'USD' END) = ccy
             GROUP BY 1, 2 ORDER BY o_year, o_month"""))
 
-  val all: Seq[GraftQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q34, q45)
+  /** JSONL corpus ingest ([[graft.sources.TextSources]]): documents
+    * serialized to newline-delimited JSON (the training-corpus
+    * interchange format) and read back under a DECLARED schema with the
+    * PERMISSIVE corrupt-record lane — no inference pass. The oracle
+    * parses the SAME landed files with DuckDB's independent JSON reader,
+    * so serialization, escaping, and schema enforcement are all
+    * cross-checked hash-exactly. A `def` (and `all` a def): the landed
+    * path is embedded at oracle-dump time.
+    */
+  private def q89 = GraftQuery(
+    "q89_jsonl_roundtrip",
+    (s, dir) => {
+      val path = graft.queries.Landed.land("q89_jsonl_roundtrip", dir)
+      graft.sources.TextSources.writeJsonl(
+        Tables.documents(s, dir).repartition(1), path) // one part: stable glob
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      graft.sources.TextSources.readJsonlClean(s, path, schema)
+        // lazy-checkpoint barrier: the harness also bare-counts this frame
+        // (bench), which needs the full-parse count (see TextSources
+        // scaladoc); 500-5000 rows, negligible
+        .localCheckpoint(eager = false)
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, text, lang, source, n_chars
+             FROM read_json('${graft.queries.Landed.oraclePath("q89_jsonl_roundtrip")}/part-*',
+               format='newline_delimited',
+               columns={doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+                        source: 'VARCHAR', n_chars: 'BIGINT'})
+             ORDER BY doc_id"""))
+
+  def all: Seq[GraftQuery] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q34, q45, q89)
 }
