@@ -41,18 +41,22 @@ object Components {
   private def cut(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
-        // the whole set-dir + checkpoint pair is serialized: check-then-act
+        // set-dir + checkpoint REGISTRATION are serialized: check-then-act
         // on the CONTEXT-GLOBAL dir without the lock would let a concurrent
         // caller's setCheckpointDir land between this caller's set and its
-        // checkpoint — the exact misdirected-checkpoint bug being prevented
-        cutLock.synchronized {
+        // registration (misdirected checkpoints). Registration (lazy
+        // checkpoint) captures the dir, so the expensive materialization
+        // job runs OUTSIDE the lock — concurrent rounds don't serialize.
+        val cp = cutLock.synchronized {
           val sc = df.sparkSession.sparkContext
           if (sc.getCheckpointDir.isEmpty || lastSetDir != dir) {
             sc.setCheckpointDir(dir)
             lastSetDir = dir
           }
-          df.checkpoint(eager = true)
+          df.checkpoint(eager = false)
         }
+        cp.count() // materialize (the eager semantics), unlocked
+        cp
       case None => df.localCheckpoint(eager = true)
     }
 

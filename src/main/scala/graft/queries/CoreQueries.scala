@@ -340,15 +340,13 @@ object CoreQueries {
     "q89_jsonl_roundtrip",
     (s, dir) => {
       val path = graft.queries.Landed.land("q89_jsonl_roundtrip", dir)
+      val docs = Tables.documents(s, dir)
       graft.sources.TextSources.writeJsonl(
-        Tables.documents(s, dir).repartition(1), path) // one part: stable glob
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
-      graft.sources.TextSources.readJsonlClean(s, path, schema)
+        docs.repartition(1), path) // one part: stable glob
+      // declared schema = the table's own (single source of truth — a
+      // hand-copied StructType would drift invisibly: a renamed column
+      // reads NULL in BOTH engines and the hash compare still passes)
+      graft.sources.TextSources.readJsonlClean(s, path, docs.schema)
         // lazy-checkpoint barrier: the harness also bare-counts this frame
         // (bench), which needs the full-parse count (see TextSources
         // scaladoc); 500-5000 rows, negligible

@@ -59,7 +59,14 @@ object Landed {
       Files.createDirectories(f.getParent)
       val tmp = f.resolveSibling(f.getFileName.toString + s".$runTag.tmp")
       Files.writeString(tmp, p)
-      Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // a /tmp filesystem without atomic move must not regress to "no
+        // registry at all" (and must not strand the tmp file forever) —
+        // fall back to a plain replace, accepting the torn-read window
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     } catch { case _: Throwable => () } // registry is best-effort
     p
   }

@@ -16,9 +16,12 @@ object TextSources {
   val CorruptCol = "_corrupt_record"
 
   /** Read JSONL with a declared schema; malformed lines land whole in
-    * `_corrupt_record` with every schema column null (PERMISSIVE), so the
-    * caller can route them to a quarantine sink and keep the job running.
-    * No inference pass: the schema is enforced, not sampled.
+    * `_corrupt_record` (PERMISSIVE), so the caller can route them to a
+    * quarantine sink and keep the job running. No inference pass: the
+    * schema is enforced, not sampled. NOTE Spark keeps PARTIAL results on
+    * type-bad rows — fields parsed before the failure stay populated
+    * alongside the raw line — so corrupt-row detection must test
+    * [[CorruptCol]], never a data-column null (spec-pinned).
     */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
@@ -35,8 +38,9 @@ object TextSources {
     * QUERY_ONLY_CORRUPT_RECORD_COLUMN by design — with every data column
     * pruned there is nothing to fail typing on, so such a count is
     * ambiguous (DROPMALFORMED in that shape silently counts
-    * structurally-valid-but-type-bad lines; measured in
-    * JsonlSourceSpec). Counting clean lines costs a full parse: insert
+    * structurally-valid-but-type-bad lines — measured in
+    * JsonlSourceSpec's DROPMALFORMED case). Counting clean lines costs a
+    * full parse: insert
     * an explicit materialization barrier first (lazy `localCheckpoint`,
     * as [[readJsonlCorrupt]] does) or count a data column.
     */

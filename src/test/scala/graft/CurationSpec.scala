@@ -44,11 +44,8 @@ class CurationSpec extends SparkSpec {
     assert(got(2L)._1 === 2 && got(2L)._2 === 1)
     assert(got(3L)._2 === 0)
     // the reconstructed survivor stream is exactly the unique tail
-    def md5Of(s: String) =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    assert(got(1L)._3 === md5Of("unique tail one two"))
-    assert(got(3L)._3 === md5Of("entirely original content with no repeats at all"))
+    assert(got(1L)._3 === TestUtil.md5Of("unique tail one two"))
+    assert(got(3L)._3 === TestUtil.md5Of("entirely original content with no repeats at all"))
     // deterministic across runs (collect_list order is tamed by sort_array)
     val again = graft.operators.Curation.boilerplateChunkFilter(docs, 4, 2)
       .collect().map(r => r.getLong(0) -> r.getString(4)).toMap

@@ -32,11 +32,27 @@ class JsonlSourceSpec extends SparkSpec {
     }
     assert(TextSources.readJsonlClean(spark, dir, schema)
       .localCheckpoint(eager = false).count() === 2L)
+    // ...and the measurement the guard exists for: DROPMALFORMED's bare
+    // count prunes all columns, checks only JSON WELL-FORMEDNESS, and
+    // counts the type-bad (but structurally valid) line — 3, not 2
+    val dropMalformedCount = spark.read.schema(schema)
+      .option("mode", "DROPMALFORMED").json(dir).count()
+    assert(dropMalformedCount === 3L,
+      s"DROPMALFORMED pruned count was $dropMalformedCount (documented miscount)")
     val corrupt = TextSources.readJsonlCorrupt(spark, dir, schema)
       .collect().map(_.getString(0)).sorted
     assert(corrupt.length === 2)
     assert(corrupt.contains("this is not json at all"))
     assert(corrupt.exists(_.contains("not-a-number")), "type-mismatched line quarantined raw")
+    // PERMISSIVE keeps PARTIAL results on type-bad rows: 'text' is still
+    // populated alongside _corrupt_record — corrupt-row detection must
+    // test the corrupt column, never a data-column null
+    val partial = TextSources.readJsonl(spark, dir, schema)
+      .filter(org.apache.spark.sql.functions.col(TextSources.CorruptCol).isNotNull)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .collect()
+    assert(partial.exists(_.getAs[String]("text") == "bad type"),
+      "partially-parsed fields survive on quarantined rows")
   }
 
   test("jsonl round trip preserves rows exactly") {

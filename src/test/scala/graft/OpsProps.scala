@@ -175,13 +175,10 @@ object OpsProps extends Properties("Operators") {
       }
       val docsPerChunk = chunked.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
         .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
-      def md5Of(s: String) =
-        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
       chunked.forall { case (id, cs) =>
         val boiler = cs.count(c => docsPerChunk(c) >= 2)
         val kept = cs.filter(c => docsPerChunk(c) < 2).mkString(" ")
-        got(id) == ((cs.length.toLong, boiler.toLong, md5Of(kept)))
+        got(id) == ((cs.length.toLong, boiler.toLong, TestUtil.md5Of(kept)))
       }
     }
   }
