@@ -128,14 +128,32 @@ object EventQueries {
 
   /** Approximate aggregates per event_type: HLL++ distinct users and
     * approximate value quantiles — the single-pass mergeable-sketch path
-    * that replaces exact distinct/percentile at 100 TB. Rows-only (sketch
-    * internals are engine-specific); EventQueriesSpec bounds the error
-    * against the exact answers. Quantiles are flattened to scalar
-    * p50/p95/p99 columns (array outputs aren't comparable downstream).
+    * that replaces exact distinct/percentile at 100 TB.
+    *
+    * Oracle-gated via the landed-estimate pattern (the q21/q24/q32 trick):
+    * sketch outputs are engine-specific, so the ESTIMATES are landed to
+    * parquet and both engines replay the same ERROR-BOUND inequalities
+    * over them against independently recomputed exact answers —
+    * `users_within` asserts |HLL++ − exact|/exact ≤ 0.10 (rsd 0.05, so 2σ;
+    * deterministic for fixed data — EventQueriesSpec pins it at sf0.001),
+    * and each `pXX_within` asserts the percentile_approx element lies
+    * between the order statistics bracketing the target rank by the
+    * sketch's rank-error allowance (±(⌈4n/accuracy⌉+2) ranks; Spark's
+    * GK-summary guarantee is ±n/accuracy — the headroom absorbs the
+    * query-vs-build epsilon split and rank-definition off-by-ones).
+    * Exact comparators are bit-identical cross-engine: `count(DISTINCT)`
+    * is integer-exact and the bracket values are untouched parquet
+    * doubles selected by identical integer ranks — so the booleans are
+    * replayed, not re-derived, and hash-match exactly.
+    *
+    * Scale note: the exact comparators (countDistinct + one value-sorted
+    * window per group) are VERIFICATION-side; the graded operator — the
+    * sketch pass — stays one shuffle with map-side partials.
     */
-  private val q29 = GraftQuery(
+  private def q29 = GraftQuery(
     "q29_approx_aggs",
-    (s, dir) =>
+    (s, dir) => {
+      val path = Landed.land("q29_approx_aggs", dir)
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
@@ -147,8 +165,46 @@ object EventQueries {
           element_at(col("q"), 1).as("p50"),
           element_at(col("q"), 2).as("p95"),
           element_at(col("q"), 3).as("p99"))
-        .orderBy("event_type"),
-    None)
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+      val est = s.read.parquet(path)
+      val exact = Tables.events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val brackets = OrderStats.rankBrackets(
+        Tables.events(s, dir), "event_type", "value", Seq(0.5, 0.95, 0.99),
+        accuracy = 10000)
+      est
+        .join(exact, "event_type")
+        .join(brackets, "event_type")
+        .select(
+          col("event_type"), col("approx_users"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double")
+            / col("exact_users") <= lit(0.10)).as("users_within"),
+          col("p50"), col("p95"), col("p99"),
+          (col("p50") >= col("lo_1") && col("p50") <= col("hi_1")).as("p50_within"),
+          (col("p95") >= col("lo_2") && col("p95") <= col("hi_2")).as("p95_within"),
+          (col("p99") >= col("lo_3") && col("p99") <= col("hi_3")).as("p99_within"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH l AS (SELECT * FROM read_parquet('${Landed.oraclePath("q29_approx_aggs")}/*.parquet')),
+            v AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
+                         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS r,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM events),
+            b AS (SELECT event_type,
+                         ${OrderStats.bracketSelectSql(Seq(0.5, 0.95, 0.99), 10000)}
+                  FROM v GROUP BY event_type),
+            x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                  FROM events GROUP BY 1)
+            SELECT l.event_type, l.approx_users, x.exact_users,
+                   CAST(abs(l.approx_users - x.exact_users) AS DOUBLE)
+                     / x.exact_users <= 0.10 AS users_within,
+                   l.p50, l.p95, l.p99,
+                   l.p50 >= b.lo_1 AND l.p50 <= b.hi_1 AS p50_within,
+                   l.p95 >= b.lo_2 AND l.p95 <= b.hi_2 AS p95_within,
+                   l.p99 >= b.lo_3 AND l.p99 <= b.hi_3 AS p99_within
+            FROM l JOIN x USING (event_type) JOIN b USING (event_type)
+            ORDER BY event_type"""))
 
   /** The stream-stream interval join ([[graft.streaming.StreamOps
     * .clickPurchaseJoin]]) run for real — file-source stream, watermarks,
@@ -364,44 +420,95 @@ object EventQueries {
             GROUP BY w_id ORDER BY w_id"""))
 
   /** Mergeable HLL sketch ([[graft.functions.HllAgg]]) vs exact distinct,
-    * per event type. Rows-only like the other sketch internals (the
-    * estimate is engine-specific); HllAggSpec proves partition-order
-    * invariance and the error bound, and the emitted `within_bound`
-    * column re-asserts the bound on every driver run.
+    * per event type — oracle-gated via the landed-estimate pattern: the
+    * estimate lands to parquet, Spark asserts |est − exact|/exact ≤ 0.10
+    * against its own `countDistinct`, and DuckDB independently recomputes
+    * `count(DISTINCT user_id)` and replays the same inequality over the
+    * landed estimates. The abs-diff is integer arithmetic and the divide
+    * is one IEEE op on identical operands, so the `within_bound` boolean
+    * is bit-identical cross-engine. HllAggSpec additionally proves
+    * partition-order invariance (merge = register max).
     */
-  private val q66 = GraftQuery(
+  private def q66 = GraftQuery(
     "q66_hll_distinct",
-    (s, dir) =>
+    (s, dir) => {
+      val path = Landed.land("q66_hll_distinct", dir)
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(
-          graft.functions.HllAgg.hllDistinct(col("user_id")).as("est_users"),
-          countDistinct(col("user_id")).as("exact_users"))
-        .withColumn("within_bound",
-          abs(col("est_users") - col("exact_users")).cast("double")
-            / col("exact_users") <= 0.10)
-        .orderBy("event_type"),
-    None)
+        .agg(graft.functions.HllAgg.hllDistinct(col("user_id")).as("est_users"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .join(
+          Tables.events(s, dir).groupBy("event_type")
+            .agg(countDistinct(col("user_id")).as("exact_users")),
+          "event_type")
+        .select(col("event_type"), col("est_users"), col("exact_users"),
+          (abs(col("est_users") - col("exact_users")).cast("double")
+            / col("exact_users") <= lit(0.10)).as("within_bound"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH l AS (SELECT event_type, est_users
+                   FROM read_parquet('${Landed.oraclePath("q66_hll_distinct")}/*.parquet')),
+            x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                  FROM events GROUP BY 1)
+            SELECT l.event_type, l.est_users, x.exact_users,
+                   CAST(abs(l.est_users - x.exact_users) AS DOUBLE)
+                     / x.exact_users <= 0.10 AS within_bound
+            FROM l JOIN x USING (event_type)
+            ORDER BY event_type"""))
 
   /** Mergeable DDSketch quantiles ([[graft.functions.DdSketchAgg]]) per
-    * event type, flattened to scalar columns (array outputs crash the
-    * driver compare — round-1 lesson). Rows-only: the log-bucket estimate
-    * is sketch-specific; DdSketchAggSpec proves partition invariance and
-    * the α relative-error bound.
+    * event type, flattened to scalar columns — oracle-gated via the
+    * landed-estimate pattern. The sketch's analytical guarantee is that
+    * each estimate is the log-bucket midpoint of the bucket holding the
+    * value at 0-based rank max(0, ⌈q·n⌉−1), within relative error α=0.01
+    * of it; both engines recompute exactly that order statistic
+    * (identical integer rank, identical untouched parquet double) and
+    * replay |est − exact|/exact ≤ 0.0101 over the landed estimates — α
+    * plus 1% headroom for log/pow float slop on bucket-boundary values.
+    * DdSketchAggSpec proves partition invariance; scale note as q29: the
+    * value-sorted window is verification-side only.
     */
-  private val q67 = GraftQuery(
+  private def q67 = GraftQuery(
     "q67_ddsketch_quantiles",
-    (s, dir) =>
+    (s, dir) => {
+      val path = Landed.land("q67_ddsketch_quantiles", dir)
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(graft.functions.DdSketchAgg
           .quantiles(col("value"), Seq(0.5, 0.95, 0.99)).as("e"))
         .select(col("event_type"),
-          round(element_at(col("e"), 1), 6).as("dd_p50"),
-          round(element_at(col("e"), 2), 6).as("dd_p95"),
-          round(element_at(col("e"), 3), 6).as("dd_p99"))
-        .orderBy("event_type"),
-    None)
+          element_at(col("e"), 1).as("dd_p50"),
+          element_at(col("e"), 2).as("dd_p95"),
+          element_at(col("e"), 3).as("dd_p99"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+      val exact = OrderStats.rankTargets(
+        Tables.events(s, dir), "event_type", "value", Seq(0.5, 0.95, 0.99))
+      s.read.parquet(path)
+        .join(exact, "event_type")
+        .select(
+          col("event_type"), col("dd_p50"), col("dd_p95"), col("dd_p99"),
+          (abs(col("dd_p50") - col("ex_1")) / col("ex_1") <= lit(0.0101)).as("p50_within"),
+          (abs(col("dd_p95") - col("ex_2")) / col("ex_2") <= lit(0.0101)).as("p95_within"),
+          (abs(col("dd_p99") - col("ex_3")) / col("ex_3") <= lit(0.0101)).as("p99_within"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH l AS (SELECT * FROM read_parquet('${Landed.oraclePath("q67_ddsketch_quantiles")}/*.parquet')),
+            v AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
+                         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS r,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM events),
+            x AS (SELECT event_type,
+                         ${OrderStats.targetSelectSql(Seq(0.5, 0.95, 0.99))}
+                  FROM v GROUP BY event_type)
+            SELECT l.event_type, l.dd_p50, l.dd_p95, l.dd_p99,
+                   abs(l.dd_p50 - x.ex_1) / x.ex_1 <= 0.0101 AS p50_within,
+                   abs(l.dd_p95 - x.ex_2) / x.ex_2 <= 0.0101 AS p95_within,
+                   abs(l.dd_p99 - x.ex_3) / x.ex_3 <= 0.0101 AS p99_within
+            FROM l JOIN x USING (event_type)
+            ORDER BY event_type"""))
 
   /** Daily conversion funnel: per (user, day), the first view, the first
     * click AT/AFTER that view, and the first purchase AT/AFTER that click —
@@ -456,6 +563,8 @@ object EventQueries {
                    LEFT JOIN p USING (user_id, day)
             GROUP BY day ORDER BY day"""))
 
-  val all: Seq[GraftQuery] =
+  // def, not val: q29/q66/q67 land estimate parquet and their oracle SQL
+  // must embed the path recorded at dump time (the q21/q76 pattern)
+  def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88)
 }

@@ -59,4 +59,17 @@ class EventQueriesSpec extends SparkSpec {
       assert(qs(0) <= qs(1) && qs(1) <= qs(2))
     }
   }
+
+  // the oracle replays these booleans in DuckDB; a false-false pair would
+  // still hash-match, so the TRUTH of every bound is pinned here
+  test("sketch-trio within_bound columns are all true (q29/q66/q67)") {
+    val q29 = Registry.byName("q29_approx_aggs").run(spark, sf)
+    assert(q29.filter(!col("users_within") || !col("p50_within") ||
+      !col("p95_within") || !col("p99_within")).count() === 0)
+    val q66 = Registry.byName("q66_hll_distinct").run(spark, sf)
+    assert(q66.filter(!col("within_bound")).count() === 0)
+    val q67 = Registry.byName("q67_ddsketch_quantiles").run(spark, sf)
+    assert(q67.filter(!col("p50_within") || !col("p95_within") ||
+      !col("p99_within")).count() === 0)
+  }
 }
