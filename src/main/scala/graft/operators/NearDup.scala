@@ -40,16 +40,19 @@ object NearDup {
       .filter(size(col("shingles")) > 0)
 
   /** Materialize a DataFrame that downstream plans reference several times,
-    * without a cache leak: `localCheckpoint(eager = true)` stores the rows
-    * in the executors' block manager (MEMORY_AND_DISK) and cuts lineage, so
-    * each reuse is a block read instead of a recompute; unlike `persist`,
-    * the blocks are NOT registered in the session CacheManager — the
-    * ContextCleaner frees them once the returned plan is unreachable, so a
-    * lazy result can safely escape this operator. (On a real cluster with
-    * dynamic allocation, prefer `checkpoint` to reliable storage: local
-    * checkpoint blocks die with their executor.)
+    * without a cache leak. Default: `localCheckpoint(eager = true)` stores
+    * the rows in the executors' block manager (MEMORY_AND_DISK) and cuts
+    * lineage, so each reuse is a block read instead of a recompute; unlike
+    * `persist`, the blocks are NOT registered in the session CacheManager —
+    * the ContextCleaner frees them once the returned plan is unreachable,
+    * so a lazy result can safely escape this operator. On a real cluster
+    * with dynamic allocation, local checkpoint blocks die with their
+    * executor — pass `checkpointDir` (threaded through every public
+    * operator here) to cut to reliable storage via [[Components.cut]]
+    * instead, the same knob Components/Packing expose.
     */
-  private def materialized(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  private def materialized(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    Components.cut(df, checkpointDir)
 
   /** Exact n-gram Jaccard near-dup pairs: J(a,b) ≥ threshold, a < b.
     * Inverted-index join: explode shingles, self-join on a 64-bit shingle
@@ -60,11 +63,12 @@ object NearDup {
     * (skew guard; makes the result approximate).
     */
   def ngramJaccardPairs(
-      docs: DataFrame, n: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+      docs: DataFrame, n: Int, threshold: Double, maxDocFreq: Long = 0L,
+      checkpointDir: Option[String] = None): DataFrame = {
     // referenced three times (sizes + both join sides): materialize once —
     // `materialized` (localCheckpoint) avoids the per-call cache leak that
     // ruled out persist here, and one shingle pass beats three
-    val sets = materialized(shingleSets(docs, n))
+    val sets = materialized(shingleSets(docs, n), checkpointDir)
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
     val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
@@ -98,13 +102,14 @@ object NearDup {
     */
   def minhashLshPairs(
       docs: DataFrame, n: Int, threshold: Double,
-      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+      numPerms: Int = 64, bands: Int = 16,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rowsPerBand = numPerms / bands
     // referenced three times (bucketing + both re-attach joins)
     val sets = materialized(shingleSets(docs, n)
       .withColumn("sig", Sketches.minhashSignature(col("shingles"), numPerms))
-      .filter(col("sig").isNotNull))
+      .filter(col("sig").isNotNull), checkpointDir)
     val buckets = sets
       .select(col("doc_id"), explode(Sketches.bandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
@@ -163,8 +168,9 @@ object NearDup {
     * Pairs whose docs have no n-grams (< n tokens) drop out (inner join),
     * matching the shingle-CTE oracle shape.
     */
-  private def pairsWithShingles(docs: DataFrame, pairs: DataFrame, n: Int): DataFrame = {
-    val sets = materialized(shingleSets(docs, n))
+  private def pairsWithShingles(docs: DataFrame, pairs: DataFrame, n: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sets = materialized(shingleSets(docs, n), checkpointDir)
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -176,8 +182,9 @@ object NearDup {
     * generates candidates, this computes the exact score a serial engine
     * can hash-compare.
     */
-  def verifyPairsJaccard(docs: DataFrame, pairs: DataFrame, n: Int): DataFrame =
-    pairsWithShingles(docs, pairs, n)
+  def verifyPairsJaccard(docs: DataFrame, pairs: DataFrame, n: Int,
+      checkpointDir: Option[String] = None): DataFrame =
+    pairsWithShingles(docs, pairs, n, checkpointDir)
       .withColumn("jaccard", Sketches.jaccard(col("sh_a"), col("sh_b")))
       .drop("sh_a", "sh_b")
 
@@ -186,8 +193,9 @@ object NearDup {
     * (containment is the score winnowing candidates are judged by, since
     * whole-set Jaccard dilutes a copied paragraph).
     */
-  def verifyPairsContainment(docs: DataFrame, pairs: DataFrame, n: Int): DataFrame =
-    pairsWithShingles(docs, pairs, n)
+  def verifyPairsContainment(docs: DataFrame, pairs: DataFrame, n: Int,
+      checkpointDir: Option[String] = None): DataFrame =
+    pairsWithShingles(docs, pairs, n, checkpointDir)
       .withColumn("containment",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / least(size(col("sh_a")), size(col("sh_b"))).cast("double"))

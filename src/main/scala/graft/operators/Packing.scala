@@ -30,24 +30,32 @@ object Packing {
     * would make the total order, and so the sum, ambiguous).
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String, out: String,
-      numPartitions: Int = 0): DataFrame =
-    prefixSumBy(df, Seq(orderCol), valueCol, out, numPartitions)
+      numPartitions: Int = 0, checkpointDir: Option[String] = None): DataFrame =
+    prefixSumBy(df, Seq(orderCol), valueCol, out, numPartitions, checkpointDir)
 
   /** [[prefixSum]] over a composite order key: ascending lexicographic
     * (orderCols...) order, which must be duplicate-free as a TUPLE — this
     * is how a non-unique primary sort column (a hash, a score) gets a
     * deterministic total order by appending a unique tiebreaker.
+    *
+    * The pinned layout is `localCheckpoint` by default (blocks die with
+    * their executor — and a lost block here loses the partition ids the
+    * whole scan is keyed on, killing the job); pass `checkpointDir` to pin
+    * to reliable storage instead ([[Components.cut]], the same knob the
+    * other iterative operators expose) for cluster runs with preemption
+    * or dynamic allocation.
     */
   def prefixSumBy(df: DataFrame, orderCols: Seq[String], valueCol: String,
-      out: String, numPartitions: Int = 0): DataFrame = {
+      out: String, numPartitions: Int = 0,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(orderCols.nonEmpty, "prefixSumBy needs at least one order column")
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df
+    val parted = Components.cut(df
       .repartitionByRange(n, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // pin partition ids + cut lineage (scoped, eager)
+      .withColumn("__pid", spark_partition_id()),
+      checkpointDir) // pin partition ids + cut lineage (scoped, eager)
     val totals = parted.groupBy("__pid").agg(sum(col(valueCol).cast("long")).as("t"))
       // an all-NULL partition sums to NULL — treat as 0, matching the
       // window sum below which skips nulls
@@ -74,9 +82,9 @@ object Packing {
     * sequential, so it does not distribute).
     */
   def packBins(df: DataFrame, orderCol: String, tokenCol: String,
-      capacity: Long): DataFrame = {
+      capacity: Long, checkpointDir: Option[String] = None): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    prefixSum(df, orderCol, tokenCol, "offset")
+    prefixSum(df, orderCol, tokenCol, "offset", checkpointDir = checkpointDir)
       .withColumn("bin_id", expr(s"offset div ${capacity}L")) // integral div (`/` would widen to double)
       .withColumn("bin_pos", col("offset") % capacity)
   }

@@ -35,11 +35,14 @@ object Sharding {
 
   /** Seed-mixed multiplicative scramble of a non-negative integral id
     * column; values in [0, p). Deterministic across engines: every step
-    * stays inside Long for any id (the mod-p reduction precedes the
-    * multiply).
+    * stays inside Long for ANY non-negative id — both operands reduce
+    * mod p BEFORE the add (id + seed raw could wrap Long for ids within
+    * `seed` of Long.MaxValue — silently in Spark, an error in a widening
+    * oracle engine) and before the multiply (max intermediate is
+    * (p−1)·mult ≈ 2.65e18 < 2⁶³).
     */
   def scramble(id: Column, seed: Long, mult: Long = 2654435761L): Column =
-    (((id + lit(seed)) % P) * mult) % P
+    ((id % P + lit(((seed % P) + P) % P)) % P * mult) % P
 
   /** Adds to each row:
     *   `rank`      — position in the seeded global permutation (0-based),
@@ -54,7 +57,8 @@ object Sharding {
     * `idCol` must be unique and non-negative.
     */
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int, seed: Long,
-      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+      trainPct: Int = 90, valPct: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
@@ -62,7 +66,8 @@ object Sharding {
       .withColumn("__scr", scramble(col(idCol), seed))
       .withColumn("__one", lit(1L))
     val bucket = scramble(col(idCol), seed + 1, mult = 2246822519L) % 100
-    Packing.prefixSumBy(keyed, Seq("__scr", idCol), "__one", "rank")
+    Packing.prefixSumBy(keyed, Seq("__scr", idCol), "__one", "rank",
+        checkpointDir = checkpointDir)
       .withColumn("shard_id", (col("rank") % nShards).cast("int"))
       .withColumn("shard_pos", expr(s"rank div ${nShards}L"))
       .withColumn("split",

@@ -208,25 +208,45 @@ object OpsProps extends Properties("Operators") {
     }
   }
 
-  // shuffleShards: permutation + balance + pure-function split on any id set
-  property("shuffleShards invariants") = {
-    val idsGen = Gen.listOfN(40, Gen.chooseNum(0L, 10000L)).map(_.distinct)
+  // shuffleShards: permutation + balance + pure-function split on any id
+  // set — including ids at the Long edge (the scramble's reduce-before-add
+  // overflow regime) and negative seeds — and the README's growth-stability
+  // claim: every id of a random sub-corpus keeps its split label when the
+  // rest of the corpus arrives (what a rank-percentile split would break)
+  property("shuffleShards invariants + split stable under corpus growth") = {
+    val idGen = Gen.frequency(
+      9 -> Gen.chooseNum(0L, 10000L),
+      1 -> Gen.chooseNum(Long.MaxValue - 1000L, Long.MaxValue))
+    val idsGen = Gen.listOfN(40, idGen).map(_.distinct)
     val shardsGen = Gen.chooseNum(1, 9)
-    Prop.forAllNoShrink(idsGen, shardsGen) { (ids, nShards) =>
+    val seedGen = Gen.chooseNum(-50L, 50L)
+    Prop.forAllNoShrink(idsGen, shardsGen, seedGen) { (ids, nShards, seed) =>
       ids.isEmpty || {
         import spark.implicits._
         val rows = graft.operators.Sharding.shuffleShards(
-            ids.toDF("doc_id"), "doc_id", nShards, seed = 7L)
-          .select("doc_id", "rank", "shard_id", "shard_pos")
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+            ids.toDF("doc_id"), "doc_id", nShards, seed = seed)
+          .select("doc_id", "rank", "shard_id", "shard_pos", "split")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getString(4)))
         val n = ids.length
         val perm = rows.map(_._2).sorted.sameElements(0L until n.toLong)
         val sizes = rows.groupBy(_._3).map(_._2.length)
         val balanced = sizes.max - sizes.min <= 1
-        val consistent = rows.forall { case (_, rank, sh, pos) =>
+        val consistent = rows.forall { case (_, rank, sh, pos, _) =>
           sh == (rank % nShards).toInt && pos == rank / nShards
         }
-        perm && balanced && consistent
+        // a deterministic pseudo-random sub-corpus (scramble-independent
+        // pick so it doesn't correlate with the split hash)
+        val subIds = ids.filter(id => Math.floorMod(id * 31L + 7L, 3L) != 0L)
+        val stable = subIds.isEmpty || {
+          val subSplit = graft.operators.Sharding.shuffleShards(
+              subIds.toDF("doc_id"), "doc_id", nShards, seed = seed)
+            .select("doc_id", "split").collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap
+          val fullSplit = rows.map(r => r._1 -> r._5).toMap
+          subSplit.forall { case (id, s) => fullSplit(id) == s }
+        }
+        perm && balanced && consistent && stable
       }
     }
   }
