@@ -84,6 +84,14 @@ object Curation {
     * filter. The corpus itself never shuffles. `gate` defaults to the
     * q74 integer-scramble arithmetic replayable in any engine. Output =
     * the kept rows plus their source's `source_keep_rate`.
+    *
+    * Gate resolution: the default gate has 1/10000 granularity, so the
+    * effective keep rate floors at ~1e-4 — a source so overrepresented
+    * (or a `maxShare` so small) that its computed rate falls below that
+    * keeps ~1e-4 of its rows, not the target share. If sub-1e-4 rates
+    * must be honored, pass a wider `gate` (e.g. the same scramble mod
+    * 10^8) — kept here at 10^4 because the q86 oracle replays this exact
+    * arithmetic.
     */
   def capSourceShare(
       df: DataFrame, sourceCol: String, idCol: String, maxShare: Double,

@@ -516,7 +516,13 @@ object CurationQueries {
         .orderBy("doc_id"),
     Some("""WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
             t AS (SELECT count(*) AS total FROM documents),
-            r AS (SELECT source, least(1.0, 0.03 * total / ns) AS rate FROM n, t)
+            -- CAST(0.03 AS DOUBLE): a bare 0.03 is DECIMAL in DuckDB and
+            -- multiplies exactly before the divide, diverging from Spark's
+            -- double(0.03)*total/ns by an ulp — enough to flip the gate for
+            -- a row whose scramble value lands between the two rates
+            r AS (SELECT source,
+                         least(CAST(1.0 AS DOUBLE), CAST(0.03 AS DOUBLE) * total / ns) AS rate
+                  FROM n, t)
             SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
             FROM documents d JOIN r USING (source)
             WHERE ((d.doc_id % 100003) * 53 + 11) % 10000 / 10000.0 < r.rate

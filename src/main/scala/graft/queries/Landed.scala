@@ -108,12 +108,16 @@ object Landed {
         try children.forEach { p =>
           try {
             val n = p.getFileName.toString
-            val ownerAlive = n.startsWith("p") &&
-              n.drop(1).takeWhile(_.isDigit).toLongOption
-                .exists(pid => java.lang.ProcessHandle.of(pid).isPresent)
-            if (n.startsWith("p") && !ownerAlive &&
-                Files.getLastModifiedTime(p).toMillis < cutoff)
-              Scratch.deleteRecursively(p)
+            if (n != "registry") {
+              val ownerAlive = n.startsWith("p") &&
+                n.drop(1).takeWhile(_.isDigit).toLongOption
+                  .exists(pid => java.lang.ProcessHandle.of(pid).isPresent)
+              // non-'p' children (legacy naming schemes, the 'unrun'
+              // placeholder) carry no liveness info — age-only sweep, so
+              // pre-existing stale dirs don't accumulate forever
+              if (!ownerAlive && Files.getLastModifiedTime(p).toMillis < cutoff)
+                Scratch.deleteRecursively(p)
+            }
           } catch { case _: Throwable => () }
         } finally children.close()
       } catch { case _: Throwable => () }

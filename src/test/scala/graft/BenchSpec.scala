@@ -13,8 +13,9 @@ class BenchSpec extends SparkSpec {
     val bad: (String, (SparkSession, String) => DataFrame) =
       ("bad_query", (_, _) => throw new RuntimeException("deliberately broken"))
     val res = Bench.timeQueries(spark, "unused", Seq(good, bad), runs = 2)
-    assert(res.toMap.apply("good_query").exists(_ > 0.0))
-    assert(res.toMap.apply("bad_query").isEmpty)
+    val byName = res.map(q => q.name -> q.secs).toMap
+    assert(byName("good_query").exists(_ > 0.0))
+    assert(byName("bad_query").isEmpty)
     val json = Bench.toJson(res, "unused", 2)
     assert(json.contains("\"bad_query\":\"err\""))
     assert(json.contains("\"failed\":[\"bad_query\"]"))
@@ -30,14 +31,26 @@ class BenchSpec extends SparkSpec {
         if (noisyCalls == 2) Thread.sleep(400) // force >20% spread
         s.range(1).toDF()
       })
-    val res = Bench.timeQueries(spark, "unused", Seq(noisy), runs = 2).toMap
+    val res = Bench.timeQueries(spark, "unused", Seq(noisy), runs = 2)
     // exactly one rerun — 3 calls, not 4 (the trigger must not cascade);
     // a "stable query takes exactly 2" counterpart would be timing-flaky
     // (first-run scheduling overhead can push two equal sleeps past the
     // 20% cutoff on a loaded host), so only the deterministic side is
     // asserted
-    assert(noisyCalls === 3 && res("noisy").isDefined)
+    assert(noisyCalls === 3 && res.head.secs.isDefined)
     // the reported min is the fast run, not the degraded one
-    assert(res("noisy").get < 0.4)
+    assert(res.head.secs.get < 0.4)
+    assert(res.head.extra.contains("adaptive"))
+  }
+
+  test("heavy query (base min >= 1s) always gets a third sample, recorded as heavy") {
+    var calls = 0
+    val heavy: (String, (SparkSession, String) => DataFrame) =
+      ("heavy", (s, _) => { calls += 1; Thread.sleep(1050); s.range(1).toDF() })
+    val res = Bench.timeQueries(spark, "unused", Seq(heavy), runs = 2)
+    assert(calls === 3)
+    assert(res.head.extra.contains("heavy"))
+    val json = Bench.toJson(res, "unused", 2)
+    assert(json.contains("\"extra_runs\":{\"heavy\":1,\"adaptive\":0}"))
   }
 }
