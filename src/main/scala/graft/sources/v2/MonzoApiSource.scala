@@ -96,7 +96,7 @@ private class ApiTable(options: CaseInsensitiveStringMap)
 }
 
 private class ApiScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var since: LocalDate =
     LocalDate.parse(options.getOrDefault("since", "2024-01-01"))
@@ -104,6 +104,20 @@ private class ApiScanBuilder(options: CaseInsensitiveStringMap)
     LocalDate.parse(options.getOrDefault("until", "2024-01-31"))
   private val rowsPerDay = options.getOrDefault("rowsPerDay", "200").toInt
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = Int.MaxValue
+
+  /** The reference's `limit=200` page-size parameter
+    * (/root/reference/src/utils/api/api_client.py:158): a query-level
+    * LIMIT reaches the source as a per-fetch cap instead of running as a
+    * post-scan operator over fully-fetched pages. PARTIALLY pushed
+    * (`isPartiallyPushed` stays at its `true` default): each day-slice
+    * caps its fetch at the limit — the best a multi-partition source can
+    * guarantee — and Spark keeps the global limit on top.
+    */
+  override def pushLimit(l: Int): Boolean = {
+    limit = math.min(limit, l)
+    true
+  }
 
   /** Accept bounds on `created` — the API's since/before parameters. A
     * pushed bound narrows the fetched day range; everything else stays for
@@ -162,18 +176,19 @@ private class ApiScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ApiScan(since, until, rowsPerDay)
+  override def build(): Scan = new ApiScan(since, until, rowsPerDay, limit)
 }
 
-private case class DaySlice(fromDay: Long, untilDay: Long, rowsPerDay: Int)
-    extends InputPartition
+private case class DaySlice(fromDay: Long, untilDay: Long, rowsPerDay: Int,
+    limit: Int) extends InputPartition
 
-private class ApiScan(since: LocalDate, until: LocalDate, rowsPerDay: Int)
-    extends Scan with Batch {
+private class ApiScan(since: LocalDate, until: LocalDate, rowsPerDay: Int,
+    limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = MonzoApiSource.schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-monzo-api [since=$since, until=$until, rowsPerDay=$rowsPerDay]"
+    s"graft-monzo-api [since=$since, until=$until, rowsPerDay=$rowsPerDay" +
+      (if (limit != Int.MaxValue) s", limit=$limit]" else "]")
 
   /** One partition per day — the fetch unit the reference pages over
     * serially becomes the parallelism unit.
@@ -181,15 +196,18 @@ private class ApiScan(since: LocalDate, until: LocalDate, rowsPerDay: Int)
   override def planInputPartitions(): Array[InputPartition] = {
     val from = since.toEpochDay
     val to = math.max(from, until.toEpochDay)
-    (from until to).map(d => DaySlice(d, d + 1, rowsPerDay): InputPartition).toArray
+    (from until to).map(d => DaySlice(d, d + 1, rowsPerDay, limit): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val s = partition.asInstanceOf[DaySlice]
       new PartitionReader[InternalRow] {
+        // partially-pushed limit: this partition never fetches more than
+        // `limit` rows (Spark's retained global limit finishes the job)
         private val it = (s.fromDay until s.untilDay).iterator
           .flatMap(MonzoApiSource.SyntheticFetcher.fetchDay(_, s.rowsPerDay))
+          .take(s.limit)
         private var current: InternalRow = _
         override def next(): Boolean =
           if (it.hasNext) { current = it.next(); true } else false

@@ -52,6 +52,16 @@ class MonzoApiSourceSpec extends SparkSpec {
     assert(filtered.count() === expected)
   }
 
+  test("limit pushdown: the reference's limit=200 page param reaches the source") {
+    // S5 (api_client.py:158): LIMIT caps the FETCH, not a post-scan
+    // operator over fully-fetched pages
+    val df = read("2024-01-01", "2024-01-31", rowsPerDay = 200).limit(7)
+    assert(df.count() === 7)
+    val explained = df.queryExecution.executedPlan.toString
+    assert(explained.contains("limit=7"),
+      s"limit not pushed into the scan:\n$explained")
+  }
+
   test("deterministic across reads; spend amounts are negative pence") {
     val a = read("2024-02-01", "2024-02-03").collect().map(_.toString).sorted
     val b = read("2024-02-01", "2024-02-03").collect().map(_.toString).sorted
