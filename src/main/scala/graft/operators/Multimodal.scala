@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * driver involvement and with one decoder context per partition (the Scala
   * analog of a Pandas-batched UDF).
   *
-  * DECODE IS STUBBED: this container has no image/audio codecs, so
-  * [[FakeDecoder]] derives a deterministic pseudo-media from the bytes
-  * (size-dependent dimensions, hash-derived samples). The Spark-side
-  * contract — schema, batching, partitioning, feature shapes — is real and
-  * tested; swapping in a real codec is a one-class change behind
-  * [[MediaDecoder]].
+  * Decoding is pluggable behind [[MediaDecoder]]: [[Codecs.JvmDecoder]]
+  * parses REAL containers (BMP, PPM/PPM-stream, WAV — pure JVM, no native
+  * deps) with a malformed-blob quarantine lane
+  * ([[withMetaQuarantine]]); [[FakeDecoder]] remains as the deterministic
+  * stand-in for formats that would need native codecs (JPEG/MP4), deriving
+  * pseudo-media from the bytes so tests can assert exact outputs.
   */
 object Multimodal {
 
@@ -134,4 +134,70 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("payload"))
+
+  /** [[withMeta]] with a quarantine lane (the q89 corrupt-record pattern
+    * for binary payloads): rows whose payload fails to parse emit
+    * (media_id, error) with null meta instead of killing the job — at
+    * 100 TB a corrupt blob is a certainty, not an edge case.
+    */
+  final case class MediaMetaOrError(
+      media_id: Long, format: Option[String], byte_len: Option[Long],
+      width: Option[Int], height: Option[Int], n_frames: Option[Int],
+      error: Option[String])
+
+  def withMetaQuarantine(
+      spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder = Codecs.JvmDecoder): Dataset[MediaMetaOrError] = {
+    import spark.implicits._
+    media.select(col("media_id").as[Long], col("payload").as[Array[Byte]])
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val d = decoder.decode(bytes)
+            MediaMetaOrError(id, Some(decoder.sniffFormat(bytes)),
+              Some(bytes.length.toLong), Some(d.width), Some(d.height),
+              Some(d.frames.length), None)
+          } catch {
+            case e: Codecs.MediaDecodeException =>
+              MediaMetaOrError(id, None, None, None, None, None, Some(e.getMessage))
+          }
+        }
+      }
+  }
+
+  /** REAL media containers deterministically synthesized from `documents`:
+    * doc_id mod 3 picks BMP (single image) / WAV (PCM16 mono) / PPM P6
+    * stream (multi-frame "video"), geometry derived from the text's UTF-8
+    * byte length, payload bytes cycled from the text bytes. Unlike
+    * [[mediaFromDocuments]] (raw bytes for the Fake decoder), these parse
+    * under [[Codecs.JvmDecoder]] as genuine format decodes, and the
+    * generative geometry formulas are simple enough for a SQL oracle to
+    * replay (q30).
+    */
+  def encodedMediaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").as[Long], col("text").as[String])
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val len = tb.length
+          def cyc(i: Int): Byte = if (len == 0) (i & 0xFF).toByte else tb(i % len)
+          val w = 4 + len % 5
+          val h = 4 + len % 3
+          val payload = (id % 3) match {
+            case 0 =>
+              Codecs.encodeBmp(w, h, Array.tabulate(w * h * 3)(cyc))
+            case 1 =>
+              val n = 16 + len % 100
+              Codecs.encodeWav(Array.tabulate(n)(j =>
+                ((cyc(2 * j) & 0xFF) | ((cyc(2 * j + 1) & 0xFF) << 8)).toShort))
+            case _ =>
+              val f = 1 + len % 4
+              Codecs.encodePpmStream(w, h,
+                (0 until f).map(k => Array.tabulate(w * h * 3)(i => cyc(k * 31 + i))))
+          }
+          (id, payload)
+        }
+      }.toDF("media_id", "payload")
+  }
 }

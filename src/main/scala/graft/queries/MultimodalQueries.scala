@@ -11,43 +11,63 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
-  /** Typed metadata per media item. The fake decoder's geometry is a pure
-    * function of byte length, so the whole operator — including the
-    * mapPartitions decode path — is oracle-checkable end to end.
+  /** Typed metadata per media item, via a REAL format decode:
+    * [[Multimodal.encodedMediaFromDocuments]] wraps each document's bytes
+    * in a genuine BMP / WAV / PPM-stream container and
+    * [[graft.operators.Codecs.JvmDecoder]] parses the actual headers
+    * (magic, geometry, payload layout). The oracle replays the ENCODER's
+    * generative formulas (container sizes, geometry from text length) in
+    * SQL — an independent cross-check: a bug in either the encoder or the
+    * header parse breaks the hash.
     */
   private val q30 = GraftQuery(
     "q30_multimodal_meta",
     (s, dir) =>
-      Multimodal.withMeta(s, Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+      Multimodal.withMeta(
+        s,
+        Multimodal.encodedMediaFromDocuments(s, Tables.documents(s, dir)),
+        decoder = graft.operators.Codecs.JvmDecoder)
         .toDF()
         .orderBy("media_id"),
-    Some("""SELECT doc_id AS media_id,
-                   CASE octet_length(encode(text)) % 3
-                     WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
-                   octet_length(encode(text)) AS byte_len,
-                   CAST(4 + octet_length(encode(text)) % 5 AS INT) AS width,
-                   CAST(4 + octet_length(encode(text)) % 3 AS INT) AS height,
-                   CAST(CASE WHEN octet_length(encode(text)) % 3 = 2 THEN 8 ELSE 1 END AS INT)
-                     AS n_frames
-            FROM documents ORDER BY media_id"""))
+    Some("""WITH g AS (
+              SELECT doc_id, doc_id % 3 AS m,
+                     CAST(4 + octet_length(encode(text)) % 5 AS INT) AS w,
+                     CAST(4 + octet_length(encode(text)) % 3 AS INT) AS h,
+                     CAST(16 + octet_length(encode(text)) % 100 AS INT) AS n,
+                     CAST(1 + octet_length(encode(text)) % 4 AS INT) AS f
+              FROM documents)
+            SELECT doc_id AS media_id,
+                   CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'ppm' END AS format,
+                   CAST(CASE m
+                     WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * h
+                     WHEN 1 THEN 44 + 2 * n
+                     ELSE f * (octet_length(encode('P6' || chr(10) || w || ' ' || h
+                               || chr(10) || '255' || chr(10))) + 3 * w * h)
+                   END AS BIGINT) AS byte_len,
+                   CAST(CASE m WHEN 1 THEN n ELSE w END AS INT) AS width,
+                   CAST(CASE m WHEN 1 THEN 1 ELSE h END AS INT) AS height,
+                   CAST(CASE m WHEN 2 THEN f ELSE 1 END AS INT) AS n_frames
+            FROM g ORDER BY media_id"""))
 
-  /** Pooled feature vectors from the (stubbed) decode. The decoded-feature
-    * frame (media_id, embedding, embedding_json) is parquet-landed (per-run
-    * path, see [[Landed]]) and the digests — dim, decimal-accumulated L2
-    * norm, first component, md5 of the JSON form — are recomputed by BOTH
-    * engines over the same landed arrays, so the digest arithmetic
+  /** Pooled feature vectors from the REAL decode (JvmDecoder over the
+    * encoded containers, like q30). The decoded-feature frame (media_id,
+    * embedding, embedding_json) is parquet-landed (per-run path, see
+    * [[Landed]]) and the digests — dim, decimal-accumulated L2 norm, first
+    * component, md5 of the JSON form — are recomputed by BOTH engines over
+    * the same landed arrays, so the digest arithmetic
     * (size/dot/element/md5) is cross-checked hash-exactly while the
-    * splitmix64 sample stream stays engine-specific (its determinism,
-    * shape, and normalization are pinned by MultimodalSpec). A `def` (and
-    * `all` a def) so the oracle SQL dumped after the run embeds this run's
-    * landing path.
+    * decoded sample values stay engine-specific (their determinism, shape,
+    * and normalization are pinned by MultimodalSpec). A `def` (and `all` a
+    * def) so the oracle SQL dumped after the run embeds this run's landing
+    * path.
     */
   private def q31 = GraftQuery(
     "q31_multimodal_features",
     (s, dir) => {
       val path = Landed.land("q31_multimodal_features", dir)
       Multimodal.extractFeatures(
-        s, Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        s, Multimodal.encodedMediaFromDocuments(s, Tables.documents(s, dir)),
+        decoder = graft.operators.Codecs.JvmDecoder)
         .toDF()
         .withColumn("embedding_json", to_json(col("embedding")))
         .repartition(1) // see q24: empty-safe single part file
