@@ -132,10 +132,18 @@ object NearDup {
     * whole-set Jaccard dilutes below any usable threshold.
     */
   def winnowingPairs(
-      docs: DataFrame, k: Int = 16, w: Int = 12, minShared: Int = 5): DataFrame = {
-    val fps = docs.select(col("doc_id"),
-      graft.expressions.WinnowExpr.winnowFingerprints(
-        TextFunctions.normalizeText(col("text")), k, w).as("fps"))
+      docs: DataFrame, k: Int = 16, w: Int = 12, minShared: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // materialize the fingerprint pass BEFORE filter + self-join: without
+    // the cut, Catalyst substitutes the `size(fps) > 0` filter below the
+    // project (evaluating the winnow expression ~3x per row) and the
+    // self-join recomputes the whole pipeline on each side — profiled at
+    // 6 evaluations per document vs 1 here (q35 round-5 triage, PLANS.md)
+    val fps = materialized(
+      docs.select(col("doc_id"),
+        graft.expressions.WinnowExpr.winnowFingerprints(
+          TextFunctions.normalizeText(col("text")), k, w).as("fps")),
+      checkpointDir)
       .filter(size(col("fps")) > 0)
     val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
     inv.as("a").join(inv.as("b"),
@@ -164,13 +172,25 @@ object NearDup {
   }
 
   /** Both shingle sets attached to a candidate pair list — the shingling
-    * pass runs ONCE (materialized) even though it feeds both join sides.
-    * Pairs whose docs have no n-grams (< n tokens) drop out (inner join),
-    * matching the shingle-CTE oracle shape.
+    * pass runs ONCE (materialized) even though it feeds both join sides,
+    * and ONLY over docs that appear in a pair: the downstream joins are
+    * inner on pair doc ids, so shingling non-participants is pure waste —
+    * at corpus scale the candidate list is vanishingly small next to the
+    * corpus, making the verify pass O(pairs), not O(corpus). Pairs whose
+    * docs have no n-grams (< n tokens) drop out (inner join), matching
+    * the shingle-CTE oracle shape.
     */
   private def pairsWithShingles(docs: DataFrame, pairs: DataFrame, n: Int,
       checkpointDir: Option[String] = None): DataFrame = {
-    val sets = materialized(shingleSets(docs, n), checkpointDir)
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // no broadcast hint: AQE picks broadcast while the pair list is small
+    // (the normal case) and falls back to a shuffled semi-join if a
+    // pathological candidate list outgrows the threshold
+    val sets = materialized(
+      shingleSets(docs.join(ids, Seq("doc_id"), "left_semi"), n),
+      checkpointDir)
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
