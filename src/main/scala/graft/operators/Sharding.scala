@@ -44,6 +44,13 @@ object Sharding {
   def scramble(id: Column, seed: Long, mult: Long = 2654435761L): Column =
     ((id % P + lit(((seed % P) + P) % P)) % P * mult) % P
 
+  /** SQL twin of [[scramble]] for oracle replay — identical arithmetic,
+    * every step in BIGINT range, so a widening engine (DuckDB) computes
+    * the exact same values.
+    */
+  def scrambleSql(idExpr: String, seed: Long, mult: Long = 2654435761L): String =
+    s"(((($idExpr % $P) + ${((seed % P) + P) % P}) % $P) * $mult) % $P"
+
   /** Adds to each row:
     *   `rank`      — position in the seeded global permutation (0-based),
     *   `shard_id`  — rank % nShards (round-robin: shard sizes differ by

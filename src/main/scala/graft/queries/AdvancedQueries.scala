@@ -354,6 +354,49 @@ object AdvancedQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
             FROM orders ORDER BY o_orderkey"""))
 
+  /** VALUE-range window frames — the capability q43's ROWS frames don't
+    * cover: a trailing-7-DAY revenue average per event type, where the
+    * frame is `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the day
+    * number, so gaps in the calendar shrink the window (a ROWS frame
+    * would silently average over 7 *observations* regardless of their
+    * spacing). Frame sums ride exact decimals, so accumulation order —
+    * which differs between Spark's running frames and DuckDB's segment
+    * trees — cannot change the result.
+    */
+  private val q91 = GraftQuery(
+    "q91_range_frame_trailing",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day_i").rangeBetween(-6, 0)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(30,4)")).as("rev_dec"))
+        .withColumn("day_i", unix_date(col("day")))
+        .select(
+          col("event_type"), col("day"),
+          col("rev_dec").cast("double").as("revenue"),
+          count(lit(1)).over(w).as("n_days_7"),
+          (sum(col("rev_dec")).over(w).cast("double")
+            / count(lit(1)).over(w)).as("ma_7d"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                     sum(CAST(value AS DECIMAL(30,4))) AS rev_dec
+              FROM events GROUP BY 1, 2),
+            d AS (SELECT event_type, day, rev_dec,
+                         CAST(day - DATE '1970-01-01' AS BIGINT) AS day_i
+                  FROM daily)
+            SELECT event_type, day,
+                   CAST(rev_dec AS DOUBLE) AS revenue,
+                   count(*) OVER w AS n_days_7,
+                   CAST(sum(rev_dec) OVER w AS DOUBLE) / count(*) OVER w AS ma_7d
+            FROM d
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_i
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY event_type, day"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82)
+    Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91)
 }

@@ -528,6 +528,118 @@ object CurationQueries {
             WHERE ((d.doc_id % 100003) * 53 + 11) % 10000 / 10000.0 < r.rate
             ORDER BY d.doc_id"""))
 
+  /** Exact-N deterministic corpus sample ([[graft.operators.Sampling
+    * .sampleExactN]]): the "give me exactly 100 uniform docs" draw every
+    * eval/debug/annotation pipeline needs, as the n smallest seeded id
+    * scrambles — fixed size (df.sample is fraction-based and fuzzy),
+    * engine-replayable membership, and selected through bounded TopKAgg
+    * partials instead of a global ORDER BY/LIMIT sort of the corpus.
+    */
+  private val q90 = GraftQuery(
+    "q90_sample_exact_n",
+    (s, dir) =>
+      graft.operators.Sampling.sampleExactN(
+        Tables.documents(s, dir).select("doc_id", "source", "lang"),
+        "doc_id", n = 100, seed = 7L)
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, source, lang FROM (
+              SELECT doc_id, source, lang
+              FROM documents
+              ORDER BY ${graft.operators.Sharding.scrambleSql("doc_id", 7L)}, doc_id
+              LIMIT 100)
+            ORDER BY doc_id"""))
+
+  /** Sliding token context windows (W=64, stride 32): the chunking shape
+    * that feeds long-document training and retrieval indexing — every
+    * token covered, adjacent windows overlapping by W−stride. Pure
+    * narrow ops (tokens → sequence → explode → slice), no shuffle until
+    * the output sort; window text is md5-digested so the oracle compares
+    * content without shipping it twice.
+    */
+  private val q92 = GraftQuery(
+    "q92_context_windows",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("len", size(col("toks")))
+        .withColumn("k",
+          greatest(lit(1), expr("((greatest(0, len - 64) + 31) div 32) + 1")))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, k - 1)")).as("win"))
+        .select(col("doc_id"), col("win"),
+          expr("slice(toks, win * 32 + 1, 64)").as("w"))
+        .select(col("doc_id"), col("win").cast("int").as("win"),
+          size(col("w")).as("win_tokens"),
+          md5(concat_ws(" ", col("w"))).as("win_md5"))
+        .orderBy("doc_id", "win"),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+            g AS (SELECT doc_id, toks, len(toks) AS l,
+                         greatest(1, ((greatest(0, len(toks) - 64) + 31) // 32) + 1) AS k
+                  FROM t),
+            w AS (SELECT doc_id, unnest(generate_series(0, k - 1)) AS win, toks, l FROM g)
+            SELECT doc_id, CAST(win AS INT) AS win,
+                   CAST(least(win * 32 + 64, l) - win * 32 AS INT) AS win_tokens,
+                   md5(array_to_string(toks[win * 32 + 1 : least(win * 32 + 64, l)], ' ')) AS win_md5
+            FROM w ORDER BY doc_id, win"""))
+
+  /** Global quality-decile binning ([[graft.operators.Sampling.rankBins]]):
+    * each doc's decile under (n_chars, doc_id) order — the bucketing step
+    * of curriculum/threshold curation — computed with the two-phase
+    * distributed rank (range partition → broadcast offsets), never an
+    * unpartitioned ntile window. The oracle affords the single-node sort
+    * and replays bin = rank·10 div total exactly.
+    */
+  private val q94 = GraftQuery(
+    "q94_quality_deciles",
+    (s, dir) =>
+      graft.operators.Sampling.rankBins(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        Seq("n_chars", "doc_id"), nBins = 10)
+        .select("doc_id", "n_chars", "bin")
+        .orderBy("doc_id"),
+    Some("""WITH r AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank,
+                     count(*) OVER () AS total
+              FROM documents)
+            SELECT doc_id, n_chars, CAST((rank * 10) // total AS INT) AS bin
+            FROM r ORDER BY doc_id"""))
+
+  /** Cross-source quantile normalization ([[graft.operators.Sampling
+    * .quantileNormalize]]): each doc's n_chars score is replaced by the
+    * GLOBAL score at the quantile the doc occupies within its source —
+    * the calibration that makes heterogeneous per-source score
+    * distributions globally thresholdable. All rank arithmetic is
+    * integers (two two-phase prefix scans + broadcast offsets, no
+    * per-source window), so DuckDB replays it exactly with its
+    * single-node windows.
+    */
+  private val q96 = GraftQuery(
+    "q96_quantile_normalize",
+    (s, dir) =>
+      graft.operators.Sampling.quantileNormalize(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id")
+        .select("doc_id", "source", "n_chars", "calibrated")
+        .orderBy("doc_id"),
+    Some("""WITH r AS (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS rs,
+                     count(*) OVER (PARTITION BY source) AS m,
+                     count(*) OVER () AS n
+              FROM documents),
+            g AS (
+              SELECT n_chars AS calibrated,
+                     row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rg
+              FROM documents)
+            SELECT r.doc_id, r.source, r.n_chars, g.calibrated
+            FROM r JOIN g ON g.rg = (r.rs * (r.n - 1)) // greatest(r.m - 1, 1)
+            ORDER BY r.doc_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86)
+    Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
+      q90, q92, q94, q96)
 }

@@ -256,7 +256,43 @@ object SimilarityQueries {
             FROM ed JOIN stats USING (dim)
             ORDER BY vec_id, dim"""))
 
+  /** Reciprocal-rank fusion of two retrieval lists (the standard hybrid-
+    * search merge): top-100 exact-cosine neighbor lists for two query
+    * vectors, fused as Σ 1/(60 + rank). Each list rides
+    * [[NearDup.knnBruteForce]]'s bounded TopKAgg (no corpus-wide window);
+    * fusion itself is a tiny groupBy over ≤ 200 shortlist rows. At most
+    * two addends per candidate, so the double sum is order-independent
+    * (binary FP addition is commutative) and DuckDB replays it exactly
+    * after the shared 12-dp rounding.
+    */
+  private val q93 = GraftQuery(
+    "q93_rrf_fusion",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      NearDup.knnBruteForce(emb.filter(col("vec_id").isin(0L, 1L)), emb, k = 100)
+        .groupBy("n_id")
+        .agg(count(lit(1)).as("n_lists"),
+          round(sum(lit(1.0) / (lit(60) + col("rank"))), 12).as("rrf"))
+        .orderBy(col("rrf").desc, col("n_id"))
+        .limit(20)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                        WHERE vec_id IN (0, 1)),
+            scored AS (
+              SELECT q_id, b.vec_id AS n_id, ${cosSql("qe", "b.embedding")} AS cos
+              FROM q, embeddings b WHERE b.vec_id <> q_id),
+            ranked AS (
+              SELECT q_id, n_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+              FROM scored),
+            rrf AS (
+              SELECT n_id, count(*) AS n_lists,
+                     round(sum(CAST(1.0 AS DOUBLE) / (60 + r)), 12) AS rrf
+              FROM ranked WHERE r <= 100 GROUP BY n_id)
+            SELECT n_id, n_lists, rrf FROM rrf
+            ORDER BY rrf DESC, n_id LIMIT 20"""))
+
   // def, not val: q24/q32/q70 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
-  def all: Seq[GraftQuery] = Seq(q22, q23, q24, q32, q57, q70, q78, q79)
+  def all: Seq[GraftQuery] = Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93)
 }

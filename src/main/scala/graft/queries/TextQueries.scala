@@ -220,5 +220,46 @@ object TextQueries {
                    round(s_spark + s_join + s_table, 9) AS bm25
             FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 20"""))
 
-  val all: Seq[GraftQuery] = Seq(q13, q14, q15, q16, q17, q54)
+  /** Corpus-derived vocabulary (min-count ≥ 5, the word2vec/fastText
+    * convention) + per-document out-of-vocabulary rate — the tokenizer-
+    * health metric every ingestion pipeline tracks. Frequency-threshold
+    * membership is fully distributive (one word-count shuffle with
+    * map-side partials, no top-k tie ambiguity), and the vocab broadcasts
+    * back onto the exploded corpus; at a scale where the vocab outgrows a
+    * broadcast, the same shape runs with a bloom-filter membership probe
+    * ([[graft.operators.BloomSemiJoin]]) accepting its false-positive
+    * rate.
+    */
+  private val q95 = GraftQuery(
+    "q95_vocab_oov",
+    (s, dir) => {
+      val occ = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      val vocab = occ.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+        .select(col("word"), lit(1).as("__in"))
+      occ.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          count(when(col("__in").isNull, 1)).as("n_oov"))
+        .withColumn("oov_frac",
+          round(col("n_oov").cast("double") / col("n_tokens"), 12))
+        .orderBy("doc_id")
+    },
+    Some("""WITH occ AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            vocab AS (
+              SELECT word FROM (SELECT word, count(*) AS cnt FROM occ GROUP BY word)
+              WHERE cnt >= 5)
+            SELECT o.doc_id, count(*) AS n_tokens,
+                   count(CASE WHEN v.word IS NULL THEN 1 END) AS n_oov,
+                   round(CAST(count(CASE WHEN v.word IS NULL THEN 1 END) AS DOUBLE)
+                     / count(*), 12) AS oov_frac
+            FROM occ o LEFT JOIN vocab v ON o.word = v.word
+            GROUP BY o.doc_id ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q13, q14, q15, q16, q17, q54, q95)
 }
