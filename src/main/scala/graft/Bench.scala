@@ -48,8 +48,11 @@ object Bench {
       if (base.exists(_.isEmpty)) QTime(name, None, None)
       else {
         val times = base.flatten
+        // both triggers require runs > 1: an explicit single-run bench
+        // (SPARK_GRAFT_BENCH_RUNS=1) must stay truly single-run, or its
+        // recorded runs_per_query:1 would lie about the heavy queries
         val extra =
-          if (times.min >= HeavySecs) Some("heavy")
+          if (runs > 1 && times.min >= HeavySecs) Some("heavy")
           else if (runs > 1 && times.max > times.min * 1.2) Some("adaptive")
           else None
         if (extra.isDefined)

@@ -19,6 +19,25 @@ object Codecs {
 
   private def fail(msg: String): Nothing = throw new MediaDecodeException(msg)
 
+  /** Upper bound on samples per decoded frame (64 MPixel): a corrupt
+    * header's geometry must be rejected BEFORE it sizes an allocation —
+    * without this, dimension products overflow Int (sailing past the
+    * truncation guards) or legitimately allocate gigabytes from a 60-byte
+    * payload.
+    */
+  private val MaxFrameSamples = 64L * 1024 * 1024
+
+  /** Validated samples-per-frame as an Int: positive dims, product within
+    * [[MaxFrameSamples]] — all arithmetic in Long so crafted headers
+    * can't wrap.
+    */
+  private def checkedFrameSize(w: Int, h: Int, what: String): Int = {
+    if (w <= 0 || h <= 0) fail(s"$what bad geometry ${w}x$h")
+    val n = w.toLong * h.toLong
+    if (n > MaxFrameSamples) fail(s"$what geometry ${w}x$h exceeds $MaxFrameSamples samples")
+    n.toInt
+  }
+
   // ---------------------------------------------------------------- BMP
 
   /** 24bpp BMP: 54-byte header, rows bottom-up, each padded to 4 bytes.
@@ -59,14 +78,15 @@ object Codecs {
     val h = buf.getInt(22)
     val bpp = buf.getShort(28)
     if (bpp != 24) fail(s"BMP unsupported bpp $bpp (only 24)")
-    if (w <= 0 || h <= 0) fail(s"BMP bad geometry ${w}x$h")
-    val rowSize = (w * 3 + 3) / 4 * 4
-    if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * h > bytes.length)
+    val nSamples = checkedFrameSize(w, h, "BMP") // Long-checked: no Int wrap
+    val rowSize = (w.toLong * 3 + 3) / 4 * 4
+    if (dataOffset < 54 || dataOffset.toLong + rowSize * h > bytes.length)
       fail(s"BMP truncated pixel data")
-    val frame = new Array[Float](w * h)
+    val frame = new Array[Float](nSamples)
     var y = 0
     while (y < h) {
-      val row = dataOffset + (h - 1 - y) * rowSize // stored bottom-up
+      // stored bottom-up; fits Int: dataOffset + rowSize*h <= bytes.length
+      val row = (dataOffset + (h - 1 - y).toLong * rowSize).toInt
       var x = 0
       while (x < w) {
         val b = bytes(row + x * 3) & 0xFF
@@ -114,6 +134,10 @@ object Codecs {
       val start = pos
       while (pos < bytes.length && (bytes(pos) >= '0' && bytes(pos) <= '9')) pos += 1
       if (pos == start) fail(s"PPM expected integer at offset $start")
+      // bound the digit count BEFORE toInt: an oversized token would throw
+      // NumberFormatException, which is not a MediaDecodeException and
+      // would escape the quarantine lane
+      if (pos - start > 9) fail(s"PPM integer too large at offset $start")
       new String(bytes, start, pos - start, java.nio.charset.StandardCharsets.US_ASCII).toInt
     }
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
@@ -124,22 +148,22 @@ object Codecs {
         fail(s"PPM bad magic at offset $pos")
       pos += 2
       val fw = int(); val fh = int(); val maxval = int()
-      if (fw <= 0 || fh <= 0) fail(s"PPM bad geometry ${fw}x$fh")
+      val nSamples = checkedFrameSize(fw, fh, "PPM") // Long-checked: no Int wrap
       if (maxval != 255) fail(s"PPM unsupported maxval $maxval")
       pos += 1 // the single whitespace byte after maxval
-      if (pos + fw * fh * 3 > bytes.length) fail("PPM truncated pixel data")
+      if (pos.toLong + nSamples.toLong * 3 > bytes.length) fail("PPM truncated pixel data")
       if (w < 0) { w = fw; h = fh }
       else if (fw != w || fh != h) fail("PPM stream with varying frame geometry")
-      val frame = new Array[Float](w * h)
+      val frame = new Array[Float](nSamples)
       var i = 0
-      while (i < w * h) {
+      while (i < nSamples) {
         val r = bytes(pos + i * 3) & 0xFF
         val g = bytes(pos + i * 3 + 1) & 0xFF
         val b = bytes(pos + i * 3 + 2) & 0xFF
         frame(i) = (r + g + b).toFloat / 765f
         i += 1
       }
-      pos += w * h * 3
+      pos += nSamples * 3
       frames += frame
     }
     if (frames.isEmpty) fail("PPM stream with no frames")

@@ -158,8 +158,14 @@ object Multimodal {
               Some(bytes.length.toLong), Some(d.width), Some(d.height),
               Some(d.frames.length), None)
           } catch {
-            case e: Codecs.MediaDecodeException =>
-              MediaMetaOrError(id, None, None, None, None, None, Some(e.getMessage))
+            // NonFatal, not just MediaDecodeException: a corrupt blob that
+            // trips an unanticipated parser path (NumberFormat, index out
+            // of bounds, OOM-adjacent allocation guards) must still land
+            // in the error lane rather than kill the job — surviving
+            // arbitrary garbage is this lane's whole contract
+            case scala.util.control.NonFatal(e) =>
+              MediaMetaOrError(id, None, None, None, None, None,
+                Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
           }
         }
       }

@@ -96,7 +96,8 @@ object Sampling {
       checkpointDir = checkpointDir)
     val strata = bySrc.groupBy(strataCol)
       .agg(min(col("__gr")).as("__base"), count(lit(1)).as("__m"))
-    val total = df.agg(count(lit(1)).as("__n"))
+    // corpus size from the (tiny) strata aggregate — not a third full scan
+    val total = strata.agg(sum(col("__m")).as("__n"))
     val globalRanked = Packing.prefixSumBy(
       keyed, Seq(scoreCol, idCol), "__one", "__rg",
       checkpointDir = checkpointDir)

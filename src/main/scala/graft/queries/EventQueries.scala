@@ -190,7 +190,7 @@ object EventQueries {
             v AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
                          row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS r,
                          count(*) OVER (PARTITION BY event_type) AS n
-                  FROM events),
+                  FROM events WHERE value IS NOT NULL),
             b AS (SELECT event_type,
                          ${OrderStats.bracketSelectSql(Seq(0.5, 0.95, 0.99), 10000)}
                   FROM v GROUP BY event_type),
@@ -499,7 +499,7 @@ object EventQueries {
             v AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
                          row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS r,
                          count(*) OVER (PARTITION BY event_type) AS n
-                  FROM events),
+                  FROM events WHERE value IS NOT NULL),
             x AS (SELECT event_type,
                          ${OrderStats.targetSelectSql(Seq(0.5, 0.95, 0.99))}
                   FROM v GROUP BY event_type)

@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
 object OrderStats {
 
   /** `df` ranked by `valueCol` (cast double) within `part`: columns
-    * (part, value, r = 0-based rank, n = group size).
+    * (part, value, r = 0-based rank, n = group size). NULL values are
+    * excluded BEFORE ranking — the sketches being graded skip nulls, and
+    * the engines disagree on where nulls sort (Spark's default window
+    * orderBy ranks them first, DuckDB's ORDER BY last), so a null row
+    * would shift every rank on one side only. The SQL twins' `v` CTE must
+    * carry the matching `WHERE value IS NOT NULL`.
     */
   private def ranked(df: DataFrame, part: String, valueCol: String): DataFrame =
-    df.select(col(part), col(valueCol).cast("double").as("value"))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(part), col(valueCol).cast("double").as("value"))
       .withColumn("r",
         row_number().over(Window.partitionBy(part).orderBy("value")) - 1)
       .withColumn("n", count(lit(1)).over(Window.partitionBy(part)))

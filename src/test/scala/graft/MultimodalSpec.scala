@@ -88,6 +88,23 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3L).error.exists(_.contains("unrecognized")))
   }
 
+  test("crafted headers with overflow-scale dims quarantine instead of crashing") {
+    // BMP with w chosen so w*3 wraps Int; PPM with an 11-digit dimension
+    // token (would throw NumberFormatException pre-hardening) and one
+    // whose fw*fh*3 wraps past the truncation guard
+    val bmp = Codecs.encodeBmp(4, 4, Array.fill(4 * 4 * 3)(1.toByte))
+    val buf = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(18, 715827883) // w: rowSize arithmetic would wrap in Int
+    val ppmHuge = "P6\n99999999999 4\n255\n".getBytes ++ Array.fill(48)(1.toByte)
+    val ppmWrap = "P6\n40000 40000\n255\n".getBytes ++ Array.fill(48)(1.toByte)
+    val df = Seq((1L, bmp), (2L, ppmHuge), (3L, ppmWrap)).toDF("media_id", "payload")
+    val rows = Multimodal.withMetaQuarantine(spark, df).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(rows(1L).error.isDefined && rows(1L).format.isEmpty)
+    assert(rows(2L).error.exists(_.contains("integer too large")))
+    assert(rows(3L).error.exists(_.contains("exceeds")))
+  }
+
   test("encodedMediaFromDocuments: real containers parse under JvmDecoder, per doc_id mod 3") {
     val docs = Seq((0L, "abc"), (1L, "abcd"), (2L, "abcde"), (3L, ""), (4L, "y"), (5L, "zz"))
       .toDF("doc_id", "text")
