@@ -261,5 +261,50 @@ object TextQueries {
             FROM occ o LEFT JOIN vocab v ON o.word = v.word
             GROUP BY o.doc_id ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q13, q14, q15, q16, q17, q54, q95)
+  /** Heavy-hitter words via the mergeable Misra–Gries sketch
+    * ([[graft.functions.FreqSketchAgg]], k=50) — oracle-gated with the
+    * landed-estimate pattern: the sketch's candidate (word, est) pairs
+    * land to parquet, both engines independently recompute exact counts
+    * and the corpus token total, and replay the sketch's two analytic
+    * guarantees in pure integer arithmetic: est ≤ exact (undercount
+    * only) and (exact − est)·k ≤ n (bounded error). The no-missed-heavy-
+    * hitter guarantee (f > n/k ⇒ present) is pinned in SketchProps —
+    * set containment isn't a per-row column.
+    */
+  private def q98 = GraftQuery(
+    "q98_heavy_hitters",
+    (s, dir) => {
+      val path = Landed.land("q98_heavy_hitters", dir)
+      val occ = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+      occ
+        .agg(graft.functions.FreqSketchAgg.heavyHitters(col("word"), 50).as("hh"))
+        .select(explode(col("hh")).as(Seq("word", "est")))
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+      val exact = occ.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+      val total = occ.agg(count(lit(1)).as("n"))
+      s.read.parquet(path)
+        .join(exact, "word")
+        .crossJoin(broadcast(total))
+        .select(col("word"), col("est"), col("exact_cnt"),
+          (col("est") <= col("exact_cnt")
+            && (col("exact_cnt") - col("est")) * 50 <= col("n")).as("within_bound"))
+        .orderBy("word")
+    },
+    Some(s"""WITH l AS (SELECT word, est
+                   FROM read_parquet('${Landed.oraclePath("q98_heavy_hitters")}/*.parquet')),
+            occ AS (
+              SELECT unnest(string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            x AS (SELECT word, count(*) AS exact_cnt FROM occ GROUP BY word),
+            t AS (SELECT count(*) AS n FROM occ)
+            SELECT l.word, l.est, x.exact_cnt,
+                   l.est <= x.exact_cnt AND (x.exact_cnt - l.est) * 50 <= t.n AS within_bound
+            FROM l JOIN x USING (word) CROSS JOIN t
+            ORDER BY l.word"""))
+
+  // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
+  // path recorded at dump time (the q21/q76 pattern)
+  def all: Seq[GraftQuery] = Seq(q13, q14, q15, q16, q17, q54, q95, q98)
 }

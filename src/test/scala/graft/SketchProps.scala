@@ -75,4 +75,28 @@ object SketchProps extends Properties("Sketches") {
         row.getLong(4) == toks.map(_.length.toLong).sum
     }
   }
+
+  // Misra-Gries guarantees on arbitrary streams under arbitrary
+  // partitioning (merge path exercised): undercount-only, error <= n/k,
+  // and NO heavy hitter (f > n/k) missing from the summary
+  property("misra-gries bounds + no missed heavy hitter") = {
+    val streamGen = Gen.chooseNum(50, 200).flatMap(n => Gen.listOfN(n, word))
+    val kGen = Gen.chooseNum(2, 12)
+    val partsGen = Gen.oneOf(1, 3, 7)
+    Prop.forAllNoShrink(streamGen, kGen, partsGen) { (ws, k, parts) =>
+      import spark.implicits._
+      val est = ws.toDF("word").repartition(parts)
+        .agg(graft.functions.FreqSketchAgg.heavyHitters(org.apache.spark.sql.functions.col("word"), k))
+        .head().getMap[String, Long](0)
+      val exact = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = ws.size.toLong
+      val bounds = est.forall { case (w, e) =>
+        e <= exact(w) && (exact(w) - e) * k <= n
+      }
+      val noMissedHeavy = exact.forall { case (w, f) =>
+        f * k <= n || est.contains(w)
+      }
+      bounds && noMissedHeavy
+    }
+  }
 }
