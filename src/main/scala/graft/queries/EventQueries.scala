@@ -220,23 +220,16 @@ object EventQueries {
       val src = StreamOps.eventsStream(s, dir)
       // unique sink name per run: memory-sink table names are session-global
       val name = "q46_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      // stream-stream join state is partitioned by shuffle.partitions AT
-      // QUERY START and each state-store partition pays fixed per-batch
-      // setup/commit I/O; the join keys here are a few thousand users, so
-      // scope the stream to 8 state partitions (restored after — the memory
-      // sink has fully materialized by then). At real stream scale this is
-      // the same knob, sized to key cardinality instead.
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      val out =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          StreamOps.runAvailableNow(
-            s,
-            StreamOps.clickPurchaseJoin(
-              src.filter(col("event_type") === "purchase"),
-              src.filter(col("event_type") === "click")),
-            name, org.apache.spark.sql.streaming.OutputMode.Append())
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // join keys here are a few thousand users: 8 state partitions
+      // (see runAvailableNow's statePartitions note); at real stream
+      // scale the same knob is sized to key cardinality instead
+      val out = StreamOps.runAvailableNow(
+        s,
+        StreamOps.clickPurchaseJoin(
+          src.filter(col("event_type") === "purchase"),
+          src.filter(col("event_type") === "click")),
+        name, org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = 8)
       out.orderBy("purchase_id", "click_id")
     },
     Some("""SELECT p.event_id AS purchase_id, p.user_id,
@@ -262,20 +255,14 @@ object EventQueries {
     (s, dir) => {
       import graft.streaming.StreamOps
       val name = "q56_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      val out =
-        try {
-          // dedup state is partitioned by shuffle.partitions at query
-          // start; key cardinality here is small, so 8 state stores
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          StreamOps.runAvailableNow(
-            s,
-            StreamOps.dedupStream(
-              StreamOps.eventsStream(s, dir).select("user_id", "event_type", "ts"),
-              Seq("user_id", "event_type"), "1 hour")
-              .select("user_id", "event_type"),
-            name, org.apache.spark.sql.streaming.OutputMode.Append())
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val out = StreamOps.runAvailableNow(
+        s,
+        StreamOps.dedupStream(
+          StreamOps.eventsStream(s, dir).select("user_id", "event_type", "ts"),
+          Seq("user_id", "event_type"), "1 hour")
+          .select("user_id", "event_type"),
+        name, org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = 8)
       out.orderBy("user_id", "event_type")
     },
     Some("""SELECT DISTINCT user_id, event_type FROM events
@@ -365,15 +352,11 @@ object EventQueries {
       require(nFiles == 1,
         s"q81 needs a single-file events table (one micro-batch drain), got $nFiles files")
       val name = "q81_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      val out =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          StreamOps.runAvailableNow(
-            s,
-            StreamOps.userRunningTotals(s, StreamOps.eventsStream(s, dir)).toDF(),
-            name, org.apache.spark.sql.streaming.OutputMode.Update())
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val out = StreamOps.runAvailableNow(
+        s,
+        StreamOps.userRunningTotals(s, StreamOps.eventsStream(s, dir)).toDF(),
+        name, org.apache.spark.sql.streaming.OutputMode.Update(),
+        statePartitions = 8)
       StreamOps.finalUserTotals(out).orderBy("user_id")
     },
     Some("""SELECT user_id, count(*) AS n_events,
@@ -580,14 +563,9 @@ object EventQueries {
     (s, dir) => {
       import graft.streaming.StreamOps
       val name = "q97_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      val out =
-        try {
-          // session state stores partition by shuffle.partitions at start
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          StreamOps.runAvailableNow(
-            s, StreamOps.sessionAgg(StreamOps.eventsStream(s, dir)), name)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val out = StreamOps.runAvailableNow(
+        s, StreamOps.sessionAgg(StreamOps.eventsStream(s, dir)), name,
+        statePartitions = 8)
       out.orderBy("user_id", "session_start")
     },
     Some("""WITH t AS (

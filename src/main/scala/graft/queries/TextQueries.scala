@@ -277,17 +277,28 @@ object TextQueries {
       val path = Landed.land("q98_heavy_hitters", dir)
       val occ = Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("word"))
+      // ONE pass computes sketch + token total together; n lands with
+      // the candidates so the verify side doesn't rescan for a scalar.
+      // (The oracle recomputes ITS OWN n and emits it — hash equality of
+      // the n column cross-checks the landed total for free.)
       occ
-        .agg(graft.functions.FreqSketchAgg.heavyHitters(col("word"), 50).as("hh"))
-        .select(explode(col("hh")).as(Seq("word", "est")))
+        .agg(
+          graft.functions.FreqSketchAgg.heavyHitters(col("word"), 50).as("hh"),
+          count(lit(1)).as("n"))
+        .select(col("n"), explode(col("hh")).as(Seq("word", "est")))
         .repartition(1)
         .write.mode("overwrite").parquet(path)
-      val exact = occ.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
-      val total = occ.agg(count(lit(1)).as("n"))
-      s.read.parquet(path)
+      val landed = s.read.parquet(path)
+      // exact counts for the <=49 candidate words only: broadcast
+      // semi-join BEFORE the aggregate, so the shuffle carries candidate
+      // rows, never the full vocabulary (the cost this sketch exists to
+      // avoid paying corpus-wide)
+      val exact = occ
+        .join(broadcast(landed.select("word")), Seq("word"), "left_semi")
+        .groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+      landed
         .join(exact, "word")
-        .crossJoin(broadcast(total))
-        .select(col("word"), col("est"), col("exact_cnt"),
+        .select(col("word"), col("est"), col("exact_cnt"), col("n"),
           (col("est") <= col("exact_cnt")
             && (col("exact_cnt") - col("est")) * 50 <= col("n")).as("within_bound"))
         .orderBy("word")
@@ -299,7 +310,7 @@ object TextQueries {
               FROM documents),
             x AS (SELECT word, count(*) AS exact_cnt FROM occ GROUP BY word),
             t AS (SELECT count(*) AS n FROM occ)
-            SELECT l.word, l.est, x.exact_cnt,
+            SELECT l.word, l.est, x.exact_cnt, t.n,
                    l.est <= x.exact_cnt AND (x.exact_cnt - l.est) * 50 <= t.n AS within_bound
             FROM l JOIN x USING (word) CROSS JOIN t
             ORDER BY l.word"""))

@@ -220,17 +220,31 @@ object StreamOps {
   /** Run a streaming DataFrame to an in-memory table until all currently
     * available input is processed; returns the result. This is the
     * AvailableNow lifecycle the reference's scheduled Lambda approximates.
+    *
+    * `statePartitions` > 0 scopes `spark.sql.shuffle.partitions` for the
+    * query's lifetime (restored after): streaming state stores are
+    * partitioned by that setting AT QUERY START and each store pays fixed
+    * per-batch setup/commit I/O, so stateful queries over few keys size
+    * it to key cardinality instead of the session default — one knob,
+    * shared by every stateful registry query instead of four copies of
+    * the save/set/restore block.
     */
   def runAvailableNow(
       spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      mode: OutputMode = OutputMode.Complete(),
+      statePartitions: Int = 0): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // pin the result as block-store partitions and drop the sink's temp
     // view — otherwise every run leaves its whole materialized output in
     // driver memory for the session lifetime (checkpoint blocks are freed
