@@ -40,11 +40,27 @@ class PlanShapeSpec extends SparkSpec {
       "global-sort rank would collapse the corpus onto one task:\n" + p.take(1200))
   }
 
+  test("q90 exact-N sample plans as a bounded aggregate, not a global sort-limit") {
+    val p = plan("q90_sample_exact_n")
+    // TopKAgg partial/final (ObjectHashAggregate) selects the ids; the
+    // corpus is never globally sorted (no TakeOrdered/global Sort over it)
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(!p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("q98 exact-count verification is gated by the candidate semi-join") {
+    // the vocabulary-wide aggregate this sketch exists to avoid must not
+    // come back: the exact counts aggregate only candidate-joined rows
+    assert(plan("q98_heavy_hitters").contains("BroadcastHashJoin LeftSemi"))
+  }
+
   test("no cartesian product in any audited plan") {
     Seq("q01_scan_sort_limit", "q02_filter_project", "q19_ngram_jaccard_pairs",
       "q34_salted_join_agg", "q41_ship_priority", "q42_local_supplier_volume",
       "q54_bm25_rank", "q57_label_centroids", "q61_asof_custom_exec",
-      "q62_range_join_windows", "q63_cdc_merge")
+      "q62_range_join_windows", "q63_cdc_merge", "q90_sample_exact_n",
+      "q93_rrf_fusion", "q94_quality_deciles", "q96_quantile_normalize",
+      "q98_heavy_hitters")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
