@@ -397,6 +397,63 @@ object AdvancedQueries {
                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
             ORDER BY event_type, day"""))
 
+  /** Time-series resample + last-observation-carried-forward gap fill:
+    * sparse hourly observations (high-value purchases) are projected onto
+    * a dense hourly calendar spine per event type, each empty hour filled
+    * from the latest prior observation — the standard resample/LOCF step
+    * before any time-series model sees the data. The fill is the custom
+    * as-of operator ([[graft.operators.AsOfJoin]], q37/q61's merge-scan
+    * plan) against the spine: no window over the dense series, no
+    * per-type single task — the spine is generated (types × sequence) and
+    * the as-of co-partitions by type. Hours that carry forward show
+    * `locf_hr < hr`; hours before the first observation stay null (ASOF
+    * LEFT semantics, both engines).
+    */
+  private val q99 = GraftQuery(
+    "q99_resample_locf",
+    (s, dir) => {
+      val HourUs = 3600000000L
+      val ev = Tables.events(s, dir)
+      val bounds = ev.agg(
+        expr(s"min(unix_micros(ts) div ${HourUs}L)").as("h0"),
+        expr(s"max(unix_micros(ts) div ${HourUs}L)").as("h1"))
+      val spine = ev.select("event_type").distinct()
+        .crossJoin(broadcast(bounds)) // 5 types × single-row bounds
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1)")).as("hr"))
+      val obs = ev
+        .filter(col("event_type") === "purchase" || col("event_type") === "signup")
+        .filter(col("value") >= 250)
+        .groupBy(col("event_type"), expr(s"unix_micros(ts) div ${HourUs}L").as("hr"))
+        .agg(graft.functions.Exact.sumD(col("value")).as("rev"))
+      graft.operators.AsOfJoin.asOf(
+        spine, obs, Seq("event_type"), "hr", "hr",
+        rightPayload = Seq("hr", "rev"), prefix = "locf_")
+        .select("event_type", "hr", "locf_hr", "locf_rev")
+        .orderBy("event_type", "hr")
+    },
+    Some("""WITH b AS (
+              SELECT CAST(epoch_us(min(CAST(ts AS TIMESTAMP))) // 3600000000 AS BIGINT) AS h0,
+                     CAST(epoch_us(max(CAST(ts AS TIMESTAMP))) // 3600000000 AS BIGINT) AS h1
+              FROM events),
+            t AS (SELECT DISTINCT event_type FROM events),
+            spine AS (
+              -- list-expression form: the table-function form can't take
+              -- correlated column bounds
+              SELECT t.event_type, unnest(generate_series(b.h0, b.h1)) AS hr
+              FROM t, b),
+            obs AS (
+              SELECT event_type,
+                     CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS hr,
+                     CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS rev
+              FROM events
+              WHERE event_type IN ('purchase', 'signup') AND value >= 250
+              GROUP BY 1, 2)
+            SELECT s.event_type, s.hr, o.hr AS locf_hr, o.rev AS locf_rev
+            FROM spine s ASOF LEFT JOIN obs o
+              ON s.event_type = o.event_type AND o.hr <= s.hr
+            ORDER BY s.event_type, s.hr"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91)
+    Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99)
 }
