@@ -200,7 +200,10 @@ object Codecs {
     while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
       val id = fourcc(pos)
       val len = buf.getInt(pos + 4)
-      if (len < 0 || pos + 8 + len > bytes.length) fail(s"WAV truncated chunk $id")
+      // Long arithmetic: a crafted len near Int.MaxValue wraps the Int sum
+      // negative, bypassing this guard into a multi-GB allocation (the
+      // same overflow class the BMP/PPM paths reject)
+      if (len < 0 || pos.toLong + 8 + len > bytes.length) fail(s"WAV truncated chunk $id")
       if (id == "fmt ") {
         if (len < 16) fail("WAV short fmt chunk")
         val audioFormat = buf.getShort(pos + 8)

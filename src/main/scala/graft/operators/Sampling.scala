@@ -57,7 +57,9 @@ object Sampling {
     val ranked = Packing.prefixSumBy(
       df.withColumn("__one", lit(1L)), orderCols, "__one", "__rank",
       checkpointDir = checkpointDir)
-    val total = ranked.agg(count(lit(1)).as("__total"))
+    // count the INPUT (rankBins is row-preserving): a plain scan, not a
+    // replay of the rank pipeline's offset join + window
+    val total = df.agg(count(lit(1)).as("__total"))
     ranked
       .crossJoin(broadcast(total)) // single-row broadcast, not a driver collect
       .withColumn("bin", expr(s"CAST((__rank * ${nBins}L) div __total AS INT)"))

@@ -403,11 +403,16 @@ object AdvancedQueries {
     * from the latest prior observation — the standard resample/LOCF step
     * before any time-series model sees the data. The fill is the custom
     * as-of operator ([[graft.operators.AsOfJoin]], q37/q61's merge-scan
-    * plan) against the spine: no window over the dense series, no
-    * per-type single task — the spine is generated (types × sequence) and
-    * the as-of co-partitions by type. Hours that carry forward show
-    * `locf_hr < hr`; hours before the first observation stay null (ASOF
-    * LEFT semantics, both engines).
+    * plan) against a generated spine (types × hour sequence). Scale
+    * shape: the CORPUS-sized work is the pre-aggregation (one shuffle
+    * with map-side partials); what reaches the as-of's per-key scan is
+    * the RESAMPLED series — bounded by calendar length × type count
+    * (a decade of hours is ~88k rows per type), never by corpus size.
+    * A series keyed so finely that one key's resampled span outgrows a
+    * task would instead bucket the spine by time range (the q62
+    * RangeJoin pattern). Hours that carry forward show `locf_hr < hr`;
+    * hours before the first observation stay null (ASOF LEFT semantics,
+    * both engines).
     */
   private val q99 = GraftQuery(
     "q99_resample_locf",

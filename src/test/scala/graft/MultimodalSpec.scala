@@ -97,12 +97,19 @@ class MultimodalSpec extends SparkSpec {
     buf.putInt(18, 715827883) // w: rowSize arithmetic would wrap in Int
     val ppmHuge = "P6\n99999999999 4\n255\n".getBytes ++ Array.fill(48)(1.toByte)
     val ppmWrap = "P6\n40000 40000\n255\n".getBytes ++ Array.fill(48)(1.toByte)
-    val df = Seq((1L, bmp), (2L, ppmHuge), (3L, ppmWrap)).toDF("media_id", "payload")
+    // WAV whose data-chunk length wraps the Int bounds check negative
+    val wav = Codecs.encodeWav(Array.tabulate(4)(_.toShort))
+    val wavWrap = wav.clone()
+    java.nio.ByteBuffer.wrap(wavWrap).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 0x7FFFFFF0) // 'data' chunk len
+    val df = Seq((1L, bmp), (2L, ppmHuge), (3L, ppmWrap), (4L, wavWrap))
+      .toDF("media_id", "payload")
     val rows = Multimodal.withMetaQuarantine(spark, df).collect()
       .map(r => r.media_id -> r).toMap
     assert(rows(1L).error.isDefined && rows(1L).format.isEmpty)
     assert(rows(2L).error.exists(_.contains("integer too large")))
     assert(rows(3L).error.exists(_.contains("exceeds")))
+    assert(rows(4L).error.exists(_.contains("truncated chunk")))
   }
 
   test("encodedMediaFromDocuments: real containers parse under JvmDecoder, per doc_id mod 3") {
