@@ -513,7 +513,29 @@ object MedallionQueries {
             FROM customer WHERE c_custkey % 5 <> 0
             ORDER BY c_custkey"""))
 
+  /** L1+L4 graded directly: bronze read-back after the two-batch load,
+    * including the `date_retrieved` audit stamp
+    * (/root/reference/src/load/load.py:47,140,174). The injectable clock
+    * ([[graft.pipeline.Medallion.loadBronzeTransactions]]'s `clock` column,
+    * fixed to T1/T2 literals here, `current_timestamp` in production) makes
+    * the stamp deterministic, so the hash compare covers the one reference
+    * row (L4) that a wall-clock stamp would have excluded from the oracle:
+    * rows carried by batch 1 must read exactly T1 — a re-stamp on the
+    * batch-2 re-send, a duplicate, or a dropped stamp all fail the hash.
+    */
+  private val q100 = GraftQuery(
+    "q100_medallion_bronze_audit",
+    (s, dir) =>
+      s.read.parquet(sharedPipeline(s, dir).bronzeTx).orderBy("id"),
+    Some(s"""$bronzeCte
+             SELECT id, description, amount, currency, created, category,
+                    notes, is_load, settled, local_amount, local_currency,
+                    counterparty_account_num, counterparty_sort_code,
+                    counterparty_name, merchant_id, merchant_name,
+                    merchant_category, date_retrieved
+             FROM bronze ORDER BY id"""))
+
   // def, not val: q76 rebuilds its oracle SQL from the recorded landing
   // path on every access (see the Landed note above)
-  def all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63, q75, q76, q80, q87)
+  def all: Seq[GraftQuery] = Seq(q44, q47, q48, q49, q59, q63, q75, q76, q80, q87, q100)
 }
