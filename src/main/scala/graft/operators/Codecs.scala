@@ -150,7 +150,12 @@ object Codecs {
       val fw = int(); val fh = int(); val maxval = int()
       val nSamples = checkedFrameSize(fw, fh, "PPM") // Long-checked: no Int wrap
       if (maxval != 255) fail(s"PPM unsupported maxval $maxval")
-      pos += 1 // the single whitespace byte after maxval
+      // the spec's single whitespace byte after maxval: validate before
+      // advancing — consuming a non-whitespace byte here would decode
+      // shifted pixel data as a "successful" frame instead of quarantining
+      if (pos >= bytes.length || !bytes(pos).toChar.isWhitespace)
+        fail("PPM missing whitespace after maxval")
+      pos += 1
       if (pos.toLong + nSamples.toLong * 3 > bytes.length) fail("PPM truncated pixel data")
       if (w < 0) { w = fw; h = fh }
       else if (fw != w || fh != h) fail("PPM stream with varying frame geometry")
@@ -243,10 +248,14 @@ object Codecs {
       else fail(s"unrecognized media magic (${bytes.take(4).map(b => f"$b%02x").mkString(" ")})")
 
     override def decode(bytes: Array[Byte]): Multimodal.Decoded =
-      sniffFormat(bytes) match {
+      decode(bytes, sniffFormat(bytes))
+
+    override def decode(bytes: Array[Byte], format: String): Multimodal.Decoded =
+      format match {
         case "bmp" => decodeBmp(bytes)
         case "ppm" => decodePpmStream(bytes)
         case "wav" => decodeWav(bytes)
+        case other => fail(s"unrecognized media format '$other'")
       }
   }
 }

@@ -35,6 +35,13 @@ object Multimodal {
   trait MediaDecoder extends Serializable {
     def sniffFormat(bytes: Array[Byte]): String
     def decode(bytes: Array[Byte]): Decoded
+
+    /** Decode with the format already sniffed — callers that need BOTH the
+      * format and the decode (the meta lanes) sniff once and pass it here
+      * instead of paying a second magic parse per row. Default delegates;
+      * real decoders override to dispatch on `format` directly.
+      */
+    def decode(bytes: Array[Byte], format: String): Decoded = decode(bytes)
   }
 
   /** Deterministic stand-in decoder: dimensions from byte length, samples
@@ -73,8 +80,9 @@ object Multimodal {
     media.select(col("media_id").as[Long], col("payload").as[Array[Byte]])
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val d = decoder.decode(bytes)
-          MediaMeta(id, decoder.sniffFormat(bytes), bytes.length.toLong,
+          val fmt = decoder.sniffFormat(bytes)
+          val d = decoder.decode(bytes, fmt)
+          MediaMeta(id, fmt, bytes.length.toLong,
             d.width, d.height, d.frames.length)
         }
       }
@@ -153,8 +161,11 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           try {
-            val d = decoder.decode(bytes)
-            MediaMetaOrError(id, Some(decoder.sniffFormat(bytes)),
+            // sniff once: the format both becomes the output column and
+            // dispatches the decode (no second magic parse on the hot path)
+            val fmt = decoder.sniffFormat(bytes)
+            val d = decoder.decode(bytes, fmt)
+            MediaMetaOrError(id, Some(fmt),
               Some(bytes.length.toLong), Some(d.width), Some(d.height),
               Some(d.frames.length), None)
           } catch {

@@ -47,7 +47,20 @@ object Packing {
     */
   def prefixSumBy(df: DataFrame, orderCols: Seq[String], valueCol: String,
       out: String, numPartitions: Int = 0,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    prefixSumByWithTotal(df, orderCols, valueCol, out, numPartitions, checkpointDir)._1
+
+  /** As [[prefixSumBy]], but also returns the grand total of `valueCol` —
+    * read off the per-partition counts the scan already collected for its
+    * base offsets, NOT an independent re-scan of `df`. Callers that need
+    * "rank out of total" (rank binning, quantile mapping) must use this
+    * total: a second scan of a nondeterministic input could disagree with
+    * the materialized ranks, and even on deterministic input it is a wasted
+    * pass.
+    */
+  def prefixSumByWithTotal(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      out: String, numPartitions: Int = 0,
+      checkpointDir: Option[String] = None): (DataFrame, Long) = {
     require(orderCols.nonEmpty, "prefixSumBy needs at least one order column")
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -65,11 +78,12 @@ object Packing {
       (0 until n).map(i => (i, offsets(i))).toList).toDF("__pid", "__base")
     val local = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    parted
+    val ranked = parted
       .join(broadcast(offsetDf), "__pid")
       .withColumn(out,
         coalesce(sum(col(valueCol).cast("long")).over(local), lit(0L)) + col("__base"))
       .drop("__pid", "__base")
+    (ranked, offsets(n))
   }
 
   /** Concat-and-chunk packing: documents in ascending `orderCol` order are

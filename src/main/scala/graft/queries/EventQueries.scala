@@ -217,18 +217,18 @@ object EventQueries {
     "q46_stream_interval_join",
     (s, dir) => {
       import graft.streaming.StreamOps
-      val src = StreamOps.eventsStream(s, dir)
-      // unique sink name per run: memory-sink table names are session-global
-      val name = "q46_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // join keys here are a few thousand users: 8 state partitions
       // (see runAvailableNow's statePartitions note); at real stream
       // scale the same knob is sized to key cardinality instead
       val out = StreamOps.runAvailableNow(
         s,
-        StreamOps.clickPurchaseJoin(
-          src.filter(col("event_type") === "purchase"),
-          src.filter(col("event_type") === "click")),
-        name, org.apache.spark.sql.streaming.OutputMode.Append(),
+        s2 => {
+          val src = StreamOps.eventsStream(s2, dir)
+          StreamOps.clickPurchaseJoin(
+            src.filter(col("event_type") === "purchase"),
+            src.filter(col("event_type") === "click"))
+        },
+        "q46_sink", org.apache.spark.sql.streaming.OutputMode.Append(),
         statePartitions = 8)
       out.orderBy("purchase_id", "click_id")
     },
@@ -254,14 +254,13 @@ object EventQueries {
     "q56_stream_dedup",
     (s, dir) => {
       import graft.streaming.StreamOps
-      val name = "q56_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val out = StreamOps.runAvailableNow(
         s,
-        StreamOps.dedupStream(
-          StreamOps.eventsStream(s, dir).select("user_id", "event_type", "ts"),
+        s2 => StreamOps.dedupStream(
+          StreamOps.eventsStream(s2, dir).select("user_id", "event_type", "ts"),
           Seq("user_id", "event_type"), "1 hour")
           .select("user_id", "event_type"),
-        name, org.apache.spark.sql.streaming.OutputMode.Append(),
+        "q56_sink", org.apache.spark.sql.streaming.OutputMode.Append(),
         statePartitions = 8)
       out.orderBy("user_id", "event_type")
     },
@@ -281,19 +280,20 @@ object EventQueries {
     "q88_stream_static_enrich",
     (s, dir) => {
       import graft.streaming.StreamOps
-      import s.implicits._
-      val name = "q88_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val dim = Seq(
-        ("view", 0.0), ("click", 0.1), ("purchase", 1.0),
-        ("signup", 0.5), ("error", -1.0)).toDF("event_type", "weight")
       val out = StreamOps.runAvailableNow(
         s,
-        StreamOps.enrichStream(
-          StreamOps.eventsStream(s, dir).select("event_id", "event_type", "value"),
-          dim, "event_type")
-          .select(col("event_id"), col("event_type"),
-            round(col("value") * coalesce(col("weight"), lit(0.0)), 12).as("weighted")),
-        name, org.apache.spark.sql.streaming.OutputMode.Append())
+        s2 => {
+          import s2.implicits._
+          val dim = Seq(
+            ("view", 0.0), ("click", 0.1), ("purchase", 1.0),
+            ("signup", 0.5), ("error", -1.0)).toDF("event_type", "weight")
+          StreamOps.enrichStream(
+            StreamOps.eventsStream(s2, dir).select("event_id", "event_type", "value"),
+            dim, "event_type")
+            .select(col("event_id"), col("event_type"),
+              round(col("value") * coalesce(col("weight"), lit(0.0)), 12).as("weighted"))
+        },
+        "q88_sink", org.apache.spark.sql.streaming.OutputMode.Append())
       out.orderBy("event_id")
     },
     Some("""SELECT event_id, event_type,
@@ -351,11 +351,10 @@ object EventQueries {
         if (src.isDirectory) src.listFiles.count(_.getName.endsWith(".parquet")) else 1
       require(nFiles == 1,
         s"q81 needs a single-file events table (one micro-batch drain), got $nFiles files")
-      val name = "q81_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val out = StreamOps.runAvailableNow(
         s,
-        StreamOps.userRunningTotals(s, StreamOps.eventsStream(s, dir)).toDF(),
-        name, org.apache.spark.sql.streaming.OutputMode.Update(),
+        s2 => StreamOps.userRunningTotals(s2, StreamOps.eventsStream(s2, dir)).toDF(),
+        "q81_sink", org.apache.spark.sql.streaming.OutputMode.Update(),
         statePartitions = 8)
       StreamOps.finalUserTotals(out).orderBy("user_id")
     },
@@ -562,10 +561,9 @@ object EventQueries {
     "q97_stream_session_window",
     (s, dir) => {
       import graft.streaming.StreamOps
-      val name = "q97_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val out = StreamOps.runAvailableNow(
-        s, StreamOps.sessionAgg(StreamOps.eventsStream(s, dir)), name,
-        statePartitions = 8)
+        s, s2 => StreamOps.sessionAgg(StreamOps.eventsStream(s2, dir)),
+        "q97_sink", statePartitions = 8)
       out.orderBy("user_id", "session_start")
     },
     Some("""WITH t AS (

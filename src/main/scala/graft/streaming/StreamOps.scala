@@ -217,40 +217,52 @@ object StreamOps {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
-  /** Run a streaming DataFrame to an in-memory table until all currently
+  /** Run a streaming plan to an in-memory table until all currently
     * available input is processed; returns the result. This is the
     * AvailableNow lifecycle the reference's scheduled Lambda approximates.
     *
-    * `statePartitions` > 0 scopes `spark.sql.shuffle.partitions` for the
-    * query's lifetime (restored after): streaming state stores are
-    * partitioned by that setting AT QUERY START and each store pays fixed
-    * per-batch setup/commit I/O, so stateful queries over few keys size
-    * it to key cardinality instead of the session default — one knob,
-    * shared by every stateful registry query instead of four copies of
-    * the save/set/restore block.
+    * `statePartitions` > 0 sizes the query's state-store partitioning:
+    * streaming state stores are partitioned by `spark.sql.shuffle
+    * .partitions` AT QUERY START and each store pays fixed per-batch
+    * setup/commit I/O, so stateful queries over few keys size it to key
+    * cardinality instead of the session default. The knob is isolated in
+    * a CLONED session (`spark.newSession()` — shared SparkContext,
+    * private conf): `build` receives the clone so the whole plan binds to
+    * it, and concurrent batch queries on the caller's session never see
+    * the scoped value. (`build`, not a pre-built frame: the conf that
+    * state partitioning reads at start is the PLAN's session, so a frame
+    * built on the shared session could not be scoped without mutating it.)
+    *
+    * `namePrefix` seeds the memory-sink table name; a per-process counter
+    * suffix makes concurrent/repeated runs collision-free without
+    * nondeterministic UUID naming (sink names are session-global).
     */
   def runAvailableNow(
-      spark: SparkSession, df: DataFrame, name: String,
+      spark: SparkSession, build: SparkSession => DataFrame, namePrefix: String,
       mode: OutputMode = OutputMode.Complete(),
       statePartitions: Int = 0): DataFrame = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      if (statePartitions > 0)
-        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val name = s"${namePrefix}_${sinkCounter.incrementAndGet()}"
+    val scoped = if (statePartitions > 0) {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      s2
+    } else spark
+    val q = build(scoped).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     // pin the result as block-store partitions and drop the sink's temp
     // view — otherwise every run leaves its whole materialized output in
     // driver memory for the session lifetime (checkpoint blocks are freed
-    // by the ContextCleaner once the returned frame is unreferenced)
-    val out = spark.table(name).localCheckpoint()
-    spark.catalog.dropTempView(name)
+    // by the ContextCleaner once the returned frame is unreferenced).
+    // When scoped, the view lives (and dies) in the throwaway clone.
+    val out = scoped.table(name).localCheckpoint()
+    scoped.catalog.dropTempView(name)
     out
   }
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong()
 }

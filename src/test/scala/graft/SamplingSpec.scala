@@ -68,6 +68,49 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sampleExactN tree merge (treeGroups>1): identical draw to the direct path at high partition count") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source").repartition(64)
+    val direct = Sampling.sampleExactN(docs, "doc_id", n = 100, seed = 7L)
+      .select("doc_id").as[Long].collect().sorted
+    val tree = Sampling.sampleExactN(docs, "doc_id", n = 100, seed = 7L, treeGroups = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(tree === direct)
+    // plan pin: the level-1 exchange hashes on the seeded group key, so
+    // the final merge task receives g bounded group buffers (g·n
+    // candidates) instead of one partial per map partition (P·n)
+    val p = Sampling.sampleExactN(docs, "doc_id", n = 100, seed = 7L, treeGroups = 8)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("hashpartitioning(__g"),
+      "tree path must exchange on the group key:\n" + p.take(1200))
+    assert(!Sampling.sampleExactN(docs, "doc_id", n = 100, seed = 7L)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      .contains("hashpartitioning(__g"), "direct path must not pay the group shuffle")
+  }
+
+  test("quantileNormalize targetRank: exact past the Long-overflow boundary") {
+    // 4·10⁹ rows: (gr−base)·(n−1) ≈ 1.6·10¹⁹ > Long.MaxValue — the old
+    // Long route wraps silently; the DECIMAL(38,0) route must stay exact
+    val n = 4000000000L
+    val rows = Seq(
+      (0L, 0L, n), // rank 0 — safe in both routes
+      (n - 1, 0L, n), // top rank — (n−1)² wraps a Long
+      (2500000000L, 0L, n),
+      (1234567890L, 1000L, 3000000000L))
+    val df = rows.toDF("gr", "base", "m")
+    val want = rows.map { case (gr, b, m) =>
+      ((BigInt(gr - b) * BigInt(n - 1)) / BigInt(math.max(m - 1, 1L))).toLong }
+    val got = df.select(Sampling.targetRank("gr", "base", "m", n)).as[Long].collect()
+    assert(got.toSeq === want)
+    // the guard is load-bearing: the plain Long route cannot compute these
+    // ranks — under ANSI (the session default) it throws ARITHMETIC_OVERFLOW
+    // at runtime, and with ANSI off it would silently wrap
+    val e = intercept[Exception] {
+      df.selectExpr(s"((gr - base) * ${n - 1}L) div greatest(m - 1, 1L)")
+        .as[Long].collect()
+    }
+    assert(e.getMessage.contains("ARITHMETIC_OVERFLOW"), e.getMessage)
+  }
+
   test("rankBins rank window is per-__pid partitioned, not a global window") {
     val p = Sampling.rankBins(
       Tables.documents(spark, sf).select("doc_id", "n_chars"),
@@ -75,9 +118,9 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("Window"), "expected the per-partition running window")
     // the window's required exchange hashes on the pinned partition id —
-    // the corpus is never collapsed onto one task for ranking. (A
-    // SinglePartition exchange still exists for the single-ROW total
-    // count, which is partials-to-one-row, not a corpus collapse.)
+    // the corpus is never collapsed onto one task for ranking. (The bin
+    // divisor is a literal from prefixSumByWithTotal's already-collected
+    // per-partition counts — no separate count scan or crossJoin at all.)
     assert(p.contains("hashpartitioning(__pid"),
       "rank window must partition by __pid:\n" + p.take(1200))
   }

@@ -15,7 +15,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming tumbling agg == batch tumbling agg") {
     val got = StreamOps.runAvailableNow(
-      spark, StreamOps.tumblingAgg(StreamOps.eventsStream(spark, sf)), "s_tumbling")
+      spark, s2 => StreamOps.tumblingAgg(StreamOps.eventsStream(s2, sf)), "s_tumbling")
       .orderBy("ws", "event_type")
     val want = Registry.byName("q25_window_tumbling_agg").run(spark, sf)
       .select("ws", "event_type", "n_events", "sum_value")
@@ -24,7 +24,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming session windows == batch session windows") {
     val got = StreamOps.runAvailableNow(
-      spark, StreamOps.sessionAgg(StreamOps.eventsStream(spark, sf)), "s_sessions")
+      spark, s2 => StreamOps.sessionAgg(StreamOps.eventsStream(s2, sf)), "s_sessions")
       .orderBy("user_id", "session_start")
     val want = Registry.byName("q27_session_window").run(spark, sf)
       .select("session_start", "session_end", "user_id", "n_events", "sum_value")
@@ -39,9 +39,11 @@ class StreamingSpec extends SparkSpec {
       .select(col("event_id"),
         round(col("value") * coalesce(col("weight"), lit(0.0)), 12).as("w"))
       .orderBy("event_id")
-    val events = StreamOps.eventsStream(spark, sf).select("event_id", "event_type", "value")
     val got = shape(StreamOps.runAvailableNow(
-      spark, StreamOps.enrichStream(events, dim, "event_type"),
+      spark,
+      s2 => StreamOps.enrichStream(
+        StreamOps.eventsStream(s2, sf).select("event_id", "event_type", "value"),
+        dim, "event_type"),
       "s_enrich", OutputMode.Append()))
     val want = shape(Tables.events(spark, sf).select("event_id", "event_type", "value")
       .join(broadcast(dim), Seq("event_type"), "left"))
@@ -50,12 +52,14 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-stream interval join == batch interval join") {
     import org.apache.spark.sql.functions._
-    val src = StreamOps.eventsStream(spark, sf)
     val got = StreamOps.runAvailableNow(
       spark,
-      StreamOps.clickPurchaseJoin(
-        src.filter(col("event_type") === "purchase"),
-        src.filter(col("event_type") === "click")),
+      s2 => {
+        val src = StreamOps.eventsStream(s2, sf)
+        StreamOps.clickPurchaseJoin(
+          src.filter(col("event_type") === "purchase"),
+          src.filter(col("event_type") === "click"))
+      },
       "s_ssjoin", org.apache.spark.sql.streaming.OutputMode.Append())
       .orderBy("purchase_id", "click_id")
     val e = Tables.events(spark, sf)
@@ -86,9 +90,10 @@ class StreamingSpec extends SparkSpec {
       .toDF("event_id", "ts", "value")
       .write.parquet(s"$root/src")
     val schema = spark.read.parquet(s"$root/src").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$root/src")
     val got = StreamOps.runAvailableNow(
-      spark, StreamOps.dedupStream(stream, Seq("event_id"), "1 hour"),
+      spark,
+      s2 => StreamOps.dedupStream(
+        s2.readStream.schema(schema).parquet(s"$root/src"), Seq("event_id"), "1 hour"),
       "s_dedup", org.apache.spark.sql.streaming.OutputMode.Append())
     assert(got.select("event_id").as[Long].collect().sorted === Array(1L, 2L))
   }
@@ -96,7 +101,7 @@ class StreamingSpec extends SparkSpec {
   test("mapGroupsWithState running totals == batch groupBy at end of stream") {
     val got = StreamOps.runAvailableNow(
       spark,
-      StreamOps.userRunningTotals(spark, StreamOps.eventsStream(spark, sf)).toDF(),
+      s2 => StreamOps.userRunningTotals(s2, StreamOps.eventsStream(s2, sf)).toDF(),
       "s_user_totals", OutputMode.Update())
     // Update mode emits one row per key per batch; the last emit per user
     // carries the final totals. Decimal state accumulation makes the SUM
@@ -160,11 +165,10 @@ class StreamingSpec extends SparkSpec {
   test("streaming HLL distinct == batch HLL estimates after drain") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
-    val name = "hll_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val out = StreamOps.runAvailableNow(
       spark,
-      StreamOps.streamingDistinctUsers(spark, StreamOps.eventsStream(spark, sf)).toDF(),
-      name, OutputMode.Update())
+      s2 => StreamOps.streamingDistinctUsers(s2, StreamOps.eventsStream(s2, sf)).toDF(),
+      "hll_sink", OutputMode.Update())
     // last emitted estimate per key is the final state
     val streamed = out.withColumn("rn", monotonically_increasing_id())
       .groupBy("event_type")
