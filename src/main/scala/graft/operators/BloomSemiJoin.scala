@@ -65,15 +65,24 @@ object BloomSemiJoin {
     * (no false negatives; ≤ `fpp` false positives pass through).
     */
   def prefilter(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
-      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame =
+    fact.filter(mightContain(dim, dimKey, expectedKeys, fpp)(col(factKey)))
+
+  /** The probe itself as a Column predicate over `dim`'s `dimKey` values —
+    * for callers that need MEMBERSHIP rather than a filter (e.g. counting
+    * out-of-vocabulary tokens): no false negatives, ≤ `fpp` false
+    * positives. Building it runs one distributed aggregate over `dim`.
+    */
+  def mightContain(dim: DataFrame, dimKey: String, expectedKeys: Long,
+      fpp: Double = 0.01): Column => Column = {
     val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    fact.filter(GraftColumnBridge.column(
-      BloomMightContain(GraftColumnBridge.expression(col(factKey)), bytes)))
+    key => GraftColumnBridge.column(
+      BloomMightContain(GraftColumnBridge.expression(key), bytes))
   }
 
   /** Inner join with the fact side bloom-pruned first; equals the plain

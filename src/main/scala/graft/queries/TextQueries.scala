@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis surface over the `documents` table (driver north star §2b).
@@ -220,33 +221,56 @@ object TextQueries {
                    round(s_spark + s_join + s_table, 9) AS bm25
             FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 20"""))
 
-  /** Corpus-derived vocabulary (min-count ≥ 5, the word2vec/fastText
-    * convention) + per-document out-of-vocabulary rate — the tokenizer-
-    * health metric every ingestion pipeline tracks. Frequency-threshold
-    * membership is fully distributive (one word-count shuffle with
-    * map-side partials, no top-k tie ambiguity), and the vocab broadcasts
-    * back onto the exploded corpus; at a scale where the vocab outgrows a
-    * broadcast, the same shape runs with a bloom-filter membership probe
-    * ([[graft.operators.BloomSemiJoin]]) accepting its false-positive
-    * rate.
+  /** Corpus-derived vocabulary (min-count ≥ `minCount`, the word2vec/
+    * fastText convention) + per-document out-of-vocabulary rate — the
+    * tokenizer-health metric every ingestion pipeline tracks.
+    * Frequency-threshold membership is fully distributive (one word-count
+    * shuffle with map-side partials, no top-k tie ambiguity).
+    *
+    * Membership probe, two gears:
+    *  - `useBloom = false` (exact): the vocab broadcast-left-joins onto
+    *    the exploded corpus.
+    *  - `useBloom = true` (scale path, for a vocab too large to
+    *    broadcast): membership is a [[graft.operators.BloomSemiJoin
+    *    .BloomMightContain]] probe over the vocab keys — the sketch is
+    *    ~1.2 MB per million keys at 1% fpp where a broadcast relation
+    *    would be hundreds of MB, and the probe runs inside whole-stage
+    *    codegen with NO join on the token stream at all. One-sided error
+    *    by construction (no false negatives): a ≤fpp fraction of
+    *    true-OOV tokens passes as in-vocab, so `n_oov`/`oov_frac` can
+    *    only UNDERcount, never overcount — the safe direction for an
+    *    alerting metric. VocabOov spec pins both the equality at fpp→0
+    *    and the error direction.
     */
+  def vocabOov(docs: DataFrame, minCount: Long = 5, useBloom: Boolean = false,
+      fpp: Double = 0.01): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val vocab = occ.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val withIn =
+      if (useBloom) {
+        // size the filter from the actual key count (tiny job over the
+        // already-aggregated vocab — NOT the token stream)
+        val nKeys = math.max(vocab.count(), 1L)
+        val probe = graft.operators.BloomSemiJoin
+          .mightContain(vocab.select("word"), "word", nKeys, fpp)
+        occ.withColumn("__in", when(probe(col("word")), lit(1)))
+      } else
+        occ.join(broadcast(vocab.select(col("word"), lit(1).as("__in"))),
+          Seq("word"), "left")
+    withIn
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast("double") / col("n_tokens"), 12))
+      .orderBy("doc_id")
+  }
+
   private val q95 = GraftQuery(
     "q95_vocab_oov",
-    (s, dir) => {
-      val occ = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      val vocab = occ.groupBy("word").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 5)
-        .select(col("word"), lit(1).as("__in"))
-      occ.join(broadcast(vocab), Seq("word"), "left")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          count(when(col("__in").isNull, 1)).as("n_oov"))
-        .withColumn("oov_frac",
-          round(col("n_oov").cast("double") / col("n_tokens"), 12))
-        .orderBy("doc_id")
-    },
+    (s, dir) => vocabOov(Tables.documents(s, dir)),
     Some("""WITH occ AS (
               SELECT doc_id,
                      unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word

@@ -57,6 +57,46 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m("prose") > m("tiny"))
   }
 
+  test("vocabOov bloom gear: equal at tight fpp; one-sided undercount at sloppy fpp") {
+    import graft.queries.TextQueries
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def byDoc(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))).toMap
+    // minCount=50 so the tiny sf0.001 corpus actually HAS OOV tokens
+    // (at the default 5 every token clears the bar and the test is vacuous)
+    val exact = byDoc(TextQueries.vocabOov(docs, minCount = 50))
+    // bloom construction is deterministic (seeded hashing, no RNG): at
+    // fpp=1e-8 over this corpus's ~1e5 probes the expected FP count is
+    // ~1e-3, and whatever it is, it is the SAME on every run — not flaky
+    val tight = byDoc(TextQueries.vocabOov(docs, minCount = 50, useBloom = true, fpp = 1e-8))
+    assert(tight === exact)
+    // at a sloppy fpp the documented error direction is the ONLY allowed
+    // difference: true-OOV tokens may pass as in-vocab (undercount)
+    val loose = byDoc(TextQueries.vocabOov(docs, minCount = 50, useBloom = true, fpp = 0.25))
+    assert(loose.keySet === exact.keySet)
+    exact.foreach { case (id, (nTok, nOov)) =>
+      assert(loose(id)._1 === nTok, s"doc $id: token count must not change")
+      assert(loose(id)._2 <= nOov, s"doc $id: bloom OOV may only undercount")
+    }
+  }
+
+  test("BloomSemiJoin.mightContain: no false negatives; sloppy fpp really FPs") {
+    import spark.implicits._
+    val vocab = (0 until 2000).map(i => s"w$i").toDF("word")
+    val probe = graft.operators.BloomSemiJoin.mightContain(vocab, "word", 2000L, 0.25)
+    // every present key passes — the no-false-negative half of one-sidedness
+    val present = vocab.filter(probe(col("word"))).count()
+    assert(present === 2000L)
+    // thousands of distinct ABSENT keys: a 25%-fpp filter must pass some
+    // (expected ~1000; deterministic hashing makes the count stable) but
+    // nowhere near all — i.e. the error is real and bounded
+    val absent = (0 until 4000).map(i => s"absent$i").toDF("word")
+    val fp = absent.filter(probe(col("word"))).count()
+    assert(fp > 0L, "expected false positives at fpp=0.25")
+    assert(fp < 4000L, "a bloom filter must still reject most absent keys")
+  }
+
   test("q54 BM25: descending rank, positive scores, per-term decomposition sums") {
     val rows = graft.Registry.byName("q54_bm25_rank")
       .run(spark, "/root/testdata/sf0.001").collect()
