@@ -47,6 +47,14 @@ class MonzoApiSource extends TableProvider {
     new ApiTable(new CaseInsensitiveStringMap(properties))
 }
 
+/** The per-day fetch unit a partition reader drives — [[MonzoApiSource
+  * .SyntheticFetcher]] offline, [[AuthedFetcher]] when the endpoint
+  * requires a bearer token. Serializable: it ships inside [[DaySlice]].
+  */
+trait DayFetcher extends Serializable {
+  def fetchDay(epochDay: Long, rowsPerDay: Int): Iterator[InternalRow]
+}
+
 object MonzoApiSource {
   val schema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
@@ -61,7 +69,7 @@ object MonzoApiSource {
   /** Deterministic stand-in for the HTTP page fetch: `rowsPerDay`
     * transactions per day, attributes derived from splitmix64 streams.
     */
-  object SyntheticFetcher extends Serializable {
+  object SyntheticFetcher extends DayFetcher {
     import graft.functions.Sketches.splitmix64
     private val cats = Array("groceries", "transport", "eating_out", "bills", "general")
 
@@ -179,11 +187,12 @@ private class ApiScanBuilder(options: CaseInsensitiveStringMap)
   override def build(): Scan = new ApiScan(since, until, rowsPerDay, limit)
 }
 
-private case class DaySlice(fromDay: Long, untilDay: Long, rowsPerDay: Int,
-    limit: Int) extends InputPartition
+private[graft] case class DaySlice(fromDay: Long, untilDay: Long, rowsPerDay: Int,
+    limit: Int, fetcher: DayFetcher) extends InputPartition
 
-private class ApiScan(since: LocalDate, until: LocalDate, rowsPerDay: Int,
-    limit: Int) extends Scan with Batch {
+private[graft] class ApiScan(since: LocalDate, until: LocalDate, rowsPerDay: Int,
+    limit: Int, fetcher: DayFetcher = MonzoApiSource.SyntheticFetcher)
+    extends Scan with Batch {
   override def readSchema(): StructType = MonzoApiSource.schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -196,7 +205,8 @@ private class ApiScan(since: LocalDate, until: LocalDate, rowsPerDay: Int,
   override def planInputPartitions(): Array[InputPartition] = {
     val from = since.toEpochDay
     val to = math.max(from, until.toEpochDay)
-    (from until to).map(d => DaySlice(d, d + 1, rowsPerDay, limit): InputPartition).toArray
+    (from until to).map(d =>
+      DaySlice(d, d + 1, rowsPerDay, limit, fetcher): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -206,7 +216,7 @@ private class ApiScan(since: LocalDate, until: LocalDate, rowsPerDay: Int,
         // partially-pushed limit: this partition never fetches more than
         // `limit` rows (Spark's retained global limit finishes the job)
         private val it = (s.fromDay until s.untilDay).iterator
-          .flatMap(MonzoApiSource.SyntheticFetcher.fetchDay(_, s.rowsPerDay))
+          .flatMap(s.fetcher.fetchDay(_, s.rowsPerDay))
           .take(s.limit)
         private var current: InternalRow = _
         override def next(): Boolean =

@@ -62,6 +62,102 @@ class MonzoApiSourceSpec extends SparkSpec {
       s"limit not pushed into the scan:\n$explained")
   }
 
+  test("token lifecycle: refresh-always, rotate-or-keep, initial-auth terminal") {
+    import graft.sources.v2._
+    var grants = 0
+    val exch = new TokenExchanger {
+      override def refresh(rt: String): Tokens = {
+        grants += 1
+        // the SECOND grant must present the refresh token the first one
+        // rotated in — store round-trip, not a cached constructor value
+        assert(rt === (if (grants == 1) "r0" else "r1"), s"grant $grants got $rt")
+        if (grants == 1) Tokens(s"a$grants", "r1", 1000L * grants)
+        else Tokens(s"a$grants", "", 1000L * grants) // response carried no refresh token
+      }
+    }
+    val store = new InMemoryTokenStore(Some(Tokens("a0", "r0", 0L)))
+    val p = new RefreshAlwaysTokenProvider(store, exch)
+    assert(p.token() === "a1")
+    assert(store.load().get.refreshToken === "r1") // rotated
+    assert(p.token() === "a2")
+    assert(store.load().get.refreshToken === "r1") // kept when grant had none
+    assert(grants === 2) // refresh-ALWAYS: one grant per call, no expiry fast path
+    // no stored tokens = the reference's "Initial authentication required"
+    val empty = new RefreshAlwaysTokenProvider(new InMemoryTokenStore(), exch)
+    intercept[ReauthRequiredException] { empty.token() }
+  }
+
+  test("401 => exactly one refresh+retry; second 401 and evicted-refresh propagate") {
+    import graft.sources.v2._
+    def freshProvider(): (RefreshAlwaysTokenProvider, () => Int) = {
+      var grants = 0
+      val exch = new TokenExchanger {
+        override def refresh(rt: String): Tokens = { grants += 1; Tokens(s"a$grants", rt, 0L) }
+      }
+      (new RefreshAlwaysTokenProvider(
+        new InMemoryTokenStore(Some(Tokens("a0", "r0", 0L))), exch), () => grants)
+    }
+    // endpoint evicted a1 (concurrent login between refresh and use): the
+    // single retry's a2 succeeds and yields the day's rows
+    val (p1, grants1) = freshProvider()
+    var calls1 = 0
+    val ok = new AuthedFetcher(p1, (tok, d, n) => {
+      calls1 += 1
+      if (tok == "a1") throw new UnauthorizedException("401")
+      else MonzoApiSource.SyntheticFetcher.fetchDay(d, n)
+    })
+    assert(ok.fetchDay(19723L, 7).size === 7)
+    assert(calls1 === 2 && grants1() === 2)
+    // an endpoint that keeps rejecting: exactly two attempts, then the 401
+    // surfaces (no retry storm hidden in a task)
+    val (p2, grants2) = freshProvider()
+    var calls2 = 0
+    intercept[UnauthorizedException] {
+      new AuthedFetcher(p2, (_, _, _) => {
+        calls2 += 1; throw new UnauthorizedException("401")
+      }).fetchDay(19723L, 7)
+    }
+    assert(calls2 === 2 && grants2() === 2)
+    // evicted refresh token: terminal ReauthRequired passes through the
+    // retry path untouched (it is not a 401 to be retried)
+    val evicted = new RefreshAlwaysTokenProvider(
+      new InMemoryTokenStore(Some(Tokens("a0", "r0", 0L))),
+      new TokenExchanger {
+        override def refresh(rt: String): Tokens =
+          throw new ReauthRequiredException("refresh token evicted")
+      })
+    intercept[ReauthRequiredException] {
+      new AuthedFetcher(evicted,
+        (_, _, _) => Iterator.empty).fetchDay(19723L, 7)
+    }
+  }
+
+  test("AuthedFetcher drives the real DSv2 scan contracts end-to-end") {
+    import graft.sources.v2._
+    val provider = new RefreshAlwaysTokenProvider(
+      new InMemoryTokenStore(Some(Tokens("a0", "r0", 0L))),
+      new TokenExchanger {
+        override def refresh(rt: String): Tokens = Tokens("live", rt, 0L)
+      })
+    val authed = new AuthedFetcher(provider, (tok, d, n) =>
+      if (tok != "live") throw new UnauthorizedException("401")
+      else MonzoApiSource.SyntheticFetcher.fetchDay(d, n))
+    val scan = new ApiScan(
+      java.time.LocalDate.parse("2024-01-01"),
+      java.time.LocalDate.parse("2024-01-04"), 10, Int.MaxValue, authed)
+    val parts = scan.planInputPartitions()
+    assert(parts.length === 3)
+    val rf = scan.createReaderFactory()
+    val total = parts.map { pt =>
+      val r = rf.createReader(pt)
+      var c = 0
+      while (r.next()) c += 1
+      r.close()
+      c
+    }.sum
+    assert(total === 30)
+  }
+
   test("deterministic across reads; spend amounts are negative pence") {
     val a = read("2024-02-01", "2024-02-03").collect().map(_.toString).sorted
     val b = read("2024-02-01", "2024-02-03").collect().map(_.toString).sorted
