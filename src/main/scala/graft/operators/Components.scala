@@ -90,8 +90,16 @@ object Components {
   /** Union-find with path compression over collected edges; ids keep their
     * type through a local index mapping.
     */
+  /** Test observability for the probe bound: the scale-safety claim is
+    * that a graph past `driverEdgeThreshold` NEVER reaches this path's
+    * `collect()` — OpsProps watches this counter to pin the routing
+    * (output equality alone can't distinguish the paths by design).
+    */
+  private[graft] val driverPathRuns = new java.util.concurrent.atomic.AtomicLong()
+
   private def driverUnionFind(
       pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    driverPathRuns.incrementAndGet()
     val spark = pairs.sparkSession
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst")).collect()
     val index = new java.util.LinkedHashMap[Any, Int]()

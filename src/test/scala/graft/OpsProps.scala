@@ -250,4 +250,46 @@ object OpsProps extends Properties("Operators") {
       }
     }
   }
+
+  // the connectedComponents probe bound is load-bearing for the 100 TB
+  // claim: a graph whose edge count EXCEEDS driverEdgeThreshold must
+  // never reach the driver union-find's collect() (watched via the
+  // driverPathRuns counter — the two paths are output-identical by
+  // design, so equality alone can't pin the routing), while a graph at
+  // or under the bound takes the driver path; both must agree with the
+  // naive transitive closure on cluster membership.
+  property("connectedComponents routes by the probe bound; paths agree") = {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 12L)
+      b <- Gen.chooseNum(0L, 12L)
+    } yield (math.min(a, b), math.max(a, b))
+    val graphGen = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, edgeGen))
+    Prop.forAllNoShrink(graphGen) { edges =>
+      import spark.implicits._
+      val df = edges.toDF("src", "dst")
+      val threshold = 10L
+      val exceeds = edges.length > threshold
+      val before = graft.operators.Components.driverPathRuns.get()
+      val got = graft.operators.Components
+        .connectedComponents(df, "src", "dst", driverEdgeThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val after = graft.operators.Components.driverPathRuns.get()
+      val routedCorrectly =
+        if (exceeds) after == before // never collected on the driver
+        else after == before + 1
+      // reference closure: iterate min-label to fixpoint on the edge list
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      var label = adj.keys.map(k => k -> k).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        adj.foreach { case (k, ns) =>
+          val m = math.min(label(k), ns.map(label).min)
+          if (m < label(k)) { label += k -> m; changed = true }
+        }
+      }
+      routedCorrectly && got == label
+    }
+  }
 }
