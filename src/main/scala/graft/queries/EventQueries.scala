@@ -566,7 +566,32 @@ object EventQueries {
         "q97_sink", statePartitions = 8)
       out.orderBy("user_id", "session_start")
     },
-    Some("""WITH t AS (
+    Some(sessionOracleSql))
+
+  /** q97's PRODUCTION twin: the same watermarked session aggregation
+    * drained in APPEND mode — each session emitted exactly once when the
+    * watermark passes it (the shape that survives an unbounded stream,
+    * where Complete's full-state rewrite per batch does not) — using the
+    * sentinel watermark flush ([[graft.streaming.StreamOps
+    * .sessionAggAppend]]): data batch, then a sentinel batch advancing
+    * the watermark past every real session, then Spark's trailing
+    * no-data batch flushing them to the sink. Hash-compared against the
+    * SAME gaps-and-islands oracle as q97: Append + sentinel must
+    * reconstruct the exact batch answer, held-back-session bugs fail the
+    * row count and re-emission bugs fail the hash.
+    */
+  private val q101 = GraftQuery(
+    "q101_stream_session_append",
+    (s, dir) => {
+      import graft.streaming.StreamOps
+      StreamOps.sessionAggAppend(
+          s, graft.Tables.events(s, dir).select("user_id", "ts", "value"),
+          Scratch.tempDir("graft_append_sessions_"), statePartitions = 8)
+        .orderBy("user_id", "session_start")
+    },
+    Some(sessionOracleSql))
+
+  private lazy val sessionOracleSql = ("""WITH t AS (
               SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
                      CASE WHEN CAST(ts AS TIMESTAMP)
                             - lag(CAST(ts AS TIMESTAMP))
@@ -585,11 +610,11 @@ object EventQueries {
                    user_id, count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_id
-            ORDER BY user_id, session_start"""))
+            ORDER BY user_id, session_start""")
 
   // def, not val: q29/q66/q67 land estimate parquet and their oracle SQL
   // must embed the path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
-      q97)
+      q97, q101)
 }

@@ -80,6 +80,70 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Append-mode drain of [[sessionAgg]] — the PRODUCTION shape for an
+    * unbounded stream. Complete mode (q97) rewrites the entire session
+    * state into the sink every micro-batch — correct under a one-shot
+    * drain, quadratic on a stream that never ends; Append emits each
+    * session exactly once, when the watermark passes its end. But a
+    * one-shot Append drain holds back every session inside the final
+    * watermark horizon (here: the corpus's last 1.5 h of sessions), and
+    * those sessions are real. The standard production move is a
+    * watermark-advancing sentinel: stage the data, then a single
+    * out-of-band event stamped past max(ts) + horizon + gap, processed as
+    * its own micro-batch (`maxFilesPerTrigger = 1`, file source takes
+    * oldest-first). The sentinel batch advances the watermark beyond every
+    * real session's end, the trailing no-data batch (Spark's
+    * `noDataMicroBatches`, on by default) flushes them to the sink, and
+    * the only row still held back is the sentinel's own open session,
+    * excluded by its reserved user id.
+    *
+    * `events` is the BATCH frame (user_id, ts, value); max(ts) is read
+    * from it to stamp the sentinel — a deployment draining a live topic
+    * uses its known out-of-band end-of-stream marker instead.
+    */
+  def sessionAggAppend(spark: SparkSession, events: DataFrame, scratchDir: String,
+      sentinelUser: Long = Long.MinValue, statePartitions: Int = 0): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val data = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("timestamp").as("ts"),
+      col("value").cast("double").as("value"))
+    val maxTs = data.agg(max(col("ts"))).head.getTimestamp(0)
+    // past max end (= max ts + 30 min gap) + 1 h watermark horizon
+    val sentinelTs = new java.sql.Timestamp(
+      maxTs.getTime + (90 + 10) * 60 * 1000L)
+    val staged = Paths.get(scratchDir, "staged")
+    Files.createDirectories(staged)
+    def stageOne(df: DataFrame, name: String, modMillis: Long): Unit = {
+      val tmp = Paths.get(scratchDir, s"tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst.orElseThrow(() => new IllegalStateException(s"no parquet in $tmp"))
+      val target = staged.resolve(s"$name.parquet")
+      Files.move(part, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the file source orders batches by modification time: pin it so
+      // the sentinel can never land in (or before) the data batch
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(modMillis))
+    }
+    val t0 = System.currentTimeMillis()
+    stageOne(data, "000_data", t0 - 60000)
+    stageOne(
+      data.sparkSession.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(sentinelUser, sentinelTs, 0.0)),
+        data.schema),
+      "001_sentinel", t0)
+    runAvailableNow(
+      spark,
+      s2 => sessionAgg(s2.readStream
+        .schema(data.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)),
+      "s_append_sessions", OutputMode.Append(), statePartitions)
+      .filter(col("user_id") =!= sentinelUser)
+  }
+
   /** Per-user running totals via custom state — the escape hatch for
     * semantics window aggregates can't express. State is one (count, sum)
     * pair per user, updated per micro-batch, evicted on event-time timeout.

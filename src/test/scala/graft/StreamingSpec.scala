@@ -78,6 +78,22 @@ class StreamingSpec extends SparkSpec {
     assert(want.count() > 0, "expected at least one click-purchase pair in fixture data")
   }
 
+  test("Append-mode session drain (sentinel watermark flush) == Complete mode") {
+    val complete = StreamOps.runAvailableNow(
+      spark, s2 => StreamOps.sessionAgg(StreamOps.eventsStream(s2, sf)), "s_sessions_c")
+      .orderBy("user_id", "session_start").collect().toSeq
+    // Append holds back sessions inside the final watermark horizon; the
+    // sentinel batch + trailing no-data batch must flush ALL of them, so
+    // the two modes agree exactly (and the sentinel's own session never
+    // appears)
+    val append = StreamOps.sessionAggAppend(
+      spark, Tables.events(spark, sf).select("user_id", "ts", "value"),
+      tmpDir("graft-append-sessions"), statePartitions = 8)
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(append.nonEmpty)
+    assert(append === complete)
+  }
+
   test("dedupStream drops re-delivered keys within the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
