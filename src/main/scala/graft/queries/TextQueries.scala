@@ -339,7 +339,173 @@ object TextQueries {
             FROM l JOIN x USING (word) CROSS JOIN t
             ORDER BY l.word"""))
 
+  /** Per-source token-distribution drift: KL(source ‖ corpus) over the
+    * unigram distributions — the standard contamination/shift monitor when
+    * mixing training-data sources (a source whose KL jumps between crawls
+    * changed character). Plan shape: one token explode feeds a
+    * (source, word) hash aggregate; per-word corpus totals come from a
+    * SECOND aggregate over that (already word-partitioned) result — the
+    * raw token stream is shuffled exactly once. The per-source totals and
+    * the corpus scalar are broadcast. Float determinism: each word's
+    * contribution p·ln(p/q) is computed from integer counts in one fixed
+    * double expression, rounded to 15 dp, and summed as DECIMAL(38,15)
+    * (associative ⇒ partition-order independent, the [[graft.functions
+    * .Exact]] argument); the total rounds to 9 dp so a 1-ulp `ln`
+    * divergence between engines cannot flip the hash. Counts ride doubles
+    * inside the ratio (not long products) so the arithmetic survives
+    * 10¹²-token corpora without overflow.
+    */
+  def tokenKlDivergence(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val occ = docs.select(col(groupCol), explode(tokens(col("text"))).as("word"))
+    val sw = occ.groupBy(groupCol, "word").agg(count(lit(1)).as("c_sw"))
+    val srcTot = sw.groupBy(groupCol).agg(sum("c_sw").as("n_s"))
+    val wTot = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
+    val tot = wTot.agg(sum("c_w").as("n"))
+    val p = col("c_sw").cast("double") / col("n_s").cast("double")
+    val ratio = (col("c_sw").cast("double") * col("n").cast("double")) /
+      (col("n_s").cast("double") * col("c_w").cast("double"))
+    sw
+      .join(wTot, "word")
+      .join(broadcast(srcTot), groupCol)
+      .crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_s"),
+        round(p * log(ratio), 15)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 15)).as("contrib"))
+      .groupBy(groupCol)
+      .agg(
+        first(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(sum(col("contrib")).cast("double"), 9).as("kl"))
+      .orderBy(groupCol)
+  }
+
+  private val q102 = GraftQuery(
+    "q102_token_kl_divergence",
+    (s, dir) => tokenKlDivergence(Tables.documents(s, dir)),
+    Some("""WITH occ AS (
+              SELECT source,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            sw AS (SELECT source, word, count(*) AS c_sw FROM occ GROUP BY 1, 2),
+            st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+            wt AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+            t AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM wt)
+            SELECT source, n_s AS n_tokens, count(*) AS n_types,
+                   round(CAST(sum(CAST(round(
+                       (CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+                         * ln((CAST(c_sw AS DOUBLE) * CAST(n AS DOUBLE))
+                              / (CAST(n_s AS DOUBLE) * CAST(c_w AS DOUBLE))), 15)
+                     AS DECIMAL(38,15))) AS DOUBLE), 9) AS kl
+            FROM sw JOIN wt USING (word) JOIN st USING (source) CROSS JOIN t
+            GROUP BY source, n_s ORDER BY source"""))
+
+  /** Per-document mean unigram surprisal −(1/|d|)·Σ ln p(w) — the
+    * zero-dependency perplexity proxy used for LM quality filtering
+    * (CCNet-style: rank documents by how "surprising" their tokens are
+    * under the corpus unigram model; both tails are suspect). Plan shape:
+    * the corpus word model is ONE hash aggregate over the exploded
+    * stream; scoring joins each occurrence to its word count (shuffle on
+    * word — the join key with enough cardinality to spread) and
+    * re-aggregates per document. Same decimal-sum determinism contract as
+    * q102: per-token ln rounds at 15 dp, accumulates as DECIMAL(38,15),
+    * the mean divides as double and rounds at 9.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val wTot = occ.groupBy("word").agg(count(lit(1)).as("c_w"))
+    val tot = wTot.agg(sum("c_w").as("n"))
+    occ
+      .join(wTot, "word")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("n").cast("double") / col("c_w").cast("double")), 15)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 15)).as("surp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round((sum(col("surp")).cast("double") / count(lit(1)).cast("double")), 9)
+          .as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  private val q103 = GraftQuery(
+    "q103_unigram_surprisal",
+    (s, dir) => unigramSurprisal(Tables.documents(s, dir)),
+    Some("""WITH occ AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            wt AS (SELECT word, count(*) AS c_w FROM occ GROUP BY 1),
+            t AS (SELECT count(*) AS n FROM occ)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(CAST(sum(CAST(round(
+                       ln(CAST(n AS DOUBLE) / CAST(c_w AS DOUBLE)), 15)
+                     AS DECIMAL(38,15))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+                     AS mean_surprisal
+            FROM occ JOIN wt USING (word) CROSS JOIN t
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Top-50 token-pair PMI (document-level co-occurrence) — collocation
+    * mining for tokenizer/vocab curation and phrase detection. The
+    * all-pairs explosion is bounded the standard way: only words with
+    * document frequency ≥ 25 enter the pair join (PMI over rare words is
+    * noise anyway — the classic sparse-counts caveat), and pairs need
+    * support n12 ≥ 10. Plan shape: distinct (doc, word) is one aggregate;
+    * the frequent-word filter broadcasts (it is ≪ vocab); the pair join
+    * shuffles on doc_id and fans out k² per doc with k = frequent words
+    * per doc — bounded by the df threshold, the knob a 100 TB run raises.
+    * PMI's ln sees one fixed ratio of exact integer counts (as doubles,
+    * overflow-safe past 2⁶³); round 9 gates the 1-ulp ln divergence.
+    */
+  def pmiPairs(docs: DataFrame, minDf: Long = 25, minPair: Long = 10,
+      topK: Int = 50): DataFrame = {
+    val dw = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .distinct()
+    val dfreq = dw.groupBy("word").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val dwf = dw.join(broadcast(dfreq), "word")
+    val dTot = docs.agg(count(lit(1)).as("d_total"))
+    val a = dwf.select(col("doc_id"), col("word").as("w1"), col("df").as("df1"))
+    val b = dwf.select(col("doc_id"), col("word").as("w2"), col("df").as("df2"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("w1") < col("w2"))
+      .groupBy("w1", "w2", "df1", "df2")
+      .agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minPair)
+      .crossJoin(broadcast(dTot))
+      .select(col("w1"), col("w2"), col("n12"), col("df1"), col("df2"),
+        round(log((col("n12").cast("double") * col("d_total").cast("double"))
+          / (col("df1").cast("double") * col("df2").cast("double"))), 9).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  private val q104 = GraftQuery(
+    "q104_pmi_cooccurrence",
+    (s, dir) => pmiPairs(Tables.documents(s, dir)),
+    Some("""WITH dw AS (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            dfreq AS (
+              SELECT word, count(*) AS df FROM dw GROUP BY word HAVING count(*) >= 25),
+            dwf AS (SELECT dw.doc_id, dw.word, dfreq.df FROM dw JOIN dfreq USING (word)),
+            d AS (SELECT count(*) AS d_total FROM documents),
+            pairs AS (
+              SELECT a.w1, b.w2, a.df1, b.df2, count(*) AS n12
+              FROM (SELECT doc_id, word AS w1, df AS df1 FROM dwf) a
+              JOIN (SELECT doc_id, word AS w2, df AS df2 FROM dwf) b USING (doc_id)
+              WHERE a.w1 < b.w2
+              GROUP BY 1, 2, 3, 4 HAVING count(*) >= 10)
+            SELECT w1, w2, n12, df1, df2,
+                   round(ln((CAST(n12 AS DOUBLE) * CAST(d_total AS DOUBLE))
+                     / (CAST(df1 AS DOUBLE) * CAST(df2 AS DOUBLE))), 9) AS pmi
+            FROM pairs CROSS JOIN d
+            ORDER BY pmi DESC, w1, w2 LIMIT 50"""))
+
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
-  def all: Seq[GraftQuery] = Seq(q13, q14, q15, q16, q17, q54, q95, q98)
+  def all: Seq[GraftQuery] =
+    Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104)
 }

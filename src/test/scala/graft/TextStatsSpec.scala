@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions._
+
+/** Analytic ground truths for the corpus-statistics family (q102–q104):
+  * KL divergence, unigram surprisal, PMI. Each test pins the closed-form
+  * value on a corpus small enough to compute by hand, so the decimal-sum
+  * plumbing can't drift without a loud failure.
+  */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenKlDivergence: identical distributions give KL 0, skew gives > 0") {
+    // Two sources with identical unigram distributions (each "a a b").
+    val same = Seq(
+      (1L, "a a b", "s1"), (2L, "a a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val kl0 = TokenKl.of(same)
+    assert(kl0.values.forall(_ == 0.0), s"expected 0, got $kl0")
+
+    // s1 = "a a a a", s2 = "b b b b": p_s1(a)=1, q(a)=1/2 ⇒ KL = ln 2.
+    val skew = Seq(
+      (1L, "a a a a", "s1"), (2L, "b b b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val kl = TokenKl.of(skew)
+    val ln2 = BigDecimal(math.log(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(kl("s1") - ln2) < 1e-9)
+    assert(math.abs(kl("s2") - ln2) < 1e-9)
+  }
+
+  test("unigramSurprisal: uniform vocabulary gives ln(V) everywhere") {
+    // 4 equally-frequent words ⇒ every token surprisal = ln 4.
+    val docs = Seq(
+      (1L, "a b"), (2L, "c d"), (3L, "a c"), (4L, "b d"))
+      .toDF("doc_id", "text")
+    val got = TextQueries.unigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ln4 = math.log(4)
+    got.values.foreach(v => assert(math.abs(v - ln4) < 1e-8, s"got $v want $ln4"))
+  }
+
+  test("unigramSurprisal: docs of rarer tokens score higher") {
+    val common = "the " * 50
+    val rare = "rarest"
+    val docs = Seq((1L, common.trim), (2L, rare)).toDF("doc_id", "text")
+    val got = TextQueries.unigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(2L) > got(1L))
+  }
+
+  test("pmiPairs: perfect co-occurrence pins ln(D/df); independence gives ~0") {
+    // 8 docs: "x y" always together in 4 docs ⇒ pmi(x,y) = ln(8·4/(4·4)) = ln 2.
+    // "p q" co-occur at chance: p in docs 1-4+5-6, q in 1-2+5-8 … keep it
+    // simpler: p and q each in 4 docs, together in 2 ⇒ pmi = ln(8·2/16) = 0.
+    val docs = Seq(
+      (1L, "x y p q"), (2L, "x y p q"), (3L, "x y p"), (4L, "x y p"),
+      (5L, "q z"), (6L, "q z"), (7L, "z w"), (8L, "z w"))
+      .toDF("doc_id", "text")
+    val got = TextQueries.pmiPairs(docs, minDf = 2, minPair = 1, topK = 100)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(math.abs(got(("x", "y")) - math.log(2)) < 1e-9)
+    assert(math.abs(got(("p", "q")) - 0.0) < 1e-9)
+    // df filter: words below minDf (here w, df=2) never appear in any pair
+    val gotMin3 = TextQueries.pmiPairs(docs, minDf = 3, minPair = 1, topK = 100)
+      .collect().map(r => Set(r.getString(0), r.getString(1))).toSet
+    assert(gotMin3.flatten.forall(Set("x", "y", "p", "q", "z").contains _))
+    assert(!gotMin3.flatten.contains("w"))
+  }
+
+  private object TokenKl {
+    def of(docs: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      TextQueries.tokenKlDivergence(docs)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+  }
+}
