@@ -24,7 +24,8 @@ object Registry {
       graft.queries.AdvancedQueries.all ++
       graft.queries.MedallionQueries.all ++
       graft.queries.CurationQueries.all ++
-      graft.queries.ShardQueries.all
+      graft.queries.ShardQueries.all ++
+      graft.queries.GraphQueries.all
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(sys.error(s"no such query: $name"))

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed weighted PageRank over an edge-list DataFrame.
+  *
+  * Power iteration in its join-aggregate form: each round ships every
+  * node's rank across its out-edges (one shuffle join on `src`), sums the
+  * arriving contributions per destination (one hash aggregate on `dst`),
+  * folds the dangling-node mass back uniformly, and applies damping.
+  * Ranks sum to 1 every round (the dangling fold preserves probability
+  * mass), so downstream consumers can treat the output as a stationary
+  * distribution estimate.
+  *
+  * Scale shape (the 1000-executor story):
+  *  - Per round: ONE shuffle join (ranks ⋈ edges on src — both sides hash
+  *    on the same key, and AQE picks broadcast automatically when the rank
+  *    table is small) + ONE aggregate (contributions by dst) + one tiny
+  *    anti-join aggregate for the dangling mass, kept in-plan via a
+  *    broadcast crossJoin — the driver never sees per-node data.
+  *  - Out-degree normalization is precomputed ONCE outside the loop;
+  *    iterations reuse the cached normalized edge list.
+  *  - Lineage is cut through [[Components.cut]] EVERY round (the round
+  *    plan reads the previous ranks three times, so an uncut plan tree
+  *    grows 3^k and the driver, not the data, becomes the bottleneck);
+  *    on the `checkpointEvery` cadence the cut is a reliable
+  *    `checkpoint` when `checkpointDir` is given — the executor-loss
+  *    recovery knob — and a `localCheckpoint` otherwise.
+  *
+  * Float determinism (the differential-testing contract, same as
+  * q102/q103): every per-edge contribution is one fixed double expression
+  * rounded to 15 dp and accumulated as DECIMAL(38,15) — associative, so
+  * partition order can't change the sum — and each round's rank rounds to
+  * 12 dp. An engine replaying the same recurrence serially (the DuckDB
+  * oracle unrolls it as chained CTEs) reproduces the ranks bit-for-bit.
+  *
+  * Reference scope: the reference engine has no graph operator; this is
+  * part of the §2 extension surface (training-data curation uses PageRank
+  * for in-corpus document authority weighting, e.g. over hyperlink or
+  * citation graphs).
+  */
+object PageRank {
+
+  /** Ranks for every node of `edges` (`node`, `rank`), rank summing to 1.
+    *
+    * @param edges      edge list; `srcCol`/`dstCol` any orderable type,
+    *                   `weightCol` non-negative (None ⇒ unweighted)
+    * @param iterations fixed power-iteration rounds (no convergence test:
+    *                   deterministic output shape for differential replay;
+    *                   ‖r_k − r*‖₁ decays as damping^k, so 10–20 rounds is
+    *                   the standard operating range)
+    */
+  def run(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String] = None,
+      iterations: Int = 10, damping: Double = 0.85,
+      checkpointEvery: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+
+    val src = col(srcCol)
+    val dst = col(dstCol)
+    val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+
+    val nodes = edges.select(src.as("node"))
+      .union(edges.select(dst.as("node")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one scalar on the driver (partition-count-sized job, not data-sized);
+    // every per-node use below stays in-plan
+    val n = nodes.count().toDouble
+
+    // normalized out-edge fractions, computed once and reused every round.
+    // frac is a single double divide of two fixed values — deterministic.
+    val outW = edges.groupBy(src.as("node"))
+      .agg(sum(w.cast(DecimalType(38, 15))).cast("double").as("out_w"))
+    val norm = edges
+      .select(src.as("node"), dst.as("dst"), w.as("w"))
+      .join(outW, "node")
+      .filter(col("out_w") > 0)
+      .select(col("node"), col("dst"), (col("w") / col("out_w")).as("frac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // set of nodes with out-edges, reused by every round's dangling probe
+    val emitters = norm.select("node").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val r0 = round(lit(1.0) / n, 12)
+    var ranks = nodes.select(col("node"), r0.as("rank"))
+    // Each round reads `ranks` THREE times (contributions, dangling mass,
+    // the rank join), so without a cut the round-k LOGICAL PLAN embeds
+    // round k−1 three times — 3^k tree growth that OOMs the driver on plan
+    // rendering alone (persist doesn't help: caching dedups execution, not
+    // the plan). Every round therefore cuts lineage via [[Components.cut]]
+    // — localCheckpoint normally, a reliable checkpoint on the
+    // `checkpointEvery` cadence when `checkpointDir` is given (the
+    // executor-loss-safety knob, same contract as Components/NearDup).
+    try {
+      for (i <- 1 to iterations) {
+        // arriving mass per destination: decimal-summed, order-independent
+        val contribs = ranks
+          .join(norm, "node")
+          .select(col("dst").as("node"),
+            round(col("rank") * col("frac"), 15)
+              .cast(DecimalType(38, 15)).as("c"))
+          .groupBy("node")
+          .agg(sum(col("c")).cast("double").as("contrib"))
+        // dangling mass (nodes with no out-edges) redistributes uniformly;
+        // scalar stays in-plan via broadcast crossJoin
+        val dangling = ranks
+          .join(emitters, Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank").cast(DecimalType(38, 15))), lit(0))
+            .cast("double").as("dm"))
+        val next = ranks
+          .join(contribs, Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"),
+            round(lit((1 - damping) / n)
+              + lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n),
+              12).as("rank"))
+        ranks = Components.cut(next,
+          if (i % checkpointEvery == 0 || i == iterations) checkpointDir else None)
+      }
+      ranks
+    } finally {
+      nodes.unpersist()
+      norm.unpersist()
+      emitters.unpersist()
+    }
+  }
+
+}

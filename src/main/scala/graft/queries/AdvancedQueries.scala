@@ -459,6 +459,31 @@ object AdvancedQueries {
               ON s.event_type = o.event_type AND o.hr <= s.hr
             ORDER BY s.event_type, s.hr"""))
 
+  /** CUBE aggregation: order counts and exact revenue across every subset
+    * of (status, priority) — the all-margins companion to q38's ROLLUP.
+    * Same physical shape: ONE shuffle; Expand emits the 4 grouping sets
+    * per input row ahead of the partial aggregate, so the map-side
+    * combine still absorbs the 4× row expansion before anything moves.
+    * (Both grouping columns are never-null in the data, so a NULL in the
+    * output unambiguously means "all" — no grouping_id disambiguation
+    * column needed, matching q38's convention.)
+    */
+  private val q105 = GraftQuery(
+    "q105_cube_agg",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          graft.functions.Exact.sumD(col("o_totalprice")).as("sum_price"))
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99)
+    Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99, q105)
 }

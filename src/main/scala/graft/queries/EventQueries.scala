@@ -612,9 +612,97 @@ object EventQueries {
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_start""")
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the session-modeling prep step (next-event prediction features,
+    * funnel anomaly detection). Plan shape: ONE window pass partitioned
+    * by user (lag over (ts, event_id) — the total per-user order), then a
+    * tiny (prev, next) hash aggregate; the transition-probability
+    * denominator joins back from a per-prev aggregate small enough to
+    * broadcast (|event types|² rows). The per-user partitioning is the
+    * scale story: no global sort, skew bounded by the busiest user.
+    */
+  private val q106 = GraftQuery(
+    "q106_event_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val steps = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val counts = steps.groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("prev_type").agg(sum("n").as("n_prev"))
+      counts
+        .join(broadcast(totals), "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("n_prev").cast("double"), 12).as("p"))
+        .orderBy("prev_type", "next_type")
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+                       FROM events),
+            s AS (SELECT event_type AS next_type,
+                         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           AS prev_type
+                  FROM e),
+            c AS (SELECT prev_type, next_type, count(*) AS n
+                  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev FROM c GROUP BY 1)
+            SELECT prev_type, next_type, n,
+                   round(CAST(n AS DOUBLE) / CAST(n_prev AS DOUBLE), 12) AS p
+            FROM c JOIN t USING (prev_type)
+            ORDER BY prev_type, next_type"""))
+
+  /** Winsorized per-type value statistics: clip at the exact interpolated
+    * p01/p99 (q83's type-7 quantile contract), count the clipped tails,
+    * and average the winsorized column — the outlier-robust mean every
+    * metrics pipeline wants before feeding a reward/quality signal
+    * downstream. The percentile frame broadcasts (|event types| rows);
+    * the winsorized mean rides the decimal-sum route. Boundary
+    * determinism: both engines round the SAME interpolated quantile to
+    * 6 dp before comparing, so a sub-ulp quantile divergence cannot
+    * reclassify a tail row.
+    */
+  private val q107 = GraftQuery(
+    "q107_winsorize",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val pct = e.groupBy("event_type").agg(
+        round(expr("percentile(value, 0.01)"), 6).as("lo"),
+        round(expr("percentile(value, 0.99)"), 6).as("hi"))
+      val winz = when(col("value") < col("lo"), col("lo"))
+        .when(col("value") > col("hi"), col("hi"))
+        .otherwise(col("value"))
+      e.join(broadcast(pct), "event_type")
+        .select(col("event_type"), col("lo"), col("hi"), col("value"), winz.as("w"))
+        .groupBy("event_type")
+        .agg(
+          first(col("lo")).as("lo"),
+          first(col("hi")).as("hi"),
+          count(lit(1)).as("n"),
+          count(when(col("value") < col("lo"), 1)).as("n_lo"),
+          count(when(col("value") > col("hi"), 1)).as("n_hi"),
+          round(Exact.avgD(col("w"), 6), 9).as("mean_winsorized"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type, value FROM events),
+            p AS (SELECT event_type,
+                         round(quantile_cont(value, 0.01), 6) AS lo,
+                         round(quantile_cont(value, 0.99), 6) AS hi
+                  FROM e GROUP BY 1)
+            SELECT event_type, lo, hi, count(*) AS n,
+                   count(CASE WHEN value < lo THEN 1 END) AS n_lo,
+                   count(CASE WHEN value > hi THEN 1 END) AS n_hi,
+                   round(CAST(sum(CAST(CASE WHEN value < lo THEN lo
+                                            WHEN value > hi THEN hi
+                                            ELSE value END AS DECIMAL(30,6)))
+                     AS DOUBLE) / count(*), 9) AS mean_winsorized
+            FROM e JOIN p USING (event_type)
+            GROUP BY event_type, lo, hi ORDER BY event_type"""))
+
   // def, not val: q29/q66/q67 land estimate parquet and their oracle SQL
   // must embed the path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
-      q97, q101)
+      q97, q101, q106, q107)
 }

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationship structure derived from the relational
+  * tables — the §2 extension family for link/authority signals in corpus
+  * curation (connected components live in [[graft.operators.Components]];
+  * this file holds the spectral side).
+  */
+object GraphQueries {
+
+  /** The q108 trade graph: one directed edge per (customer nation →
+    * supplier nation) pair that traded, weighted by lineitem count. Built
+    * from the fact tables with two broadcast dimension hops — the only
+    * shuffles are the lineitem⋈orders join and the final edge aggregate.
+    */
+  private def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cnk"), col("n_name").as("src"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(nat.select(col("n_nationkey").as("snk"), col("n_name").as("dst"))),
+        col("s_nationkey") === col("snk"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).cast("double").as("w"))
+  }
+
+  private val PrIters = 5
+  private val PrDamping = 0.85
+
+  /** The oracle's serial replay of [[graft.operators.PageRank.run]]:
+    * the same recurrence unrolled as chained CTEs, one
+    * (contribution, dangling, rank) CTE triple per round. The node count
+    * is computed in-SQL and every scalar derivation (1/n, (1−0.85)/n) is
+    * the same sequence of IEEE double operations Spark performs, so both
+    * engines run the recurrence from bit-identical constants; the sums
+    * ride DECIMAL(38,15) and each round's rank rounds at 12 dp, exactly
+    * as the operator does.
+    */
+  private def pagerankOracle: String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH edges AS (
+         SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS DOUBLE) AS w
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         GROUP BY 1, 2),
+       nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       outw AS (SELECT src AS node,
+                       CAST(sum(CAST(w AS DECIMAL(38,15))) AS DOUBLE) AS out_w
+                FROM edges GROUP BY 1),
+       norm AS (SELECT e.src AS node, e.dst, e.w / o.out_w AS frac
+                FROM edges e JOIN outw o ON e.src = o.node WHERE o.out_w > 0),
+       r0 AS (SELECT node, round(1.0 / nn.n, 12) AS rank FROM nodes CROSS JOIN nn)""")
+    for (i <- 1 to PrIters) {
+      val p = s"r${i - 1}"
+      sb.append(s""",
+       c$i AS (SELECT nm.dst AS node,
+                      CAST(sum(CAST(round(r.rank * nm.frac, 15) AS DECIMAL(38,15)))
+                        AS DOUBLE) AS contrib
+               FROM $p r JOIN norm nm ON r.node = nm.node GROUP BY 1),
+       d$i AS (SELECT CAST(coalesce(sum(CAST(r.rank AS DECIMAL(38,15))), 0)
+                        AS DOUBLE) AS dm
+               FROM $p r WHERE r.node NOT IN (SELECT node FROM norm)),
+       r$i AS (SELECT n2.node,
+                      round((1 - CAST($PrDamping AS DOUBLE)) / nn.n
+                          + CAST($PrDamping AS DOUBLE)
+                            * (coalesce(c.contrib, 0.0) + d.dm / nn.n),
+                        12) AS rank
+               FROM nodes n2 LEFT JOIN c$i c ON n2.node = c.node
+               CROSS JOIN d$i d CROSS JOIN nn)""")
+    }
+    sb.append(s"\n       SELECT node, rank FROM r$PrIters ORDER BY node")
+    sb.toString
+  }
+
+  /** Weighted PageRank over the nation trade graph — authority weighting
+    * by power iteration ([[graft.operators.PageRank]]), graded against a
+    * serial SQL replay of the identical recurrence (5 rounds, d = 0.85).
+    * The edge derivation is the heavy part at scale (a fact-fact join
+    * plus broadcast dims); the iteration itself runs on the contracted
+    * graph, which is why the operator caches the normalized edge list
+    * once and cuts lineage per round rather than recomputing the join.
+    */
+  private val q108 = GraftQuery(
+    "q108_pagerank_trade",
+    (s, dir) =>
+      graft.operators.PageRank.run(
+        tradeEdges(s, dir), "src", "dst", weightCol = Some("w"),
+        iterations = PrIters, damping = PrDamping)
+        .orderBy("node"),
+    Some(pagerankOracle))
+
+  val all: Seq[GraftQuery] = Seq(q108)
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.PageRank
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(String, String, Double)], iters: Int = 10,
+      checkpointEvery: Int = 5): Map[String, Double] =
+    PageRank.run(edges.toDF("src", "dst", "w"), "src", "dst", Some("w"),
+      iterations = iters, checkpointEvery = checkpointEvery)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("symmetric ring stays uniform; mass sums to 1") {
+    val ring = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+    val r = ranksOf(ring)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9, r.toString))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("star graph concentrates rank on the hub; dangling mass recycles") {
+    // spokes point at the hub; the hub has no out-edges (dangling)
+    val star = Seq(("s1", "hub", 1.0), ("s2", "hub", 1.0), ("s3", "hub", 1.0))
+    val r = ranksOf(star)
+    assert(r("hub") > r("s1") * 2, r.toString)
+    assert(math.abs(r.values.sum - 1.0) < 1e-8, s"mass leaked: ${r.values.sum}")
+    // spokes are symmetric
+    assert(r("s1") === r("s2"))
+    assert(r("s2") === r("s3"))
+  }
+
+  test("edge weights steer proportional mass; exact match to a serial replica") {
+    // a splits 3:1 between b and c; b and c return to a
+    val g = Seq(("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0))
+    val r = ranksOf(g)
+    assert(r("b") > r("c"))
+    // bit-exact differential check against a serial implementation of the
+    // SAME rounded recurrence (the determinism contract the DuckDB oracle
+    // relies on, replayed in-process)
+    assert(r === serialPageRank(g, iters = 10))
+  }
+
+  /** Serial replica of PageRank.run's rounded recurrence: double
+    * arithmetic for every scalar step, BigDecimal for the (exact,
+    * associative) contribution sums, HALF_UP rounding at the same scales.
+    */
+  private def serialPageRank(edges: Seq[(String, String, Double)], iters: Int,
+      damping: Double = 0.85): Map[String, Double] = {
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal.valueOf(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outW = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(e => BigDecimal.valueOf(e._3).setScale(15, BigDecimal.RoundingMode.HALF_UP))
+        .sum.doubleValue
+    }
+    val frac = edges.map { case (s, d, w) => (s, d) -> w / outW(s) }.toMap
+    var rank = nodes.map(_ -> rnd(1.0 / n, 12)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = nodes.map { v =>
+        val in = edges.filter(_._2 == v).map { case (s, d, _) =>
+          BigDecimal.valueOf(rnd(rank(s) * frac((s, d)), 15))
+        }
+        v -> (if (in.isEmpty) 0.0 else in.sum.doubleValue)
+      }.toMap
+      val dm = nodes.filterNot(outW.contains)
+        .map(v => BigDecimal.valueOf(rank(v))).sum.doubleValue
+      rank = nodes.map(v =>
+        v -> rnd((1 - damping) / n + damping * (contrib(v) + dm / n), 12)).toMap
+    }
+    rank
+  }
+
+  test("checkpoint cadence does not change the result") {
+    val g = Seq(("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("a", "c", 1.0))
+    val every2 = ranksOf(g, iters = 7, checkpointEvery = 2)
+    val every100 = ranksOf(g, iters = 7, checkpointEvery = 100)
+    assert(every2 === every100)
+  }
+}
