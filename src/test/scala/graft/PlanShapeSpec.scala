@@ -54,13 +54,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q98_heavy_hitters").contains("BroadcastHashJoin LeftSemi"))
   }
 
+  test("q104 PMI bounds the pair join with a broadcast df filter") {
+    val p = plan("q104_pmi_cooccurrence")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q105 CUBE plans through Expand with ONE shuffle") {
+    val p = plan("q105_cube_agg")
+    assert(p.contains("Expand"), p.take(1200))
+    // one hash exchange (the grouping-sets aggregate); the only other
+    // exchange is the final presentation sort's range partitioning
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+  }
+
+  test("q106 transition window is per-user (no single-partition stage)") {
+    val p = plan("q106_event_transitions")
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.contains("SinglePartition"),
+      "a global window would collapse the event log onto one task:\n" + p.take(1200))
+  }
+
+  test("q107 winsorize broadcasts the percentile frame") {
+    assert(plan("q107_winsorize").contains("BroadcastHashJoin"))
+  }
+
   test("no cartesian product in any audited plan") {
     Seq("q01_scan_sort_limit", "q02_filter_project", "q19_ngram_jaccard_pairs",
       "q34_salted_join_agg", "q41_ship_priority", "q42_local_supplier_volume",
       "q54_bm25_rank", "q57_label_centroids", "q61_asof_custom_exec",
       "q62_range_join_windows", "q63_cdc_merge", "q90_sample_exact_n",
       "q93_rrf_fusion", "q94_quality_deciles", "q96_quantile_normalize",
-      "q98_heavy_hitters")
+      "q98_heavy_hitters", "q102_token_kl_divergence", "q103_unigram_surprisal",
+      "q104_pmi_cooccurrence", "q105_cube_agg", "q106_event_transitions",
+      "q107_winsorize")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
