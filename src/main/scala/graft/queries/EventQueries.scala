@@ -700,9 +700,102 @@ object EventQueries {
             FROM e JOIN p USING (event_type)
             GROUP BY event_type, lo, hi ORDER BY event_type"""))
 
+  /** Weekly retention cohort matrix: users grouped by first-seen week,
+    * tracked by distinct-active count at each week offset — the product-
+    * analytics staple (and, for training pipelines, the contributor-decay
+    * view of a crawl corpus). All-integer arithmetic end to end, so the
+    * gate needs no float contract at all. Plan shape: first-seen is one
+    * min-aggregate per user; activity is one distinct (user, week)
+    * aggregate; the cohort join shuffles on user_id (both sides already
+    * user-keyed) and the matrix aggregate is tiny. Monday-start
+    * `date_trunc('week', …)` is identical in both engines.
+    */
+  def retentionCohorts(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = events.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firstSeen = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val active = e.distinct()
+    active
+      .join(firstSeen, "user_id")
+      .select(col("cohort_wk"),
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  private val q110 = GraftQuery(
+    "q110_retention_cohorts",
+    (s, dir) => retentionCohorts(Tables.events(s, dir)),
+    Some("""WITH e AS (
+              SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+              FROM events),
+            f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+            a AS (SELECT DISTINCT user_id, wk FROM e)
+            SELECT CAST(cohort_wk AS TIMESTAMP) AS cohort_wk,
+                   CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT) AS week_offset,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Per-group ordinary-least-squares trend: slope/intercept of `value`
+    * against event time, closed-form from four decimal-accumulated sums
+    * (Σx, Σy, Σxy, Σx²) — drift detection over metric streams without a
+    * window in sight. One hash aggregate; the closed form is a fixed
+    * scalar expression over exact sums, so both engines compute
+    * bit-identical doubles. x is seconds-since-2024 (small magnitudes
+    * keep x² inside double's exact-integer range; the raw-epoch form
+    * would still be deterministic but needlessly lossy).
+    */
+  def olsTrend(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val epoch = lit("2024-01-01 00:00:00").cast("timestamp").cast("double")
+    val e = events
+      .select(col("event_type"),
+        (col("ts").cast("double") - epoch).as("x"),
+        col("value").as("y"))
+    val sums = e.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(round(col("x"), 6).cast(DecimalType(38, 6))).cast("double").as("sx"),
+        sum(round(col("y"), 6).cast(DecimalType(38, 6))).cast("double").as("sy"),
+        sum(round(col("x") * col("y"), 6).cast(DecimalType(38, 6))).cast("double").as("sxy"),
+        sum(round(col("x") * col("x"), 6).cast(DecimalType(38, 6))).cast("double").as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    sums
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        round(slope * lit(86400.0), 9).as("slope_per_day"),
+        round((col("sy") - slope * col("sx")) / col("n"), 9).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  private val q111 = GraftQuery(
+    "q111_group_ols_trend",
+    (s, dir) => olsTrend(Tables.events(s, dir)),
+    Some("""WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 1000000.0
+                       - CAST(epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS DOUBLE) / 1000000.0
+                       AS x,
+                     value AS y
+              FROM events),
+            s AS (SELECT event_type,
+                         CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                         CAST(sum(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                         CAST(sum(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+                         CAST(sum(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+                  FROM e GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 9)
+                     AS slope_per_day,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+                     AS intercept
+            FROM s ORDER BY event_type"""))
+
   // def, not val: q29/q66/q67 land estimate parquet and their oracle SQL
   // must embed the path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
-      q97, q101, q106, q107)
+      q97, q101, q106, q107, q110, q111)
 }

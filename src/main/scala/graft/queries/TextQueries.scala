@@ -504,8 +504,80 @@ object TextQueries {
             FROM pairs CROSS JOIN d
             ORDER BY pmi DESC, w1, w2 LIMIT 50"""))
 
+  /** Per-document mean bigram surprisal under an add-1 (Laplace) smoothed
+    * corpus bigram model — the next step up from q103's unigram proxy and
+    * the standard cheap LM-quality scorer: word-soup documents score high
+    * because their transitions are unseen, natural prose scores low.
+    * −(1/|bigrams(d)|)·Σ ln((c(w1,w2)+1)/(c(w1·)+V)).
+    *
+    * Plan shape: bigrams come from a NARROW array transform (no
+    * posexplode self-join — `transform(sequence(...))` zips adjacent
+    * tokens inside the projection); the model is two hash aggregates
+    * (bigram counts, context counts); scoring joins occurrences to both
+    * (shuffle on (w1,w2), then on w1) and re-aggregates per doc. Same
+    * decimal-sum contract as q102/q103. Docs with <2 tokens carry no
+    * bigram and are filtered identically on both engines.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = toks.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_b"))
+    val ctxCnt = bgCnt.groupBy("w1").agg(sum("c_b").as("c_ctx"))
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    bg
+      .join(bgCnt, Seq("w1", "w2"))
+      .join(ctxCnt, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("c_ctx").cast("double") + col("v").cast("double"))
+          / (col("c_b").cast("double") + lit(1.0))), 15)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 15)).as("surp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round((sum(col("surp")).cast("double") / count(lit(1)).cast("double")), 9)
+          .as("mean_bigram_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  private val q109 = GraftQuery(
+    "q109_bigram_surprisal",
+    (s, dir) => bigramSurprisal(Tables.documents(s, dir)),
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            bg0 AS (
+              SELECT doc_id, unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                                     for i in generate_series(1, len(t)-1)]) AS b
+              FROM norm WHERE len(t) >= 2),
+            bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+            bc AS (SELECT w1, w2, count(*) AS c_b FROM bg GROUP BY 1, 2),
+            cc AS (SELECT w1, CAST(sum(c_b) AS BIGINT) AS c_ctx FROM bc GROUP BY 1),
+            v AS (
+              SELECT count(DISTINCT word) AS v FROM (
+                SELECT unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+                FROM documents)),
+            scored AS (
+              SELECT bg.doc_id,
+                     round(ln((CAST(c_ctx AS DOUBLE) + CAST(v.v AS DOUBLE))
+                       / (CAST(c_b AS DOUBLE) + 1.0)), 15) AS surp
+              FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(CAST(sum(CAST(surp AS DECIMAL(38,15))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 9) AS mean_bigram_surprisal
+            FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
-    Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104)
+    Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109)
 }

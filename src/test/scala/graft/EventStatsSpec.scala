@@ -1,0 +1,54 @@
+package graft
+
+import graft.queries.EventQueries
+import java.sql.Timestamp
+
+/** Closed-form ground truths for the event-statistics additions (q110
+  * retention cohorts, q111 per-group OLS trend).
+  */
+class EventStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("retentionCohorts: hand-built two-cohort matrix") {
+    // cohort A (week of Mon 2024-01-01): u1 active weeks 0,1,3; u2 week 0 only
+    // cohort B (week of Mon 2024-01-08): u3 active weeks 0,1
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-24 10:00:00")),
+      (2L, ts("2024-01-03 09:00:00")),
+      (3L, ts("2024-01-08 08:00:00")), (3L, ts("2024-01-15 08:00:00")),
+      (3L, ts("2024-01-16 18:00:00"))) // same week as prior row: still 1 user
+      .toDF("user_id", "ts")
+    val got = EventQueries.retentionCohorts(events)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      ("2024-01-01", 0L) -> 2L,
+      ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 3L) -> 1L,
+      ("2024-01-08", 0L) -> 1L,
+      ("2024-01-08", 1L) -> 1L))
+  }
+
+  test("olsTrend: recovers an exact linear law per group") {
+    // y = 2·days + 5  (slope_per_day = 2, intercept at 2024-01-01 = 5)
+    // and a flat group y = 7 (slope 0, intercept 7)
+    val lin = (0 until 50).map { d =>
+      ("lin", ts(f"2024-01-${d % 28 + 1}%02d ${d % 24}%02d:00:00"), 0.0)
+    }.map { case (g, t, _) =>
+      val days = (t.getTime - ts("2024-01-01 00:00:00").getTime) / 86400000.0
+      (g, t, 2.0 * days + 5.0)
+    }
+    val flat = (0 until 50).map(d =>
+      ("flat", ts(f"2024-02-${d % 28 + 1}%02d 12:00:00"), 7.0))
+    val got = EventQueries.olsTrend((lin ++ flat).toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(math.abs(got("lin")._1 - 2.0) < 1e-6, got.toString)
+    assert(math.abs(got("lin")._2 - 5.0) < 1e-6, got.toString)
+    assert(math.abs(got("flat")._1 - 0.0) < 1e-9, got.toString)
+    assert(math.abs(got("flat")._2 - 7.0) < 1e-9, got.toString)
+  }
+}

@@ -69,6 +69,32 @@ class TextStatsSpec extends SparkSpec {
     assert(!gotMin3.flatten.contains("w"))
   }
 
+  test("bigramSurprisal: closed form on a two-doc corpus; soup above prose") {
+    // corpus = {"a b", "a b"}: c(a,b)=2, ctx(a)=2, V=2
+    // ⇒ every bigram surprisal = ln((2+2)/(2+1)) = ln(4/3)
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextQueries.bigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val want = math.log(4.0 / 3.0)
+    got.values.foreach(v => assert(math.abs(v - want) < 1e-8, s"got $v want $want"))
+
+    // repeated natural transitions score below never-repeated soup
+    val corpus = (Seq.tabulate(20)(i => (i.toLong, "the cat sat on the mat")) :+
+      (99L, "qq zz pp kk rr ww")).toDF("doc_id", "text")
+    val scored = TextQueries.bigramSurprisal(corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(99L) > scored(0L))
+  }
+
+  test("unigramSurprisal/bigramSurprisal drop nothing vs the doc universe") {
+    // every doc with >= 2 tokens appears exactly once in both outputs
+    val docs = Seq((1L, "a b c"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
+    assert(TextQueries.unigramSurprisal(docs).count() === 3)
+    val bg = TextQueries.bigramSurprisal(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(bg === Set(1L, 2L)) // the 1-token doc has no bigram, by contract
+  }
+
   private object TokenKl {
     def of(docs: org.apache.spark.sql.DataFrame): Map[String, Double] =
       TextQueries.tokenKlDivergence(docs)
