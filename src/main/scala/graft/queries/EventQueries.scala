@@ -793,9 +793,55 @@ object EventQueries {
                      AS intercept
             FROM s ORDER BY event_type"""))
 
+  /** Robust outlier census per event type: median/MAD (median absolute
+    * deviation) with a 3·MAD fence — the q107 winsorize companion that
+    * does not assume normality and is immune to the very outliers it
+    * hunts. Two exact-percentile passes (the q83 type-7 contract, 6-dp
+    * boundary rounding on both engines), each broadcast back onto the
+    * stream; everything else is integer counting.
+    */
+  def madOutliers(events: org.apache.spark.sql.DataFrame, k: Double = 3.0): org.apache.spark.sql.DataFrame = {
+    val e = events.select(col("event_type"), col("value"))
+    val med = e.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev
+      .join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        count(when(col("adev") > lit(k) * col("mad"), 1)).as("n_outliers"))
+      .withColumn("outlier_frac",
+        round(col("n_outliers").cast("double") / col("n").cast("double"), 12))
+      .orderBy("event_type")
+  }
+
+  private val q114 = GraftQuery(
+    "q114_mad_outliers",
+    (s, dir) => madOutliers(Tables.events(s, dir)),
+    Some("""WITH e AS (SELECT event_type, value FROM events),
+            m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+                  FROM e GROUP BY 1),
+            dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+                    FROM e JOIN m USING (event_type)),
+            md AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+                   FROM dev GROUP BY 1)
+            SELECT dev.event_type, dev.med AS med, md.mad AS mad, count(*) AS n,
+                   count(CASE WHEN adev > 3.0 * mad THEN 1 END) AS n_outliers,
+                   round(CAST(count(CASE WHEN adev > 3.0 * mad THEN 1 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 12) AS outlier_frac
+            FROM dev JOIN md USING (event_type)
+            GROUP BY dev.event_type, dev.med, md.mad
+            ORDER BY dev.event_type"""))
+
   // def, not val: q29/q66/q67 land estimate parquet and their oracle SQL
   // must embed the path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
-      q97, q101, q106, q107, q110, q111)
+      q97, q101, q106, q107, q110, q111, q114)
 }

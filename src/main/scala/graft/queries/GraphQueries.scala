@@ -46,7 +46,7 @@ object GraphQueries {
     */
   private def pagerankOracle: String = {
     val sb = new StringBuilder
-    sb.append(s"""WITH edges AS (
+    sb.append(s"""WITH edges AS MATERIALIZED (
          SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS DOUBLE) AS w
          FROM lineitem l
          JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -55,14 +55,14 @@ object GraphQueries {
          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
          JOIN nation sn ON s.s_nationkey = sn.n_nationkey
          GROUP BY 1, 2),
-       nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        outw AS (SELECT src AS node,
                        CAST(sum(CAST(w AS DECIMAL(38,15))) AS DOUBLE) AS out_w
                 FROM edges GROUP BY 1),
-       norm AS (SELECT e.src AS node, e.dst, e.w / o.out_w AS frac
+       norm AS MATERIALIZED (SELECT e.src AS node, e.dst, e.w / o.out_w AS frac
                 FROM edges e JOIN outw o ON e.src = o.node WHERE o.out_w > 0),
-       r0 AS (SELECT node, round(1.0 / nn.n, 12) AS rank FROM nodes CROSS JOIN nn)""")
+       r0 AS MATERIALIZED (SELECT node, round(1.0 / nn.n, 12) AS rank FROM nodes CROSS JOIN nn)""")
     for (i <- 1 to PrIters) {
       val p = s"r${i - 1}"
       sb.append(s""",
@@ -73,7 +73,7 @@ object GraphQueries {
        d$i AS (SELECT CAST(coalesce(sum(CAST(r.rank AS DECIMAL(38,15))), 0)
                         AS DOUBLE) AS dm
                FROM $p r WHERE r.node NOT IN (SELECT node FROM norm)),
-       r$i AS (SELECT n2.node,
+       r$i AS MATERIALIZED (SELECT n2.node,
                       round((1 - CAST($PrDamping AS DOUBLE)) / nn.n
                           + CAST($PrDamping AS DOUBLE)
                             * (coalesce(c.contrib, 0.0) + d.dm / nn.n),
@@ -102,5 +102,76 @@ object GraphQueries {
         .orderBy("node"),
     Some(pagerankOracle))
 
-  val all: Seq[GraftQuery] = Seq(q108)
+  /** Shared SQL prefix for the graph oracles: the trade edge list, node
+    * universe and node count, exactly as [[tradeEdges]] derives them.
+    */
+  private val edgesCte = """WITH edges AS MATERIALIZED (
+         SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS DOUBLE) AS w
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         GROUP BY 1, 2),
+       nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)"""
+
+  private val HitsIters = 5
+
+  /** Serial replay of [[graft.operators.Hits.run]]: per round, the
+    * authority half-step (raw sums → coalesce over the node universe →
+    * L1 norm → round 12) then the hub half-step from the FRESH
+    * authorities — four CTEs per half-step, unrolled.
+    */
+  private def hitsOracle: String = {
+    val sb = new StringBuilder(edgesCte)
+    sb.append(""",
+       s0 AS MATERIALIZED (SELECT node, round(1.0 / nn.n, 12) AS auth, round(1.0 / nn.n, 12) AS hub
+              FROM nodes CROSS JOIN nn)""")
+    for (i <- 1 to HitsIters) {
+      val p = s"s${i - 1}"
+      sb.append(s""",
+       a${i}r AS (SELECT e.dst AS node,
+                         CAST(sum(CAST(round(s.hub * e.w, 15) AS DECIMAL(38,15)))
+                           AS DOUBLE) AS raw
+                  FROM $p s JOIN edges e ON s.node = e.src GROUP BY 1),
+       a${i}f AS MATERIALIZED (SELECT n2.node, coalesce(a.raw, 0.0) AS auth
+                  FROM nodes n2 LEFT JOIN a${i}r a ON n2.node = a.node),
+       a${i}n AS (SELECT CAST(sum(CAST(auth AS DECIMAL(38,15))) AS DOUBLE) AS l1
+                  FROM a${i}f),
+       a$i AS MATERIALIZED (SELECT node, round(auth / l1, 12) AS auth
+               FROM a${i}f CROSS JOIN a${i}n),
+       h${i}r AS (SELECT e.src AS node,
+                         CAST(sum(CAST(round(a.auth * e.w, 15) AS DECIMAL(38,15)))
+                           AS DOUBLE) AS raw
+                  FROM a$i a JOIN edges e ON a.node = e.dst GROUP BY 1),
+       h${i}f AS MATERIALIZED (SELECT n2.node, coalesce(h.raw, 0.0) AS hub
+                  FROM nodes n2 LEFT JOIN h${i}r h ON n2.node = h.node),
+       h${i}n AS (SELECT CAST(sum(CAST(hub AS DECIMAL(38,15))) AS DOUBLE) AS l1
+                  FROM h${i}f),
+       h$i AS MATERIALIZED (SELECT node, round(hub / l1, 12) AS hub
+               FROM h${i}f CROSS JOIN h${i}n),
+       s$i AS MATERIALIZED (SELECT a.node, a.auth, h.hub FROM a$i a JOIN h$i h ON a.node = h.node)""")
+    }
+    sb.append(s"\n       SELECT node, auth, hub FROM s$HitsIters ORDER BY node")
+    sb.toString
+  }
+
+  /** HITS hubs/authorities on the nation trade graph
+    * ([[graft.operators.Hits]], 5 rounds): import-heavy nations surface
+    * as authorities, export-heavy as hubs — the directional view PageRank
+    * (a single stationary score) can't give. Same grading scheme as q108:
+    * a serially-unrolled CTE replay of the identical rounded recurrence.
+    */
+  private val q112 = GraftQuery(
+    "q112_hits_trade",
+    (s, dir) =>
+      graft.operators.Hits.run(
+        tradeEdges(s, dir), "src", "dst", weightCol = Some("w"),
+        iterations = HitsIters)
+        .orderBy("node"),
+    Some(hitsOracle))
+
+  val all: Seq[GraftQuery] = Seq(q108, q112)
 }

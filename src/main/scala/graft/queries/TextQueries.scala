@@ -576,8 +576,106 @@ object TextQueries {
                      / CAST(count(*) AS DOUBLE), 9) AS mean_bigram_surprisal
             FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Pairwise vocabulary Jaccard between sources — the corpus-mixing
+    * diagnostic that catches a crawl source drifting into (or mirroring)
+    * another. All-integer counts until one final division. Plan shape:
+    * distinct (source, word) is one aggregate; the pair join shuffles on
+    * `word` and fans out per word by the number of sources containing it
+    * (≤ |sources|, the natural bound); per-source sizes broadcast.
+    */
+  def sourceVocabJaccard(docs: DataFrame): DataFrame = {
+    val sw = docs
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .distinct()
+    val sizes = sw.groupBy("source").agg(count(lit(1)).as("sz"))
+    val a = sw.select(col("source").as("source_a"), col("word"))
+    val b = sw.select(col("source").as("source_b"), col("word"))
+    a.join(b, "word")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("sz").as("sz_a"))),
+        "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("sz").as("sz_b"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"), col("sz_a"), col("sz_b"),
+        round(col("inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 12)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val q113 = GraftQuery(
+    "q113_source_vocab_jaccard",
+    (s, dir) => sourceVocabJaccard(Tables.documents(s, dir)),
+    Some("""WITH sw AS (
+              SELECT DISTINCT source,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            sizes AS (SELECT source, count(*) AS sz FROM sw GROUP BY 1),
+            pairs AS (
+              SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+              FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT source_a, source_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+                   round(CAST(inter AS DOUBLE)
+                     / CAST(sa.sz + sb.sz - inter AS DOUBLE), 12) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON source_a = sa.source
+            JOIN sizes sb ON source_b = sb.source
+            ORDER BY source_a, source_b"""))
+
+  /** Top-3 TF-IDF keywords per document — the extractive summary /
+    * routing-feature staple. Scores are tf·ln(D/df) on exact integer
+    * counts; the per-document top-k is a window partitioned by doc_id
+    * (ranked by score desc, word asc — total order), never a global sort.
+    */
+  def tfidfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val tf = occ.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dTot = docs.agg(count(lit(1)).as("d_total"))
+    val scored = tf
+      .join(dfreq, "word")
+      .crossJoin(broadcast(dTot))
+      .select(col("doc_id"), col("word"),
+        round(col("tf").cast("double")
+          * log(col("d_total").cast("double") / col("df").cast("double")), 12)
+          .as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("word"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val q115 = GraftQuery(
+    "q115_tfidf_keywords",
+    (s, dir) => tfidfKeywords(Tables.documents(s, dir)),
+    Some("""WITH occ AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM occ GROUP BY 1, 2),
+            dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            d AS (SELECT count(*) AS d_total FROM documents),
+            scored AS (
+              SELECT doc_id, word,
+                     round(CAST(tf AS DOUBLE)
+                       * ln(CAST(d_total AS DOUBLE) / CAST(df AS DOUBLE)), 12) AS score
+              FROM tf JOIN dfreq USING (word) CROSS JOIN d),
+            ranked AS (
+              SELECT doc_id, word, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, word) AS rk
+              FROM scored)
+            SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, score
+            FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
-    Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109)
+    Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113, q115)
 }

@@ -33,6 +33,26 @@ class EventStatsSpec extends SparkSpec {
       ("2024-01-08", 1L) -> 1L))
   }
 
+  test("madOutliers: fence flags exactly the planted outlier") {
+    // [1,2,3,4,5,100]: med 3.5, adevs [2.5,1.5,.5,.5,1.5,96.5], mad 1.5,
+    // fence 4.5 ⇒ one outlier. A clean group flags none.
+    val events = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).map(("spiky", _)) ++
+      Seq(10.0, 11.0, 12.0).map(("clean", _)))
+      .toDF("event_type", "value")
+    val got = EventQueries.madOutliers(events)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(4)))
+      .toMap
+    assert(got("spiky") === ((3.5, 1.5, 1L)), got.toString)
+    assert(got("clean")._3 === 0L)
+  }
+
+  test("madOutliers: zero MAD makes any deviation an outlier") {
+    // [0,0,0,0,100]: med 0, mad 0 ⇒ the 100 is the single outlier
+    val events = Seq(0.0, 0.0, 0.0, 0.0, 100.0).map(("t", _)).toDF("event_type", "value")
+    val got = EventQueries.madOutliers(events).collect().head
+    assert(got.getLong(4) === 1L)
+  }
+
   test("olsTrend: recovers an exact linear law per group") {
     // y = 2·days + 5  (slope_per_day = 2, intercept at 2024-01-01 = 5)
     // and a flat group y = 7 (slope 0, intercept 7)

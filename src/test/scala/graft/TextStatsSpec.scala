@@ -95,6 +95,27 @@ class TextStatsSpec extends SparkSpec {
     assert(bg === Set(1L, 2L)) // the 1-token doc has no bigram, by contract
   }
 
+  test("sourceVocabJaccard: hand-computed overlap") {
+    // s1 vocab {a,b}, s2 {b,c}: |∩|=1, |∪|=3 ⇒ 1/3; s3 {x}: disjoint ⇒ no row
+    // (inner pair join emits only intersecting pairs — pin that contract)
+    val docs = Seq(
+      (1L, "a b a", "s1"), (2L, "b c", "s2"), (3L, "x", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = TextQueries.sourceVocabJaccard(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(got === Map(("s1", "s2") -> (1.0 / 3 * 1e12).round / 1e12))
+  }
+
+  test("tfidfKeywords: distinctive terms outrank ubiquitous ones") {
+    // "the" is in every doc (idf = 0); each doc's unique word must rank 1
+    val docs = Seq(
+      (1L, "the alpha the"), (2L, "the beta"), (3L, "the gamma"))
+      .toDF("doc_id", "text")
+    val top1 = TextQueries.tfidfKeywords(docs, topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top1 === Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
   private object TokenKl {
     def of(docs: org.apache.spark.sql.DataFrame): Map[String, Double] =
       TextQueries.tokenKlDivergence(docs)
