@@ -292,7 +292,75 @@ object SimilarityQueries {
             SELECT n_id, n_lists, rrf FROM rrf
             ORDER BY rrf DESC, n_id LIMIT 20"""))
 
+  /** Pairwise cosine similarity between the q57 label centroids — the
+    * class-confusability matrix (which labels' embedding neighborhoods
+    * collide) that guides relabeling and hard-negative mining. Centroid
+    * means follow the q57 decimal contract and round at 12 dp BEFORE the
+    * cosine, so both engines run the pair arithmetic on identical inputs;
+    * per-dimension products round at 15 dp into DECIMAL(38,15) sums, and
+    * sqrt/divide are single fixed double steps. |labels|² pairs of
+    * |dims|-length vectors — trivially bounded however large the
+    * embedding table is, because everything heavy happened in the ONE
+    * centroid aggregate.
+    */
+  def centroidCosineMatrix(embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.types.DecimalType
+      val cent = embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(round((sum(col("v").cast("double").cast(DecimalType(38, 20)))
+          .cast("double") / count(lit(1))).cast("double"), 12).as("m"))
+      val a = cent.select(col("label").as("label_a"), col("dim"), col("m").as("ma"))
+      val b = cent.select(col("label").as("label_b"), col("dim"), col("m").as("mb"))
+      val prods = a.join(b, "dim")
+        .filter(col("label_a") < col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(sum(round(col("ma") * col("mb"), 15).cast(DecimalType(38, 15)))
+          .cast("double").as("dot"))
+      val norms = cent.groupBy("label")
+        .agg(sum(round(col("m") * col("m"), 15).cast(DecimalType(38, 15)))
+          .cast("double").as("nsq"))
+      prods
+        .join(broadcast(norms.select(col("label").as("label_a"), col("nsq").as("na"))),
+          "label_a")
+        .join(broadcast(norms.select(col("label").as("label_b"), col("nsq").as("nb"))),
+          "label_b")
+        .select(col("label_a"), col("label_b"),
+          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cosine"))
+        .orderBy("label_a", "label_b")
+  }
+
+  private val q117 = GraftQuery(
+    "q117_centroid_cosine_matrix",
+    (s, dir) => centroidCosineMatrix(Tables.embeddings(s, dir)),
+    Some("""WITH e AS (
+              SELECT label,
+                     unnest(embedding) AS v,
+                     unnest(generate_series(0, len(embedding) - 1)) AS dim
+              FROM embeddings),
+            cent AS MATERIALIZED (
+              SELECT label, dim,
+                     round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
+                       / count(*), 12) AS m
+              FROM e GROUP BY label, dim),
+            prods AS (
+              SELECT a.label AS label_a, b.label AS label_b,
+                     CAST(sum(CAST(round(a.m * b.m, 15) AS DECIMAL(38,15))) AS DOUBLE) AS dot
+              FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+              GROUP BY 1, 2),
+            norms AS (
+              SELECT label,
+                     CAST(sum(CAST(round(m * m, 15) AS DECIMAL(38,15))) AS DOUBLE) AS nsq
+              FROM cent GROUP BY 1)
+            SELECT label_a, label_b,
+                   round(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 12) AS cosine
+            FROM prods
+            JOIN norms na ON label_a = na.label
+            JOIN norms nb ON label_b = nb.label
+            ORDER BY label_a, label_b"""))
+
   // def, not val: q24/q32/q70 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
-  def all: Seq[GraftQuery] = Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93)
+  def all: Seq[GraftQuery] =
+    Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117)
 }

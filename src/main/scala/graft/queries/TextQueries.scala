@@ -674,8 +674,70 @@ object TextQueries {
             SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, score
             FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
+  /** Per-source Zipf slope: OLS fit of ln(freq) against ln(rank) over the
+    * top-100 words — natural language sits near −1, so a source whose
+    * slope drifts is template/boilerplate-heavy or machine-generated (the
+    * corpus-health dashboard number). Ranks come from a per-source window
+    * (count desc, word asc — total order, no global sort); the fit is the
+    * q111 closed form: ln products round at 15 dp, accumulate as
+    * DECIMAL(38,15), and the slope divides exact sums in one fixed double
+    * expression.
+    */
+  def zipfSlope(docs: DataFrame, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("word"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("source"),
+        log(col("rk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val sums = ranked.groupBy("source").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(round(col("x"), 15).cast(DecimalType(38, 15))).cast("double").as("sx"),
+      sum(round(col("y"), 15).cast(DecimalType(38, 15))).cast("double").as("sy"),
+      sum(round(col("x") * col("y"), 15).cast(DecimalType(38, 15))).cast("double").as("sxy"),
+      sum(round(col("x") * col("x"), 15).cast(DecimalType(38, 15))).cast("double").as("sxx"))
+    sums
+      .select(col("source"), col("n").cast("long").as("n_top"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 9).as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  private val q116 = GraftQuery(
+    "q116_zipf_slope",
+    (s, dir) => zipfSlope(Tables.documents(s, dir)),
+    Some("""WITH occ AS (
+              SELECT source,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            c AS (SELECT source, word, count(*) AS cnt FROM occ GROUP BY 1, 2),
+            r AS (SELECT source, cnt,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY cnt DESC, word) AS rk
+                  FROM c),
+            xy AS (SELECT source,
+                          ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+                   FROM r WHERE rk <= 100),
+            s AS (SELECT source,
+                         CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(CAST(round(x, 15) AS DECIMAL(38,15))) AS DOUBLE) AS sx,
+                         CAST(sum(CAST(round(y, 15) AS DECIMAL(38,15))) AS DOUBLE) AS sy,
+                         CAST(sum(CAST(round(x * y, 15) AS DECIMAL(38,15))) AS DOUBLE) AS sxy,
+                         CAST(sum(CAST(round(x * x, 15) AS DECIMAL(38,15))) AS DOUBLE) AS sxx
+                  FROM xy GROUP BY 1)
+            SELECT source, CAST(n AS BIGINT) AS n_top,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope
+            FROM s ORDER BY source"""))
+
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
-    Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113, q115)
+    Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
+      q115, q116)
 }

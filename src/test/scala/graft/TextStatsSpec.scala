@@ -116,6 +116,17 @@ class TextStatsSpec extends SparkSpec {
     assert(top1 === Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
   }
 
+  test("zipfSlope: an exact power law is recovered; slope -1 for 1/r counts") {
+    // build a corpus whose word counts are exactly c(r) = 120/r for ranks
+    // 1..4 (120,60,40,30): ln c = ln 120 − 1·ln r ⇒ slope = −1 exactly
+    val words = Seq("w1" -> 120, "w2" -> 60, "w3" -> 40, "w4" -> 30)
+    val text = words.flatMap { case (w, c) => Seq.fill(c)(w) }.mkString(" ")
+    val docs = Seq((1L, text, "s")).toDF("doc_id", "text", "source")
+    val got = TextQueries.zipfSlope(docs, topK = 4).collect().head
+    assert(got.getLong(1) === 4L)
+    assert(math.abs(got.getDouble(2) - (-1.0)) < 1e-9, got.toString)
+  }
+
   private object TokenKl {
     def of(docs: org.apache.spark.sql.DataFrame): Map[String, Double] =
       TextQueries.tokenKlDivergence(docs)
