@@ -63,10 +63,16 @@ object Hits {
             round(col("hub") * col("w"), 15).cast(DecimalType(38, 15)).as("c"))
           .groupBy("node")
           .agg(sum(col("c")).cast("double").as("a_raw"))
-        val a = l1Normalize(
+        // cut BEFORE normalizing: the L1 norm reads its input twice (the
+        // norm aggregate + the normalized select) and the fresh
+        // authorities are read twice more below (hub contributions, the
+        // final join) — uncut, every reader re-executes the half-step
+        // join+agg and each round costs 3 redundant jobs
+        val aPre = Components.cut(
           nodes.join(aRaw, Seq("node"), "left")
             .select(col("node"), coalesce(col("a_raw"), lit(0.0)).as("auth")),
-          "auth")
+          None)
+        val a = l1Normalize(aPre, "auth")
         // hubs from the fresh authorities
         val hRaw = a
           .join(e, col("node") === col("dst"))
@@ -74,10 +80,11 @@ object Hits {
             round(col("auth") * col("w"), 15).cast(DecimalType(38, 15)).as("c"))
           .groupBy("node")
           .agg(sum(col("c")).cast("double").as("h_raw"))
-        val h = l1Normalize(
+        val hPre = Components.cut(
           nodes.join(hRaw, Seq("node"), "left")
             .select(col("node"), coalesce(col("h_raw"), lit(0.0)).as("hub")),
-          "hub")
+          None)
+        val h = l1Normalize(hPre, "hub")
         scores = Components.cut(
           a.join(h, "node"),
           if (i % checkpointEvery == 0 || i == iterations) checkpointDir else None)
