@@ -38,7 +38,7 @@ object Components {
   private val cutLock = new Object
   private var lastSetDir: String = null
 
-  private[operators] def cut(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+  private[graft] def cut(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         // set-dir + checkpoint REGISTRATION are serialized: check-then-act

@@ -621,24 +621,36 @@ object EventQueries {
     * broadcast (|event types|² rows). The per-user partitioning is the
     * scale story: no global sort, skew bounded by the busiest user.
     */
+  /** `materialize = false` keeps the whole pipeline in one lazy plan so
+    * PlanShapeSpec can pin the per-user window; the production default
+    * cuts the tiny transition-count frame so the denominator aggregate
+    * doesn't re-run the event-log window pass (Catalyst does not share
+    * subtrees).
+    */
+  def eventTransitions(events: org.apache.spark.sql.DataFrame,
+      materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val countsRaw = steps
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val counts =
+      if (materialize) graft.operators.Components.cut(countsRaw, None) else countsRaw
+    val totals = counts.groupBy("prev_type").agg(sum("n").as("n_prev"))
+    counts
+      .join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("n_prev").cast("double"), 12).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
   private val q106 = GraftQuery(
     "q106_event_transitions",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val steps = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("prev_type", lag("event_type", 1).over(w))
-        .filter(col("prev_type").isNotNull)
-      val counts = steps.groupBy(col("prev_type"), col("event_type").as("next_type"))
-        .agg(count(lit(1)).as("n"))
-      val totals = counts.groupBy("prev_type").agg(sum("n").as("n_prev"))
-      counts
-        .join(broadcast(totals), "prev_type")
-        .select(col("prev_type"), col("next_type"), col("n"),
-          round(col("n").cast("double") / col("n_prev").cast("double"), 12).as("p"))
-        .orderBy("prev_type", "next_type")
-    },
+    (s, dir) => eventTransitions(Tables.events(s, dir)),
     Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
                        FROM events),
             s AS (SELECT event_type AS next_type,
@@ -712,8 +724,11 @@ object EventQueries {
     */
   def retentionCohorts(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val e = events.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
-    val firstSeen = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-    val active = e.distinct()
+    // one event-log pass: first-seen = min over the DISTINCT (user, week)
+    // frame (identical to min over raw events), so the cut distinct frame
+    // feeds both sides instead of two independent corpus shuffles
+    val active = graft.operators.Components.cut(e.distinct(), None)
+    val firstSeen = active.groupBy("user_id").agg(min("wk").as("cohort_wk"))
     active
       .join(firstSeen, "user_id")
       .select(col("cohort_wk"),

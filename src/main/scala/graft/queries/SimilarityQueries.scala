@@ -305,11 +305,14 @@ object SimilarityQueries {
     */
   def centroidCosineMatrix(embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.types.DecimalType
-      val cent = embeddings
+      // (labels × dims)-sized cut, read by both pair-join sides and the
+      // norm aggregate — uncut, the corpus-sized posexplode aggregate
+      // would run three times
+      val cent = graft.operators.Components.cut(embeddings
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("label", "dim")
         .agg(round((sum(col("v").cast("double").cast(DecimalType(38, 20)))
-          .cast("double") / count(lit(1))).cast("double"), 12).as("m"))
+          .cast("double") / count(lit(1))).cast("double"), 12).as("m")), None)
       val a = cent.select(col("label").as("label_a"), col("dim"), col("m").as("ma"))
       val b = cent.select(col("label").as("label_b"), col("dim"), col("m").as("mb"))
       val prods = a.join(b, "dim")

@@ -357,7 +357,12 @@ object TextQueries {
     */
   def tokenKlDivergence(docs: DataFrame, groupCol: String = "source"): DataFrame = {
     val occ = docs.select(col(groupCol), explode(tokens(col("text"))).as("word"))
-    val sw = occ.groupBy(groupCol, "word").agg(count(lit(1)).as("c_sw"))
+    // materialized: Catalyst does not share subtrees, so without the cut
+    // each of the three downstream aggregates would re-scan and re-shuffle
+    // the full token stream — the cut makes "one corpus shuffle" physically
+    // true (the cached frame is (source × word)-sized, vocab-scale)
+    val sw = graft.operators.Components.cut(
+      occ.groupBy(groupCol, "word").agg(count(lit(1)).as("c_sw")), None)
     val srcTot = sw.groupBy(groupCol).agg(sum("c_sw").as("n_s"))
     val wTot = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
     val tot = wTot.agg(sum("c_w").as("n"))
@@ -412,7 +417,10 @@ object TextQueries {
     */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val occ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-    val wTot = occ.groupBy("word").agg(count(lit(1)).as("c_w"))
+    // vocab-sized cut: the corpus total would otherwise re-run the whole
+    // scan+explode+aggregate pipeline just to sum the counts
+    val wTot = graft.operators.Components.cut(
+      occ.groupBy("word").agg(count(lit(1)).as("c_w")), None)
     val tot = wTot.agg(sum("c_w").as("n"))
     occ
       .join(wTot, "word")
@@ -459,9 +467,11 @@ object TextQueries {
     */
   def pmiPairs(docs: DataFrame, minDf: Long = 25, minPair: Long = 10,
       topK: Int = 50): DataFrame = {
-    val dw = docs
+    // materialized: referenced by the df aggregate AND both pair-join
+    // sides — uncut, the corpus distinct-shuffle would run three times
+    val dw = graft.operators.Components.cut(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .distinct()
+      .distinct(), None)
     val dfreq = dw.groupBy("word").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
     val dwf = dw.join(broadcast(dfreq), "word")
@@ -527,7 +537,10 @@ object TextQueries {
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bgCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_b"))
+    // bigram-vocab-sized cut: the context-count aggregate and the scoring
+    // join both read it — uncut, each re-runs the corpus bigram shuffle
+    val bgCnt = graft.operators.Components.cut(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_b")), None)
     val ctxCnt = bgCnt.groupBy("w1").agg(sum("c_b").as("c_ctx"))
     val vocab = docs
       .select(explode(tokens(col("text"))).as("word"))
@@ -584,9 +597,11 @@ object TextQueries {
     * (≤ |sources|, the natural bound); per-source sizes broadcast.
     */
   def sourceVocabJaccard(docs: DataFrame): DataFrame = {
-    val sw = docs
+    // (sources × vocab)-sized cut, read by sizes and both join sides:
+    // uncut, the corpus distinct-shuffle would run three times
+    val sw = graft.operators.Components.cut(docs
       .select(col("source"), explode(tokens(col("text"))).as("word"))
-      .distinct()
+      .distinct(), None)
     val sizes = sw.groupBy("source").agg(count(lit(1)).as("sz"))
     val a = sw.select(col("source").as("source_a"), col("word"))
     val b = sw.select(col("source").as("source_b"), col("word"))
@@ -633,7 +648,10 @@ object TextQueries {
   def tfidfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val occ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-    val tf = occ.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // (doc × word)-sized cut: df derivation and the scoring join both
+    // read it — uncut, the corpus tf shuffle would run twice
+    val tf = graft.operators.Components.cut(
+      occ.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")), None)
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val dTot = docs.agg(count(lit(1)).as("d_total"))
     val scored = tf

@@ -68,7 +68,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q106 transition window is per-user (no single-partition stage)") {
-    val p = plan("q106_event_transitions")
+    // pin the UNMATERIALIZED plan: the production path cuts the tiny
+    // count frame, which executes (and hides) the window before explain
+    val p = graft.queries.EventQueries
+      .eventTransitions(Tables.events(spark, dir), materialize = false)
+      .queryExecution.explainString(FormattedMode)
     assert(p.contains("Window"), p.take(1200))
     assert(!p.contains("SinglePartition"),
       "a global window would collapse the event log onto one task:\n" + p.take(1200))
