@@ -323,7 +323,68 @@ object DedupQueries {
             FROM assigned a JOIN canon c ON a.cluster_id = c.cluster_id
             ORDER BY a.doc_id"""))
 
+  /** Exact 3-gram Jaccard pairs at τ = 0.5 via PREFIX FILTERING
+    * ([[graft.operators.SetSimJoin.prefixJaccardJoin]]) — same answer
+    * family as q19's full inverted index, but candidates are generated
+    * only from each document's rarest (df-ascending) shingle prefix, the
+    * AllPairs/PPJoin bound that survives template-heavy corpora. The
+    * oracle is the brute-force pair arithmetic: the exactness claim of
+    * prefix filtering (no false negatives) is precisely what the hash
+    * compare certifies.
+    */
+  private val q118 = GraftQuery(
+    "q118_setsim_prefix_join",
+    (s, dir) =>
+      graft.operators.SetSimJoin
+        .prefixJaccardJoin(Tables.documents(s, dir), n = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b"),
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS s
+              FROM norm WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, c AS n_common,
+                   round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 12) AS jaccard
+            FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+            ORDER BY doc_a, doc_b"""))
+
+  /** Blocked exact edit-distance pairs: candidates share their first 32
+    * characters (blocks capped at 64 members — the skew guard is part of
+    * the contract and the oracle applies it identically), verified with
+    * full-text Levenshtein. The char-level high-precision near-dup stage.
+    */
+  private val q119 = GraftQuery(
+    "q119_blocked_edit_distance",
+    (s, dir) =>
+      graft.operators.SetSimJoin
+        .blockedEditDistancePairs(Tables.documents(s, dir), blockPrefix = 32, maxBlock = 64)
+        .orderBy("doc_a", "doc_b"),
+    Some("""WITH keyed AS (
+              SELECT doc_id, text, substr(text, 1, 32) AS k FROM documents),
+            small AS (
+              SELECT k FROM keyed GROUP BY k
+              HAVING count(*) > 1 AND count(*) <= 64),
+            b AS (SELECT keyed.* FROM keyed JOIN small USING (k))
+            SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                   CAST(levenshtein(a.text, c.text) AS BIGINT) AS dist,
+                   round(1.0 - CAST(levenshtein(a.text, c.text) AS DOUBLE)
+                     / greatest(length(a.text), length(c.text)), 12) AS sim
+            FROM b a JOIN b c ON a.k = c.k AND a.doc_id < c.doc_id
+            ORDER BY doc_a, doc_b"""))
+
   // def, not val: q21/q35 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
-  def all: Seq[GraftQuery] = Seq(q18, q19, q20, q21, q33, q35, q65, q77)
+  def all: Seq[GraftQuery] = Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119)
 }
