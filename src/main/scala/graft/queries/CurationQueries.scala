@@ -639,7 +639,69 @@ object CurationQueries {
             FROM r JOIN g ON g.rg = (r.rs * (r.n - 1)) // greatest(r.m - 1, 1)
             ORDER BY r.doc_id"""))
 
+  /** Per-source ranking AUC of a quality signal against a binary label
+    * (here: does document length predict lang = 'en') — the
+    * Mann–Whitney/Wilcoxon evaluation every learned quality scorer gets
+    * before it gates a corpus. Tie-aware closed form over SCORE-LEVEL
+    * aggregates:  AUC = Σ_s pos(s)·(2·cumneg(<s) + neg(s)) / (2·P·N),
+    * i.e. P(score⁺ > score⁻) + ½·P(=).
+    *
+    * Scale shape: one hash aggregate collapses rows to (source, score)
+    * groups — the cumulative window then runs over the score CARDINALITY
+    * per source (bounded by the value domain, not the corpus), and every
+    * product rides DECIMAL(38,0) (pos·cumneg reaches n² ≈ 10²⁰ at
+    * warehouse scale — past a Long). Degenerate sources (single-class)
+    * emit NULL rather than a division artifact.
+    */
+  def aucBySource(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val g = docs
+      .groupBy(col("source"), col("n_chars").as("score"))
+      .agg(
+        count(when(col("lang") === "en", 1)).as("pos"),
+        count(when(col("lang") =!= "en", 1)).as("neg"))
+    val w = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .groupBy("source")
+      .agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("neg")).as("n_neg"),
+        sum(col("pos").cast(DecimalType(38, 0))
+          * (lit(2) * col("cneg") + col("neg"))).as("num"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("num").cast("double")
+            / (lit(2).cast(DecimalType(38, 0)) * col("n_pos") * col("n_neg"))
+              .cast("double"), 12))
+          .as("auc"))
+      .orderBy("source")
+  }
+
+  private val q120 = GraftQuery(
+    "q120_auc_by_source",
+    (s, dir) => aucBySource(Tables.documents(s, dir)),
+    Some("""WITH g AS (
+              SELECT source, n_chars AS score,
+                     count(CASE WHEN lang = 'en' THEN 1 END) AS pos,
+                     count(CASE WHEN lang <> 'en' THEN 1 END) AS neg
+              FROM documents GROUP BY 1, 2),
+            c AS (
+              SELECT source, pos, neg,
+                     COALESCE(sum(neg) OVER (PARTITION BY source ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+              FROM g)
+            SELECT source,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(neg) AS BIGINT) AS n_neg,
+                   CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+                     round(CAST(sum(CAST(pos AS DECIMAL(38,0)) * (2 * cneg + neg)) AS DOUBLE)
+                       / CAST(2 * sum(CAST(pos AS DECIMAL(38,0))) * sum(CAST(neg AS DECIMAL(38,0))) AS DOUBLE), 12)
+                   END AS auc
+            FROM c GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
-      q90, q92, q94, q96)
+      q90, q92, q94, q96, q120)
 }

@@ -854,9 +854,120 @@ object EventQueries {
             GROUP BY dev.event_type, dev.med, md.mad
             ORDER BY dev.event_type"""))
 
+  /** Peak concurrency per day — the interval sweep-line (max concurrent
+    * active users, a user being active from their first to last event of
+    * the day, closed interval). The classic shape is
+    * `sum(delta) OVER (ORDER BY ts)` — an unpartitioned window that
+    * collapses the stream onto one task. Here the running count rides
+    * [[graft.operators.Packing.prefixSumBy]]'s two-phase scan over
+    * (ts, −delta, user_id): +1 at interval start, −1 at end, starts
+    * ordered before ends at equal instants so two intervals touching at a
+    * boundary both count (closed-interval convention). Intervals never
+    * cross their day, so the global running sum is the per-day
+    * concurrency (each day's deltas net to zero before the next begins)
+    * — no per-day window, no single-task stage.
+    */
+  def peakConcurrency(events: org.apache.spark.sql.DataFrame,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val iv = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val deltas = iv
+      .select(col("user_id"), col("day"), col("t0").as("ts"), lit(1L).as("delta"))
+      .unionByName(iv
+        .select(col("user_id"), col("day"), col("t1").as("ts"), lit(-1L).as("delta")))
+      // (ts, ord, user_id) is duplicate-free: a user-day contributes one
+      // start and one end row, distinguished by ord even when t0 == t1
+      .withColumn("ord", -col("delta"))
+    graft.operators.Packing
+      .prefixSumBy(deltas, Seq("ts", "ord", "user_id"), "delta", "before",
+        checkpointDir = checkpointDir)
+      .withColumn("active", col("before") + col("delta"))
+      .groupBy("day")
+      .agg(
+        count(when(col("delta") === 1L, 1)).as("n_users"),
+        max(col("active")).as("peak"))
+      .orderBy("day")
+  }
+
+  private val q122 = GraftQuery(
+    "q122_peak_concurrency",
+    (s, dir) => peakConcurrency(Tables.events(s, dir)),
+    Some("""WITH iv AS (
+              SELECT user_id,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                     min(CAST(ts AS TIMESTAMP)) AS t0,
+                     max(CAST(ts AS TIMESTAMP)) AS t1
+              FROM events GROUP BY 1, 2),
+            d AS (
+              SELECT user_id, day, t0 AS ts, 1 AS delta, -1 AS ord FROM iv
+              UNION ALL
+              SELECT user_id, day, t1 AS ts, -1 AS delta, 1 AS ord FROM iv),
+            r AS (
+              SELECT day, delta,
+                     sum(delta) OVER (ORDER BY ts, ord, user_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+              FROM d)
+            SELECT day,
+                   count(CASE WHEN delta = 1 THEN 1 END) AS n_users,
+                   CAST(max(active) AS BIGINT) AS peak
+            FROM r GROUP BY day ORDER BY day"""))
+
+  /** Exponential time-decay aggregates per event type: each event
+    * contributes 2^(−age/half-life), age measured back from the corpus
+    * max timestamp — the recency-weighted feature-store rollup (decayed
+    * counts/sums age out smoothly instead of a hard window cliff).
+    * One hash aggregate after a broadcast of the single-row max; weights
+    * round at 15 dp and accumulate as DECIMAL(38,15) (the q102 pattern)
+    * so the sum is partition-order free and the oracle's libm pow can't
+    * diverge past the displayed 9 dp.
+    */
+  def timeDecayAgg(events: org.apache.spark.sql.DataFrame,
+      halfLifeDays: Double = 7.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tmax = events.agg(max(unix_micros(col("ts"))).as("t_max"))
+    events
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("t"))
+      .crossJoin(broadcast(tmax))
+      .withColumn("w",
+        pow(lit(2.0),
+          -((col("t_max") - col("t")).cast("double") / lit(86400e6))
+            / lit(halfLifeDays)))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("w"), 15).cast(DecimalType(38, 15)))
+          .cast("double").as("dc"),
+        sum(round(col("w") * col("value"), 15).cast(DecimalType(38, 15)))
+          .cast("double").as("dv"))
+      .select(col("event_type"), col("n"),
+        round(col("dc"), 9).as("decayed_count"),
+        round(col("dv"), 9).as("decayed_value"))
+      .orderBy("event_type")
+  }
+
+  private val q123 = GraftQuery(
+    "q123_time_decay_agg",
+    (s, dir) => timeDecayAgg(Tables.events(s, dir)),
+    Some("""WITH e AS (
+              SELECT event_type, value,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                     (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events) AS t_max
+              FROM events),
+            w AS (
+              SELECT event_type, value,
+                     pow(2.0, -(CAST(t_max - t AS DOUBLE) / 86400000000.0) / 7.0) AS w
+              FROM e)
+            SELECT event_type, count(*) AS n,
+                   round(CAST(sum(CAST(round(w, 15) AS DECIMAL(38,15))) AS DOUBLE), 9)
+                     AS decayed_count,
+                   round(CAST(sum(CAST(round(w * value, 15) AS DECIMAL(38,15))) AS DOUBLE), 9)
+                     AS decayed_value
+            FROM w GROUP BY event_type ORDER BY event_type"""))
+
   // def, not val: q29/q66/q67 land estimate parquet and their oracle SQL
   // must embed the path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
-      q97, q101, q106, q107, q110, q111, q114)
+      q97, q101, q106, q107, q110, q111, q114, q122, q123)
 }

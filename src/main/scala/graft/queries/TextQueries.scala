@@ -753,9 +753,65 @@ object TextQueries {
                    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope
             FROM s ORDER BY source"""))
 
+  /** Per-source Gini coefficient of the token-frequency distribution —
+    * the vocabulary-concentration health number (a source whose token
+    * mass sits in a handful of words is template/boilerplate; natural
+    * text sits high but not degenerate). Closed form over counts sorted
+    * ascending with rank i:  G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx).
+    *
+    * All-integer arithmetic: the rank-weighted sum Σ i·xᵢ can reach
+    * vocab·corpus-tokens (~10²¹ at warehouse scale), so each product is
+    * cast to DECIMAL(38,0) BEFORE multiplying — exact to 10³⁸, loud (not
+    * wrapping) past it. The ranking window partitions by source over the
+    * per-source VOCABULARY (sublinear in corpus size — the q116 contract),
+    * never over rows.
+    */
+  def giniTokenConcentration(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy(col("cnt"), col("word"))
+    counts
+      .withColumn("i", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("cnt")).as("total"),
+        sum(col("i").cast(DecimalType(38, 0)) * col("cnt")).as("iw"))
+      .select(col("source"), col("vocab"), col("total"),
+        round(
+          (lit(2).cast(DecimalType(38, 0)) * col("iw")
+            - (col("vocab") + 1).cast(DecimalType(38, 0)) * col("total"))
+            .cast("double")
+          / (col("vocab").cast(DecimalType(38, 0)) * col("total")).cast("double"),
+          12).as("gini"))
+      .orderBy("source")
+  }
+
+  private val q121 = GraftQuery(
+    "q121_gini_token_concentration",
+    (s, dir) => giniTokenConcentration(Tables.documents(s, dir)),
+    Some("""WITH occ AS (
+              SELECT source,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            c AS (SELECT source, word, count(*) AS cnt FROM occ GROUP BY 1, 2),
+            r AS (SELECT source, cnt,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY cnt, word) AS i
+                  FROM c)
+            SELECT source, count(*) AS vocab, CAST(sum(cnt) AS BIGINT) AS total,
+                   round(CAST(2 * sum(CAST(i AS DECIMAL(38,0)) * cnt)
+                          - (count(*) + 1) * sum(CAST(cnt AS DECIMAL(38,0))) AS DOUBLE)
+                     / CAST(count(*) * sum(CAST(cnt AS DECIMAL(38,0))) AS DOUBLE), 12)
+                     AS gini
+            FROM r GROUP BY source ORDER BY source"""))
+
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
-      q115, q116)
+      q115, q116, q121)
 }

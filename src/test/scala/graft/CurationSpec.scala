@@ -115,4 +115,25 @@ class CurationSpec extends SparkSpec {
       (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq === cases.map(c => (c._2, c._3, c._4, c._5, c._6)))
   }
+
+  test("aucBySource: separation 1, reversal 0, ties 1/2, single-class NULL") {
+    def doc(id: Long, src: String, len: Long, lang: String) = (id, src, len, lang)
+    val docs = (
+      // perfect: every en longer than every non-en
+      Seq(doc(1, "sep", 10, "en"), doc(2, "sep", 9, "en"),
+        doc(3, "sep", 2, "fr"), doc(4, "sep", 1, "fr")) ++
+      // reversed: every en shorter
+      Seq(doc(5, "rev", 1, "en"), doc(6, "rev", 9, "fr")) ++
+      // all scores equal: AUC = 1/2 from the tie term
+      Seq(doc(7, "tie", 5, "en"), doc(8, "tie", 5, "fr")) ++
+      // single class: undefined, must be NULL (not NaN/inf)
+      Seq(doc(9, "one", 5, "en"), doc(10, "one", 6, "en"))
+    ).toDF("doc_id", "source", "n_chars", "lang")
+    val rows = graft.queries.CurationQueries.aucBySource(docs).collect()
+    val bynm = rows.map(r => r.getString(0) -> r).toMap
+    assert(bynm("sep").getDouble(3) === 1.0)
+    assert(bynm("rev").getDouble(3) === 0.0)
+    assert(bynm("tie").getDouble(3) === 0.5)
+    assert(bynm("one").isNullAt(3))
+  }
 }

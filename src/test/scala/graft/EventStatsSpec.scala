@@ -71,4 +71,30 @@ class EventStatsSpec extends SparkSpec {
     assert(math.abs(got("flat")._1 - 0.0) < 1e-9, got.toString)
     assert(math.abs(got("flat")._2 - 7.0) < 1e-9, got.toString)
   }
+
+  test("peakConcurrency: hand intervals, closed-endpoint convention") {
+    // day 1: u1 09:00–11:00, u2 10:00–12:00, u3 11:00–13:00 — at 11:00 all
+    // three overlap (u1 ends exactly when u3 starts; closed intervals both
+    // count). day 2: u1 alone, single-event (zero-length) interval.
+    val events = Seq(
+      (1L, ts("2024-03-01 09:00:00")), (1L, ts("2024-03-01 11:00:00")),
+      (2L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-01 12:00:00")),
+      (3L, ts("2024-03-01 11:00:00")), (3L, ts("2024-03-01 13:00:00")),
+      (1L, ts("2024-03-02 08:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventQueries.peakConcurrency(events)
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map("2024-03-01" -> (3L, 3L), "2024-03-02" -> (1L, 1L)))
+  }
+
+  test("timeDecayAgg: weight 1 at the horizon, 1/2 at exactly one half-life") {
+    val events = Seq(
+      ("a", ts("2024-03-08 00:00:00"), 10.0),  // at t_max: weight 1
+      ("a", ts("2024-03-01 00:00:00"), 10.0))  // 7 days old: weight 1/2
+      .toDF("event_type", "ts", "value")
+    val r = EventQueries.timeDecayAgg(events, halfLifeDays = 7.0).collect().head
+    assert(r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - 1.5) < 1e-9)   // 1 + 0.5
+    assert(math.abs(r.getDouble(3) - 15.0) < 1e-9)  // 10 + 5
+  }
 }

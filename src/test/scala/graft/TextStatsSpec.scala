@@ -127,6 +127,19 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(2) - (-1.0)) < 1e-9, got.toString)
   }
 
+  test("giniTokenConcentration: 0 on uniform counts; closed form on (1,9)") {
+    // uniform: every word count equal ⇒ G = 0 exactly.
+    // skewed: counts (1, 9) sorted asc ⇒ G = (2·(1·1+2·9) − 3·10)/(2·10) = 0.4
+    val docs = Seq(
+      (1L, "a b c a b c", "uni"),
+      (2L, ("y " + Seq.fill(9)("z").mkString(" ")), "skew"))
+      .toDF("doc_id", "text", "source")
+    val got = TextQueries.giniTokenConcentration(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("uni") === ((3L, 6L, 0.0)))
+    assert(got("skew") === ((2L, 10L, 0.4)))
+  }
+
   private object TokenKl {
     def of(docs: org.apache.spark.sql.DataFrame): Map[String, Double] =
       TextQueries.tokenKlDivergence(docs)
