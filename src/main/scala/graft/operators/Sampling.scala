@@ -71,6 +71,48 @@ object Sampling {
     df.join(broadcast(picked), idCol)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"): keep the
+    * n rows with the largest priority  uᵢ^(1/wᵢ)  — equivalently the
+    * largest  ln(uᵢ)/wᵢ  — where uᵢ ∈ (0,1] is a seeded uniform derived
+    * from the row id ([[Sharding.scramble]], so membership is replayable
+    * in any engine as `ORDER BY round(ln(u)/w, 12) DESC, id LIMIT n`).
+    * Inclusion probability is proportional-to-weight without replacement —
+    * the quality-weighted corpus subsample that doesn't need a global
+    * sort: selection rides the same bounded [[graft.functions.TopKAgg]]
+    * partials as [[sampleExactN]] (O(partitions·n) exchange, optional
+    * `treeGroups` escalation), never ORDER BY ... LIMIT over the corpus.
+    *
+    * Priorities are rounded to 12 dp BEFORE selection (ties broken by id)
+    * so the last-ulp of two engines' `ln` cannot flip membership. Rows
+    * with weight ≤ 0 are excluded by contract (weight 0 = never drawn).
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String, n: Int,
+      seed: Long, treeGroups: Int = 1): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    require(treeGroups >= 1, s"treeGroups must be >= 1, got $treeGroups")
+    val topkFn = graft.functions.TopKAgg.topK(n)
+    val u = (Sharding.scramble(col(idCol), seed).cast("double") + 1.0) / 1000000008.0
+    val scored = df
+      .filter(col(weightCol) > 0)
+      .select(col(idCol),
+        round(log(u) / col(weightCol).cast("double"), 12).as("__pri"))
+    val candidates =
+      if (treeGroups == 1) scored
+      else scored
+        .withColumn("__g",
+          pmod(Sharding.scramble(col(idCol), seed ^ 0x5851f42d4c957f2dL), lit(treeGroups)))
+        .groupBy("__g")
+        .agg(topkFn(col("__pri"), col(idCol)).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.id").as(idCol), col("t.score").as("__pri"))
+    val picked = candidates
+      .agg(topkFn(col("__pri"), col(idCol)).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id").as(idCol))
+    df.join(broadcast(picked), idCol)
+  }
+
   /** Adds `bin` ∈ [0, nBins): the row's global rank-based bin under
     * ascending (orderCols...) — bin = rank·nBins div total, so bins differ
     * in size by at most 1 (the ntile split without ntile's unpartitioned

@@ -701,7 +701,30 @@ object CurationQueries {
                    END AS auc
             FROM c GROUP BY source ORDER BY source"""))
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis priorities
+    * on seeded per-id uniforms, [[graft.operators.Sampling.sampleWeighted]])
+    * — inclusion ∝ n_chars, membership replayable in any engine as an
+    * ORDER BY over the same arithmetic. The engine never runs that global
+    * sort: selection is bounded TopKAgg partials, and the oracle's
+    * sort-limit is exactly the 100 TB shape the operator exists to avoid.
+    */
+  private val q124 = GraftQuery(
+    "q124_weighted_sample",
+    (s, dir) =>
+      graft.operators.Sampling.sampleWeighted(
+        Tables.documents(s, dir).select("doc_id", "source", "lang", "n_chars"),
+        "doc_id", "n_chars", n = 100, seed = 11L)
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, source, lang, n_chars FROM (
+              SELECT doc_id, source, lang, n_chars
+              FROM documents
+              WHERE n_chars > 0
+              ORDER BY round(ln((${graft.operators.Sharding.scrambleSql("doc_id", 11L)} + 1)
+                         / 1000000008.0) / n_chars, 12) DESC, doc_id
+              LIMIT 100)
+            ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
-      q90, q92, q94, q96, q120)
+      q90, q92, q94, q96, q120, q124)
 }

@@ -809,9 +809,52 @@ object TextQueries {
                      AS gini
             FROM r GROUP BY source ORDER BY source"""))
 
+  /** Inverted-index posting lists over 3-gram shingles — the retrieval /
+    * near-dup index build as a first-class output (shingle, df, sorted
+    * doc-id postings). The df band is the operator's contract: shingles
+    * below `minDf` index nothing (singletons are half the universe and
+    * pure storage waste), shingles above `maxDf` are stopword-like hubs
+    * whose postings would be corpus-sized — the cap is what bounds the
+    * per-key `collect_list` state and keeps the build one hash shuffle at
+    * any scale. Postings serialize as a comma-joined ascending id string
+    * (`string_agg ORDER BY` replayable).
+    */
+  def shinglePostings(docs: DataFrame, n: Int = 3,
+      minDf: Int = 2, maxDf: Int = 20): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"bad df band [$minDf, $maxDf]")
+    val sh = docs
+      .select(col("doc_id"),
+        explode(graft.functions.Sketches.wordShingles(col("text"), n)).as("shingle"))
+    sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(col("df").between(minDf, maxDf))
+      .select(col("shingle"), col("df"),
+        concat_ws(",", transform(col("ids"), i => i.cast("string"))).as("postings"))
+      .orderBy("shingle")
+  }
+
+  private val q125 = GraftQuery(
+    "q125_shingle_postings",
+    (s, dir) => shinglePostings(Tables.documents(s, dir)),
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS shingle
+              FROM norm WHERE len(t) >= 3)
+            SELECT shingle, count(*) AS df,
+                   string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+            FROM sh GROUP BY shingle
+            HAVING count(*) BETWEEN 2 AND 20
+            ORDER BY shingle"""))
+
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
-      q115, q116, q121)
+      q115, q116, q121, q125)
 }

@@ -111,6 +111,39 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("ARITHMETIC_OVERFLOW"), e.getMessage)
   }
 
+  test("sampleWeighted == ORDER BY priority LIMIT n; deterministic; tree path identical") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+    val got = Sampling.sampleWeighted(docs, "doc_id", "n_chars", n = 50, seed = 11L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.length === 50)
+    val naive = docs
+      .filter(col("n_chars") > 0)
+      .withColumn("pri",
+        round(log((Sharding.scramble(col("doc_id"), 11L).cast("double") + 1.0)
+          / 1000000008.0) / col("n_chars").cast("double"), 12))
+      .orderBy(col("pri").desc, col("doc_id")).limit(50)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === naive)
+    val tree = Sampling.sampleWeighted(
+        docs.repartition(64), "doc_id", "n_chars", n = 50, seed = 11L, treeGroups = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(tree === got)
+    assert(got !== Sampling.sampleWeighted(docs, "doc_id", "n_chars", n = 50, seed = 12L)
+      .select("doc_id").as[Long].collect().sorted)
+  }
+
+  test("sampleWeighted: non-positive weights are never drawn; heavier ids dominate") {
+    val df = (1L to 200L).map(i => (i, if (i <= 100) 0L else if (i <= 190) 1L else 1000000L))
+      .toDF("doc_id", "w")
+    val picked = Sampling.sampleWeighted(df, "doc_id", "w", n = 20, seed = 3L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked.forall(_ > 100L), "zero-weight rows must be excluded")
+    // the ten 10⁶-weight rows are ~10⁶× likelier per draw than weight-1
+    // rows; all ten landing in a 20-of-110 sample is the E-S guarantee,
+    // not luck (P(miss any) < 10⁻³ per seed)
+    assert((191L to 200L).toSet.subsetOf(picked), s"heavy ids missing: $picked")
+  }
+
   test("rankBins rank window is per-__pid partitioned, not a global window") {
     val p = Sampling.rankBins(
       Tables.documents(spark, sf).select("doc_id", "n_chars"),

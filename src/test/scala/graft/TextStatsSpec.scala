@@ -140,6 +140,18 @@ class TextStatsSpec extends SparkSpec {
     assert(got("skew") === ((2L, 10L, 0.4)))
   }
 
+  test("shinglePostings: df band gates, postings sorted ascending") {
+    val docs = Seq(
+      (3L, "a b c d"), (1L, "a b c"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = TextQueries.shinglePostings(docs, n = 3, minDf = 2, maxDf = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // "a b c" in all three docs; "b c d" is a singleton (below minDf)
+    assert(got.toSeq === Seq(("a b c", 3L, "1,2,3")))
+    // a hub above maxDf is dropped, not truncated
+    assert(TextQueries.shinglePostings(docs, n = 3, minDf = 2, maxDf = 2).count() === 0L)
+  }
+
   private object TokenKl {
     def of(docs: org.apache.spark.sql.DataFrame): Map[String, Double] =
       TextQueries.tokenKlDivergence(docs)
