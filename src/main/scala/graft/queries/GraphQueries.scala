@@ -173,5 +173,81 @@ object GraphQueries {
         .orderBy("node"),
     Some(hitsOracle))
 
-  val all: Seq[GraftQuery] = Seq(q108, q112)
+  /** The similarity graph both traversal queries run on: top-5 exact
+    * cosine neighbors per vector ([[graft.operators.NearDup.knnBruteForce]]
+    * with every vector as a query), treated as undirected. The oracle
+    * rebuilds the identical edge set with the q22 cosine fragment + a
+    * ranked window.
+    */
+  private def knnEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.NearDup.knnBruteForce(emb, emb, k = 5)
+      .select(col("q_id").as("src"), col("n_id").as("dst"))
+  }
+
+  private def knnEdgesSql: String =
+    s"""p AS (
+         SELECT a.vec_id AS qa, b.vec_id AS qb,
+                ${SimilarityQueries.cosSql("a.embedding", "b.embedding")} AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       r AS (SELECT qa, qb, row_number() OVER (PARTITION BY qa
+                     ORDER BY cos DESC, qb) AS rk FROM p),
+       e0 AS (SELECT qa AS s, qb AS d FROM r WHERE rk <= 5)"""
+
+  /** Single-source BFS over the embedding knn graph
+    * ([[graft.operators.Bfs]]): hop distance from the minimum vec_id to
+    * every reachable vector — the connectivity/diameter probe of a
+    * similarity graph (cluster reachability before any expensive
+    * community pass). Frontier iteration in Spark; the oracle replays it
+    * as a recursive CTE with (node, hop) dedup and takes min(hop).
+    * Both engines cap at 16 hops — the contract bound, far above this
+    * graph's diameter.
+    */
+  private val q126 = GraftQuery(
+    "q126_bfs_knn_hops",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val source = emb.agg(min(col("vec_id"))).head.getLong(0)
+      graft.operators.Bfs.run(knnEdges(s, dir), "src", "dst", source, maxHops = 16)
+        .orderBy("node")
+    },
+    Some(s"""WITH RECURSIVE $knnEdgesSql,
+            e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+            bfs AS (
+              SELECT (SELECT min(vec_id) FROM embeddings) AS node, 0 AS hop
+              UNION
+              SELECT e.d, bfs.hop + 1 FROM bfs JOIN e ON e.s = bfs.node
+              WHERE bfs.hop < 16)
+            SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hop
+            FROM bfs GROUP BY node ORDER BY node"""))
+
+  /** Per-node triangle participation on the same knn graph
+    * ([[graft.operators.Triangles.perNode]], degree-oriented wedge
+    * closure — each triangle found exactly once at its min-(deg,id)
+    * vertex). The local-clustering numerator: high-triangle vectors sit
+    * inside tight semantic clusters, triangle-free ones are bridges/noise.
+    * The oracle counts a<b<c closures directly on the canonical
+    * undirected edge set.
+    */
+  private val q127 = GraftQuery(
+    "q127_knn_triangles",
+    (s, dir) =>
+      graft.operators.Triangles.perNode(knnEdges(s, dir), "src", "dst")
+        .orderBy("node"),
+    Some(s"""WITH $knnEdgesSql,
+            und AS (
+              SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            m AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+            SELECT CAST(node AS BIGINT) AS node, count(*) AS n_triangles
+            FROM m GROUP BY node ORDER BY node"""))
+
+  val all: Seq[GraftQuery] = Seq(q108, q112, q126, q127)
 }

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  /** Shared oracle fragment: exact cosine between embeddings a and b. */
-  private def cosSql(a: String, b: String): String =
+  /** Shared oracle fragment: exact cosine between embeddings a and b
+    * (package-visible: the knn-graph oracles in [[GraphQueries]] reuse it).
+    */
+  private[queries] def cosSql(a: String, b: String): String =
     s"""CAST(list_sum(list_transform(list_zip($a, $b),
        |  p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
        |/ (sqrt(CAST(list_sum(list_transform($a,
