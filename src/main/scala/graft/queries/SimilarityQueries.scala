@@ -364,8 +364,89 @@ object SimilarityQueries {
             JOIN norms nb ON label_b = nb.label
             ORDER BY label_a, label_b"""))
 
+  /** Shared oracle fragment: decimal-accumulated dot product (the exact
+    * arithmetic of [[graft.functions.Similarity.dotExact]]).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b),
+       |  p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmSeed = 5L
+
+  /** Serial replay of [[graft.operators.KMeans.run]]: the same seeded
+    * init, rounded distance/argmin, and decimal-mean recurrence unrolled
+    * as chained CTEs — one (assign, mean, centroid) triple per Lloyd
+    * round, distances and means rounded exactly where the operator
+    * rounds, centroids cast back to REAL exactly where the operator
+    * stores FLOAT.
+    */
+  private def kmeansOracle: String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH xx AS MATERIALIZED (
+         SELECT vec_id, embedding,
+                round(${dotSql("embedding", "embedding")}, 12) AS xx
+         FROM embeddings),
+       c0 AS MATERIALIZED (
+         SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         ORDER BY ${graft.operators.Sharding.scrambleSql("vec_id", KmSeed)}, vec_id
+         LIMIT $KmK),
+       cw0 AS MATERIALIZED (
+         SELECT cid, ce, round(${dotSql("ce", "ce")}, 12) AS cc FROM c0)""")
+    for (i <- 1 to KmIters) {
+      val p = i - 1
+      sb.append(s""",
+       a$i AS (SELECT x.vec_id, x.embedding, c.cid,
+                      round(x.xx + c.cc - 2.0 * ${dotSql("x.embedding", "c.ce")}, 12) AS d2
+               FROM xx x CROSS JOIN cw$p c),
+       s$i AS MATERIALIZED (
+         SELECT vec_id, embedding, cid FROM (
+           SELECT vec_id, embedding, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           FROM a$i) WHERE rn = 1),
+       m$i AS (SELECT cid, dim,
+                      round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 15)
+                          AS DECIMAL(38,15))) AS DOUBLE) / count(*), 12) AS mean
+               FROM (SELECT cid, unnest(embedding) AS v,
+                            unnest(generate_series(0, len(embedding) - 1)) AS dim
+                     FROM s$i)
+               GROUP BY cid, dim),
+       mb$i AS (SELECT cid, list(CAST(mean AS REAL) ORDER BY dim) AS nce
+                FROM m$i GROUP BY cid),
+       c$i AS MATERIALIZED (
+         SELECT p.cid, COALESCE(b.nce, p.ce) AS ce
+         FROM c$p p LEFT JOIN mb$i b USING (cid)),
+       cw$i AS MATERIALIZED (
+         SELECT cid, ce, round(${dotSql("ce", "ce")}, 12) AS cc FROM c$i)""")
+    }
+    sb.append(s""",
+       af AS (SELECT x.vec_id, c.cid,
+                     round(x.xx + c.cc - 2.0 * ${dotSql("x.embedding", "c.ce")}, 12) AS d2
+              FROM xx x CROSS JOIN cw$KmIters c)
+       SELECT vec_id, cid AS cluster, d2 FROM (
+         SELECT vec_id, cid, d2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         FROM af) WHERE rn = 1 ORDER BY vec_id""")
+    sb.toString
+  }
+
+  /** Deterministic Lloyd's k-means over the embeddings
+    * ([[graft.operators.KMeans.run]], k = 8, 3 rounds, seeded init) —
+    * graded by a serially-unrolled CTE replay of the identical rounded
+    * recurrence, the q108/q112 differential scheme applied to clustering.
+    */
+  private val q128 = GraftQuery(
+    "q128_kmeans_embeddings",
+    (s, dir) =>
+      graft.operators.KMeans.run(
+        Tables.embeddings(s, dir), k = KmK, iterations = KmIters, seed = KmSeed)
+        .orderBy("vec_id"),
+    Some(kmeansOracle))
+
   // def, not val: q24/q32/q70 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
   def all: Seq[GraftQuery] =
-    Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117)
+    Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128)
 }
