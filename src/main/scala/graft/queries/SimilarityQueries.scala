@@ -445,8 +445,81 @@ object SimilarityQueries {
         .orderBy("vec_id"),
     Some(kmeansOracle))
 
+  /** Cluster-quality evaluation of the q128 clustering against the
+    * embeddings' ground-truth labels: per-cluster majority label, purity,
+    * and label entropy. The ASSIGNMENT is parquet-landed (the q21/q66
+    * scheme — the clustering itself is already hash-gated by q128) and
+    * the oracle replays the evaluation arithmetic over the same rows:
+    * majority by (count DESC, label ASC), purity an exact ratio, entropy
+    * terms 15 dp-rounded into DECIMAL(38,15). One (cluster, label)
+    * aggregate + a k-row rollup — evaluation is never heavier than the
+    * clustering it grades.
+    */
+  private def q130 = GraftQuery(
+    "q130_cluster_purity",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val path = Landed.land("q130_cluster_purity", dir)
+      graft.operators.KMeans.run(
+          Tables.embeddings(s, dir), k = KmK, iterations = KmIters, seed = KmSeed)
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+      val byLabel = s.read.parquet(path)
+        .join(Tables.embeddings(s, dir).select("vec_id", "label"), "vec_id")
+        .groupBy(col("cluster"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      byLabel
+        .withColumn("p",
+          col("cnt").cast("double")
+            / sum(col("cnt")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("cluster"))
+              .cast("double"))
+        .groupBy("cluster")
+        .agg(
+          sum(col("cnt")).as("n_members"),
+          max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("mx"),
+          sum(round(col("p") * log(col("p")), 15).cast(DecimalType(38, 15)))
+            .cast("double").as("negent"))
+        .select(col("cluster"), col("n_members"),
+          (-col("mx.nl")).cast("int").as("majority_label"),
+          col("mx.c").as("majority_count"),
+          round(col("mx.c").cast("double") / col("n_members").cast("double"), 12)
+            .as("purity"),
+          round(-col("negent"), 12).as("label_entropy"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH a AS (
+              SELECT vec_id, cluster
+              FROM read_parquet('${Landed.oraclePath("q130_cluster_purity")}/*.parquet')),
+            bl AS (
+              SELECT cluster, label, count(*) AS cnt
+              FROM a JOIN embeddings USING (vec_id)
+              GROUP BY 1, 2),
+            p AS (
+              SELECT cluster, label, cnt,
+                     CAST(cnt AS DOUBLE)
+                       / CAST(sum(cnt) OVER (PARTITION BY cluster) AS DOUBLE) AS p
+              FROM bl),
+            mj AS (
+              SELECT cluster, label AS majority_label, cnt AS majority_count
+              FROM (SELECT cluster, label, cnt,
+                           row_number() OVER (PARTITION BY cluster
+                             ORDER BY cnt DESC, label ASC) AS rn
+                    FROM bl) WHERE rn = 1)
+            SELECT p.cluster,
+                   CAST(sum(p.cnt) AS BIGINT) AS n_members,
+                   CAST(mj.majority_label AS INT) AS majority_label,
+                   CAST(mj.majority_count AS BIGINT) AS majority_count,
+                   round(CAST(mj.majority_count AS DOUBLE)
+                     / CAST(sum(p.cnt) AS DOUBLE), 12) AS purity,
+                   round(-CAST(sum(CAST(round(p.p * ln(p.p), 15) AS DECIMAL(38,15)))
+                     AS DOUBLE), 12) AS label_entropy
+            FROM p JOIN mj ON p.cluster = mj.cluster
+            GROUP BY p.cluster, mj.majority_label, mj.majority_count
+            ORDER BY p.cluster"""))
+
   // def, not val: q24/q32/q70 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
   def all: Seq[GraftQuery] =
-    Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128)
+    Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128, q130)
 }

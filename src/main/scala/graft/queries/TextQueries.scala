@@ -852,9 +852,53 @@ object TextQueries {
             HAVING count(*) BETWEEN 2 AND 20
             ORDER BY shingle"""))
 
+  /** Per-document Shannon entropy of the token distribution (nats) — the
+    * degenerate-content detector: near-zero entropy is a repeated-token
+    * artifact, unusually low entropy against the doc's length is
+    * template/generated text. Two hash aggregates ((doc, word) then doc);
+    * entropy terms round at 15 dp into DECIMAL(38,15) (order-free, the
+    * q102 scheme) with the display value at 12 dp.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val tot = tf.groupBy("doc_id").agg(sum(col("cnt")).as("n_tokens"))
+    tf.join(tot, "doc_id")
+      .withColumn("p", col("cnt").cast("double") / col("n_tokens").cast("double"))
+      .groupBy("doc_id")
+      .agg(
+        first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(round(col("p") * log(col("p")), 15).cast(DecimalType(38, 15)))
+          .cast("double").as("negent"))
+      .select(col("doc_id"), col("n_tokens"), col("vocab"),
+        round(-col("negent"), 12).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  private val q129 = GraftQuery(
+    "q129_token_entropy",
+    (s, dir) => tokenEntropy(Tables.documents(s, dir)),
+    Some("""WITH occ AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            tf AS (SELECT doc_id, word, count(*) AS cnt FROM occ GROUP BY 1, 2),
+            tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens
+                    FROM tf GROUP BY 1),
+            p AS (SELECT tf.doc_id, n_tokens,
+                         CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS p
+                  FROM tf JOIN tot USING (doc_id))
+            SELECT doc_id, n_tokens, count(*) AS vocab,
+                   round(-CAST(sum(CAST(round(p * ln(p), 15) AS DECIMAL(38,15)))
+                     AS DOUBLE), 12) AS entropy
+            FROM p GROUP BY doc_id, n_tokens ORDER BY doc_id"""))
+
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
-      q115, q116, q121, q125)
+      q115, q116, q121, q125, q129)
 }

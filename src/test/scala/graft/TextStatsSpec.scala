@@ -152,6 +152,18 @@ class TextStatsSpec extends SparkSpec {
     assert(TextQueries.shinglePostings(docs, n = 3, minDf = 2, maxDf = 2).count() === 0L)
   }
 
+  test("tokenEntropy: ln V on uniform tokens, 0 on a single repeated token") {
+    val docs = Seq(
+      (1L, "a b c d"),        // uniform over 4 → ln 4
+      (2L, "z z z z z"))      // degenerate → 0
+      .toDF("doc_id", "text")
+    val got = TextQueries.tokenEntropy(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L)._1 === 4L && got(1L)._2 === 4L)
+    assert(math.abs(got(1L)._3 - math.log(4.0)) < 1e-11, got.toString)
+    assert(got(2L) === ((5L, 1L, 0.0)))
+  }
+
   private object TokenKl {
     def of(docs: org.apache.spark.sql.DataFrame): Map[String, Double] =
       TextQueries.tokenKlDivergence(docs)
