@@ -25,7 +25,8 @@ object Registry {
       graft.queries.MedallionQueries.all ++
       graft.queries.CurationQueries.all ++
       graft.queries.ShardQueries.all ++
-      graft.queries.GraphQueries.all
+      graft.queries.GraphQueries.all ++
+      graft.queries.StatsQueries.all
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(sys.error(s"no such query: $name"))

@@ -1,0 +1,277 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-column / cross-group statistical profiling — the §2 extension
+  * family for corpus- and warehouse-level data diagnostics (correlation
+  * structure, feature↔label association, distribution shape, behavioral
+  * sequences). The reference's analytics surface stops at the gold rollup
+  * (/root/reference/src/sql/create_gold_layer.sql:1-6); these are the
+  * profiling passes a training-data pipeline runs beside it.
+  *
+  * Determinism contract (the q111 scheme): every aggregate that feeds a
+  * closed-form double rides a rounded DECIMAL sum (order-free), and the
+  * closed form is the same sequence of IEEE double operations in both
+  * engines, so results hash bit-for-bit.
+  */
+object StatsQueries {
+
+  // ---------------------------------------------------------------- q131
+
+  private val CorrCols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  /** Pearson correlation matrix over a set of numeric columns in ONE hash
+    * aggregate: n plus Σx/Σx² per column plus Σxy per pair — 15 decimal
+    * sums for 4 columns, a single reduce to one row, then the 6
+    * pair-correlations unfold from that row with `explode`. No per-pair
+    * scan, no `stat.corr` driver loop: the corpus is read once regardless
+    * of how many pairs are requested, which is the shape that matters at
+    * 100 TB (the alternative — one `corr` aggregate per pair — rescans
+    * the fact table O(k²) times).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def d(c: Column) = sum(round(c, 6).cast(DecimalType(38, 6))).cast("double")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggs =
+      count(lit(1)).cast("double").as("n") +:
+        (cols.map(c => d(col(c)).as(s"s_$c")) ++
+          cols.map(c => d(col(c) * col(c)).as(s"ss_$c")) ++
+          pairs.map { case (a, b) => d(col(a) * col(b)).as(s"sp_${a}__$b") })
+    val sums = df.agg(aggs.head, aggs.tail: _*)
+    def r(a: String, b: String): Column =
+      (col("n") * col(s"sp_${a}__$b") - col(s"s_$a") * col(s"s_$b")) /
+        sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+          (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")))
+    sums
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("x_col"), lit(b).as("y_col"), round(r(a, b), 9).as("r"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .orderBy("x_col", "y_col")
+  }
+
+  private def corrOracle: String = {
+    def d(e: String) = s"CAST(sum(CAST(round($e, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    val pairs = for { i <- CorrCols.indices; j <- (i + 1) until CorrCols.size }
+      yield (CorrCols(i), CorrCols(j))
+    val sums =
+      (Seq("CAST(count(*) AS DOUBLE) AS n") ++
+        CorrCols.map(c => s"${d(c)} AS s_$c") ++
+        CorrCols.map(c => s"${d(s"$c * $c")} AS ss_$c") ++
+        pairs.map { case (a, b) => s"${d(s"$a * $b")} AS sp_${a}__$b" }).mkString(",\n         ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS x_col, '$b' AS y_col,
+            round((n * sp_${a}__$b - s_$a * s_$b)
+              / sqrt((n * ss_$a - s_$a * s_$a) * (n * ss_$b - s_$b * s_$b)), 9) AS r
+          FROM s"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH s AS (
+         SELECT $sums
+         FROM lineitem)
+        SELECT x_col, y_col, r FROM (
+          $rows)
+        ORDER BY x_col, y_col"""
+  }
+
+  private val q131 = GraftQuery(
+    "q131_corr_matrix",
+    (s, dir) => corrMatrix(Tables.lineitem(s, dir), CorrCols),
+    Some(corrOracle))
+
+  // ---------------------------------------------------------------- q132
+
+  /** χ² token↔source association (feature selection: which tokens are
+    * over-represented in which source): doc-level presence sets →
+    * 2×2 contingency per (source, token) from three aggregates — per-source
+    * doc counts (broadcast: |sources| ≪ |docs|, the q113 contract), global
+    * token document frequency (the word-keyed shuffle), per-(source, token)
+    * presence counts — then the closed-form χ² on doubles and a per-source
+    * top-k window. The df ≥ minDf gate filters the vocabulary BEFORE the
+    * contingency join, so rare-token pairs never reach it. Counts go to
+    * double before multiplying: a·d at corpus scale overflows Long
+    * (5·10⁹² at 50k docs), and the χ² ratio needs doubles anyway.
+    */
+  def chiSqTokens(docs: DataFrame, minDf: Long = 10, topK: Int = 5): DataFrame = {
+    val pres = docs
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+    val nSrc = docs.groupBy("source").agg(count(lit(1)).cast("double").as("n_src"))
+    val nTot = docs.agg(count(lit(1)).cast("double").as("n_total"))
+    val dfW = pres.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+      .filter(col("df") >= lit(minDf.toDouble))
+    val a = pres.groupBy("source", "word").agg(count(lit(1)).cast("double").as("a"))
+    val cells = a
+      .join(dfW, "word")
+      .join(broadcast(nSrc), "source")
+      .crossJoin(broadcast(nTot))
+      .withColumn("b", col("n_src") - col("a"))
+      .withColumn("c", col("df") - col("a"))
+      .withColumn("d", col("n_total") - col("n_src") - col("df") + col("a"))
+    // a margin-filling token (df = N, or a source-exclusive universe) zeroes
+    // the denominator; such cells carry no signal — score 0, not NaN (NaN
+    // sorts LARGEST in a DESC window, which would rank noise first)
+    val denom = (col("a") + col("b")) * (col("c") + col("d")) *
+      (col("a") + col("c")) * (col("b") + col("d"))
+    val chi2 = when(denom === 0.0, 0.0).otherwise(
+      col("n_total") * (col("a") * col("d") - col("b") * col("c")) *
+        (col("a") * col("d") - col("b") * col("c")) / denom)
+    val w = Window.partitionBy("source")
+      .orderBy(col("chi2").desc, col("word").asc)
+    cells
+      .withColumn("chi2", round(chi2, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("word"),
+        col("a").cast("long").as("df_in_source"),
+        col("df").cast("long").as("df_global"), col("chi2"))
+      .orderBy("source", "rank")
+  }
+
+  private val q132 = GraftQuery(
+    "q132_chi2_token_source",
+    (s, dir) => chiSqTokens(Tables.documents(s, dir)),
+    Some("""WITH pres AS (
+              SELECT DISTINCT doc_id, source,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            presf AS (SELECT * FROM pres WHERE length(word) > 0),
+            nsrc AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_src
+                     FROM documents GROUP BY 1),
+            ntot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents),
+            dfw AS (SELECT word, CAST(count(*) AS DOUBLE) AS df
+                    FROM presf GROUP BY 1 HAVING count(*) >= 10),
+            aa AS (SELECT source, word, CAST(count(*) AS DOUBLE) AS a
+                   FROM presf GROUP BY 1, 2),
+            cells AS (
+              SELECT aa.source, aa.word, aa.a, dfw.df, nsrc.n_src, ntot.n_total,
+                     nsrc.n_src - aa.a AS b,
+                     dfw.df - aa.a AS c,
+                     ntot.n_total - nsrc.n_src - dfw.df + aa.a AS d
+              FROM aa JOIN dfw USING (word) JOIN nsrc USING (source) CROSS JOIN ntot),
+            scored AS (
+              SELECT source, word, a, df,
+                     round(CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0
+                                THEN 0.0
+                                ELSE n_total * (a * d - b * c) * (a * d - b * c)
+                                     / ((a + b) * (c + d) * (a + c) * (b + d))
+                           END, 6) AS chi2
+              FROM cells),
+            ranked AS (
+              SELECT source, word, a, df, chi2,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY chi2 DESC, word ASC) AS rank
+              FROM scored)
+            SELECT source, rank, word,
+                   CAST(a AS BIGINT) AS df_in_source,
+                   CAST(df AS BIGINT) AS df_global, chi2
+            FROM ranked WHERE rank <= 5
+            ORDER BY source, rank"""))
+
+  // ---------------------------------------------------------------- q133
+
+  /** Equi-width histogram of `value` per event type over GLOBAL bin edges
+    * (so per-type distributions are directly comparable): one single-row
+    * min/max aggregate broadcast onto the stream, then an all-integer
+    * (type, bin) count — two narrow shuffles total, no sort. The top bin
+    * is closed (`least(·, nb−1)` clamps value = max), empty bins are
+    * simply absent (identically in both engines).
+    */
+  def histogram(events: DataFrame, nBins: Int = 20): DataFrame = {
+    val mm = events.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    events
+      .crossJoin(broadcast(mm))
+      .withColumn("w", (col("hi") - col("lo")) / lit(nBins.toDouble))
+      .withColumn("bin",
+        least(floor((col("value") - col("lo")) / col("w")), lit(nBins - 1L)))
+      .groupBy("event_type", "bin", "lo", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("event_type"), col("bin"),
+        round(col("lo") + col("bin").cast("double") * col("w"), 6).as("bin_lo"),
+        round(col("lo") + (col("bin") + lit(1L)).cast("double") * col("w"), 6).as("bin_hi"),
+        col("cnt"))
+      .orderBy("event_type", "bin")
+  }
+
+  private val q133 = GraftQuery(
+    "q133_equiwidth_histogram",
+    (s, dir) => histogram(Tables.events(s, dir)),
+    Some("""WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+            b AS (
+              SELECT event_type,
+                     least(CAST(floor((value - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19) AS bin,
+                     lo, (hi - lo) / 20.0 AS w
+              FROM events CROSS JOIN mm)
+            SELECT event_type, bin,
+                   round(lo + CAST(bin AS DOUBLE) * w, 6) AS bin_lo,
+                   round(lo + CAST(bin + 1 AS DOUBLE) * w, 6) AS bin_hi,
+                   count(*) AS cnt
+            FROM b GROUP BY event_type, bin, lo, w
+            ORDER BY event_type, bin"""))
+
+  // ---------------------------------------------------------------- q134
+
+  /** Top-k behavioral paths: sessionize (the q27 30-minute-gap contract,
+    * gaps-and-islands form so the session id is a running integer), build
+    * each session's ordered event-type path, count path frequencies. The
+    * per-user window pass is partitioned (no global window); the
+    * `collect_list` state is bounded by session length — the same
+    * bounded-group contract as q92's token windows and q125's df-banded
+    * posting lists. Path count DESC + path ASC is a total order, so the
+    * top-k boundary is deterministic.
+    */
+  def sessionPaths(events: DataFrame, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val sess = events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") >= 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess
+      .groupBy("user_id", "sess")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x("event_type")),
+        ",").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path").asc)
+      .limit(topK)
+  }
+
+  private val q134 = GraftQuery(
+    "q134_session_paths",
+    (s, dir) => sessionPaths(Tables.events(s, dir)),
+    Some("""WITH e AS (
+              SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                     lag(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT *, sum(CASE WHEN prev IS NULL
+                                   OR ts - prev >= INTERVAL '30 minutes'
+                                 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+              FROM e),
+            p AS (
+              SELECT user_id, sess,
+                     string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+              FROM s GROUP BY 1, 2)
+            SELECT path, count(*) AS cnt
+            FROM p GROUP BY 1
+            ORDER BY cnt DESC, path LIMIT 20"""))
+
+  def all: Seq[GraftQuery] = Seq(q131, q132, q133, q134)
+}
