@@ -221,6 +221,131 @@ object GraphQueries {
             SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hop
             FROM bfs GROUP BY node ORDER BY node"""))
 
+  /** The weighted twin of [[knnEdges]]: same top-5 cosine neighbors, each
+    * edge weighted by its rounded cosine DISTANCE (w = round(1 − cos, 6) —
+    * near-identical vectors are cheap to traverse, dissimilar ones
+    * expensive). The 6-dp round happens before any path arithmetic so both
+    * engines accumulate identical doubles.
+    */
+  private def knnEdgesW(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.NearDup.knnBruteForce(emb, emb, k = 5)
+      .select(col("q_id").as("src"), col("n_id").as("dst"),
+        round(lit(1.0) - col("cos"), 6).as("w"))
+  }
+
+  private def knnEdgesWSql: String =
+    s"""pw AS (
+         SELECT a.vec_id AS qa, b.vec_id AS qb,
+                ${SimilarityQueries.cosSql("a.embedding", "b.embedding")} AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       rw AS (SELECT qa, qb, cos, row_number() OVER (PARTITION BY qa
+                      ORDER BY cos DESC, qb) AS rk FROM pw),
+       e0w AS (SELECT qa AS s, qb AS d, round(1 - cos, 6) AS w
+               FROM rw WHERE rk <= 5)"""
+
+  private val SsspRounds = 8
+
+  /** Serial replay of [[graft.operators.Sssp.run]]: Bellman–Ford unrolled,
+    * one distance CTE per round — after round k both engines hold the
+    * exact min-weight path using ≤ k edges. Relaxation sums run in path
+    * order (identical IEEE sequence) and `min` is order-free, so the
+    * doubles match bit-for-bit with no decimal re-summing.
+    */
+  private def ssspOracle: String = {
+    val sb = new StringBuilder(s"WITH $knnEdgesWSql")
+    sb.append(""",
+       ew AS MATERIALIZED (
+         SELECT s, d, min(w) AS w FROM (
+           SELECT s, d, w FROM e0w UNION ALL SELECT d AS s, s AS d, w FROM e0w)
+         WHERE s <> d GROUP BY 1, 2),
+       sd0 AS MATERIALIZED (
+         SELECT (SELECT min(vec_id) FROM embeddings) AS node,
+                CAST(0 AS DOUBLE) AS dist)""")
+    for (i <- 1 to SsspRounds) {
+      val p = s"sd${i - 1}"
+      sb.append(s""",
+       sd$i AS MATERIALIZED (
+         SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM $p
+           UNION ALL
+           SELECT ew.d AS node, $p.dist + ew.w AS dist
+           FROM $p JOIN ew ON ew.s = $p.node)
+         GROUP BY node)""")
+    }
+    sb.append(s"""
+       SELECT CAST(node AS BIGINT) AS node, round(dist, 9) AS dist
+       FROM sd$SsspRounds ORDER BY node""")
+    sb.toString
+  }
+
+  /** Weighted single-source shortest paths over the similarity graph
+    * ([[graft.operators.Sssp]], 8 Bellman–Ford rounds from the minimum
+    * vec_id): cumulative cosine-distance reachability — "how semantically
+    * far" each vector sits from the source, the weighted refinement of
+    * q126's hop counts. Fixed rounds are the cross-engine contract; the
+    * oracle unrolls the identical recurrence.
+    */
+  private val q135 = GraftQuery(
+    "q135_sssp_knn",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val source = emb.agg(min(col("vec_id"))).head.getLong(0)
+      graft.operators.Sssp.run(
+        knnEdgesW(s, dir), "src", "dst", "w", source, rounds = SsspRounds)
+        .select(col("node"), round(col("dist"), 9).as("dist"))
+        .orderBy("node")
+    },
+    Some(ssspOracle))
+
+  private val LpaRounds = 4
+
+  /** Serial replay of [[graft.operators.Lpa.run]]: per round, a
+    * neighbor-label count and a (count DESC, label ASC) argmax window,
+    * coalesced over the previous round's node set — all integers.
+    */
+  private def lpaOracle: String = {
+    val sb = new StringBuilder(s"WITH $knnEdgesSql")
+    sb.append(""",
+       el AS MATERIALIZED (
+         SELECT DISTINCT s, d FROM (
+           SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0)
+         WHERE s <> d),
+       lp0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM el)""")
+    for (i <- 1 to LpaRounds) {
+      val p = s"lp${i - 1}"
+      sb.append(s""",
+       w$i AS (SELECT el.d AS node, $p.label AS nbr_label, count(*) AS cnt
+               FROM $p JOIN el ON el.s = $p.node GROUP BY 1, 2),
+       v$i AS (SELECT node, nbr_label AS new_label FROM (
+                 SELECT node, nbr_label,
+                        row_number() OVER (PARTITION BY node
+                                           ORDER BY cnt DESC, nbr_label ASC) AS rk
+                 FROM w$i) WHERE rk = 1),
+       lp$i AS MATERIALIZED (
+         SELECT $p.node, coalesce(v$i.new_label, $p.label) AS label
+         FROM $p LEFT JOIN v$i ON v$i.node = $p.node)""")
+    }
+    sb.append(s"""
+       SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+       FROM lp$LpaRounds ORDER BY node""")
+    sb.toString
+  }
+
+  /** Label-propagation communities on the similarity graph
+    * ([[graft.operators.Lpa]], 4 synchronous rounds): majority dynamics
+    * split the dense semantic clusters that mere connectivity (q33/q77
+    * components) would merge across thin bridges. Deterministic by
+    * construction — fixed rounds, min-label tie-breaks — so the oracle
+    * replays the identical integer recurrence.
+    */
+  private val q136 = GraftQuery(
+    "q136_lpa_communities",
+    (s, dir) =>
+      graft.operators.Lpa.run(knnEdges(s, dir), "src", "dst", rounds = LpaRounds)
+        .orderBy("node"),
+    Some(lpaOracle))
+
   /** Per-node triangle participation on the same knn graph
     * ([[graft.operators.Triangles.perNode]], degree-oriented wedge
     * closure — each triangle found exactly once at its min-(deg,id)
@@ -249,5 +374,5 @@ object GraphQueries {
             SELECT CAST(node AS BIGINT) AS node, count(*) AS n_triangles
             FROM m GROUP BY node ORDER BY node"""))
 
-  val all: Seq[GraftQuery] = Seq(q108, q112, q126, q127)
+  val all: Seq[GraftQuery] = Seq(q108, q112, q126, q127, q135, q136)
 }
