@@ -518,8 +518,137 @@ object SimilarityQueries {
             GROUP BY p.cluster, mj.majority_label, mj.majority_count
             ORDER BY p.cluster"""))
 
+  /** Per-dimension z-score standardization of the embeddings — the
+    * feature-scaling pass upstream of any distance-based model (k-means,
+    * knn): each dimension centered on its corpus mean and scaled by its
+    * population σ. One narrow explode, ONE d-row aggregate broadcast back
+    * onto the stream — no shuffle of the vectors themselves. Values round
+    * at 6 dp before the decimal sums (and on output), so both engines run
+    * the identical (vr − s/n)/σ IEEE sequence.
+    */
+  private val q137 = GraftQuery(
+    "q137_standardize_dims",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ex = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim"),
+          round(col("v").cast("double"), 6).as("vr"))
+      val stats = ex.groupBy("dim").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("vr").cast(DecimalType(38, 6))).cast("double").as("s"),
+        sum(round(col("vr") * col("vr"), 9).cast(DecimalType(38, 9)))
+          .cast("double").as("ss"))
+      ex.join(broadcast(stats), "dim")
+        .select(col("vec_id"), col("dim"),
+          round((col("vr") - col("s") / col("n")) /
+            sqrt(col("ss") / col("n") - (col("s") / col("n")) * (col("s") / col("n"))), 6)
+            .as("z"))
+        .orderBy("vec_id", "dim")
+    },
+    Some("""WITH ex AS (
+              SELECT vec_id, dim,
+                     round(CAST(v AS DOUBLE), 6) AS vr
+              FROM (SELECT vec_id, unnest(embedding) AS v,
+                           unnest(generate_series(0, len(embedding) - 1)) AS dim
+                    FROM embeddings)),
+            st AS (
+              SELECT dim,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CAST(vr AS DECIMAL(38,6))) AS DOUBLE) AS s,
+                     CAST(sum(CAST(round(vr * vr, 9) AS DECIMAL(38,9))) AS DOUBLE) AS ss
+              FROM ex GROUP BY 1)
+            SELECT vec_id, CAST(dim AS INT) AS dim,
+                   round((vr - s / n)
+                     / sqrt(ss / n - (s / n) * (s / n)), 6) AS z
+            FROM ex JOIN st USING (dim)
+            ORDER BY vec_id, dim"""))
+
+  /** Top principal component of the embeddings
+    * ([[graft.operators.Pca]]): covariance from one narrow decimal-exact
+    * pass, eigenvector by driver-side power iteration over the bounded d²
+    * matrix. Graded end-to-end: the eigenvector is parquet-landed (the
+    * q130 scheme) and BOTH engines independently recompute the covariance
+    * from the raw embeddings and multiply it against the landed vector
+    * with 15-dp decimal term sums — so the hash pins the covariance
+    * arithmetic, the vector transport, and the C·v/λ evaluation. (That a
+    * landed vector is in fact the dominant eigenvector — C·v ≈ λv — is
+    * pinned by PcaSpec, where a tolerance assert belongs; a differential
+    * hash is the wrong tool for a convergence bound.)
+    */
+  private def q138 = GraftQuery(
+    "q138_pca_top_component",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val emb = Tables.embeddings(s, dir)
+      val cov = graft.operators.Pca.covariance(emb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val v = graft.operators.Pca.topComponent(cov)
+      val path = Landed.land("q138_pca_top_component", dir)
+      val vDf = s.createDataFrame(v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq)
+        .toDF("dim", "loading")
+      vDf.repartition(1).write.mode("overwrite").parquet(path)
+      val vBack = s.read.parquet(path)
+      val cv = cov
+        .join(broadcast(vBack.select(col("dim").as("j"), col("loading").as("vj"))), "j")
+        .groupBy("i")
+        .agg(sum(round(col("c") * col("vj"), 15).cast(DecimalType(38, 15)))
+          .cast("double").as("cv"))
+      val lam = cv
+        .join(broadcast(vBack.select(col("dim").as("i"), col("loading").as("vi"))), "i")
+        .agg(sum(round(col("vi") * col("cv"), 15).cast(DecimalType(38, 15)))
+          .cast("double").as("lambda"))
+      val out = cv
+        .join(broadcast(vBack.select(col("dim").as("i"), col("loading"))), "i")
+        .crossJoin(broadcast(lam))
+        .select(col("i").cast("int").as("dim"), col("loading"),
+          round(col("cv"), 6).as("cv"), round(col("lambda"), 6).as("lambda"))
+        .orderBy("dim")
+      cov.unpersist()
+      out
+    },
+    Some(s"""WITH ex AS (
+              SELECT vec_id, dim, CAST(v AS DOUBLE) AS x
+              FROM (SELECT vec_id, unnest(embedding) AS v,
+                           unnest(generate_series(0, len(embedding) - 1)) AS dim
+                    FROM embeddings)),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+            mu AS (
+              SELECT dim,
+                     CAST(sum(CAST(round(x, 15) AS DECIMAL(38,15))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+              FROM ex GROUP BY 1),
+            cells AS (
+              SELECT a.dim AS i, b.dim AS j,
+                     CAST(sum(CAST(round(a.x * b.x, 15) AS DECIMAL(38,15)))
+                       AS DOUBLE) AS s
+              FROM ex a JOIN ex b USING (vec_id)
+              GROUP BY 1, 2),
+            cc AS (
+              SELECT i, j, round(s / nn.n - mi.m * mj.m, 12) AS c
+              FROM cells CROSS JOIN nn
+              JOIN mu mi ON mi.dim = i
+              JOIN mu mj ON mj.dim = j),
+            vv AS (
+              SELECT dim, loading
+              FROM read_parquet('${Landed.oraclePath("q138_pca_top_component")}/*.parquet')),
+            cv AS (
+              SELECT cc.i,
+                     CAST(sum(CAST(round(cc.c * v.loading, 15) AS DECIMAL(38,15)))
+                       AS DOUBLE) AS cv
+              FROM cc JOIN vv v ON v.dim = cc.j
+              GROUP BY 1),
+            lam AS (
+              SELECT CAST(sum(CAST(round(v.loading * cv.cv, 15) AS DECIMAL(38,15)))
+                       AS DOUBLE) AS lambda
+              FROM cv JOIN vv v ON v.dim = cv.i)
+            SELECT CAST(cv.i AS INT) AS dim, v.loading,
+                   round(cv.cv, 6) AS cv, round(lam.lambda, 6) AS lambda
+            FROM cv JOIN vv v ON v.dim = cv.i CROSS JOIN lam
+            ORDER BY dim"""))
+
   // def, not val: q24/q32/q70 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
   def all: Seq[GraftQuery] =
-    Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128, q130)
+    Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128, q130, q137, q138)
 }
