@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan, "An improved data stream
+  * summary: the count-min sketch and its applications", J. Algorithms
+  * 2005) as a DATAFLOW aggregate: d hash rows × w counters, built with one
+  * `groupBy(row, cell)` count. Map-side partial aggregation makes each
+  * partition's contribution exactly the d×w counter matrix before the
+  * shuffle — i.e. the partials ARE the mergeable sketch (sketch merge =
+  * cell-wise sum = what the combine does), so shuffle volume is
+  * O(partitions · d · w), never O(tokens).
+  *
+  * The hash family is deliberately engine-portable (md5 prefix → 60-bit
+  * int, then (a·x + b) mod P mod w with P = 2³¹−1), so a serial SQL
+  * engine rebuilds the IDENTICAL matrix and the sketch is graded
+  * differentially — estimates and all — rather than via landed fixtures.
+  * Point-estimate contract: est(k) = min over rows of the hashed cell;
+  * always ≥ the true count (cells only ever over-count), ≤ true + εn with
+  * probability 1−δ for (ε, δ) = (e/w, e^−d).
+  */
+object CountMin {
+
+  val P = 2147483647L // Mersenne 2^31 − 1
+  val As: Seq[Long] = Seq(1103L, 52711L, 304807L, 845723L)
+  val Bs: Seq[Long] = Seq(12289L, 96779L, 712201L, 994009L)
+
+  /** 60-bit portable key hash: md5 hex prefix parsed as an integer, then
+    * reduced mod P. Identical bytes → identical value in any engine with
+    * md5 (documents md5 compatibility is already load-bearing for q13).
+    */
+  def baseHash(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long") % P
+
+  private def cell(r: Int, base: Column, width: Int): Column =
+    (((lit(As(r)) * base + lit(Bs(r))) % P) % width).cast("int")
+
+  /** The sketch matrix (r, cell, cnt) for a key stream — ≤ d·w rows. */
+  def sketch(keys: DataFrame, keyCol: String, depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= As.size, s"depth must be in [1, ${As.size}]")
+    val base = baseHash(col(keyCol))
+    keys
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cell(r, base, width).as("cell"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for a (small, broadcastable) set of probe keys:
+    * min over rows of the probed cells. `probes` must carry `keyCol`.
+    */
+  def estimate(
+      sketchDf: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val base = baseHash(col(keyCol))
+    val cells = probes.select(
+      col(keyCol),
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cell(r, base, width).as("cell"))): _*)).as("rc"))
+      .select(col(keyCol), col("rc.r").as("r"), col("rc.cell").as("cell"))
+    sketchDf
+      .join(broadcast(cells), Seq("r", "cell"))
+      .groupBy(keyCol)
+      .agg(min(col("cnt")).as("est"))
+  }
+}

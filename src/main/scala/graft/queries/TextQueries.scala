@@ -896,9 +896,72 @@ object TextQueries {
                      AS DOUBLE), 12) AS entropy
             FROM p GROUP BY doc_id, n_tokens ORDER BY doc_id"""))
 
+  /** Count-min sketch over the token stream
+    * ([[graft.operators.CountMin]], depth 4 × width 1024) probed at the
+    * top-30 exact words — graded FULLY differentially, estimates
+    * included: the hash family is md5-based and engine-portable, so the
+    * oracle rebuilds the identical counter matrix and min-reduces the
+    * identical cells (no landed fixture, unlike q98's Misra–Gries whose
+    * xxhash-free summary has no SQL twin). The emitted booleans pin the
+    * sketch's hard guarantee (est ≥ exact — cells only over-count) and
+    * sanity ceiling (est ≤ n) on BOTH engines. Complements q98: CMS
+    * answers point queries over an unbounded key universe; Misra–Gries
+    * enumerates the heavy keys.
+    */
+  private val q139 = GraftQuery(
+    "q139_count_min_sketch",
+    (s, dir) => {
+      import graft.operators.CountMin
+      val occ = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+      val sk = CountMin.sketch(occ, "word")
+      val top = occ.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word").asc)
+        .limit(30)
+      val n1 = occ.agg(count(lit(1)).as("n"))
+      CountMin.estimate(sk, top.select("word"), "word")
+        .join(top, "word")
+        .crossJoin(broadcast(n1))
+        .select(col("word"), col("est"), col("exact_cnt"), col("n"),
+          (col("est") >= col("exact_cnt")).as("over_ok"),
+          (col("est") <= col("n")).as("within_n"))
+        .orderBy("word")
+    },
+    Some("""WITH occ AS (
+              SELECT word FROM (
+                SELECT unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+                FROM documents)
+              WHERE length(word) > 0),
+            ab AS (SELECT * FROM (VALUES
+              (0, 1103, 12289), (1, 52711, 96779),
+              (2, 304807, 712201), (3, 845723, 994009)) t(r, a, b)),
+            h AS (SELECT word,
+                         ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS base
+                  FROM occ),
+            sk AS (SELECT r, ((a * base + b) % 2147483647) % 1024 AS cell,
+                          count(*) AS cnt
+                   FROM h CROSS JOIN ab GROUP BY 1, 2),
+            ex AS (SELECT word, count(*) AS exact_cnt FROM occ GROUP BY 1),
+            top AS (SELECT word, exact_cnt FROM ex
+                    ORDER BY exact_cnt DESC, word ASC LIMIT 30),
+            pr AS (SELECT t.word, t.exact_cnt, ab.r,
+                          ((ab.a * (('0x' || substr(md5(t.word), 1, 15))::BIGINT
+                              % 2147483647) + ab.b) % 2147483647) % 1024 AS cell
+                   FROM top t CROSS JOIN ab),
+            est AS (SELECT pr.word, pr.exact_cnt, min(sk.cnt) AS est
+                    FROM pr JOIN sk ON sk.r = pr.r AND sk.cell = pr.cell
+                    GROUP BY 1, 2),
+            tot AS (SELECT count(*) AS n FROM occ)
+            SELECT word, est, exact_cnt, n,
+                   est >= exact_cnt AS over_ok,
+                   est <= n AS within_n
+            FROM est CROSS JOIN tot
+            ORDER BY word"""))
+
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
-      q115, q116, q121, q125, q129)
+      q115, q116, q121, q125, q129, q139)
 }
