@@ -484,6 +484,137 @@ object AdvancedQueries {
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q140
+
+  /** Schema-evolution read: two parquet snapshots of the same logical
+    * table written under one root with different physical schemas — an
+    * old narrow snapshot and a new snapshot that both adds columns and
+    * carries a derived one — read back as ONE DataFrame via parquet
+    * footer schema-merge (`mergeSchema`) plus hive partition discovery
+    * (the `snap=N` directory becomes a partition column). Missing columns
+    * in the old snapshot surface as NULL, exactly the additive-evolution
+    * contract a 100 TB warehouse needs: adding a column must never force
+    * a rewrite of petabytes of history, and readers of the union must see
+    * one schema. Merge cost is per-file footer work at planning time;
+    * the scan itself stays parallel and column-pruned per snapshot.
+    */
+  def schemaEvolutionRead(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val root = Scratch.tempDir("graft_schevo")
+    val orders = Tables.orders(s, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$root/snap=1")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderdate"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("o_priority_rank"))
+      .write.mode("overwrite").parquet(s"$root/snap=2")
+    s.read.option("mergeSchema", "true").parquet(root)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderdate"), col("o_priority_rank"),
+        col("snap").cast("int").as("snap"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q140 = GraftQuery(
+    "q140_schema_evolution",
+    (s, dir) => schemaEvolutionRead(s, dir),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderstatus,
+                   CAST(NULL AS TIMESTAMP) AS o_orderdate,
+                   CAST(NULL AS INT) AS o_priority_rank,
+                   1 AS snap
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   o_orderstatus, o_orderdate,
+                   CAST(substr(o_orderpriority, 1, 1) AS INT), 2
+            FROM orders WHERE o_orderkey % 2 <> 0
+            ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------- q141
+
+  /** Data-quality constraint suite: one violations report over the star
+    * schema — FK orphans (anti-joins), PK duplicates, null / range /
+    * accepted-values rules, and a cross-table consistency rule
+    * (lineitem shipped before its order date). Same-table rules share
+    * ONE scan via conditional counts (no per-rule rescans); FK checks are
+    * anti-joins that shuffle on the key being validated — at 100 TB the
+    * fact-side FK probe is the one genuinely heavy leg, and it can ride
+    * [[graft.operators.BloomSemiJoin]] as a pre-filter when the parent
+    * key set is too large to broadcast. Output is (tbl, chk, violations)
+    * so the suite lands as a table a scheduler can alert on.
+    */
+  def dqChecks(orders: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame,
+      lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def report(tbl: String, chk: String, cnt: org.apache.spark.sql.DataFrame) =
+      cnt.select(lit(tbl).as("tbl"), lit(chk).as("chk"), col("violations"))
+    // one orders scan, three rules
+    val ordersRules = orders.agg(
+      count(when(col("o_totalprice") <= 0, lit(1))).as("totalprice_nonpositive"),
+      count(when(!col("o_orderstatus").isin("O", "F", "P"), lit(1))).as("status_accepted_values"),
+      count(when(col("o_custkey").isNull, lit(1))).as("custkey_null"))
+      .select(expr(
+        """stack(3,
+             'totalprice_nonpositive', totalprice_nonpositive,
+             'status_accepted_values', status_accepted_values,
+             'custkey_null', custkey_null) AS (chk, violations)"""))
+      .select(lit("orders").as("tbl"), col("chk"), col("violations"))
+    val pkDup = report("orders", "pk_orderkey_duplicate",
+      orders.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).agg(count(lit(1)).as("violations")))
+    val fkOrders = report("orders", "fk_custkey_orphan",
+      orders.join(customer, orders("o_custkey") === customer("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations")))
+    val fkLineitem = report("lineitem", "fk_orderkey_orphan",
+      lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations")))
+    val shipBefore = report("lineitem", "ship_before_order",
+      lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+        .filter(col("l_shipdate") < col("o_orderdate"))
+        .agg(count(lit(1)).as("violations")))
+    val acctNeg = report("customer", "acctbal_negative",
+      customer.agg(count(when(col("c_acctbal") < 0, lit(1))).as("violations")))
+    ordersRules
+      .unionByName(pkDup).unionByName(fkOrders).unionByName(fkLineitem)
+      .unionByName(shipBefore).unionByName(acctNeg)
+      .orderBy("tbl", "chk")
+  }
+
+  private val q141 = GraftQuery(
+    "q141_dq_checks",
+    (s, dir) => dqChecks(Tables.orders(s, dir), Tables.customer(s, dir), Tables.lineitem(s, dir)),
+    Some("""SELECT tbl, chk, violations FROM (
+              SELECT 'orders' AS tbl, 'totalprice_nonpositive' AS chk,
+                     count(*) FILTER (WHERE o_totalprice <= 0) AS violations FROM orders
+              UNION ALL
+              SELECT 'orders', 'status_accepted_values',
+                     count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) FROM orders
+              UNION ALL
+              SELECT 'orders', 'custkey_null',
+                     count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+              UNION ALL
+              SELECT 'orders', 'pk_orderkey_duplicate', count(*) FROM
+                (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+              UNION ALL
+              SELECT 'orders', 'fk_custkey_orphan', count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+              UNION ALL
+              SELECT 'lineitem', 'fk_orderkey_orphan', count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+              UNION ALL
+              SELECT 'lineitem', 'ship_before_order', count(*) FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_shipdate < o.o_orderdate
+              UNION ALL
+              SELECT 'customer', 'acctbal_negative',
+                     count(*) FILTER (WHERE c_acctbal < 0) FROM customer)
+            ORDER BY tbl, chk"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99, q105)
+    Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
+      q105, q140, q141)
 }
