@@ -20,27 +20,47 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
   /** Shared by the batch reader and StreamOps.eventsStream so the two
-    * paths can never disagree on the events shape.
+    * paths can never disagree on the events shape. Two physical layouts
+    * exist in the wild: a legacy TIMESTAMP(NANOS) column (readable only as
+    * a raw long under the nanosAsLong flag) and a plain TIMESTAMP(MICROS)
+    * column. [[eventsTsIsNanos]] sniffs which one a given file uses.
     */
-  val EventsRawSchema =
+  val EventsRawSchemaNanos =
     "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+  val EventsSchemaMicros =
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
   val NanosAsLongOption = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to microseconds (values
-    * are µs-aligned in the generator, and DuckDB reads the column as µs too).
-    *
-    * The legacy nanos-as-long flag is passed as a per-read option (reader
-    * options are merged into the scan's Hadoop conf) with an explicit schema
-    * so footer inference never runs — the session conf is left untouched.
+  /** True when `events.parquet` stores `ts` as TIMESTAMP(NANOS). Decided by
+    * one footer-schema read (with the legacy flag on, so both layouts infer
+    * cleanly: NANOS arrives as `bigint`, MICROS as `timestamp`) and cached
+    * per path — the footer is read once per JVM, not once per query.
+    */
+  def eventsTsIsNanos(spark: SparkSession, sfDir: String): Boolean =
+    tsUnitCache.computeIfAbsent(s"$sfDir/events.parquet", path => {
+      val inferred = spark.read.option(NanosAsLongOption, "true").parquet(path).schema
+      inferred("ts").dataType == org.apache.spark.sql.types.LongType
+    })
+  private val tsUnitCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Events with `ts` normalized to a µs TimestampType regardless of the
+    * file's physical unit. The legacy-nanos path reads the raw long with an
+    * explicit schema (the vectorized reader rejects TIMESTAMP(NANOS)
+    * otherwise) and truncates ÷1000 to µs; the µs path is a plain typed
+    * read. The nanosAsLong flag is a per-read option, never session conf.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read
-      .schema(EventsRawSchema)
-      .option(NanosAsLongOption, "true")
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    if (eventsTsIsNanos(spark, sfDir))
+      spark.read
+        .schema(EventsRawSchemaNanos)
+        .option(NanosAsLongOption, "true")
+        .parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else
+      spark.read
+        .schema(EventsSchemaMicros)
+        .parquet(s"$sfDir/events.parquet")
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 }

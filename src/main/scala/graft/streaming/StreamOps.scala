@@ -21,15 +21,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** The events table as a file-source stream (µs-truncated `ts`, same as
-    * [[graft.Tables.events]]).
+  /** The events table as a file-source stream with `ts` normalized to a µs
+    * TimestampType — same unit sniff as [[graft.Tables.events]] (streams
+    * require an explicit schema, so the batch footer read decides which).
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(graft.Tables.EventsRawSchema)
-      .option(graft.Tables.NanosAsLongOption, "true")
-      .parquet(streamDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (graft.Tables.eventsTsIsNanos(spark, sfDir))
+      spark.readStream
+        .schema(graft.Tables.EventsRawSchemaNanos)
+        .option(graft.Tables.NanosAsLongOption, "true")
+        .parquet(streamDir(sfDir))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream
+        .schema(graft.Tables.EventsSchemaMicros)
+        .parquet(streamDir(sfDir))
 
   /** The parquet file source requires a directory; the harness ships one
     * file per table, so stage a directory containing a symlink to it (a

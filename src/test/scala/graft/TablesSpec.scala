@@ -3,11 +3,17 @@ package graft
 /** The events reader must not mutate session state: the legacy
   * nanos-as-long flag travels as a per-read option, so a library user's
   * session conf is exactly what they set (VERDICT r1 "what's wrong" #5).
+  *
+  * Also the testdata contract canary (VERDICT r6 "next round" #2): the
+  * driver regenerates /root/testdata between rounds and has already changed
+  * the events `ts` physical unit once (ns → µs). These assertions read the
+  * real harness files so a regen that breaks the reader fails `sbt test`
+  * with a message naming the file, not silently in the driver's verify run.
   */
 class TablesSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
-  test("events reads nanos timestamps without touching session conf") {
+  test("events reads ts as timestamp without touching session conf") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.unset(key)
 
@@ -22,5 +28,32 @@ class TablesSpec extends SparkSpec {
     // not have flipped the session-level value to true
     assert(!spark.conf.get(key).toBoolean,
       "events reader leaked nanosAsLong into the session conf")
+  }
+
+  test(s"testdata canary: $sf/events.parquet ts values land in 2024") {
+    val row = Tables.events(spark, sf)
+      .selectExpr("year(min(ts))", "year(max(ts))", "count(*)")
+      .collect().head
+    val (minYear, maxYear, n) = (row.getInt(0), row.getInt(1), row.getLong(2))
+    assert(n > 0, s"$sf/events.parquet: no rows")
+    assert(minYear == 2024 && maxYear == 2024,
+      s"$sf/events.parquet: ts range [$minYear, $maxYear] is not 2024 — " +
+        "the driver regenerated events.parquet with a timestamp layout the " +
+        "reader mishandles (check Tables.eventsTsIsNanos and the ÷1000 path)")
+  }
+
+  test(s"testdata canary: $sf table schemas match the engine's contract") {
+    def typeOf(df: org.apache.spark.sql.DataFrame, col: String): String =
+      df.schema(col).dataType.typeName
+    val li = Tables.lineitem(spark, sf)
+    assert(typeOf(li, "l_quantity") == "long" || typeOf(li, "l_quantity") == "double",
+      s"$sf/lineitem.parquet: l_quantity is ${typeOf(li, "l_quantity")}")
+    assert(typeOf(li, "l_shipdate") == "date" || typeOf(li, "l_shipdate").startsWith("timestamp"),
+      s"$sf/lineitem.parquet: l_shipdate is ${typeOf(li, "l_shipdate")}")
+    val docs = Tables.documents(spark, sf)
+    assert(typeOf(docs, "text") == "string", s"$sf/documents.parquet: text is ${typeOf(docs, "text")}")
+    val emb = Tables.embeddings(spark, sf)
+    assert(typeOf(emb, "embedding") == "array",
+      s"$sf/embeddings.parquet: embedding is ${typeOf(emb, "embedding")}")
   }
 }
