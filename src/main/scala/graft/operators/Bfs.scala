@@ -52,13 +52,15 @@ object Bfs {
     var expanding = true
     while (expanding && hop < maxHops) {
       hop += 1
-      val next = Components.cut(
+      // the cut's materialization count doubles as the termination probe —
+      // no separate isEmpty job per round
+      val (next, n) = Components.cutCounted(
         frontier.join(adj, frontier("node") === adj("s"))
           .select(col("d").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .withColumn("hop", lit(hop)),
         checkpointDir)
-      if (next.isEmpty) expanding = false
+      if (n == 0) expanding = false
       else {
         visited = visited.unionByName(next)
         frontier = next

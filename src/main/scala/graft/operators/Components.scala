@@ -39,6 +39,17 @@ object Components {
   private var lastSetDir: String = null
 
   private[graft] def cut(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    cutCounted(df, checkpointDir)._1
+
+  /** [[cut]], also returning the frame's row count. The materializing
+    * action is a `count` on BOTH paths (lazy checkpoint + count, instead
+    * of `eager = true` whose internal count is discarded), so iterative
+    * operators that terminate on an empty frontier ([[Bfs]], the
+    * distributed components loop) get the termination scalar from the
+    * materialization job itself — no second `isEmpty` job per round.
+    */
+  private[graft] def cutCounted(
+      df: DataFrame, checkpointDir: Option[String]): (DataFrame, Long) =
     checkpointDir match {
       case Some(dir) =>
         // set-dir + checkpoint REGISTRATION are serialized: check-then-act
@@ -55,9 +66,10 @@ object Components {
           }
           df.checkpoint(eager = false)
         }
-        cp.count() // materialize (the eager semantics), unlocked
-        cp
-      case None => df.localCheckpoint(eager = true)
+        (cp, cp.count()) // materialize (the eager semantics), unlocked
+      case None =>
+        val cp = df.localCheckpoint(eager = false)
+        (cp, cp.count()) // first action materializes the marked RDD
     }
 
   /** (id, cluster_id) for every node appearing in `pairs`, cluster_id =
@@ -238,13 +250,14 @@ object Components {
       maxIters: Int = 50, checkpointDir: Option[String] = None,
       strict: Boolean = true): DataFrame = {
     // canonical (hi, lo) orientation, self-loops dropped
-    var edges = cut(pairs
+    val (edges0, nEdges0) = cutCounted(pairs
       .select(greatest(col(srcCol), col(dstCol)).as("hi"),
         least(col(srcCol), col(dstCol)).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct(), checkpointDir)
+    var edges = edges0
     var iter = 0
-    var done = edges.isEmpty
+    var done = nEdges0 == 0
     while (!done && iter < maxIters) {
       // LARGE-STAR: for each u, link every strictly-larger neighbor v to
       // m(u) = min(Γ(u) ∪ {u}) — each (u,v) edge is covered from its

@@ -61,12 +61,17 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
-    val src = col(srcCol)
-    val dst = col(dstCol)
     val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    // persist the input projection FIRST: the node census and the
+    // normalization below both read it, and an unpersisted `edges` lineage
+    // (e.g. a fact-fact join feeding this operator) would execute twice
+    // — the same entry contract Hits.run already had
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val nodes = edges.select(src.as("node"))
-      .union(edges.select(dst.as("node")))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one scalar on the driver (partition-count-sized job, not data-sized);
@@ -75,10 +80,10 @@ object PageRank {
 
     // normalized out-edge fractions, computed once and reused every round.
     // frac is a single double divide of two fixed values — deterministic.
-    val outW = edges.groupBy(src.as("node"))
-      .agg(sum(w.cast(DecimalType(38, 15))).cast("double").as("out_w"))
-    val norm = edges
-      .select(src.as("node"), dst.as("dst"), w.as("w"))
+    val outW = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w").cast(DecimalType(38, 15))).cast("double").as("out_w"))
+    val norm = e
+      .select(col("src").as("node"), col("dst"), col("w"))
       .join(outW, "node")
       .filter(col("out_w") > 0)
       .select(col("node"), col("dst"), (col("w") / col("out_w")).as("frac"))
@@ -129,6 +134,7 @@ object PageRank {
       nodes.unpersist()
       norm.unpersist()
       emitters.unpersist()
+      e.unpersist()
     }
   }
 

@@ -31,19 +31,23 @@ object Pca {
     */
   def covariance(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val e = col(vecCol)
-    val d = size(e)
+    // upper triangle only (j >= i), mirrored after the aggregate: the
+    // per-row product set is symmetric (x_i·x_j = x_j·x_i bit-exactly), so
+    // computing both halves through the interpreted higher-order-function
+    // stack doubled the per-row work for identical cell sums
     val prods = emb.select(
-      posexplode(flatten(transform(e, x =>
-        transform(e, y => round(x.cast("double") * y.cast("double"), 15)))))
-        .as(Seq("p", "prod")),
-      d.as("d"))
-      .select(
-        (col("p") / col("d")).cast("int").as("i"),
-        (col("p") % col("d")).cast("int").as("j"),
-        col("prod"))
-    val s = prods.groupBy("i", "j")
+      posexplode(flatten(transform(e, (x, i) =>
+        transform(slice(e, i + lit(1), size(e) - i), (y, jj) =>
+          struct(i.as("i"), (i + jj).as("j"),
+            round(x.cast("double") * y.cast("double"), 15).as("prod"))))))
+        .as(Seq("p", "t")))
+      .select(col("t.i"), col("t.j"), col("t.prod"))
+    val sUpper = prods.groupBy("i", "j")
       .agg(sum(col("prod").cast(DecimalType(38, 15))).cast("double").as("s"),
         count(lit(1)).cast("double").as("n"))
+    val s = sUpper.unionByName(
+      sUpper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("s"), col("n")))
     val means = emb.select(
       posexplode(e).as(Seq("i", "x")))
       .groupBy("i")

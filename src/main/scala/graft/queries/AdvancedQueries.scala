@@ -498,18 +498,27 @@ object AdvancedQueries {
     * one schema. Merge cost is per-file footer work at planning time;
     * the scan itself stays parallel and column-pruned per snapshot.
     */
+  private val schevoLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def schemaEvolutionRead(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val root = Scratch.tempDir("graft_schevo")
-    val orders = Tables.orders(s, dir)
-    orders.filter(col("o_orderkey") % 2 === 0)
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .write.mode("overwrite").parquet(s"$root/snap=1")
-    orders.filter(col("o_orderkey") % 2 =!= 0)
-      .select(
-        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("o_orderstatus"), col("o_orderdate"),
-        substring(col("o_orderpriority"), 1, 1).cast("int").as("o_priority_rank"))
-      .write.mode("overwrite").parquet(s"$root/snap=2")
+    // the two-snapshot tree is built ONCE per (JVM, dir): repeated bench
+    // iterations previously stacked a fresh Scratch tree per invocation
+    // until exit-hook cleanup, and paid the eager writes inside the timed
+    // build (r6 ADVICE)
+    val root = schevoLanded.computeIfAbsent(dir, _ => {
+      val r = Scratch.tempDir("graft_schevo")
+      val orders = Tables.orders(s, dir)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$r/snap=1")
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderdate"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("o_priority_rank"))
+        .write.mode("overwrite").parquet(s"$r/snap=2")
+      r
+    })
     s.read.option("mergeSchema", "true").parquet(root)
       .select(
         col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -546,6 +555,12 @@ object AdvancedQueries {
     * [[graft.operators.BloomSemiJoin]] as a pre-filter when the parent
     * key set is too large to broadcast. Output is (tbl, chk, violations)
     * so the suite lands as a table a scheduler can alert on.
+    *
+    * FK-orphan semantics are `NOT EXISTS` (= Spark's left_anti), NOT SQL
+    * `NOT IN`: with a NULL anywhere in the parent key set, `NOT IN`
+    * yields zero rows while an anti-join still reports orphans — the
+    * oracle uses NOT EXISTS so both sides agree by construction on
+    * nullable keys, not just on TPC-H's non-null ones (r6 ADVICE).
     */
   def dqChecks(orders: org.apache.spark.sql.DataFrame,
       customer: org.apache.spark.sql.DataFrame,
@@ -600,11 +615,13 @@ object AdvancedQueries {
               SELECT 'orders', 'pk_orderkey_duplicate', count(*) FROM
                 (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
               UNION ALL
-              SELECT 'orders', 'fk_custkey_orphan', count(*) FROM orders
-                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+              SELECT 'orders', 'fk_custkey_orphan', count(*) FROM orders ord
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = ord.o_custkey)
               UNION ALL
-              SELECT 'lineitem', 'fk_orderkey_orphan', count(*) FROM lineitem
-                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+              SELECT 'lineitem', 'fk_orderkey_orphan', count(*) FROM lineitem li
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = li.l_orderkey)
               UNION ALL
               SELECT 'lineitem', 'ship_before_order', count(*) FROM lineitem l
                 JOIN orders o ON l.l_orderkey = o.o_orderkey

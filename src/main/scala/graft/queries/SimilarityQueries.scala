@@ -437,12 +437,29 @@ object SimilarityQueries {
     * graded by a serially-unrolled CTE replay of the identical rounded
     * recurrence, the q108/q112 differential scheme applied to clustering.
     */
+  /** The q128/q130 clustering, run ONCE per (JVM, scale dir) and landed to
+    * scratch parquet — q130 previously re-ran the full Lloyd recurrence
+    * that q128 had just produced (the r06 graph-quartet lesson applied
+    * here). q128 stays hash-gated against the serial CTE replay; q130
+    * copies the same rows to its own oracle-visible landing.
+    */
+  private val kmeansLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def kmeansShared(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val path = kmeansLanded.computeIfAbsent(dir, _ => {
+      val p = Scratch.tempDir("graft-kmeans") + "/assign.parquet"
+      graft.operators.KMeans.run(
+          Tables.embeddings(s, dir), k = KmK, iterations = KmIters, seed = KmSeed)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   private val q128 = GraftQuery(
     "q128_kmeans_embeddings",
-    (s, dir) =>
-      graft.operators.KMeans.run(
-        Tables.embeddings(s, dir), k = KmK, iterations = KmIters, seed = KmSeed)
-        .orderBy("vec_id"),
+    (s, dir) => kmeansShared(s, dir).orderBy("vec_id"),
     Some(kmeansOracle))
 
   /** Cluster-quality evaluation of the q128 clustering against the
@@ -460,8 +477,7 @@ object SimilarityQueries {
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       val path = Landed.land("q130_cluster_purity", dir)
-      graft.operators.KMeans.run(
-          Tables.embeddings(s, dir), k = KmK, iterations = KmIters, seed = KmSeed)
+      kmeansShared(s, dir)
         .repartition(1)
         .write.mode("overwrite").parquet(path)
       val byLabel = s.read.parquet(path)

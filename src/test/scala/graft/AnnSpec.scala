@@ -32,6 +32,24 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("knnTopKLsh: full-corpus graph builder holds recall >= 0.95 vs brute force") {
+    // the scale-path similarity-graph constructor: candidates from LSH
+    // buckets, exact re-rank — must reproduce (almost) the brute-force
+    // edge set the graph quartet (q126/q127/q135/q136) is graded on
+    val emb = Tables.embeddings(spark, sf)
+    val lsh = NearDup.knnTopKLsh(emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bf = NearDup.knnBruteForce(emb, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bfSet = bf.map(r => (r._1, r._2)).toSet
+    val recall = lsh.map(r => (r._1, r._2)).count(bfSet.contains).toDouble / bfSet.size
+    assert(recall >= 0.95, s"LSH knn graph recall@5 = $recall")
+    // exact re-rank: cosines of shared edges are bit-identical
+    val bfCos = bf.map(r => (r._1, r._2) -> r._3).toMap
+    lsh.foreach { case (q, n, cos) =>
+      bfCos.get((q, n)).foreach(exp => assert(cos === exp)) }
+  }
+
   test("ivfTopK: adaptive nlist holds the recall bound at a 10x corpus") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val q = emb.filter(col("vec_id") < 20)

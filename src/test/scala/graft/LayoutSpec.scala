@@ -58,8 +58,8 @@ class LayoutSpec extends SparkSpec {
     val pts = spark.range(65536).select(
       (col("id") * 40503 % 4096).as("user_id"),
       (col("id") * 10859 % 4096).as("event_id"))
-    Layout.writeZOrdered(pts, s"$root/z", Seq("user_id", "event_id"), files = 16)
-    Layout.writeRangeSorted(pts, s"$root/linear", "user_id", files = 16)
+    Layout.writeZOrdered(pts, s"$root/z", Seq("user_id", "event_id"), files = 64)
+    Layout.writeRangeSorted(pts, s"$root/linear", "user_id", files = 64)
 
     assert(spark.read.parquet(s"$root/z").count() === pts.count())
 
@@ -84,15 +84,21 @@ class LayoutSpec extends SparkSpec {
       min("user_id"), max("user_id"), min("event_id"), max("event_id")).head()
     val (uLo, uHi) = (stats.getLong(0), stats.getLong(1))
     val (eLo, eHi) = (stats.getLong(2), stats.getLong(3))
-    // a box covering ~1/4 of each dimension's range
-    val box = (uLo + (uHi - uLo) / 4, uLo + (uHi - uLo) / 2,
-      eLo + (eHi - eLo) / 4, eLo + (eHi - eLo) / 2)
+    // a box covering 1/8 of each dimension, offset 1/16 past the quarter
+    // mark so it sits strictly INSIDE curve-cell boundaries: with 64 files
+    // the range split on z lands near the top 6 interleaved bits (an 8x8
+    // cell grid), and a quarter-aligned quarter-width box would touch
+    // exactly the cell walls — leaving which side wins to sampler noise
+    // (the r06 flake). Interior placement makes the gap structural: the
+    // box spans ~2x2 of 64 cells (~1/16 of rows) while the linear layout
+    // must scan its full user stripe (~1/8 of rows, any event_id).
+    val box = (uLo + (uHi - uLo) / 4 + (uHi - uLo) / 16,
+      uLo + (uHi - uLo) / 4 + (uHi - uLo) / 16 + (uHi - uLo) / 8,
+      eLo + (eHi - eLo) / 4 + (eHi - eLo) / 16,
+      eLo + (eHi - eLo) / 4 + (eHi - eLo) / 16 + (eHi - eLo) / 8)
 
     val zCand = candidateRows(s"$root/z", box._1, box._2, box._3, box._4)
     val linCand = candidateRows(s"$root/linear", box._1, box._2, box._3, box._4)
-    // linear sort on user_id keeps event_id min/max near-full-range in every
-    // file, so ~1/4 of ALL rows are candidates (the full user stripe); the
-    // z layout confines candidates to ~the box's area (~1/16) + curve slack
     assert(zCand < linCand, s"z-order candidate rows $zCand not < linear $linCand")
   }
 
