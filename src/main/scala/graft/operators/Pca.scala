@@ -7,13 +7,13 @@ import org.apache.spark.sql.types.DecimalType
 /** PCA over an embedding column — covariance by ONE narrow pass, top
   * principal component by power iteration on the driver.
   *
-  * Covariance: each row's d×d outer product is computed IN the row
-  * (`transform` × `transform` → `flatten`, no join, no shuffle until the
-  * final d²-cell aggregate) with products rounded at 15 dp into
-  * DECIMAL(38,15) partials, so the sums are partition-order independent
-  * and a serial engine replays them bit-for-bit. The d² explosion is per
-  * ROW and collapses immediately into ≤ d² aggregate cells — shuffle
-  * volume is O(partitions · d²), not O(rows · d²).
+  * Covariance: each row's upper-triangle outer products are accumulated
+  * IN the row by one native aggregate ([[graft.expressions
+  * .CovOuterSumAgg]] — no join, no per-product row explosion, no shuffle
+  * beyond the final ≤ d²-cell merge) with products rounded at 15 dp into
+  * exact decimal partials, so the sums are partition-order independent
+  * and a serial engine replays them bit-for-bit. Shuffle volume is
+  * O(partitions · d²), not O(rows · d²).
   *
   * Power iteration: the collected matrix is d² doubles — BOUNDED driver
   * state (4096 cells at d = 64; the same bounded-collect contract as the
@@ -31,20 +31,19 @@ object Pca {
     */
   def covariance(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val e = col(vecCol)
-    // upper triangle only (j >= i), mirrored after the aggregate: the
-    // per-row product set is symmetric (x_i·x_j = x_j·x_i bit-exactly), so
-    // computing both halves through the interpreted higher-order-function
-    // stack doubled the per-row work for identical cell sums
-    val prods = emb.select(
-      posexplode(flatten(transform(e, (x, i) =>
-        transform(slice(e, i + lit(1), size(e) - i), (y, jj) =>
-          struct(i.as("i"), (i + jj).as("j"),
-            round(x.cast("double") * y.cast("double"), 15).as("prod"))))))
-        .as(Seq("p", "t")))
-      .select(col("t.i"), col("t.j"), col("t.prod"))
-    val sUpper = prods.groupBy("i", "j")
-      .agg(sum(col("prod").cast(DecimalType(38, 15))).cast("double").as("s"),
-        count(lit(1)).cast("double").as("n"))
+    // upper triangle in ONE native aggregate pass
+    // ([[graft.expressions.CovOuterSumAgg]] — same rounded-decimal cell
+    // sums the old posexplode/DECIMAL-sum pipeline produced, without d²
+    // interpreted lambda evaluations per row), mirrored afterwards: the
+    // per-row product set is symmetric (x_i·x_j = x_j·x_i bit-exactly)
+    val aggCol = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.CovOuterSumAgg(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          e.cast("array<double>"))).toAggregateExpression())
+    val sUpper = emb.agg(aggCol.as("cells"))
+      .select(explode(col("cells")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"),
+        col("t.s").cast("double").as("s"), col("t.n").cast("double").as("n"))
     val s = sUpper.unionByName(
       sUpper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("s"), col("n")))

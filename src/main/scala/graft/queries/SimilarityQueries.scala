@@ -135,6 +135,27 @@ object SimilarityQueries {
     },
     Some(topKReplayOracle(Landed.oraclePath("q32_ivf_topk"))))
 
+  /** FULL-CORPUS approximate knn graph via hyperplane-LSH candidates +
+    * exact re-rank ([[NearDup.knnTopKLsh]]) — the bucketed constructor the
+    * graph quartet (q126/q127/q135/q136) switches to at scale, where the
+    * all-pairs brute-force builder's O(n²) collapses (100× corpus =
+    * 10,000× work). Graded by the q32/q70 landed-top-k scheme: the oracle
+    * recomputes the exact cosine of every emitted edge and re-derives the
+    * ranks; AnnSpec pins recall ≥ 0.95 against the brute-force edge set.
+    */
+  private def q142 = GraftQuery(
+    "q142_lsh_knn_graph",
+    (s, dir) => {
+      val path = Landed.land("q142_lsh_knn_graph", dir)
+      NearDup.knnTopKLsh(Tables.embeddings(s, dir), k = 5)
+        .repartition(1) // see q24: empty-safe single part file
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .withColumn("cos", round(col("cos"), 12))
+        .orderBy("q_id", "rank")
+    },
+    Some(topKReplayOracle(Landed.oraclePath("q142_lsh_knn_graph"))))
+
   /** Semantic (embedding-space) dedup clusters — the composition a
     * training pipeline actually runs: exact cosine near-dup pairs at
     * τ = 0.4 ([[q23]]'s oracle-proven edge set) closed into clusters
@@ -666,5 +687,6 @@ object SimilarityQueries {
   // def, not val: q24/q32/q70 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
   def all: Seq[GraftQuery] =
-    Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128, q130, q137, q138)
+    Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128, q130, q137,
+      q138, q142)
 }

@@ -33,6 +33,19 @@ class PcaSpec extends SparkSpec {
     assert(v.find(math.abs(_) > 1e-9).get > 0)
   }
 
+  test("covariance: bit-identical across partition counts (exact buffer merge)") {
+    // the native CovOuterSumAgg's decimal partials must make the cell sums
+    // partition-order free — the same contract the old DECIMAL(38,15) SQL
+    // sum carried
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def cells(parts: Int) = Pca.covariance(emb.repartition(parts))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val one = cells(1)
+    val many = cells(13)
+    assert(one.keySet === many.keySet)
+    one.foreach { case (k, v) => assert(java.lang.Double.compare(v, many(k)) === 0, s"cell $k") }
+  }
+
   test("topComponent: eigen residual is small on the real sf0.001 embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cells = Pca.covariance(emb).collect()
