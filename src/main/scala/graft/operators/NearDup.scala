@@ -358,18 +358,21 @@ object NearDup {
     *
     * Knob guidance: candidate volume per table is ~n²/2^bits, recall per
     * neighbor at angle θ is 1−(1−(1−θ/π)^bits)^tables. The defaults
-    * (3 bits, 24 tables) hold recall ≥ 0.95 even for θ ≈ 90° neighbors —
-    * the top-k regime, where "nearest" is not necessarily NEAR — at the
-    * cost of n/8-sized buckets, the right trade below ~10⁵ vectors. At
-    * larger n, grow `bits` with log₂(n/target_bucket) and `tables` to
-    * hold the recall product, or prefer [[Ann.ivfTopK]] with the corpus
-    * as the query side: on clustered corpora (the realistic case) IVF's
-    * learned cells give a better recall/candidate trade than
-    * data-oblivious hyperplanes.
+    * (3 bits, 16 tables) hold recall ≥ 0.95 for θ ≲ 80° neighbors — the
+    * top-k regime, where "nearest" is not necessarily NEAR — at the cost
+    * of n/8-sized buckets, the right trade below ~10⁵ vectors. At larger
+    * n, grow `bits` with log₂(n/target_bucket) and `tables` to hold the
+    * recall product, or prefer [[Ann.ivfTopK]] with the corpus as the
+    * query side: on clustered corpora (the realistic case) IVF's learned
+    * cells give a better recall/candidate trade than data-oblivious
+    * hyperplanes. On corpora whose top-k neighbors sit near 90° (no
+    * cluster structure at all), no sublinear candidate scheme holds high
+    * recall — the fused-codegen [[knnBruteForce]] is then the honest
+    * exact path until the corpus outgrows a single pass.
     */
   def knnTopKLsh(
       emb: DataFrame, k: Int, bits: Int = 3, dim: Int = 64,
-      tables: Int = 24): DataFrame = {
+      tables: Int = 16): DataFrame = {
     val bucketed = hyperplaneBuckets(emb, bits, dim, tables)
     // directed candidates: each vector collects neighbors from its own
     // buckets (both orientations of every shared-bucket pair)
