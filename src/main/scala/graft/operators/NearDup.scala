@@ -338,6 +338,67 @@ object NearDup {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
+  /** Sparse LEXICAL cosine near-dup pairs: documents as TF-IDF vectors over
+    * the corpus vocabulary, candidate pairs from the term inverted index
+    * (cost Σ df(term)² like [[ngramJaccardPairs]] — never O(n²)), cosine
+    * assembled from decimal-exact dot products and norms (the q22 cosSql
+    * discipline, so a serial engine replays it bit-for-bit). The sparse
+    * twin of [[embeddingNearDupPairs]]: lexical overlap where that one is
+    * semantic.
+    *
+    * `maxDocFreqFrac` caps the vocabulary RELATIVE to corpus size: terms
+    * in more than that fraction of documents are dropped from the VECTORS
+    * entirely (dot AND norm — a well-defined capped-vocabulary cosine,
+    * replayed identically by the oracle). A fraction, not an absolute df:
+    * on a fixed vocabulary every term's df scales linearly with the
+    * corpus, so an absolute cap that keeps the discriminative mid-band at
+    * one scale silently empties the whole vocabulary at 10× (measured on
+    * the harness data: df ≤ 64 kept 300 pairs at sf0.01 and exactly zero
+    * candidates at sf0.1). The cap is the 100 TB knob: IDF already pushes
+    * hub terms toward zero weight while their df² candidate blowup is
+    * what actually kills the join — dropping them bounds the inverted
+    * index the way ngramJaccardPairs' hub-shingle cap does. Weights are
+    * tf·ln(D/df) rounded at 12 dp (the q115 scoring fragment).
+    */
+  def tfidfCosinePairs(
+      docs: DataFrame, threshold: Double, maxDocFreqFrac: Double = 0.15,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val occ = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    // (doc × word)-sized cut: df derivation and the scoring join both read it
+    val tf = materialized(
+      occ.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")), checkpointDir)
+    val dTot = docs.agg(count(lit(1)).as("d_total"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(dTot))
+      .filter(col("df") <= ceil(lit(maxDocFreqFrac) * col("d_total")))
+      .select("word", "df")
+    // read three ways below (norms + both join sides) — cut once
+    val wts = materialized(tf
+      .join(dfreq, "word")
+      .crossJoin(broadcast(dTot))
+      .select(col("doc_id"), col("word"),
+        round(col("tf").cast("double")
+          * log(col("d_total").cast("double") / col("df").cast("double")), 12)
+          .as("w")), checkpointDir)
+    val norms = wts.groupBy("doc_id")
+      .agg(sqrt(sum((col("w") * col("w")).cast(DecimalType(38, 20)))
+        .cast("double")).as("nrm"))
+    val dots = wts.as("a").join(wts.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.w") * col("b.w")).cast(DecimalType(38, 20)).as("p"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("p")).cast("double").as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 12).as("cos"))
+  }
+
   /** Approximate top-k cosine neighbors for EVERY vector via hyperplane-LSH
     * candidate generation + exact re-rank — the 100 TB similarity-GRAPH
     * constructor. [[knnBruteForce]] with the whole corpus as the query side

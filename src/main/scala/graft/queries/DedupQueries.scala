@@ -386,5 +386,47 @@ object DedupQueries {
 
   // def, not val: q21/q35 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
-  def all: Seq[GraftQuery] = Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119)
+  /** Sparse TF-IDF cosine near-dup pairs at τ = 0.6 over a df ≤ ⌈0.15·D⌉
+    * capped vocabulary ([[NearDup.tfidfCosinePairs]]) — the lexical-vector
+    * twin of q23's embedding cosine: same inverted-index candidate scheme
+    * as q19, tf·ln(D/df) weights (the q115 fragment), decimal-exact dots
+    * and norms (the q22 cosSql discipline), so the oracle replays the
+    * whole pipeline from raw text.
+    */
+  private val q143 = GraftQuery(
+    "q143_tfidf_cosine_pairs",
+    (s, dir) =>
+      NearDup.tfidfCosinePairs(Tables.documents(s, dir), threshold = 0.6, maxDocFreqFrac = 0.15)
+        .orderBy("doc_a", "doc_b"),
+    Some("""WITH occ AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM occ GROUP BY 1, 2),
+            d AS (SELECT count(*) AS d_total FROM documents),
+            dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1
+                      HAVING count(*) <= (SELECT ceil(0.15 * d_total) FROM d)),
+            wts AS (
+              SELECT doc_id, word,
+                     round(CAST(tf AS DOUBLE)
+                       * ln(CAST(d_total AS DOUBLE) / CAST(df AS DOUBLE)), 12) AS w
+              FROM tf JOIN dfreq USING (word) CROSS JOIN d),
+            norms AS (
+              SELECT doc_id,
+                     sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+              FROM wts GROUP BY 1),
+            dots AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(sum(CAST(a.w * b.w AS DECIMAL(38,20))) AS DOUBLE) AS dot
+              FROM wts a JOIN wts b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 12) AS cos
+            FROM dots
+            JOIN norms na ON doc_a = na.doc_id
+            JOIN norms nb ON doc_b = nb.doc_id
+            WHERE dot / (na.nrm * nb.nrm) >= 0.6
+            ORDER BY doc_a, doc_b"""))
+
+  def all: Seq[GraftQuery] =
+    Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143)
 }

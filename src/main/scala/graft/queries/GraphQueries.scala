@@ -401,5 +401,68 @@ object GraphQueries {
             SELECT CAST(node AS BIGINT) AS node, count(*) AS n_triangles
             FROM m GROUP BY node ORDER BY node"""))
 
-  val all: Seq[GraftQuery] = Seq(q108, q112, q126, q127, q135, q136)
+  /** Serial replay of [[graft.operators.Scc.run]]'s contract: pairwise
+    * forward reachability as a recursive CTE, scc_id = min over the
+    * mutual-reachability class (which is exactly the FW-BW pivot label —
+    * the pivot is its partition's minimum and a member of the SCC).
+    * `nodes` uses an explicit DISTINCT subquery, NOT `a UNION b`: inside
+    * a WITH RECURSIVE block DuckDB parses a two-branch UNION CTE as a
+    * recursive pattern and skips the global dedup (measured: 386 rows
+    * from 25 distinct endpoints).
+    */
+  private val sccOracle = """WITH RECURSIVE edges0 AS MATERIALIZED (
+         SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+                CAST(count(*) AS DOUBLE) AS w
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         GROUP BY 1, 2),
+       a AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) AS avgw FROM edges0),
+       e AS MATERIALIZED (
+         SELECT src, dst FROM edges0 CROSS JOIN a
+         WHERE w >= 1.2 * avgw AND src <> dst),
+       r(x, y) AS (SELECT src, dst FROM e
+                   UNION
+                   SELECT r.x, e.dst FROM r JOIN e ON e.src = r.y),
+       nodes AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       mut AS (SELECT r1.x AS u, r1.y AS v
+               FROM r r1 JOIN r r2 ON r1.x = r2.y AND r1.y = r2.x)
+       SELECT CAST(n.node AS BIGINT) AS node,
+              CAST(least(n.node, coalesce(mn.m, n.node)) AS BIGINT) AS scc_id
+       FROM nodes n
+       LEFT JOIN (SELECT u, min(v) AS m FROM mut GROUP BY u) mn ON mn.u = n.node
+       ORDER BY node"""
+
+  /** Strongly connected components of the ABOVE-AVERAGE trade graph
+    * ([[graft.operators.Scc]], FW-BW): keep directed edges whose lineitem
+    * count is ≥ 1.2× the mean edge weight (the asymmetric "major trade
+    * routes" view — thresholding is what makes the digraph interesting;
+    * the raw trade graph is one giant SCC), then label each nation with
+    * the minimum nation key of its mutual-reachability class. The
+    * directed complement of the q33/q77 undirected components.
+    */
+  private val q144 = GraftQuery(
+    "q144_scc_trade",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val nat = Tables.nation(s, dir)
+      val e = tradeEdges(s, dir)
+        .join(broadcast(nat.select(col("n_name").as("src"), col("n_nationkey").as("sk"))), "src")
+        .join(broadcast(nat.select(col("n_name").as("dst"), col("n_nationkey").as("dk"))), "dst")
+        .select(col("sk").as("src"), col("dk").as("dst"), col("w"))
+      val avg = e.agg((sum(col("w").cast(DecimalType(38, 6))).cast("double")
+        / count(lit(1)).cast("double")).as("avgw"))
+      val kept = e.crossJoin(broadcast(avg))
+        .filter(col("w") >= lit(1.2) * col("avgw") && col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Scc.run(kept, "src", "dst").orderBy("node")
+    },
+    Some(sccOracle))
+
+  val all: Seq[GraftQuery] = Seq(q108, q112, q126, q127, q135, q136, q144)
 }

@@ -71,6 +71,23 @@ class NearDupSpec extends SparkSpec {
     info(s"simhash candidate recall vs exact: $recall")
   }
 
+  test("tfidfCosinePairs: near-copies pair up, unrelated docs do not; df cap prunes") {
+    val docs = Seq(
+      (1L, "quarterly revenue grew while operating margins compressed across the retail division"),
+      (2L, "quarterly revenue grew while operating margins compressed across the wholesale division"),
+      (3L, "migratory songbirds navigate using stellar cues and geomagnetic field gradients"))
+      .toDF("doc_id", "text")
+    // tiny fixture: disable the df cap (frac 1.0) — with 3 docs the
+    // default 0.15 would drop every shared word
+    val pairs = NearDup.tfidfCosinePairs(docs, threshold = 0.5, maxDocFreqFrac = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 > 0.5 && pairs.head._3 < 1.0) // shared words dominate, one differs
+    // the fractional cap empties the candidate space when every shared
+    // word exceeds it (the scale-broken-absolute-cap regression, inverted)
+    assert(NearDup.tfidfCosinePairs(docs, threshold = 0.1, maxDocFreqFrac = 0.2).count() === 0)
+  }
+
   test("embedding LSH ANN is a subset of brute force with decent recall") {
     val emb = Tables.embeddings(spark, sf)
     val exact = NearDup.embeddingNearDupPairs(emb, 0.4)
