@@ -631,7 +631,139 @@ object AdvancedQueries {
                      count(*) FILTER (WHERE c_acctbal < 0) FROM customer)
             ORDER BY tbl, chk"""))
 
+  /** Market-basket association rules at the brand level: for every
+    * directed brand pair (antecedent → consequent) co-present in an
+    * order, support / confidence / lift — the Apriori-style rule mining
+    * every retail warehouse runs, graded exactly.
+    *
+    * Plan shape: baskets collapse to DISTINCT (order, brand) first, so
+    * the pair join is bounded by Σ basket_size² per order — never
+    * |orders|² and never |brands|² against the fact table. Item counts
+    * and the basket total are tiny (≤ |brands| rows) and broadcast back;
+    * the candidate-pair frame is cut once and reused for both rule
+    * directions. All counts stay integers until the three final ratio
+    * divisions, which follow the same IEEE sequence on both engines.
+    */
+  private val q149 = GraftQuery(
+    "q149_basket_rules",
+    (s, dir) => {
+      val b = graft.operators.Components.cut(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+          .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")).distinct(), None)
+      val nB = b.select(countDistinct(col("l_orderkey")).as("n_baskets"))
+      val item = b.groupBy("p_brand").agg(count(lit(1)).as("c_item"))
+      val pairs = graft.operators.Components.cut(
+        b.select(col("l_orderkey"), col("p_brand").as("x"))
+          .join(b.select(col("l_orderkey"), col("p_brand").as("y")), "l_orderkey")
+          .filter(col("x") < col("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("c_pair")), None)
+      val rules = pairs.select(col("x").as("antecedent"), col("y").as("consequent"), col("c_pair"))
+        .unionByName(pairs.select(col("y").as("antecedent"), col("x").as("consequent"), col("c_pair")))
+      rules
+        .join(broadcast(item.select(col("p_brand").as("antecedent"), col("c_item").as("c_ante"))),
+          "antecedent")
+        .join(broadcast(item.select(col("p_brand").as("consequent"), col("c_item").as("c_cons"))),
+          "consequent")
+        .crossJoin(broadcast(nB))
+        .select(col("antecedent"), col("consequent"), col("c_pair"),
+          round(col("c_pair").cast("double") / col("n_baskets").cast("double"), 9)
+            .as("support"),
+          round(col("c_pair").cast("double") / col("c_ante").cast("double"), 9)
+            .as("confidence"),
+          round(col("c_pair").cast("double") * col("n_baskets").cast("double")
+            / (col("c_ante").cast("double") * col("c_cons").cast("double")), 9)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+        .limit(20)
+    },
+    Some("""WITH b AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, p_brand
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+            nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM b),
+            item AS (SELECT p_brand, count(*) AS c_item FROM b GROUP BY 1),
+            pairs AS MATERIALIZED (
+              SELECT a.p_brand AS x, b2.p_brand AS y, count(*) AS c_pair
+              FROM b a JOIN b b2 USING (l_orderkey)
+              WHERE a.p_brand < b2.p_brand GROUP BY 1, 2),
+            rules AS (
+              SELECT x AS antecedent, y AS consequent, c_pair FROM pairs
+              UNION ALL
+              SELECT y, x, c_pair FROM pairs)
+            SELECT r.antecedent, r.consequent, r.c_pair,
+                   round(CAST(r.c_pair AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE), 9)
+                     AS support,
+                   round(CAST(r.c_pair AS DOUBLE) / CAST(ia.c_item AS DOUBLE), 9)
+                     AS confidence,
+                   round(CAST(r.c_pair AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                     / (CAST(ia.c_item AS DOUBLE) * CAST(ic.c_item AS DOUBLE)), 9)
+                     AS lift
+            FROM rules r
+            JOIN item ia ON r.antecedent = ia.p_brand
+            JOIN item ic ON r.consequent = ic.p_brand
+            CROSS JOIN nb
+            ORDER BY lift DESC, antecedent, consequent LIMIT 20"""))
+
+  /** RFM customer segmentation: per-customer recency (latest order
+    * date) / frequency (order count) / monetary (exact decimal spend),
+    * each independently quintile-binned 0–4 by GLOBAL rank (4 = most
+    * recent / frequent / valuable), then segment census. The standard
+    * CRM cube, built the 100 TB way: every quintile assignment rides
+    * [[graft.operators.Sampling.rankBins]]'s two-phase prefix scan
+    * (range repartition + broadcast per-partition offsets) — no
+    * single-partition `ntile` window anywhere, so a customer table of
+    * any size bins in parallel. Ranks tie-break on the customer key;
+    * decimal spend keeps segment totals exact until the final cast.
+    */
+  private val q150 = GraftQuery(
+    "q150_rfm_segments",
+    (s, dir) => {
+      import graft.operators.Sampling
+      val cust = graft.operators.Components.cut(
+        Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 4)))
+              .as("spend")), None)
+      def binned(d: org.apache.spark.sql.DataFrame, by: String, name: String) =
+        Sampling.rankBins(d, Seq(by, "o_custkey"), 5)
+          .withColumnRenamed("bin", name)
+      val scored = binned(binned(binned(cust,
+        "last_order", "r_score"), "n_orders", "f_score"), "spend", "m_score")
+      scored
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("spend")).cast("double").as("total_spend"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+    Some("""WITH c AS (
+              SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n_orders,
+                     sum(CAST(o_totalprice AS DECIMAL(30,4))) AS spend
+              FROM orders GROUP BY 1),
+            t AS (SELECT count(*) AS total FROM c),
+            r AS (
+              SELECT o_custkey, spend,
+                     row_number() OVER (ORDER BY last_order, o_custkey) - 1 AS rr,
+                     row_number() OVER (ORDER BY n_orders, o_custkey) - 1 AS fr,
+                     row_number() OVER (ORDER BY spend, o_custkey) - 1 AS mr
+              FROM c),
+            -- BIGINT floor division on purpose: DuckDB's // over DECIMAL
+            -- operands ROUNDS the decimal quotient instead of flooring
+            -- (measured: bins 0-5 at n=1500). The engine side keeps
+            -- DECIMAL(38,0) for >10^18-row exactness; values agree.
+            s AS (
+              SELECT CAST((rr * 5) // total AS INT) AS r_score,
+                     CAST((fr * 5) // total AS INT) AS f_score,
+                     CAST((mr * 5) // total AS INT) AS m_score,
+                     spend
+              FROM r CROSS JOIN t)
+            SELECT r_score, f_score, m_score, count(*) AS n_customers,
+                   CAST(sum(spend) AS DOUBLE) AS total_spend
+            FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
-      q105, q140, q141)
+      q105, q140, q141, q149, q150)
 }

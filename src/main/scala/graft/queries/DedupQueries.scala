@@ -427,6 +427,73 @@ object DedupQueries {
             WHERE dot / (na.nrm * nb.nrm) >= 0.6
             ORDER BY doc_a, doc_b"""))
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * k-token shingle with a held-out evaluation set — the standard
+    * n-gram-overlap test-set-leak check (GPT-3 §B ran 13-gram overlap;
+    * k = 8 here because the synthetic docs are short). The eval set is a
+    * deterministic slice (doc_id ≡ 0 mod 11) so both engines derive it
+    * identically; real pipelines substitute the benchmark corpus.
+    *
+    * Plan shape: one token pass builds md5 shingles for BOTH sides, the
+    * eval side collapses to a distinct shingle set, and contamination is
+    * a LEFT SEMI join on the shingle hash — the inverted-index shape, no
+    * doc×doc comparison anywhere. At 100 TB the eval side is tiny and
+    * broadcastable by AQE; if the eval set ever outgrows broadcast, the
+    * semi join is the same one-shuffle-each-side hash join every dedup
+    * query here rides, and [[graft.operators.BloomSemiJoin]] slots in as
+    * the ≤fpp-overcount prefilter (the q54 `useBloom` gear).
+    */
+  def contaminationReport(docs: org.apache.spark.sql.DataFrame,
+      k: Int = 8, evalMod: Int = 11): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), col("source"), TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"transform(sequence(1, size(t) - ${k - 1}), i -> md5(concat_ws(' ', slice(t, i, $k))))"))
+          .as("sh"))
+    val evalSh = sh.filter(col("doc_id") % evalMod === 0).select("sh").distinct()
+    val contaminated = sh.filter(col("doc_id") % evalMod =!= 0)
+      .join(evalSh, Seq("sh"), "left_semi")
+      .select("doc_id", "source").distinct()
+    val train = docs.filter(col("doc_id") % evalMod =!= 0)
+      .groupBy("source").agg(count(lit(1)).as("n_train"))
+    contaminated.groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+      .join(train, Seq("source"), "right")
+      .select(col("source"), col("n_train"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+          / col("n_train").cast("double"), 9).as("contamination_rate"))
+      .orderBy("source")
+  }
+
+  private val q146 = GraftQuery(
+    "q146_decontamination",
+    (s, dir) => contaminationReport(Tables.documents(s, dir)),
+    Some("""WITH norm AS (
+              SELECT doc_id, source,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     unnest([md5(array_to_string(list_slice(t, i, i + 7), ' '))
+                             for i in generate_series(1, len(t) - 7)]) AS sh
+              FROM norm WHERE len(t) >= 8),
+            ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 11 = 0),
+            cont AS (
+              SELECT DISTINCT doc_id, source FROM sh
+              WHERE doc_id % 11 <> 0 AND sh IN (SELECT sh FROM ev)),
+            train AS (
+              SELECT source, count(*) AS n_train FROM documents
+              WHERE doc_id % 11 <> 0 GROUP BY source),
+            c AS (SELECT source, count(*) AS n_contaminated FROM cont GROUP BY source)
+            SELECT t.source, t.n_train,
+                   CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                   round(CAST(coalesce(c.n_contaminated, 0) AS DOUBLE)
+                     / CAST(t.n_train AS DOUBLE), 9) AS contamination_rate
+            FROM train t LEFT JOIN c ON t.source = c.source
+            ORDER BY t.source"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143)
+    Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146)
 }

@@ -965,9 +965,166 @@ object EventQueries {
                      AS decayed_value
             FROM w GROUP BY event_type ORDER BY event_type"""))
 
+  /** Seasonal-baseline anomaly detection: each (event_type, day, hour)
+    * count is z-scored against that type's SAME-HOUR-OF-DAY baseline
+    * across all observed days — the diurnal-profile monitor that flags
+    * "3 a.m. purchase spike" without flagging the daily 9 a.m. ramp a
+    * global mean would. Top anomalies by |z|.
+    *
+    * Plan shape: two stacked hash aggregates (hourly counts, then
+    * per-(type, hour-of-day) moment sums) and one join of the hourly
+    * frame back to its 24·|types|-row baseline — broadcastable forever,
+    * since the baseline is bounded by the clock, not the data. Moments
+    * ride DECIMAL sums (order-free); the z closed form is the same IEEE
+    * sequence on both engines. Hours with zero events never enter the
+    * baseline (observed-cells contract — the dense-spine variant is
+    * q99's resample). Baselines need ≥ 2 observed days and nonzero
+    * variance, identically filtered on both sides.
+    */
+  def seasonalAnomalies(events: org.apache.spark.sql.DataFrame,
+      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val hourly = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val baseline = hourly
+      .groupBy("event_type", "hr")
+      .agg(
+        count(lit(1)).cast("double").as("n_days"),
+        sum(col("n_events").cast(DecimalType(38, 0))).cast("double").as("s"),
+        sum((col("n_events") * col("n_events")).cast(DecimalType(38, 0)))
+          .cast("double").as("ss"))
+      .filter(col("n_days") >= 2.0)
+      .withColumn("mean", col("s") / col("n_days"))
+      .withColumn("var", col("ss") / col("n_days") - col("mean") * col("mean"))
+      .filter(col("var") > 0.0)
+    hourly
+      .join(baseline, Seq("event_type", "hr"))
+      .select(col("event_type"), col("day"), col("hr"), col("n_events"),
+        round(col("mean"), 9).as("baseline_mean"),
+        round((col("n_events").cast("double") - col("mean")) / sqrt(col("var")), 9)
+          .as("z"))
+      .orderBy(abs(col("z")).desc, col("event_type"), col("day"), col("hr"))
+      .limit(topK)
+  }
+
+  private val q147 = GraftQuery(
+    "q147_seasonal_anomaly",
+    (s, dir) => seasonalAnomalies(Tables.events(s, dir)),
+    Some("""WITH hourly AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                     CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2, 3),
+            baseline AS (
+              SELECT event_type, hr,
+                     CAST(count(*) AS DOUBLE) AS n_days,
+                     CAST(sum(CAST(n_events AS DECIMAL(38,0))) AS DOUBLE) AS s,
+                     CAST(sum(CAST(n_events * n_events AS DECIMAL(38,0))) AS DOUBLE) AS ss
+              FROM hourly GROUP BY 1, 2),
+            b AS (
+              SELECT event_type, hr, s / n_days AS mean,
+                     ss / n_days - (s / n_days) * (s / n_days) AS var
+              FROM baseline WHERE n_days >= 2),
+            z AS (
+              SELECT h.event_type, h.day, h.hr, h.n_events,
+                     round(b.mean, 9) AS baseline_mean,
+                     round((CAST(h.n_events AS DOUBLE) - b.mean) / sqrt(b.var), 9) AS z
+              FROM hourly h JOIN b ON h.event_type = b.event_type AND h.hr = b.hr
+              WHERE b.var > 0)
+            SELECT event_type, day, hr, n_events, baseline_mean, z
+            FROM z ORDER BY abs(z) DESC, event_type, day, hr LIMIT 20"""))
+
+  /** Changepoint detection by binary-segmentation's first step: per
+    * event type, the day split maximizing |mean(before) − mean(after)|
+    * of the daily event counts — the level-shift detector that finds
+    * "traffic stepped on the 14th" where q147's hour-of-day z-score
+    * finds single-cell spikes.
+    *
+    * Plan shape: daily counts are one hash aggregate; every candidate
+    * split is scored from ONE cumulative window pass (prefix decimal
+    * sums) + a broadcast per-type total — O(days) work per type, not the
+    * O(days²) a naive before/after re-aggregation per split would cost.
+    * The per-type windows are bounded by the calendar (≤ days rows per
+    * partition), the same contract as q43's frames. Argmax is a
+    * row_number under (shift DESC, day) — total order, both engines.
+    */
+  def meanShiftSplit(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pre = daily
+      .withColumn("i", row_number().over(w))
+      .withColumn("s", sum(col("c").cast(DecimalType(38, 0))).over(w))
+    val tot = daily.groupBy("event_type")
+      .agg(sum(col("c").cast(DecimalType(38, 0))).as("s_tot"),
+        count(lit(1)).as("n_days"))
+    val scored = pre.join(broadcast(tot), "event_type")
+      .filter(col("i") < col("n_days"))
+      .withColumn("mean_before", col("s").cast("double") / col("i").cast("double"))
+      .withColumn("mean_after",
+        (col("s_tot") - col("s")).cast("double")
+          / (col("n_days") - col("i")).cast("double"))
+      .withColumn("shift", round(abs(col("mean_before") - col("mean_after")), 9))
+    val rankW = Window.partitionBy("event_type")
+      .orderBy(col("shift").desc, col("day").asc)
+    scored
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("i").cast("int").as("days_before"),
+        round(col("mean_before"), 9).as("mean_before"),
+        round(col("mean_after"), 9).as("mean_after"), col("shift"))
+      .orderBy("event_type")
+  }
+
+  private val q152 = GraftQuery(
+    "q152_mean_shift_changepoint",
+    (s, dir) => meanShiftSplit(Tables.events(s, dir)),
+    Some("""WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2),
+            pre AS (
+              SELECT event_type, day,
+                     row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+                     sum(CAST(c AS DECIMAL(38,0)))
+                       OVER (PARTITION BY event_type ORDER BY day) AS s
+              FROM daily),
+            tot AS (
+              SELECT event_type, sum(CAST(c AS DECIMAL(38,0))) AS s_tot,
+                     count(*) AS n_days
+              FROM daily GROUP BY 1),
+            scored AS (
+              SELECT p.event_type, p.day, p.i,
+                     CAST(p.s AS DOUBLE) / CAST(p.i AS DOUBLE) AS mean_before,
+                     CAST(t.s_tot - p.s AS DOUBLE)
+                       / CAST(t.n_days - p.i AS DOUBLE) AS mean_after
+              FROM pre p JOIN tot t USING (event_type)
+              WHERE p.i < t.n_days),
+            sh AS (
+              SELECT event_type, day, i, mean_before, mean_after,
+                     round(abs(mean_before - mean_after), 9) AS shift
+              FROM scored),
+            best AS (
+              SELECT event_type, day, i, mean_before, mean_after, shift,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY shift DESC, day) AS rn
+              FROM sh)
+            SELECT event_type, day AS split_day, CAST(i AS INT) AS days_before,
+                   round(mean_before, 9) AS mean_before,
+                   round(mean_after, 9) AS mean_after, shift
+            FROM best WHERE rn = 1 ORDER BY event_type"""))
+
   // def, not val: q29/q66/q67 land estimate parquet and their oracle SQL
   // must embed the path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
-      q97, q101, q106, q107, q110, q111, q114, q122, q123)
+      q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152)
 }

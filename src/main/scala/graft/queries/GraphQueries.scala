@@ -464,5 +464,144 @@ object GraphQueries {
     },
     Some(sccOracle))
 
-  val all: Seq[GraftQuery] = Seq(q108, q112, q126, q127, q135, q136, q144)
+  /** Adamic–Adar link prediction on the undirected above-average trade
+    * graph: for every non-adjacent pair (u, v), score
+    * Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z) — common-neighbor evidence weighted
+    * against hub promiscuity (Adamic & Adar 2003), the classic
+    * "which link forms next" baseline. Uses q144's thresholded subgraph
+    * (the raw trade graph is near-complete and has no missing links).
+    *
+    * Plan shape: wedges materialize by joining the neighbor list to
+    * itself ON THE CENTER z — cost Σ deg(z)², the same budget the q127
+    * triangle counter spends, never |V|² — then one hash aggregate per
+    * candidate pair and an anti join against the existing edge set.
+    * Per-wedge weights ride rounded DECIMAL sums (order-free); existing
+    * edges leave via anti join, matching the oracle's NOT EXISTS (the
+    * q141 nullable-key contract).
+    */
+  /** Undirected form of q144's above-average trade subgraph: keep
+    * directed edges with w ≥ 1.2× the mean weight, collapse to
+    * deduplicated (min, max) node pairs on nation keys. Shared by the
+    * q148 link-prediction and q153 k-core queries.
+    */
+  private def aboveAvgUndirected(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.types.DecimalType
+    val nat = Tables.nation(s, dir)
+    val e0 = tradeEdges(s, dir)
+      .join(broadcast(nat.select(col("n_name").as("src"), col("n_nationkey").as("sk"))), "src")
+      .join(broadcast(nat.select(col("n_name").as("dst"), col("n_nationkey").as("dk"))), "dst")
+      .select(col("sk").cast("long").as("s"), col("dk").cast("long").as("d"), col("w"))
+    val avg = e0.agg((sum(col("w").cast(DecimalType(38, 6))).cast("double")
+      / count(lit(1)).cast("double")).as("avgw"))
+    e0.crossJoin(broadcast(avg))
+      .filter(col("w") >= lit(1.2) * col("avgw") && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
+      .distinct()
+  }
+
+  /** The SQL twin of [[aboveAvgUndirected]] (nation keys, deduplicated
+    * min/max pairs).
+    */
+  private val undCte = """WITH edges0 AS MATERIALIZED (
+         SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+                CAST(count(*) AS DOUBLE) AS w
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         GROUP BY 1, 2),
+       a AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) AS avgw FROM edges0),
+       und AS MATERIALIZED (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM edges0 CROSS JOIN a
+         WHERE w >= 1.2 * avgw AND src <> dst)"""
+
+  private val q148 = GraftQuery(
+    "q148_adamic_adar",
+    (s, dir) =>
+      graft.operators.LinkPrediction.adamicAdar(aboveAvgUndirected(s, dir))
+        .select("u", "v", "common_neighbors", "aa_score")
+        .orderBy(col("aa_score").desc, col("u"), col("v"))
+        .limit(15),
+    Some(s"""$undCte,
+       nb AS (SELECT u AS z, v AS nbr FROM und
+              UNION ALL SELECT v, u FROM und),
+       deg AS (SELECT z, count(*) AS deg FROM nb GROUP BY 1),
+       wedges AS (SELECT n1.z, n1.nbr AS a, n2.nbr AS b
+                  FROM nb n1 JOIN nb n2 ON n1.z = n2.z WHERE n1.nbr < n2.nbr),
+       scored AS (
+         SELECT w.a AS u, w.b AS v, count(*) AS common_neighbors,
+                round(CAST(sum(CAST(round(1.0 / ln(CAST(d.deg AS DOUBLE)), 15)
+                  AS DECIMAL(38,15))) AS DOUBLE), 12) AS aa_score
+         FROM wedges w JOIN deg d ON w.z = d.z GROUP BY 1, 2)
+       SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+              common_neighbors, aa_score
+       FROM scored
+       WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = scored.u AND und.v = scored.v)
+       ORDER BY aa_score DESC, u, v LIMIT 15"""))
+
+  private val KCoreK = 3
+  private val KCoreRounds = 8
+
+  /** Serial replay of [[graft.operators.KCore.run]]: per unrolled round,
+    * degrees off the surviving edge list, OUTER-joined to the live-node
+    * set (a node stranded at degree 0 by earlier peels must still be
+    * peeled — the star-center case), peel set = live nodes with
+    * coalesce(deg, 0) < k. Monotone: rounds past the fixpoint are
+    * no-ops, so unrolling to `KCoreRounds` ≥ the convergence depth
+    * reproduces the operator's early-exit loop exactly.
+    */
+  private def kcoreOracle: String = {
+    val sb = new StringBuilder(undCte)
+    sb.append(""",
+       live0 AS MATERIALIZED (SELECT DISTINCT node FROM
+         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)),
+       e0 AS MATERIALIZED (SELECT u, v FROM und)""")
+    for (i <- 1 to KCoreRounds) {
+      val p = i - 1
+      sb.append(s""",
+       deg$i AS (SELECT node, count(*) AS deg FROM
+         (SELECT u AS node FROM e$p UNION ALL SELECT v FROM e$p) GROUP BY 1),
+       rem$i AS MATERIALIZED (
+         SELECT l.node, $i AS peel_round
+         FROM live$p l LEFT JOIN deg$i d ON l.node = d.node
+         WHERE coalesce(d.deg, 0) < $KCoreK),
+       live$i AS MATERIALIZED (
+         SELECT node FROM live$p
+         WHERE node NOT IN (SELECT node FROM rem$i)),
+       e$i AS MATERIALIZED (
+         SELECT u, v FROM e$p
+         WHERE u NOT IN (SELECT node FROM rem$i)
+           AND v NOT IN (SELECT node FROM rem$i))""")
+    }
+    val rems = (1 to KCoreRounds).map(i => s"SELECT node, peel_round FROM rem$i")
+      .mkString("\n         UNION ALL ")
+    sb.append(s"""
+       SELECT CAST(node AS BIGINT) AS node, CAST(peel_round AS INT) AS peel_round
+       FROM (SELECT node, 0 AS peel_round FROM live$KCoreRounds
+             UNION ALL $rems)
+       ORDER BY node""")
+    sb.toString
+  }
+
+  /** k-core decomposition ([[graft.operators.KCore]], k = 3) of the
+    * above-average trade subgraph: each nation labeled with the peel
+    * round that removed it (0 = inside the 3-core) — the cohesion census
+    * that separates the densely-interlocked trade bloc from its
+    * periphery, complementing q136's LPA communities (which partition)
+    * and q144's SCCs (which need direction).
+    */
+  private val q153 = GraftQuery(
+    "q153_kcore_trade",
+    (s, dir) =>
+      graft.operators.KCore.run(
+        aboveAvgUndirected(s, dir), k = KCoreK, maxRounds = KCoreRounds)
+        .select(col("node"), col("peel_round").cast("int").as("peel_round"))
+        .orderBy("node"),
+    Some(kcoreOracle))
+
+  val all: Seq[GraftQuery] = Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153)
 }

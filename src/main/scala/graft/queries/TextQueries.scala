@@ -4,6 +4,7 @@ import graft.{GraftQuery, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis surface over the `documents` table (driver north star §2b).
   * All-scalar queries are embarrassingly parallel (no shuffle before the
@@ -959,9 +960,215 @@ object TextQueries {
             FROM est CROSS JOIN tot
             ORDER BY word"""))
 
+  /** Per-source repetition profile — the Gopher/C4-style repetition rules
+    * (Rae et al. 2021 §A2 applied the same family: duplicate-line and
+    * top-n-gram fractions) that catch boilerplate and degenerate
+    * completion loops q16's shape-based quality score cannot: a document
+    * can have perfect length/stopword stats and still be one sentence
+    * repeated 40 times. Three per-doc signals, then a per-source rollup:
+    *
+    *   - `ttr`               type–token ratio (distinct/total tokens)
+    *   - `top_bigram_frac`   most frequent bigram's share of all bigrams
+    *   - `dup_trigram_frac`  share of trigram occurrences beyond each
+    *                         trigram's first (0 = all distinct)
+    *
+    * Plan shape: the scalar signals (ttr) stay NARROW inside the
+    * projection; the n-gram modes need per-(doc, gram) counts, which is
+    * two hash aggregates keyed on (doc_id, gram) — cardinality bounded by
+    * corpus token count, the same budget every other token-stream query
+    * spends, and map-side combine absorbs the within-doc repeats that are
+    * the very signal being measured. No window, no self-join. Flag
+    * thresholds (ttr < 0.30, top bigram > 0.20) are the *shape* of the
+    * Gopher gates; per-doc means ride rounded DECIMAL sums so the
+    * per-source rollup is partition-order free.
+    */
+  def repetitionProfile(docs: DataFrame, minTokens: Int = 3): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= minTokens)
+    val base = t.select(
+      col("doc_id"), col("source"),
+      round(size(array_distinct(col("t"))).cast("double")
+        / size(col("t")).cast("double"), 9).as("ttr"))
+    val bg = t.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("c")).cast("double")
+        / sum(col("c")).cast("double"), 9).as("top_bigram_frac"))
+    val tg = t.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(t) - 2), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round((sum(col("c")) - count(lit(1))).cast("double")
+        / sum(col("c")).cast("double"), 9).as("dup_trigram_frac"))
+    val d = base.join(bg, "doc_id").join(tg, "doc_id")
+      .withColumn("flagged",
+        when(col("ttr") < 0.30 || col("top_bigram_frac") > 0.20, 1L).otherwise(0L))
+    def meanOf(c: String) =
+      round(sum(col(c).cast(DecimalType(38, 9))).cast("double")
+        / count(lit(1)).cast("double"), 9).as(s"mean_$c")
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("flagged")).as("n_flagged"),
+        meanOf("ttr"), meanOf("top_bigram_frac"), meanOf("dup_trigram_frac"))
+      .orderBy("source")
+  }
+
+  private val q145 = GraftQuery(
+    "q145_repetition_rules",
+    (s, dir) => repetitionProfile(Tables.documents(s, dir)),
+    Some("""WITH norm AS (
+              SELECT doc_id, source,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            f AS (SELECT * FROM norm WHERE len(t) >= 3),
+            base AS (
+              SELECT doc_id, source,
+                     round(CAST(len(list_distinct(t)) AS DOUBLE)
+                       / CAST(len(t) AS DOUBLE), 9) AS ttr
+              FROM f),
+            bg0 AS (
+              SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                     for i in generate_series(1, len(t)-1)]) AS b
+              FROM f),
+            bgc AS (SELECT doc_id, b, count(*) AS c FROM bg0 GROUP BY 1, 2),
+            bga AS (
+              SELECT doc_id,
+                     round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 9)
+                       AS top_bigram_frac
+              FROM bgc GROUP BY 1),
+            tg0 AS (
+              SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                     for i in generate_series(1, len(t)-2)]) AS g
+              FROM f),
+            tgc AS (SELECT doc_id, g, count(*) AS c FROM tg0 GROUP BY 1, 2),
+            tga AS (
+              SELECT doc_id,
+                     round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 9)
+                       AS dup_trigram_frac
+              FROM tgc GROUP BY 1),
+            d AS (
+              SELECT base.source, base.ttr, bga.top_bigram_frac, tga.dup_trigram_frac,
+                     CASE WHEN base.ttr < 0.30 OR bga.top_bigram_frac > 0.20
+                          THEN 1 ELSE 0 END AS flagged
+              FROM base JOIN bga USING (doc_id) JOIN tga USING (doc_id))
+            SELECT source, count(*) AS n_docs, CAST(sum(flagged) AS BIGINT) AS n_flagged,
+                   round(CAST(sum(CAST(ttr AS DECIMAL(38,9))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 9) AS mean_ttr,
+                   round(CAST(sum(CAST(top_bigram_frac AS DECIMAL(38,9))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 9) AS mean_top_bigram_frac,
+                   round(CAST(sum(CAST(dup_trigram_frac AS DECIMAL(38,9))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 9) AS mean_dup_trigram_frac
+            FROM d GROUP BY source ORDER BY source"""))
+
+  /** BM25 lexical retrieval (Robertson–Spärck Jones; the Lucene-form
+    * idf = ln((N − df + ½)/(df + ½) + 1), k1 = 1.2, b = 0.75): score a
+    * fixed query set against the corpus and keep the top-k docs per
+    * query — the sparse-retrieval baseline that pairs with the dense ANN
+    * surface (q22/q24/q32/q70) in any hybrid (q93 RRF) stack.
+    *
+    * Plan shape: one token pass builds per-(doc, term) tf and per-doc
+    * length; df and the (N, avgdl) scalars are term-/corpus-level
+    * aggregates broadcast back; query terms hit tf as a broadcast semi
+    * pattern, so the only data-sized shuffles are the tf aggregate and
+    * the doc-length join. Per-term contributions ride rounded DECIMAL
+    * sums; the per-query top-k is the native bounded [[TopKAgg]]
+    * (O(queries·k) state, no global sort), ties broken by doc_id —
+    * exactly the oracle's row_number contract.
+    */
+  def bm25TopDocs(docs: DataFrame, queries: Seq[(Int, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val qterms = queries
+      .flatMap { case (qid, q) => q.split(" ").distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    val tf = graft.operators.Components.cut(
+      toks.select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")), None)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(col("t")).cast(DecimalType(38, 0))).cast("double")
+        / count(lit(1)).cast("double")).as("avgdl"))
+    val idf = log((col("n_docs") - col("df").cast("double") + lit(0.5))
+      / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val contrib = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfT.join(broadcast(qterms.select("term").distinct()), "term")), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * col("tf").cast("double") * lit(k1 + 1.0)
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))), 15)
+          .cast(DecimalType(38, 15)).as("c"))
+    // round 12 AFTER the decimal→double conversion: the 128-bit decimal
+    // sums are identical on both engines, but DuckDB's decimal→double
+    // conversion can land 1 ulp off BigDecimal.doubleValue (measured)
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c")).cast("double"), 12).as("score"))
+    val topk = graft.functions.TopKAgg.topK(k)
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("doc_id"), col("t.score").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val Bm25Queries = Seq(
+    1 -> "spark table scan", 2 -> "hash join merge",
+    3 -> "window agg stream", 4 -> "dup filter")
+
+  private val q151 = GraftQuery(
+    "q151_bm25_retrieval",
+    (s, dir) => bm25TopDocs(Tables.documents(s, dir), Bm25Queries),
+    Some {
+      val qvals = Bm25Queries
+        .flatMap { case (qid, q) => q.split(" ").distinct.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      s"""WITH qt(query_id, term) AS (VALUES $qvals),
+            toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents WHERE len(string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')) > 0),
+            tf AS (
+              SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+            tfc AS (SELECT doc_id, dl, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+            dfT AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     CAST(sum(CAST(len(t) AS DECIMAL(38,0))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM toks),
+            contrib AS (
+              SELECT qt.query_id, tfc.doc_id,
+                     CAST(round(
+                       ln((s.n_docs - CAST(dfT.df AS DOUBLE) + 0.5)
+                          / (CAST(dfT.df AS DOUBLE) + 0.5) + 1.0)
+                       * CAST(tfc.tf AS DOUBLE) * 2.2
+                       / (CAST(tfc.tf AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * CAST(tfc.dl AS DOUBLE) / s.avgdl)), 15)
+                       AS DECIMAL(38,15)) AS c
+              FROM tfc JOIN qt USING (term) JOIN dfT USING (term) CROSS JOIN stats s),
+            scored AS (
+              SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 12) AS score
+              FROM contrib GROUP BY 1, 2),
+            ranked AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rn
+              FROM scored)
+            SELECT query_id, CAST(rn AS INT) AS rank, doc_id, score
+            FROM ranked WHERE rn <= 10 ORDER BY query_id, rank"""
+    })
+
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
-      q115, q116, q121, q125, q129, q139)
+      q115, q116, q121, q125, q129, q139, q145, q151)
 }

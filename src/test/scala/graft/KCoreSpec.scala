@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.KCore
+
+/** [[graft.operators.KCore]] synchronous peeling. */
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runMap(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] =
+    KCore.run(edges.toDF("u", "v"), k).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("triangle with a pendant path peels outside-in at k=2") {
+    // 1-2-3 triangle; path 3-4-5: 5 peels r1, 4 peels r2; triangle survives
+    val m = runMap(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)), 2)
+    assert(m === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 2, 5L -> 1))
+  }
+
+  test("star center is peeled AFTER its leaves, not lost") {
+    // center 9 has degree 3 ≥ k; leaves peel r1 stranding it at deg 0 → r2
+    val m = runMap(Seq((1L, 9L), (2L, 9L), (3L, 9L)), 2)
+    assert(m === Map(1L -> 1, 2L -> 1, 3L -> 1, 9L -> 2))
+  }
+
+  test("K4 survives k=3; K4 minus an edge dissolves in two rounds") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(runMap(k4, 3).values.forall(_ == 0))
+    // drop (1,4): 1 and 4 at deg 2 peel r1; 2 and 3 drop to deg 1 → r2
+    val m = runMap(k4.filterNot(_ == ((1L, 4L))), 3)
+    assert(m === Map(1L -> 1, 4L -> 1, 2L -> 2, 3L -> 2))
+  }
+
+  test("maxRounds caps the peel and the remainder is reported as core") {
+    // path 1-2-3-4-5 at k=2 needs 2 rounds to fully dissolve; cap at 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val capped = KCore.run(edges.toDF("u", "v"), 2, maxRounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped === Map(1L -> 1, 5L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
+    val full = runMap(edges, 2)
+    assert(full.values.forall(_ > 0)) // no 2-core in a path
+  }
+}
