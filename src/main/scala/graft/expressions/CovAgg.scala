@@ -1,6 +1,5 @@
 package graft.expressions
 
-import java.math.{BigDecimal => JBigDecimal, BigInteger, RoundingMode}
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -15,23 +14,30 @@ import org.apache.spark.sql.types._
   * interpreted (CodegenFallback) per element: ~10M boxed lambda
   * evaluations per corpus scan dominated the q138 bench time.
   *
-  * Per input row this reads the vector once and accumulates, for every
-  * i ≤ j, `BigDecimal.valueOf(vᵢ·vⱼ).setScale(15, HALF_UP)` into the
-  * (i,j) cell — the exact value the old pipeline's `round(prod, 15)
-  * CAST DECIMAL(38,15)` produced (Spark's Round is the same
-  * valueOf/setScale sequence, and for the |prod| ≲ 4 regime the oracle
-  * validates, the double→decimal re-cast of the rounded double recovers
-  * the same 15-dp decimal). BigDecimal addition is exact and
-  * order-independent, so partial buffers merge partition-order-free —
-  * the same contract the DECIMAL(38,15) SQL sum gave.
+  * Per input row this reads the vector once and, for every i ≤ j,
+  * quantizes `vᵢ·vⱼ` at 15 digits with PURE double arithmetic —
+  * `y = prod·10¹⁵`, then `floor(y + 0.5)` / `ceil(y − 0.5)` (half away
+  * from zero) — and adds the integral result into a per-cell signed
+  * 128-bit register (the [[FixedPointSumAgg]] scheme; the first cut of
+  * this aggregate accumulated `BigDecimal.setScale(15, HALF_UP)` per
+  * product, whose allocation+add cost was most of the remaining q138
+  * bench time). Integer addition is associative, so partial buffers
+  * merge partition-order-free, and a serial engine replays each cell
+  * bit-for-bit as
+  * `CAST(sum(CAST(<half-away-rounded prod·1e15> AS HUGEINT)) AS DOUBLE)
+  * / 1e15` — 128-bit→double conversion is correctly rounded on both
+  * engines.
   *
   * Cells carry their own contribution counts, so ragged vectors degrade
   * exactly like the old per-cell `count(1)`: a row contributes to cell
   * (i,j) iff its dimension exceeds max(i,j). The triangle is indexed
   * j·(j+1)/2 + i — independent of d, so a longer row just extends the
-  * arrays without remapping.
+  * arrays without remapping. Non-finite products are skipped like SQL
+  * nulls; |prod| must stay below ~4.6e3 for the single-long fast path
+  * (normalized-embedding regime), with an exact BigInteger fallback
+  * above it.
   *
-  * Output: array<struct<i int, j int, s decimal(38,15), n bigint>>, upper
+  * Output: array<struct<i int, j int, s double, n bigint>>, upper
   * triangle only (the caller mirrors — products are commutative).
   */
 case class CovOuterSumAgg(
@@ -67,9 +73,7 @@ case class CovOuterSumAgg(
     while (j < buf.d) {
       var i = 0
       while (i <= j) {
-        val dec = Decimal(buf.sums(idx))
-        dec.changePrecision(38, 15)
-        out(idx) = InternalRow(i, j, dec, buf.counts(idx))
+        out(idx) = InternalRow(i, j, buf.cellDouble(idx), buf.counts(idx))
         i += 1
         idx += 1
       }
@@ -79,15 +83,13 @@ case class CovOuterSumAgg(
   }
 
   override def serialize(buf: CovOuterSumAgg.Buf): Array[Byte] = {
-    val parts = (0 until buf.cells).map(i => buf.sums(i).unscaledValue.toByteArray)
-    val bb = ByteBuffer.allocate(
-      4 + parts.map(p => 12 + p.length).sum)
+    val bb = ByteBuffer.allocate(4 + 24 * buf.cells)
     bb.putInt(buf.d)
     var i = 0
     while (i < buf.cells) {
       bb.putLong(buf.counts(i))
-      bb.putInt(parts(i).length)
-      bb.put(parts(i))
+      bb.putLong(buf.hi(i))
+      bb.putLong(buf.lo(i))
       i += 1
     }
     bb.array()
@@ -100,9 +102,8 @@ case class CovOuterSumAgg(
     var i = 0
     while (i < buf.cells) {
       buf.counts(i) = bb.getLong
-      val p = new Array[Byte](bb.getInt)
-      bb.get(p)
-      buf.sums(i) = new JBigDecimal(new BigInteger(p), 15)
+      buf.hi(i) = bb.getLong
+      buf.lo(i) = bb.getLong
       i += 1
     }
     buf
@@ -123,15 +124,17 @@ object CovOuterSumAgg {
     StructType(Seq(
       StructField("i", IntegerType, nullable = false),
       StructField("j", IntegerType, nullable = false),
-      StructField("s", DecimalType(38, 15), nullable = false),
+      StructField("s", DoubleType, nullable = false),
       StructField("n", LongType, nullable = false))),
     containsNull = false)
 
-  private val Zero15 = JBigDecimal.ZERO.setScale(15)
+  private val Pow15 = 1e15
+  private val FastMax = 4.611686018427388e18 // 2^62: single-long quantized bound
 
   final class Buf {
     var d: Int = 0
-    var sums: Array[JBigDecimal] = Array.empty
+    var hi: Array[Long] = Array.empty
+    var lo: Array[Long] = Array.empty
     var counts: Array[Long] = Array.empty
     def cells: Int = d * (d + 1) / 2
 
@@ -140,11 +143,20 @@ object CovOuterSumAgg {
       */
     def resizeTo(nd: Int): Unit = if (nd > d) {
       val nCells = nd * (nd + 1) / 2
-      val ns = Array.fill[JBigDecimal](nCells)(Zero15)
+      val nh = new Array[Long](nCells)
+      val nl = new Array[Long](nCells)
       val nc = new Array[Long](nCells)
-      System.arraycopy(sums, 0, ns, 0, cells)
+      System.arraycopy(hi, 0, nh, 0, cells)
+      System.arraycopy(lo, 0, nl, 0, cells)
       System.arraycopy(counts, 0, nc, 0, cells)
-      d = nd; sums = ns; counts = nc
+      d = nd; hi = nh; lo = nl; counts = nc
+    }
+
+    private def add128(idx: Int, bh: Long, bl: Long): Unit = {
+      val newLo = lo(idx) + bl
+      val carry = ((lo(idx) & bl) | ((lo(idx) | bl) & ~newLo)) >>> 63
+      hi(idx) = hi(idx) + bh + carry
+      lo(idx) = newLo
     }
 
     def add(arr: ArrayData): Unit = {
@@ -159,10 +171,19 @@ object CovOuterSumAgg {
         val vj = v(j)
         var k = 0
         while (k <= j) {
-          val idx = base + k
-          sums(idx) = sums(idx).add(
-            JBigDecimal.valueOf(v(k) * vj).setScale(15, RoundingMode.HALF_UP))
-          counts(idx) += 1L
+          val y = v(k) * vj * Pow15
+          if (!java.lang.Double.isNaN(y) && !java.lang.Double.isInfinite(y)) {
+            val idx = base + k
+            val r = if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+            if (r >= -FastMax && r <= FastMax) {
+              val rl = r.toLong
+              add128(idx, rl >> 63, rl)
+            } else {
+              val big = new java.math.BigDecimal(r).toBigInteger
+              add128(idx, big.shiftRight(64).longValue(), big.longValue())
+            }
+            counts(idx) += 1L
+          }
           k += 1
         }
         j += 1
@@ -173,10 +194,23 @@ object CovOuterSumAgg {
       if (o.d > d) resizeTo(o.d)
       var i = 0
       while (i < o.cells) {
-        sums(i) = sums(i).add(o.sums(i))
+        add128(i, o.hi(i), o.lo(i))
         counts(i) += o.counts(i)
         i += 1
       }
+    }
+
+    /** Cell value as double: exact 128-bit total, correctly-rounded to
+      * double, divided by 10¹⁵ — the SQL twin's sequence.
+      */
+    def cellDouble(idx: Int): Double = {
+      val big = java.math.BigInteger.valueOf(hi(idx)).shiftLeft(64)
+        .add(new java.math.BigInteger(1, {
+          val b = new Array[Byte](8)
+          ByteBuffer.wrap(b).putLong(lo(idx))
+          b
+        }))
+      big.doubleValue() / Pow15
     }
   }
 }

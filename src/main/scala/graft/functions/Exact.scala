@@ -21,4 +21,28 @@ object Exact {
   /** Order-independent mean of a double column, returned as double. */
   def avgD(c: Column, scale: Int = 4): Column =
     (sum(c.cast(DecimalType(30, scale))).cast(DoubleType) / count(c)).cast(DoubleType)
+
+  /** Order-independent sum via the native 128-bit fixed-point
+    * accumulator ([[graft.expressions.FixedPointSumAgg]]) — same
+    * associativity guarantee as [[sumD]] at a fraction of the per-row
+    * cost (one multiply + floor + integer add vs a decimal allocation
+    * and overflow-checked decimal add; measured ~0.4 s/sum/600k rows for
+    * the decimal path). Use for moment-matrix aggregates that take many
+    * sums per scan; the SQL twin is [[sumFxSql]]. Rounds the BINARY
+    * double half-away-from-zero at `scale` digits — numerically
+    * equivalent to, but not bit-for-bit the same contract as, the
+    * decimal cast (which rounds the decimal string); queries must use
+    * the matching twin on both sides.
+    */
+  def sumFx(c: Column, scale: Int = 6): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.FixedPointSumAgg(
+        org.apache.spark.sql.GraftColumnBridge.expression(c.cast(DoubleType)),
+        scale).toAggregateExpression())
+
+  /** DuckDB replay of [[sumFx]] over SQL expression `e`. */
+  def sumFxSql(e: String, scale: Int = 6): String =
+    s"(CAST(sum(CAST(CASE WHEN ($e) * 1e$scale >= 0" +
+      s" THEN floor(($e) * 1e$scale + 0.5)" +
+      s" ELSE ceil(($e) * 1e$scale - 0.5) END AS HUGEINT)) AS DOUBLE) / 1e$scale)"
 }

@@ -10,10 +10,10 @@ import org.apache.spark.sql.types.DecimalType
   * Covariance: each row's upper-triangle outer products are accumulated
   * IN the row by one native aggregate ([[graft.expressions
   * .CovOuterSumAgg]] — no join, no per-product row explosion, no shuffle
-  * beyond the final ≤ d²-cell merge) with products rounded at 15 dp into
-  * exact decimal partials, so the sums are partition-order independent
-  * and a serial engine replays them bit-for-bit. Shuffle volume is
-  * O(partitions · d²), not O(rows · d²).
+  * beyond the final ≤ d²-cell merge) with products quantized at 15
+  * digits into exact 128-bit fixed-point partials, so the sums are
+  * partition-order independent and a serial engine replays them
+  * bit-for-bit. Shuffle volume is O(partitions · d²), not O(rows · d²).
   *
   * Power iteration: the collected matrix is d² doubles — BOUNDED driver
   * state (4096 cells at d = 64; the same bounded-collect contract as the
@@ -27,15 +27,16 @@ import org.apache.spark.sql.types.DecimalType
 object Pca {
 
   /** Covariance cells (i, j, c) — d² rows, c = round(S_ij/n − m_i·m_j, 12)
-    * with decimal-exact S and m. Population (1/n) normalization.
+    * with fixed-point-exact S and decimal-exact m. Population (1/n)
+    * normalization.
     */
   def covariance(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val e = col(vecCol)
     // upper triangle in ONE native aggregate pass
-    // ([[graft.expressions.CovOuterSumAgg]] — same rounded-decimal cell
-    // sums the old posexplode/DECIMAL-sum pipeline produced, without d²
-    // interpreted lambda evaluations per row), mirrored afterwards: the
-    // per-row product set is symmetric (x_i·x_j = x_j·x_i bit-exactly)
+    // ([[graft.expressions.CovOuterSumAgg]] — 128-bit fixed-point cell
+    // sums, no d² interpreted lambda evaluations or decimal allocations
+    // per row), mirrored afterwards: the per-row product set is
+    // symmetric (x_i·x_j = x_j·x_i bit-exactly)
     val aggCol = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.CovOuterSumAgg(
         org.apache.spark.sql.GraftColumnBridge.expression(

@@ -669,8 +669,7 @@ object SimilarityQueries {
               FROM ex GROUP BY 1),
             cells AS (
               SELECT a.dim AS i, b.dim AS j,
-                     CAST(sum(CAST(round(a.x * b.x, 15) AS DECIMAL(38,15)))
-                       AS DOUBLE) AS s
+                     ${graft.functions.Exact.sumFxSql("a.x * b.x", 15)} AS s
               FROM ex a JOIN ex b USING (vec_id)
               GROUP BY 1, 2),
             cc AS (
