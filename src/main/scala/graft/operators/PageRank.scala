@@ -138,4 +138,98 @@ object PageRank {
     }
   }
 
+  /** Personalized PageRank: teleportation lands on a SEED set instead of
+    * uniformly — rank becomes "authority relative to the seeds" (random
+    * walk with restart), the form recommendation and related-item
+    * pipelines actually run. Differences from [[run]], which is otherwise
+    * mirrored expression-for-expression:
+    *
+    *   r₀(v)   = round(rv(v), 12)
+    *   r_k(v)  = round((1−d)·rv(v) + d·(Σ contrib + dm·rv(v)), 12)
+    *
+    * where rv(v) = 1/|S| on seeds, 0 elsewhere — both the teleport AND
+    * the dangling fold follow the reset distribution (mass returns to the
+    * seeds, not to the whole graph). rv rides one extra same-key join per
+    * round against a persisted (node, rv) frame; the seed count stays
+    * in-plan via a broadcast scalar, so the per-row 1/|S| division is the
+    * identical IEEE op a serial replay performs. Seeds not present in the
+    * graph are ignored (inner join against the node census).
+    */
+  def runPersonalized(
+      edges: DataFrame, srcCol: String, dstCol: String, seeds: DataFrame,
+      weightCol: Option[String] = None,
+      iterations: Int = 10, damping: Double = 0.85,
+      checkpointEvery: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+
+    val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // reset distribution: 1/|S∩V| on the surviving seeds, 0 elsewhere;
+    // the seed count stays in-plan (broadcast) so the division is the
+    // same per-row IEEE op the serial replay performs
+    val seedNodes = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .join(nodes, "node")
+    val sn = seedNodes.agg(count(lit(1)).cast("double").as("sn"))
+    val reset = nodes
+      .join(seedNodes.withColumn("__seed", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(sn))
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(1.0) / col("sn")).otherwise(lit(0.0)).as("rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val outW = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w").cast(DecimalType(38, 15))).cast("double").as("out_w"))
+    val norm = e
+      .select(col("src").as("node"), col("dst"), col("w"))
+      .join(outW, "node")
+      .filter(col("out_w") > 0)
+      .select(col("node"), col("dst"), (col("w") / col("out_w")).as("frac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emitters = norm.select("node").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = reset.select(col("node"), round(col("rv"), 12).as("rank"))
+    try {
+      for (i <- 1 to iterations) {
+        val contribs = ranks
+          .join(norm, "node")
+          .select(col("dst").as("node"),
+            round(col("rank") * col("frac"), 15)
+              .cast(DecimalType(38, 15)).as("c"))
+          .groupBy("node")
+          .agg(sum(col("c")).cast("double").as("contrib"))
+        val dangling = ranks
+          .join(emitters, Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank").cast(DecimalType(38, 15))), lit(0))
+            .cast("double").as("dm"))
+        val next = ranks
+          .join(contribs, Seq("node"), "left")
+          .join(reset, "node")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"),
+            round(lit(1 - damping) * col("rv")
+              + lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") * col("rv")),
+              12).as("rank"))
+        ranks = Components.cut(next,
+          if (i % checkpointEvery == 0 || i == iterations) checkpointDir else None)
+      }
+      ranks
+    } finally {
+      nodes.unpersist()
+      norm.unpersist()
+      emitters.unpersist()
+      reset.unpersist()
+      e.unpersist()
+    }
+  }
+
 }

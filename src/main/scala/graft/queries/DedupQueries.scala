@@ -427,10 +427,14 @@ object DedupQueries {
             WHERE dot / (na.nrm * nb.nrm) >= 0.6
             ORDER BY doc_a, doc_b"""))
 
-  /** Benchmark decontamination: flag training documents sharing any
-    * k-token shingle with a held-out evaluation set — the standard
-    * n-gram-overlap test-set-leak check (GPT-3 §B ran 13-gram overlap;
-    * k = 8 here because the synthetic docs are short). The eval set is a
+  /** Benchmark-contamination REPORT: per-source counts and rates of
+    * training documents sharing any k-token shingle with a held-out
+    * evaluation set — the standard n-gram-overlap test-set-leak check
+    * (GPT-3 §B ran 13-gram overlap; k = 8 here because the synthetic
+    * docs are short). q51 (`Curation.decontaminate`, 3-gram, ≥3 shared)
+    * is the FILTER that drops offenders from the corpus; this is the
+    * audit view that quantifies leak pressure per source under a
+    * stricter long-n-gram/any-overlap contract. The eval set is a
     * deterministic slice (doc_id ≡ 0 mod 11) so both engines derive it
     * identically; real pipelines substitute the benchmark corpus.
     *

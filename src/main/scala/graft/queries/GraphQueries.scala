@@ -603,5 +603,79 @@ object GraphQueries {
         .orderBy("node"),
     Some(kcoreOracle))
 
-  val all: Seq[GraftQuery] = Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153)
+  private val PprIters = 5
+
+  /** Serial replay of [[graft.operators.PageRank.runPersonalized]]: the
+    * q108 recurrence with the teleport vector rv = 1/|S| on the region-0
+    * seed nations (0 elsewhere) in place of 1/n — both the (1−d) restart
+    * term and the dangling fold scale by rv.
+    */
+  private def pprOracle: String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH edges AS MATERIALIZED (
+         SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS DOUBLE) AS w
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         GROUP BY 1, 2),
+       nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       sv AS MATERIALIZED (
+         SELECT DISTINCT n_name AS node FROM nation WHERE n_regionkey = 0
+         INTERSECT SELECT node FROM nodes),
+       snn AS (SELECT CAST(count(*) AS DOUBLE) AS sn FROM sv),
+       rv AS MATERIALIZED (
+         SELECT n.node,
+                CASE WHEN n.node IN (SELECT node FROM sv)
+                     THEN 1.0 / snn.sn ELSE 0.0 END AS rv
+         FROM nodes n CROSS JOIN snn),
+       outw AS (SELECT src AS node,
+                       CAST(sum(CAST(w AS DECIMAL(38,15))) AS DOUBLE) AS out_w
+                FROM edges GROUP BY 1),
+       norm AS MATERIALIZED (SELECT e.src AS node, e.dst, e.w / o.out_w AS frac
+                FROM edges e JOIN outw o ON e.src = o.node WHERE o.out_w > 0),
+       r0 AS MATERIALIZED (SELECT node, round(rv, 12) AS rank FROM rv)""")
+    for (i <- 1 to PprIters) {
+      val p = s"r${i - 1}"
+      sb.append(s""",
+       c$i AS (SELECT nm.dst AS node,
+                      CAST(sum(CAST(round(r.rank * nm.frac, 15) AS DECIMAL(38,15)))
+                        AS DOUBLE) AS contrib
+               FROM $p r JOIN norm nm ON r.node = nm.node GROUP BY 1),
+       d$i AS (SELECT CAST(coalesce(sum(CAST(r.rank AS DECIMAL(38,15))), 0)
+                        AS DOUBLE) AS dm
+               FROM $p r WHERE r.node NOT IN (SELECT node FROM norm)),
+       r$i AS MATERIALIZED (SELECT v.node,
+                      round((1 - CAST($PrDamping AS DOUBLE)) * v.rv
+                          + CAST($PrDamping AS DOUBLE)
+                            * (coalesce(c.contrib, 0.0) + d.dm * v.rv),
+                        12) AS rank
+               FROM rv v LEFT JOIN c$i c ON v.node = c.node
+               CROSS JOIN d$i d)""")
+    }
+    sb.append(s"\n       SELECT node, rank FROM r$PprIters ORDER BY node")
+    sb.toString
+  }
+
+  /** Personalized PageRank from the region-0 nations
+    * ([[graft.operators.PageRank.runPersonalized]]): authority RELATIVE
+    * to a seed bloc — random walk with restart, the related-items form.
+    * Nations outside the seeds' trade orbit score ~0 instead of the
+    * global-PageRank floor (q108's (1−d)/n), which is the point: the
+    * teleport vector localizes the ranking.
+    */
+  private val q156 = GraftQuery(
+    "q156_personalized_pagerank",
+    (s, dir) =>
+      graft.operators.PageRank.runPersonalized(
+        tradeEdges(s, dir), "src", "dst",
+        seeds = Tables.nation(s, dir).filter(col("n_regionkey") === 0).select("n_name"),
+        weightCol = Some("w"), iterations = PprIters, damping = PrDamping)
+        .orderBy("node"),
+    Some(pprOracle))
+
+  val all: Seq[GraftQuery] =
+    Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156)
 }

@@ -279,5 +279,195 @@ object StatsQueries {
             FROM p GROUP BY 1
             ORDER BY cnt DESC, path LIMIT 20"""))
 
-  def all: Seq[GraftQuery] = Seq(q131, q132, q133, q134)
+  /** Population-stability-index drift detection: per event type, the PSI
+    * of the `value` distribution between the first and second halves of
+    * the event horizon — the standard ML-ops drift score (PSI < 0.1
+    * stable, > 0.25 shifted). The time split is the integer midpoint of
+    * the epoch-µs range; bins are 10 equal-width intervals from the
+    * REFERENCE half's per-type min/max (the q133 scheme), with current
+    * values clamped into the edge bins; shares are Laplace-smoothed
+    * ((cnt+1)/(n+10)) over a dense type×bin spine so empty bins
+    * contribute finitely instead of ±∞.
+    *
+    * Plan shape: one scalar split broadcast, one per-type edge aggregate
+    * broadcast (≤ |types| rows), one (type, half, bin) hash aggregate,
+    * and a ≤ 10·|types|-row spine join — nothing grows with the corpus
+    * except the single binning scan. Per-bin contributions ride
+    * [[graft.functions.Exact.sumFx]]'s fixed-point accumulator. Types
+    * whose reference half is degenerate (min = max) or that miss a half
+    * entirely drop out identically on both engines.
+    */
+  def psiDrift(events: DataFrame, nBins: Int = 10): DataFrame = {
+    val ev = events.select(col("event_type"),
+      unix_micros(col("ts")).as("us"), col("value"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val tagged = ev.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("us") <= col("mid"), lit("ref")).otherwise(lit("cur")))
+    val edges = tagged.filter(col("half") === "ref")
+      .groupBy("event_type")
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .filter(col("hi") > col("lo"))
+      .withColumn("w", (col("hi") - col("lo")) / lit(nBins.toDouble))
+    val binned = tagged.join(broadcast(edges), "event_type")
+      .withColumn("bin",
+        least(greatest(floor((col("value") - col("lo")) / col("w")), lit(0L)),
+          lit(nBins - 1L)))
+      .groupBy("event_type", "half", "bin").agg(count(lit(1)).as("cnt"))
+    val totals = binned.groupBy("event_type", "half").agg(sum(col("cnt")).as("n"))
+    val dense = edges.select(col("event_type"))
+      .select(col("event_type"), explode(expr(s"sequence(0L, ${nBins - 1}L)")).as("bin"))
+      .select(col("event_type"), col("bin"),
+        explode(array(lit("ref"), lit("cur"))).as("half"))
+      .join(binned, Seq("event_type", "half", "bin"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .join(totals, Seq("event_type", "half"))
+    val wide = dense.groupBy("event_type", "bin").agg(
+      max(when(col("half") === "ref", col("cnt"))).as("rc"),
+      max(when(col("half") === "cur", col("cnt"))).as("cc"),
+      max(when(col("half") === "ref", col("n"))).as("rn"),
+      max(when(col("half") === "cur", col("n"))).as("cn"))
+      .filter(col("rn").isNotNull && col("cn").isNotNull)
+    val p = (col("rc") + 1).cast("double") / (col("rn") + nBins).cast("double")
+    val q = (col("cc") + 1).cast("double") / (col("cn") + nBins).cast("double")
+    wide
+      .withColumn("contrib", (q - p) * log(q / p))
+      .groupBy("event_type")
+      .agg(max(col("rn")).as("n_ref"), max(col("cn")).as("n_cur"),
+        round(graft.functions.Exact.sumFx(col("contrib"), 15), 9).as("psi"))
+      .orderBy("event_type")
+  }
+
+  private val q154 = GraftQuery(
+    "q154_psi_drift",
+    (s, dir) => psiDrift(Tables.events(s, dir)),
+    Some(s"""WITH ev AS (
+              SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+              FROM events),
+            mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+            tagged AS (
+              SELECT event_type, value,
+                     CASE WHEN us <= mid THEN 'ref' ELSE 'cur' END AS half
+              FROM ev CROSS JOIN mid),
+            edges AS (
+              SELECT event_type, min(value) AS lo, max(value) AS hi,
+                     (max(value) - min(value)) / 10.0 AS w
+              FROM tagged WHERE half = 'ref'
+              GROUP BY 1 HAVING max(value) > min(value)),
+            binned AS (
+              SELECT t.event_type, t.half,
+                     least(greatest(CAST(floor((t.value - e.lo) / e.w) AS BIGINT), 0), 9) AS bin,
+                     count(*) AS cnt
+              FROM tagged t JOIN edges e USING (event_type)
+              GROUP BY 1, 2, 3),
+            totals AS (
+              SELECT event_type, half, sum(cnt) AS n FROM binned GROUP BY 1, 2),
+            spine AS (
+              SELECT e.event_type, b.bin, h.half
+              FROM edges e
+              CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b
+              CROSS JOIN (SELECT unnest(['ref', 'cur']) AS half) h),
+            dense AS (
+              SELECT s.event_type, s.half, s.bin,
+                     coalesce(bi.cnt, 0) AS cnt, t.n
+              FROM spine s
+              LEFT JOIN binned bi
+                ON s.event_type = bi.event_type AND s.half = bi.half AND s.bin = bi.bin
+              JOIN totals t ON s.event_type = t.event_type AND s.half = t.half),
+            wide AS (
+              SELECT event_type, bin,
+                     max(CASE WHEN half = 'ref' THEN cnt END) AS rc,
+                     max(CASE WHEN half = 'cur' THEN cnt END) AS cc,
+                     max(CASE WHEN half = 'ref' THEN n END) AS rn,
+                     max(CASE WHEN half = 'cur' THEN n END) AS cn
+              FROM dense GROUP BY 1, 2),
+            contrib AS (
+              SELECT event_type, rn, cn,
+                     (CAST(cc + 1 AS DOUBLE) / CAST(cn + 10 AS DOUBLE)
+                      - CAST(rc + 1 AS DOUBLE) / CAST(rn + 10 AS DOUBLE))
+                     * ln((CAST(cc + 1 AS DOUBLE) / CAST(cn + 10 AS DOUBLE))
+                          / (CAST(rc + 1 AS DOUBLE) / CAST(rn + 10 AS DOUBLE))) AS c
+              FROM wide WHERE rn IS NOT NULL AND cn IS NOT NULL)
+            SELECT event_type,
+                   CAST(max(rn) AS BIGINT) AS n_ref, CAST(max(cn) AS BIGINT) AS n_cur,
+                   round(${graft.functions.Exact.sumFxSql("c", 15)}, 9) AS psi
+            FROM contrib GROUP BY event_type ORDER BY event_type"""))
+
+  /** Theil–Sen robust trend per event type: the median of all pairwise
+    * slopes of the daily-count series — insensitive to the outlier days
+    * that drag q111's OLS around (breakdown point 29%). Day indices come
+    * from one broadcast origin; the pair join is per-type and bounded by
+    * the CALENDAR (d days → d(d−1)/2 slope rows per type — 435 at a
+    * 30-day horizon), not by the corpus, so the quadratic is in a
+    * clock-bounded dimension, the same contract as q43's frames. The
+    * median is exact: row_number under the (slope, i1, i2) total order,
+    * middle element (odd) or mean of the two middles (even) — both
+    * engines replay the identical rank arithmetic.
+    */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("i"), col("c"))
+    val slopes = idx.select(col("event_type"), col("i").as("i1"), col("c").as("c1"))
+      .join(idx.select(col("event_type"), col("i").as("i2"), col("c").as("c2")),
+        "event_type")
+      .filter(col("i1") < col("i2"))
+      .select(col("event_type"), col("i1"), col("i2"),
+        ((col("c2") - col("c1")).cast("double")
+          / (col("i2") - col("i1")).cast("double")).as("slope"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("slope"), col("i1"), col("i2"))
+    val cnt = slopes.groupBy("event_type")
+      .agg(count(lit(1)).as("m"))
+    val nDays = idx.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(cnt), "event_type")
+      .filter(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("m div 2 + 1"))
+      .groupBy("event_type", "m")
+      .agg(round(sum(col("slope")) / count(lit(1)), 9).as("theil_sen_slope"))
+      .join(broadcast(nDays), "event_type")
+      .select(col("event_type"), col("n_days"), col("m").as("n_pairs"),
+        col("theil_sen_slope"))
+      .orderBy("event_type")
+  }
+
+  private val q155 = GraftQuery(
+    "q155_theil_sen_trend",
+    (s, dir) => theilSenTrend(Tables.events(s, dir)),
+    Some("""WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2),
+            d0 AS (SELECT min(day) AS d0 FROM daily),
+            idx AS (
+              SELECT event_type, CAST(day - d0 AS BIGINT) AS i, c
+              FROM daily CROSS JOIN d0),
+            slopes AS (
+              SELECT a.event_type, a.i AS i1, b.i AS i2,
+                     CAST(b.c - a.c AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
+              FROM idx a JOIN idx b USING (event_type)
+              WHERE a.i < b.i),
+            ranked AS (
+              SELECT event_type, slope,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY slope, i1, i2) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS m
+              FROM slopes),
+            med AS (
+              SELECT event_type, m,
+                     round(sum(slope) / count(*), 9) AS theil_sen_slope
+              FROM ranked
+              WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+              GROUP BY 1, 2),
+            nd AS (SELECT event_type, count(*) AS n_days FROM idx GROUP BY 1)
+            SELECT m.event_type, nd.n_days, m.m AS n_pairs, m.theil_sen_slope
+            FROM med m JOIN nd USING (event_type)
+            ORDER BY event_type"""))
+
+  def all: Seq[GraftQuery] = Seq(q131, q132, q133, q134, q154, q155)
 }

@@ -960,12 +960,14 @@ object TextQueries {
             FROM est CROSS JOIN tot
             ORDER BY word"""))
 
-  /** Per-source repetition profile — the Gopher/C4-style repetition rules
-    * (Rae et al. 2021 §A2 applied the same family: duplicate-line and
-    * top-n-gram fractions) that catch boilerplate and degenerate
-    * completion loops q16's shape-based quality score cannot: a document
-    * can have perfect length/stopword stats and still be one sentence
-    * repeated 40 times. Three per-doc signals, then a per-source rollup:
+  /** Per-SOURCE repetition profile — the corpus-health rollup over the
+    * Gopher/C4 repetition family. q53 is the row-level FILTER (native
+    * one-pass `RepetitionStatsExpr`, per-doc keep/drop); this is the
+    * MONITORING view a pipeline runs beside it: aggregate flag rates and
+    * mean signals per source, the numbers that say "crawl X degraded
+    * this week" rather than "drop this doc". It also adds the
+    * duplicate-trigram fraction q53's expression does not track. Three
+    * per-doc signals, then the per-source rollup:
     *
     *   - `ttr`               type–token ratio (distinct/total tokens)
     *   - `top_bigram_frac`   most frequent bigram's share of all bigrams

@@ -72,6 +72,33 @@ class PageRankSpec extends SparkSpec {
     rank
   }
 
+  test("personalized: teleport confines mass to the seed component") {
+    // two disconnected triangles; seeding {a} keeps all mass in a's
+    // component — the far triangle scores exactly 0 every round
+    val g = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+      ("d", "e", 1.0), ("e", "f", 1.0), ("f", "d", 1.0))
+    val r = PageRank.runPersonalized(
+      g.toDF("src", "dst", "w"), "src", "dst",
+      seeds = Seq("a").toDF("node"), weightCol = Some("w"), iterations = 8)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("d") === 0.0 && r("e") === 0.0 && r("f") === 0.0, r.toString)
+    assert(math.abs(r.values.sum - 1.0) < 1e-8, s"mass: ${r.values.sum}")
+    // every node the walk can reach from the seed carries mass
+    assert(r("a") > 0 && r("b") > 0 && r("c") > 0, r.toString)
+  }
+
+  test("personalized: seeds outside the graph are ignored; dangling mass returns to seeds") {
+    // b is dangling; teleport + dangling fold both land on seed a
+    val g = Seq(("a", "b", 1.0))
+    val r = PageRank.runPersonalized(
+      g.toDF("src", "dst", "w"), "src", "dst",
+      seeds = Seq("a", "zzz").toDF("node"), weightCol = Some("w"), iterations = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set("a", "b"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-8, s"mass: ${r.values.sum}")
+    assert(r("a") > r("b"), r.toString)
+  }
+
   test("checkpoint cadence does not change the result") {
     val g = Seq(("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("a", "c", 1.0))
     val every2 = ranksOf(g, iters = 7, checkpointEvery = 2)

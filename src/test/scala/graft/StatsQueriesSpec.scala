@@ -104,4 +104,38 @@ class StatsQueriesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("a" -> 1L, "b" -> 1L))
   }
+
+  test("psiDrift: identical halves score near zero, a level shift scores high") {
+    // type "same": both halves uniform on {10,20,30}; type "shifted":
+    // ref on {10,20,30}, cur concentrated at 90.
+    def half(tpe: String, day: Int, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) =>
+        (tpe, ts(f"2024-01-$day%02d 12:${i % 60}%02d:00"), v)
+      }
+    val rows =
+      half("same", 1, Seq(10, 20, 30, 10, 20, 30)) ++
+        half("same", 28, Seq(10, 20, 30, 10, 20, 30)) ++
+        half("shifted", 1, Seq(10, 20, 30, 10, 20, 30)) ++
+        half("shifted", 28, Seq(90, 90, 90, 90, 90, 90))
+    val ev = rows.toDF("event_type", "ts", "value")
+    val got = StatsQueries.psiDrift(ev).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    assert(math.abs(got("same")) < 0.05, s"same=${got("same")}")
+    // hand value ≈ 0.49: bin9 (q−p)ln(q/p) ≈ 0.212, bins 0 and 5 ≈ 0.137 each
+    assert(got("shifted") > 0.3, s"shifted=${got("shifted")}")
+  }
+
+  test("theilSenTrend: median slope shrugs off the outlier day OLS can't") {
+    // daily counts 1,2,3,4,5 ... except day 2 spikes to 40 events: the
+    // pairwise-slope median stays 1 (date: one event per unit of count)
+    val rows = (0 to 5).flatMap { d =>
+      val n = if (d == 2) 40 else d + 1
+      (1 to n).map(k => ("a", ts(f"2024-02-${d + 1}%02d 0${k % 10}:0${k / 10 % 6}:00")))
+    }
+    val ev = rows.toDF("event_type", "ts")
+    val r = StatsQueries.theilSenTrend(ev).collect().head
+    assert(r.getAs[Long]("n_days") === 6L)
+    assert(r.getAs[Long]("n_pairs") === 15L)
+    assert(r.getAs[Double]("theil_sen_slope") === 1.0)
+  }
 }
