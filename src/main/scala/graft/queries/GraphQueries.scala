@@ -56,17 +56,28 @@ object GraphQueries {
     * ride DECIMAL(38,15) and each round's rank rounds at 12 dp, exactly
     * as the operator does.
     */
-  private def pagerankOracle: String = {
-    val sb = new StringBuilder
-    sb.append(s"""WITH edges AS MATERIALIZED (
-         SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS DOUBLE) AS w
+  private def pagerankOracle: String =
+    pagerankOracleOver(
+      """SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS DOUBLE) AS w
          FROM lineitem l
          JOIN orders o ON l.l_orderkey = o.o_orderkey
          JOIN customer c ON o.o_custkey = c.c_custkey
          JOIN supplier s ON l.l_suppkey = s.s_suppkey
          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
          JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-         GROUP BY 1, 2),
+         GROUP BY 1, 2""",
+      "SELECT node, rank FROM rFINAL ORDER BY node")
+
+  /** [[pagerankOracle]]'s round chain over a caller-supplied `edges`
+    * body (must yield src, dst, w) and final SELECT (the literal
+    * `rFINAL` is substituted with the last round's CTE name) — q108 and
+    * q158 share the recurrence, only the graph and the output clause
+    * differ.
+    */
+  private def pagerankOracleOver(edgesBody: String, finalSelect: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH edges AS MATERIALIZED (
+         $edgesBody),
        nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        outw AS (SELECT src AS node,
@@ -93,7 +104,7 @@ object GraphQueries {
                FROM nodes n2 LEFT JOIN c$i c ON n2.node = c.node
                CROSS JOIN d$i d CROSS JOIN nn)""")
     }
-    sb.append(s"\n       SELECT node, rank FROM r$PrIters ORDER BY node")
+    sb.append("\n       " + finalSelect.replace("rFINAL", s"r$PrIters"))
     sb.toString
   }
 
@@ -676,6 +687,88 @@ object GraphQueries {
         .orderBy("node"),
     Some(pprOracle))
 
+  /** Harmonic centrality ([[graft.operators.Harmonic]], all-sources BFS,
+    * 8-hop bound) on the above-average trade subgraph: which nations sit
+    * closest to everyone in the major-route network — the distance-based
+    * complement to q108's flow-based authority. The oracle replays the
+    * bounded multi-source closure as a recursive CTE (triple dedup +
+    * hop cap, the q126 scheme) and the identical 1/d fixed-point sum.
+    */
+  private val q157 = GraftQuery(
+    "q157_harmonic_centrality",
+    (s, dir) =>
+      graft.operators.Harmonic.run(aboveAvgUndirected(s, dir), maxHops = 8)
+        .orderBy("node"),
+    // the recursive closure needs the RECURSIVE marker on the WITH block
+    Some(s"""${undCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       nb AS MATERIALIZED (SELECT u AS s, v AS d FROM und
+             UNION SELECT v, u FROM und),
+       nodesu AS (SELECT DISTINCT s AS node FROM nb),
+       r AS (
+         SELECT node AS src, node AS node, 0 AS dist FROM nodesu
+         UNION
+         SELECT r.src, nb.d, r.dist + 1 FROM r JOIN nb ON nb.s = r.node
+         WHERE r.dist < 8),
+       m AS (SELECT src, node, min(dist) AS dist FROM r GROUP BY 1, 2)
+       SELECT CAST(src AS BIGINT) AS node, count(*) AS n_reached,
+              round(${graft.functions.Exact.sumFxSql("1.0 / CAST(dist AS DOUBLE)", 15)}, 12)
+                AS harmonic
+       FROM m WHERE dist > 0 GROUP BY src ORDER BY node"""))
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — words co-occurring within a ±2 token
+    * window are edges weighted by co-occurrence count, run undirected
+    * (each normalized pair emitted in both directions), top-15 words by
+    * stationary rank. The graph-centrality complement to q115's TF-IDF
+    * keywords: TextRank needs no document frequency table, only local
+    * context. Composes two existing pieces — the q109-style narrow
+    * array-transform pair extraction (no posexplode self-join) and the
+    * q108 [[graft.operators.PageRank]] recurrence — and the oracle
+    * reuses q108's unrolled round chain over the word-graph CTE.
+    */
+  private val q158 = GraftQuery(
+    "q158_textrank_keywords",
+    (s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val t = Tables.documents(s, dir).select(tokens(col("text")).as("t"))
+      def gapPairs(g: Int) = t.select(explode(expr(
+        s"transform(sequence(1, size(t) - $g), i -> struct(t[i-1] AS a, t[i+${g - 1}] AS b))"))
+        .as("p"))
+      val cnt = gapPairs(1).unionByName(gapPairs(2))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b") && length(col("a")) > 0 && length(col("b")) > 0)
+        .select(least(col("a"), col("b")).as("w1"), greatest(col("a"), col("b")).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c"))
+      val edges = cnt.select(col("w1").as("src"), col("w2").as("dst"), col("c").as("w"))
+        .unionByName(cnt.select(col("w2").as("src"), col("w1").as("dst"), col("c").as("w")))
+      graft.operators.PageRank.run(edges, "src", "dst", Some("w"),
+        iterations = PrIters, damping = PrDamping)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(15)
+        .select(col("node").as("word"), col("rank"))
+    },
+    Some(pagerankOracleOver(
+      """WITH norm AS (
+           SELECT string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+           FROM documents),
+         co AS (
+           SELECT p.a AS a, p.b AS b FROM (
+             SELECT unnest([struct_pack(a := t[i], b := t[i+1])
+                            for i in generate_series(1, len(t)-1)]) AS p
+             FROM norm
+             UNION ALL
+             SELECT unnest([struct_pack(a := t[i], b := t[i+2])
+                            for i in generate_series(1, len(t)-2)]) AS p
+             FROM norm)
+           WHERE p.a <> p.b AND len(p.a) > 0 AND len(p.b) > 0),
+         cnt AS (
+           SELECT least(a, b) AS w1, greatest(a, b) AS w2, count(*) AS c
+           FROM co GROUP BY 1, 2)
+         SELECT w1 AS src, w2 AS dst, CAST(c AS DOUBLE) AS w FROM cnt
+         UNION ALL
+         SELECT w2, w1, CAST(c AS DOUBLE) FROM cnt""",
+      "SELECT node AS word, rank FROM rFINAL ORDER BY rank DESC, word LIMIT 15")))
+
   val all: Seq[GraftQuery] =
-    Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156)
+    Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156, q157, q158)
 }

@@ -695,9 +695,130 @@ object SimilarityQueries {
             FROM cv JOIN vv v ON v.dim = cv.i CROSS JOIN lam
             ORDER BY dim"""))
 
+  /** Nearest-centroid classification with per-label evaluation: every
+    * embedding is assigned the label of its most cosine-similar q57
+    * centroid, and the confusion rolls up to per-label precision /
+    * recall / F1 — the standard "are these labels linearly separable in
+    * embedding space" probe, and the supervised complement to q130's
+    * unsupervised cluster purity.
+    *
+    * Plan shape: centroids follow the q57 decimal contract (means
+    * rounded 12 BEFORE any cosine, the q117 rule) and broadcast — the
+    * scoring join fans each vector's long form out by |labels| on the
+    * `dim` key, so the work is rows·d·|labels| map-side products into
+    * per-(vec, label) decimal sums; argmax is a |labels|-row window per
+    * vector under the (cos DESC, label) total order, ties to the
+    * smaller label on both engines. F1's 0/0 (a label never predicted
+    * and never correct) scores 0, not NaN.
+    */
+  private val q159 = GraftQuery(
+    "q159_nearest_centroid_eval",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(round((sum(col("v").cast("double").cast(DecimalType(38, 20)))
+          .cast("double") / count(lit(1))).cast("double"), 12).as("m"))
+      val cnorm = cent.groupBy("label")
+        .agg(sqrt(sum(round(col("m") * col("m"), 15).cast(DecimalType(38, 15)))
+          .cast("double")).as("nc"))
+      val ex = emb.select(col("vec_id"), col("label").as("true_label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val vnorm = ex.groupBy("vec_id")
+        .agg(sqrt(sum(round(col("v") * col("v"), 15).cast(DecimalType(38, 15)))
+          .cast("double")).as("nv"))
+      val dots = ex.join(broadcast(cent), "dim")
+        .groupBy("vec_id", "true_label", "label")
+        .agg(sum(round(col("v") * col("m"), 15).cast(DecimalType(38, 15)))
+          .cast("double").as("dot"))
+      val scored = dots
+        .join(vnorm, "vec_id").join(broadcast(cnorm), "label")
+        .withColumn("cos", round(col("dot") / (col("nv") * col("nc")), 12))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("label").asc)
+      val pred = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("true_label"), col("label").as("pred_label"))
+      val byTrue = pred.groupBy(col("true_label").as("label"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+      val byPred = pred.groupBy(col("pred_label").as("label"))
+        .agg(count(lit(1)).as("n_pred"))
+      val p = col("n_correct").cast("double") / col("n_pred").cast("double")
+      val r = col("n_correct").cast("double") / col("n_true").cast("double")
+      byTrue.join(byPred, Seq("label"), "left")
+        .select(col("label"), col("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("n_correct"))
+        .withColumn("precision",
+          when(col("n_pred") === 0, lit(0.0)).otherwise(round(p, 9)))
+        .withColumn("recall", round(r, 9))
+        .withColumn("f1",
+          when(col("n_pred") === 0 || col("n_correct") === 0, lit(0.0))
+            .otherwise(round(lit(2.0) * p * r / (p + r), 9)))
+        .orderBy("label")
+    },
+    Some("""WITH ex AS (
+              SELECT vec_id, label AS true_label, dim, CAST(v AS DOUBLE) AS v
+              FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                           unnest(generate_series(0, len(embedding) - 1)) AS dim
+                    FROM embeddings)),
+            cent AS (
+              SELECT true_label AS label, dim,
+                     round(CAST(sum(CAST(v AS DECIMAL(38,20))) AS DOUBLE)
+                       / count(*), 12) AS m
+              FROM ex GROUP BY 1, 2),
+            cnorm AS (
+              SELECT label,
+                     sqrt(CAST(sum(CAST(round(m * m, 15) AS DECIMAL(38,15))) AS DOUBLE)) AS nc
+              FROM cent GROUP BY 1),
+            vnorm AS (
+              SELECT vec_id,
+                     sqrt(CAST(sum(CAST(round(v * v, 15) AS DECIMAL(38,15))) AS DOUBLE)) AS nv
+              FROM ex GROUP BY 1),
+            dots AS (
+              SELECT e.vec_id, e.true_label, c.label,
+                     CAST(sum(CAST(round(e.v * c.m, 15) AS DECIMAL(38,15))) AS DOUBLE) AS dot
+              FROM ex e JOIN cent c USING (dim)
+              GROUP BY 1, 2, 3),
+            scored AS (
+              SELECT d.vec_id, d.true_label, d.label,
+                     round(d.dot / (v.nv * c.nc), 12) AS cos
+              FROM dots d JOIN vnorm v USING (vec_id) JOIN cnorm c USING (label)),
+            pred AS (
+              SELECT vec_id, true_label, label AS pred_label FROM (
+                SELECT vec_id, true_label, label,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, label) AS rn
+                FROM scored)
+              WHERE rn = 1),
+            bt AS (
+              SELECT true_label AS label, count(*) AS n_true,
+                     CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_correct
+              FROM pred GROUP BY 1),
+            bp AS (SELECT pred_label AS label, count(*) AS n_pred FROM pred GROUP BY 1)
+            SELECT bt.label, bt.n_true,
+                   CAST(coalesce(bp.n_pred, 0) AS BIGINT) AS n_pred, bt.n_correct,
+                   CASE WHEN coalesce(bp.n_pred, 0) = 0 THEN 0.0
+                        ELSE round(CAST(bt.n_correct AS DOUBLE) / CAST(bp.n_pred AS DOUBLE), 9)
+                   END AS precision,
+                   round(CAST(bt.n_correct AS DOUBLE) / CAST(bt.n_true AS DOUBLE), 9) AS recall,
+                   CASE WHEN coalesce(bp.n_pred, 0) = 0 OR bt.n_correct = 0 THEN 0.0
+                        ELSE round(2.0 * (CAST(bt.n_correct AS DOUBLE) / CAST(bp.n_pred AS DOUBLE))
+                               * (CAST(bt.n_correct AS DOUBLE) / CAST(bt.n_true AS DOUBLE))
+                               / ((CAST(bt.n_correct AS DOUBLE) / CAST(bp.n_pred AS DOUBLE))
+                                  + (CAST(bt.n_correct AS DOUBLE) / CAST(bt.n_true AS DOUBLE))), 9)
+                   END AS f1
+            FROM bt LEFT JOIN bp USING (label)
+            ORDER BY label"""))
+
   // def, not val: q24/q32/q70 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
   def all: Seq[GraftQuery] =
     Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128, q130, q137,
-      q138, q142)
+      q138, q142, q159)
 }
