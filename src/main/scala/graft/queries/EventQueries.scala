@@ -1122,9 +1122,54 @@ object EventQueries {
                    round(mean_after, 9) AS mean_after, shift
             FROM best WHERE rn = 1 ORDER BY event_type"""))
 
+  /** DAU / trailing-7-day WAU stickiness — the product-engagement ratio
+    * every growth dashboard carries, and a DISTINCT-over-sliding-window
+    * problem that q26's sliding counts can't express (distinct is not
+    * decomposable across overlapping windows). The scalable shape: user
+    * activity collapses to DISTINCT (user, day) first, the calendar day
+    * spine (≤ days rows, broadcast) range-joins onto it so each activity
+    * row fans out to at most 7 spine days — linear in activity, never
+    * |days|·|events| — and the per-day distinct is one exact aggregate.
+    * q110's weekly retention shares the activity frame shape; this is
+    * the rolling, overlap-window view of the same signal.
+    */
+  def stickiness(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val act = graft.operators.Components.cut(
+      events.select(col("user_id"), to_date(col("ts")).as("day")).distinct(), None)
+    val days = act.select("day").distinct()
+    val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = broadcast(days)
+      .join(act.select(col("user_id"), col("day").as("aday")),
+        col("aday") >= date_sub(col("day"), 6) && col("aday") <= col("day"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+    days.join(dau, "day").join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 9).as("stickiness"))
+      .orderBy("day")
+  }
+
+  private val q160 = GraftQuery(
+    "q160_dau_wau_stickiness",
+    (s, dir) => stickiness(Tables.events(s, dir)),
+    Some("""WITH act AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+              FROM events),
+            days AS (SELECT DISTINCT day FROM act),
+            dau AS (SELECT day, count(*) AS dau FROM act GROUP BY 1),
+            wau AS (
+              SELECT d.day, count(DISTINCT a.user_id) AS wau
+              FROM days d JOIN act a
+                ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+              GROUP BY 1)
+            SELECT d.day, dau.dau, w.wau,
+                   round(CAST(dau.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 9) AS stickiness
+            FROM days d JOIN dau USING (day) JOIN wau w ON d.day = w.day
+            ORDER BY d.day"""))
+
   // def, not val: q29/q66/q67 land estimate parquet and their oracle SQL
   // must embed the path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
-      q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152)
+      q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152, q160)
 }

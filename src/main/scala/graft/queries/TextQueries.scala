@@ -1063,11 +1063,17 @@ object TextQueries {
                      / CAST(count(*) AS DOUBLE), 9) AS mean_dup_trigram_frac
             FROM d GROUP BY source ORDER BY source"""))
 
-  /** BM25 lexical retrieval (Robertson–Spärck Jones; the Lucene-form
-    * idf = ln((N − df + ½)/(df + ½) + 1), k1 = 1.2, b = 0.75): score a
-    * fixed query set against the corpus and keep the top-k docs per
-    * query — the sparse-retrieval baseline that pairs with the dense ANN
-    * surface (q22/q24/q32/q70) in any hybrid (q93 RRF) stack.
+  /** BATCHED BM25 retrieval: score a SET of queries against the corpus
+    * in one pass and keep the top-k docs per query — the serving-shaped
+    * form of q54's single-query scorer (one fixed term list, global sort
+    * + limit). What changes at query-set scale: tf/df/dl build once for
+    * all queries, each query fans out only to its own matching
+    * occurrences via a broadcast term join, and per-query top-k runs
+    * through the native bounded [[TopKAgg]] instead of a global sort —
+    * O(queries·k) selection state no matter how many queries ride the
+    * batch. Same Lucene-form idf = ln((N − df + ½)/(df + ½) + 1),
+    * k1 = 1.2, b = 0.75; the sparse side of any hybrid (q93 RRF) stack
+    * next to the dense ANN surface (q22/q24/q32/q70).
     *
     * Plan shape: one token pass builds per-(doc, term) tf and per-doc
     * length; df and the (N, avgdl) scalars are term-/corpus-level

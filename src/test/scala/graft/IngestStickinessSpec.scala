@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand ground truths for DAU/WAU stickiness (q160) and the PERMISSIVE
+  * CSV quarantine contract behind q161.
+  */
+class IngestStickinessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stickiness: rolling distinct window counts each user once") {
+    // day1: users {1,2}; day2: {2}; day9: {1} (outside day2's window)
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (2L, "2024-01-01 12:00:00"), // same user+day: must not double-count
+      (2L, "2024-01-02 10:00:00"),
+      (1L, "2024-01-09 10:00:00"))
+      .toDF("user_id", "tss")
+      .select(col("user_id"), to_timestamp(col("tss")).as("ts"))
+    val got = graft.queries.EventQueries.stickiness(ev).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("2024-01-01") === ((2L, 2L, 1.0)))
+    assert(got("2024-01-02") === ((1L, 2L, 0.5))) // window covers day1 too
+    assert(got("2024-01-09") === ((1L, 1L, 1.0))) // day2 is 7 days back: outside
+  }
+
+  test("PERMISSIVE csv parse lanes malformed rows without losing good ones") {
+    val dir = tmpDir("graft_csvq")
+    val f = new java.io.PrintWriter(s"$dir/t.csv", "UTF-8")
+    f.println("8,100,12.5")
+    f.println("oops,not-a-long,nah")
+    f.println("16,200,2.5")
+    f.close()
+    val raw = spark.read
+      .schema("k long, c long, v double, _bad string")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(s"$dir/t.csv")
+      .cache()
+    val good = raw.filter(col("_bad").isNull)
+    val bad = raw.filter(col("_bad").isNotNull)
+    assert(good.count() === 2L && bad.count() === 1L)
+    assert(good.agg(sum("k")).head.getLong(0) === 24L)
+    assert(bad.head.getAs[String]("_bad") === "oops,not-a-long,nah")
+  }
+}
