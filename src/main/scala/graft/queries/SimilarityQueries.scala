@@ -722,19 +722,19 @@ object SimilarityQueries {
         .groupBy("label", "dim")
         .agg(round((sum(col("v").cast("double").cast(DecimalType(38, 20)))
           .cast("double") / count(lit(1))).cast("double"), 12).as("m"))
+      // dots and norms ride the fixed-point accumulator: the long-form
+      // scoring join is rows·d·|labels| products, and the decimal-sum
+      // form was most of the query's bench time (4.3 s at sf0.1)
       val cnorm = cent.groupBy("label")
-        .agg(sqrt(sum(round(col("m") * col("m"), 15).cast(DecimalType(38, 15)))
-          .cast("double")).as("nc"))
+        .agg(sqrt(graft.functions.Exact.sumFx(col("m") * col("m"), 15)).as("nc"))
       val ex = emb.select(col("vec_id"), col("label").as("true_label"),
           posexplode(col("embedding")).as(Seq("dim", "v")))
         .withColumn("v", col("v").cast("double"))
       val vnorm = ex.groupBy("vec_id")
-        .agg(sqrt(sum(round(col("v") * col("v"), 15).cast(DecimalType(38, 15)))
-          .cast("double")).as("nv"))
+        .agg(sqrt(graft.functions.Exact.sumFx(col("v") * col("v"), 15)).as("nv"))
       val dots = ex.join(broadcast(cent), "dim")
         .groupBy("vec_id", "true_label", "label")
-        .agg(sum(round(col("v") * col("m"), 15).cast(DecimalType(38, 15)))
-          .cast("double").as("dot"))
+        .agg(graft.functions.Exact.sumFx(col("v") * col("m"), 15).as("dot"))
       val scored = dots
         .join(vnorm, "vec_id").join(broadcast(cnorm), "label")
         .withColumn("cos", round(col("dot") / (col("nv") * col("nc")), 12))
@@ -773,15 +773,15 @@ object SimilarityQueries {
               FROM ex GROUP BY 1, 2),
             cnorm AS (
               SELECT label,
-                     sqrt(CAST(sum(CAST(round(m * m, 15) AS DECIMAL(38,15))) AS DOUBLE)) AS nc
+                     sqrt((CAST(sum(CAST(CASE WHEN (m * m) * 1e15 >= 0 THEN floor((m * m) * 1e15 + 0.5) ELSE ceil((m * m) * 1e15 - 0.5) END AS HUGEINT)) AS DOUBLE) / 1e15)) AS nc
               FROM cent GROUP BY 1),
             vnorm AS (
               SELECT vec_id,
-                     sqrt(CAST(sum(CAST(round(v * v, 15) AS DECIMAL(38,15))) AS DOUBLE)) AS nv
+                     sqrt((CAST(sum(CAST(CASE WHEN (v * v) * 1e15 >= 0 THEN floor((v * v) * 1e15 + 0.5) ELSE ceil((v * v) * 1e15 - 0.5) END AS HUGEINT)) AS DOUBLE) / 1e15)) AS nv
               FROM ex GROUP BY 1),
             dots AS (
               SELECT e.vec_id, e.true_label, c.label,
-                     CAST(sum(CAST(round(e.v * c.m, 15) AS DECIMAL(38,15))) AS DOUBLE) AS dot
+                     (CAST(sum(CAST(CASE WHEN (e.v * c.m) * 1e15 >= 0 THEN floor((e.v * c.m) * 1e15 + 0.5) ELSE ceil((e.v * c.m) * 1e15 - 0.5) END AS HUGEINT)) AS DOUBLE) / 1e15) AS dot
               FROM ex e JOIN cent c USING (dim)
               GROUP BY 1, 2, 3),
             scored AS (

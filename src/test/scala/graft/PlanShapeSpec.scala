@@ -90,7 +90,18 @@ class PlanShapeSpec extends SparkSpec {
       "q93_rrf_fusion", "q94_quality_deciles", "q96_quantile_normalize",
       "q98_heavy_hitters", "q102_token_kl_divergence", "q103_unigram_surprisal",
       "q104_pmi_cooccurrence", "q105_cube_agg", "q106_event_transitions",
-      "q107_winsorize")
+      "q107_winsorize",
+      // round-7 declarative additions (loop-driven queries — k-core,
+      // harmonic, PPR — execute jobs at plan-build time and are audited
+      // by their own operator specs instead). q160's day-spine range
+      // join IS a BroadcastNestedLoopJoin by design (≤ |days| broadcast
+      // rows, ≤ 7 fan-out per activity row) — the assert is on
+      // CartesianProduct, which stays banned.
+      "q145_repetition_rules", "q146_decontamination", "q147_seasonal_anomaly",
+      "q148_adamic_adar", "q149_basket_rules", "q150_rfm_segments",
+      "q151_bm25_retrieval", "q152_mean_shift_changepoint", "q154_psi_drift",
+      "q155_theil_sen_trend", "q159_nearest_centroid_eval",
+      "q160_dau_wau_stickiness")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
