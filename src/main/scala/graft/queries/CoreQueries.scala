@@ -360,6 +360,44 @@ object CoreQueries {
                         source: 'VARCHAR', n_chars: 'BIGINT'})
              ORDER BY doc_id"""))
 
+  /** Wide→long reshaping via the native `unpivot` (melt): the four
+    * lineitem measures stack into (measure, value) rows, then one
+    * aggregate profiles each measure — the schema-normalization step
+    * that feeds generic per-metric pipelines (q133 histograms, q154
+    * drift) without one branch per physical column. Unpivot is a NARROW
+    * projection (each input row emits |measures| rows map-side, no
+    * shuffle, no Generate-join), so the only exchange is the 4-group
+    * aggregate; the oracle replays it as the equivalent UNION ALL
+    * stack. Sums ride the fixed-point accumulator.
+    */
+  private val q162 = GraftQuery(
+    "q162_unpivot_measures",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          ids = Array.empty[org.apache.spark.sql.Column],
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "measure", valueColumnName = "value")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"),
+          round(graft.functions.Exact.sumFx(col("value"), 6), 6).as("sum_v"))
+        .orderBy("measure"),
+    Some(s"""WITH long AS (
+              SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', l_tax FROM lineitem)
+            SELECT measure, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+                   round(${graft.functions.Exact.sumFxSql("value", 6)}, 6) AS sum_v
+            FROM long GROUP BY measure ORDER BY measure"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q34, q45, q89)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q34, q45,
+      q89, q162)
 }
