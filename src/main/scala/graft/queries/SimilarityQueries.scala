@@ -816,9 +816,109 @@ object SimilarityQueries {
             FROM bt LEFT JOIN bp USING (label)
             ORDER BY label"""))
 
+  private val MmrLambda = 0.7
+  private val MmrShortlist = 12
+  private val MmrK = 5
+
+  /** Serial replay of the q163 MMR selection: the exact-cosine top-12
+    * shortlist and its pairwise sims (both rounded 12 BEFORE any MMR
+    * arithmetic), then the greedy rounds unrolled — each picks the
+    * argmax of round(λ·rel − (1−λ)·maxSim, 12) under an (mmr DESC,
+    * n_id) total order. `(1 - 0.7)` is written as the expression, not
+    * 0.3: Spark computes the coefficient the same way and the binary
+    * doubles must match.
+    */
+  private def mmrOracle: String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       scored AS (
+         SELECT q_id, b.vec_id AS n_id, ${cosSql("qe", "b.embedding")} AS cos
+         FROM q, embeddings b WHERE b.vec_id <> q_id),
+       short AS MATERIALIZED (
+         SELECT q_id, n_id, round(cos, 12) AS rel FROM (
+           SELECT q_id, n_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+           FROM scored) WHERE rk <= $MmrShortlist),
+       sims AS MATERIALIZED (
+         SELECT s1.q_id, s1.n_id, s2.n_id AS m_id,
+                round(${cosSql("a.embedding", "b.embedding")}, 12) AS sim
+         FROM short s1 JOIN short s2 ON s1.q_id = s2.q_id AND s1.n_id <> s2.n_id
+         JOIN embeddings a ON a.vec_id = s1.n_id
+         JOIN embeddings b ON b.vec_id = s2.n_id),
+       selall1 AS MATERIALIZED (
+         SELECT q_id, n_id, rel, round($MmrLambda * rel, 12) AS mmr, 1 AS step FROM (
+           SELECT q_id, n_id, rel,
+                  row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk
+           FROM short) WHERE rk = 1)""")
+    for (i <- 2 to MmrK) {
+      val p = s"selall${i - 1}"
+      sb.append(s""",
+       pen$i AS (
+         SELECT s.q_id, s.n_id, s.rel, max(m.sim) AS pen
+         FROM short s
+         JOIN sims m ON m.q_id = s.q_id AND m.n_id = s.n_id
+         JOIN $p x ON x.q_id = m.q_id AND x.n_id = m.m_id
+         WHERE NOT EXISTS (SELECT 1 FROM $p y
+                           WHERE y.q_id = s.q_id AND y.n_id = s.n_id)
+         GROUP BY 1, 2, 3),
+       sel$i AS (
+         SELECT q_id, n_id, rel, mmr, $i AS step FROM (
+           SELECT q_id, n_id, rel,
+                  round($MmrLambda * rel - (1 - $MmrLambda) * pen, 12) AS mmr,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY round($MmrLambda * rel - (1 - $MmrLambda) * pen, 12) DESC,
+                             n_id) AS rk
+           FROM pen$i) WHERE rk = 1),
+       selall$i AS MATERIALIZED (
+         SELECT * FROM $p UNION ALL SELECT q_id, n_id, rel, mmr, step FROM sel$i)""")
+    }
+    sb.append(s"""
+       SELECT q_id, step, n_id, rel, mmr FROM selall$MmrK ORDER BY q_id, step""")
+    sb.toString
+  }
+
+  /** MMR-diversified top-k retrieval (maximal marginal relevance,
+    * Carbonell & Goldstein 1998): per query, greedily select k docs
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected —
+    * the rerank that stops a result page being five near-duplicates,
+    * sitting directly downstream of this file's ANN shortlists.
+    *
+    * Scale contract: the greedy loop is inherently sequential in k, but
+    * every step is data-parallel ACROSS queries and all state is
+    * shortlist-bounded — top-12 candidates per query (the exact
+    * [[NearDup.knnBruteForce]] baseline; the LSH/IVF paths slot in at
+    * corpus scale) and ≤ 12² pairwise sims per query, so the k unrolled
+    * steps each cost one anti join + one bounded max-aggregate + one
+    * per-query argmax window, independent of corpus size. All cosines
+    * round at 12 BEFORE selection so both engines pick identical
+    * argmaxes.
+    */
+  private val q163 = GraftQuery(
+    "q163_mmr_diversified_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val short = graft.operators.Components.cut(
+        graft.operators.NearDup.knnBruteForce(
+          emb.filter(col("vec_id") < 10), emb, k = MmrShortlist)
+          .select(col("q_id"), col("n_id"), round(col("cos"), 12).as("rel")), None)
+      val sims = graft.operators.Components.cut(
+        short.select(col("q_id"), col("n_id"))
+          .join(short.select(col("q_id"), col("n_id").as("m_id")), "q_id")
+          .filter(col("n_id") =!= col("m_id"))
+          .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("ea")), "n_id")
+          .join(emb.select(col("vec_id").as("m_id"), col("embedding").as("eb")), "m_id")
+          .select(col("q_id"), col("n_id"), col("m_id"),
+            round(graft.functions.Similarity.cosine(col("ea"), col("eb")), 12).as("sim")),
+        None)
+      graft.operators.Mmr.select(short, sims, MmrLambda, MmrK)
+        .orderBy("q_id", "step")
+    },
+    Some(mmrOracle))
+
   // def, not val: q24/q32/q70 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
   def all: Seq[GraftQuery] =
     Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128, q130, q137,
-      q138, q142, q159)
+      q138, q142, q159, q163)
 }

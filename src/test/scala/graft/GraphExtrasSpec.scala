@@ -59,4 +59,37 @@ class GraphExtrasSpec extends SparkSpec {
       assert(r.getAs[Double]("f1") === 1.0, r.toString)
     }
   }
+  test("MMR picks the diverse candidate over the redundant higher-rel one") {
+    import spark.implicits._
+    // one query; c1 rel .9848, c2 rel .9781 but sim(c2,c1)=.9994 (near-dup),
+    // c3 rel .9063 with sim(c3,c1)=.8192. Step2 scores (lambda=0.7):
+    // c2: .7*.9781-.3*.9994=.38485 < c3: .7*.9063-.3*.8192=.38865 -> c3.
+    val short = Seq(
+      (0L, 10L, 0.9848), (0L, 11L, 0.9781), (0L, 12L, 0.9063))
+      .toDF("q_id", "n_id", "rel")
+    val sims = Seq(
+      (0L, 10L, 11L, 0.9994), (0L, 11L, 10L, 0.9994),
+      (0L, 10L, 12L, 0.8192), (0L, 12L, 10L, 0.8192),
+      (0L, 11L, 12L, 0.7314), (0L, 12L, 11L, 0.7314))
+      .toDF("q_id", "n_id", "m_id", "sim")
+    val sel = graft.operators.Mmr.select(short, sims, lambda = 0.7, k = 3)
+      .orderBy("step").collect()
+    assert(sel.map(_.getAs[Long]("n_id")).toSeq === Seq(10L, 12L, 11L))
+    // a pure-relevance ranking would give 10, 11, 12 — diversification is
+    // exactly the step-2 swap
+    val s2 = sel(1)
+    assert(math.abs(s2.getAs[Double]("mmr") - (0.7 * 0.9063 - (1 - 0.7) * 0.8192)) < 1e-9)
+  }
+
+  test("MMR stops early for queries with fewer than k candidates") {
+    import spark.implicits._
+    val short = Seq((0L, 1L, 0.9), (0L, 2L, 0.8), (1L, 7L, 0.5))
+      .toDF("q_id", "n_id", "rel")
+    val sims = Seq((0L, 1L, 2L, 0.1), (0L, 2L, 1L, 0.1))
+      .toDF("q_id", "n_id", "m_id", "sim")
+    val sel = graft.operators.Mmr.select(short, sims, lambda = 0.7, k = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("step"), r.getLong(2)))
+    assert(sel.count(_._1 == 0L) === 2)
+    assert(sel.count(_._1 == 1L) === 1) // q1 has one candidate: step 1 only
+  }
 }

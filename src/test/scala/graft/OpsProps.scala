@@ -292,4 +292,29 @@ object OpsProps extends Properties("Operators") {
       routedCorrectly && got == label
     }
   }
+  // fixed-point 128-bit sum == serial BigInteger reference, any partitioning
+  property("Exact.sumFx == serial fixed-point reference") = {
+    val valGen = Gen.oneOf(
+      Gen.chooseNum(-1.0e4, 1.0e4),
+      Gen.chooseNum(-1.0, 1.0),
+      Gen.oneOf(0.005, -0.005, 0.0, -0.0, 1.0e12))
+    Prop.forAllNoShrink(
+      Gen.listOfN(60, valGen), Gen.chooseNum(1, 7), Gen.oneOf(0, 2, 6)) {
+      (xs, parts, scale) =>
+        import spark.implicits._
+        val pow = math.pow(10.0, scale)
+        val expect = xs
+          .map { x =>
+            val y = x * pow
+            val r = if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+            new java.math.BigDecimal(r).toBigInteger
+          }
+          .foldLeft(java.math.BigInteger.ZERO)(_.add(_))
+          .doubleValue() / pow
+        val got = xs.toDF("x").repartition(parts)
+          .agg(graft.functions.Exact.sumFx(col("x"), scale))
+          .head.getDouble(0)
+        java.lang.Double.compare(got, expect) == 0
+    }
+  }
 }
