@@ -1174,9 +1174,88 @@ object TextQueries {
             FROM ranked WHERE rn <= 10 ORDER BY query_id, rank"""
     })
 
+  private val TrgmPatterns = Seq("spark table", "hash join", "table scan", "slow merge")
+
+  /** Character-trigram substring search (the pg_trgm idea): answer
+    * `LIKE '%pattern%'` through a trigram posting index instead of a
+    * full-corpus scan — candidates are docs containing ALL of the
+    * pattern's character trigrams (posting intersection, cost bounded by
+    * the rarest trigram's document frequency), then exact containment
+    * verifies each candidate. The char-level sibling of q125's
+    * word-shingle postings: this one accelerates arbitrary substring
+    * predicates, which no tokenized index can.
+    *
+    * Plan shape: one trigram pass builds distinct (doc, trigram)
+    * postings; the pattern trigram table is tiny and broadcast; the
+    * ALL-trigrams check is a count == n_trigrams filter on one hash
+    * aggregate; verification touches only the candidates. Emitted
+    * per-pattern precision documents the index's filtering power
+    * (candidates that fail verification are the trigram index's false
+    * positives — trigrams present but not contiguous).
+    */
+  def trigramSearch(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val patTg = patterns.flatMap { p =>
+      val t = p.sliding(3).toSeq.distinct
+      t.map(tg => (p, tg, t.size.toLong))
+    }.toDF("pattern", "tg", "n_tg")
+    val norm = docs.select(col("doc_id"), normalizeText(col("text")).as("nt"))
+    val post = norm.select(col("doc_id"), explode(array_distinct(expr(
+      "CASE WHEN length(nt) >= 3 THEN transform(sequence(1, length(nt) - 2), i -> substring(nt, i, 3)) ELSE array() END")))
+      .as("tg"))
+    val cand = post.join(broadcast(patTg), "tg")
+      .groupBy("pattern", "n_tg", "doc_id")
+      .agg(count(lit(1)).as("hit"))
+      .filter(col("hit") === col("n_tg"))
+    cand
+      .join(norm, "doc_id")
+      .withColumn("matched", expr("instr(nt, pattern) > 0"))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("matched"), 1L).otherwise(0L)).as("n_matches"))
+      .withColumn("index_precision",
+        round(col("n_matches").cast("double") / col("n_candidates").cast("double"), 9))
+      .orderBy("pattern")
+  }
+
+  private val q164 = GraftQuery(
+    "q164_trigram_substring_search",
+    (s, dir) => trigramSearch(Tables.documents(s, dir), TrgmPatterns),
+    Some {
+      val patVals = TrgmPatterns.flatMap { p =>
+        val t = p.sliding(3).toSeq.distinct
+        t.map(tg => s"('${p}', '${tg}', ${t.size})")
+      }.mkString(", ")
+      s"""WITH pat(pattern, tg, n_tg) AS (VALUES $patVals),
+            d AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS nt
+              FROM documents),
+            post AS (
+              SELECT doc_id, unnest(list_distinct(
+                       CASE WHEN length(nt) >= 3
+                            THEN [substring(nt, i, 3) for i in generate_series(1, length(nt) - 2)]
+                            ELSE CAST([] AS VARCHAR[]) END)) AS tg
+              FROM d),
+            cand AS (
+              SELECT p.pattern, p.n_tg, post.doc_id, count(*) AS hit
+              FROM post JOIN pat p USING (tg)
+              GROUP BY 1, 2, 3 HAVING count(*) = p.n_tg),
+            v AS (
+              SELECT c.pattern,
+                     CASE WHEN position(c.pattern IN d.nt) > 0 THEN 1 ELSE 0 END AS matched
+              FROM cand c JOIN d ON c.doc_id = d.doc_id)
+            SELECT pattern, count(*) AS n_candidates,
+                   CAST(sum(matched) AS BIGINT) AS n_matches,
+                   round(CAST(sum(matched) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+                     AS index_precision
+            FROM v GROUP BY pattern ORDER BY pattern"""
+    })
+
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
-      q115, q116, q121, q125, q129, q139, q145, q151)
+      q115, q116, q121, q125, q129, q139, q145, q151, q164)
 }

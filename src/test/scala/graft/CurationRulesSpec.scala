@@ -128,4 +128,19 @@ class CurationRulesSpec extends SparkSpec {
     assert(r.getAs[Long]("common_neighbors") === 2L)
     assert(math.abs(r.getAs[Double]("aa_score") - 2.0 / math.log(3.0)) < 1e-9)
   }
+  test("trigramSearch: non-contiguous trigrams are candidates but fail verification") {
+    // doc 1 contains "abcdef" contiguously; doc 2 carries every trigram of
+    // the pattern (abc bcd cde def via "abcde" + "bcdef") but never the
+    // contiguous string; doc 3 shares no trigrams
+    val d = docs(
+      (1L, "s", "xx abcdef yy"),
+      (2L, "s", "abcde zz bcdef"),
+      (3L, "s", "totally unrelated"))
+    val out = graft.queries.TextQueries.trigramSearch(d, Seq("abcdef")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_candidates") === 2L) // docs 1 and 2
+    assert(r.getAs[Long]("n_matches") === 1L)    // only doc 1 verifies
+    assert(r.getAs[Double]("index_precision") === 0.5)
+  }
 }
