@@ -769,6 +769,66 @@ object GraphQueries {
          SELECT w2, w1, CAST(c AS DOUBLE) FROM cnt""",
       "SELECT node AS word, rank FROM rFINAL ORDER BY rank DESC, word LIMIT 15")))
 
+  private val KTrussK = 4
+  private val KTrussRounds = 8
+
+  /** Serial replay of [[graft.operators.KTruss.run]]: per unrolled
+    * round, edge support from the triangle wedge join (LEFT-joined so
+    * triangle-free edges read support 0), peel set = edges with support
+    * < k−2. Monotone ⇒ rounds past the fixpoint are no-ops (the q153
+    * argument).
+    */
+  private def ktrussOracle: String = {
+    val sb = new StringBuilder(undCte)
+    sb.append(""",
+       e0 AS MATERIALIZED (SELECT u, v FROM und)""")
+    for (i <- 1 to KTrussRounds) {
+      val p = i - 1
+      sb.append(s""",
+       nb$i AS (SELECT u AS node, v AS nbr FROM e$p
+                UNION ALL SELECT v, u FROM e$p),
+       sup$i AS (
+         SELECT e.u, e.v, count(*) AS support
+         FROM e$p e
+         JOIN nb$i a ON a.node = e.u
+         JOIN nb$i b ON b.node = e.v AND b.nbr = a.nbr
+         GROUP BY 1, 2),
+       rem$i AS MATERIALIZED (
+         SELECT e.u, e.v, $i AS peel_round
+         FROM e$p e LEFT JOIN sup$i s ON e.u = s.u AND e.v = s.v
+         WHERE coalesce(s.support, 0) < ${KTrussK - 2}),
+       e$i AS MATERIALIZED (
+         SELECT e.u, e.v FROM e$p e
+         WHERE NOT EXISTS (SELECT 1 FROM rem$i r WHERE r.u = e.u AND r.v = e.v))""")
+    }
+    val rems = (1 to KTrussRounds).map(i => s"SELECT u, v, peel_round FROM rem$i")
+      .mkString("\n         UNION ALL ")
+    sb.append(s"""
+       SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+              CAST(peel_round AS INT) AS peel_round
+       FROM (SELECT u, v, 0 AS peel_round FROM e$KTrussRounds
+             UNION ALL $rems)
+       ORDER BY u, v""")
+    sb.toString
+  }
+
+  /** k-truss decomposition ([[graft.operators.KTruss]], k = 4) of the
+    * above-average trade subgraph: every edge labeled with the peel
+    * round that removed it (0 = inside the 4-truss). The EDGE-density
+    * complement to q153's k-core — a node can sit in a dense core while
+    * its individual links carry no triangles; the truss keeps only
+    * triangle-reinforced relationships, the standard community-backbone
+    * filter.
+    */
+  private val q165 = GraftQuery(
+    "q165_ktruss_trade",
+    (s, dir) =>
+      graft.operators.KTruss.run(
+        aboveAvgUndirected(s, dir), k = KTrussK, maxRounds = KTrussRounds)
+        .select(col("u"), col("v"), col("peel_round").cast("int").as("peel_round"))
+        .orderBy("u", "v"),
+    Some(ktrussOracle))
+
   val all: Seq[GraftQuery] =
-    Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156, q157, q158)
+    Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156, q157, q158, q165)
 }

@@ -2,7 +2,8 @@ package graft
 
 import graft.operators.KCore
 
-/** [[graft.operators.KCore]] synchronous peeling. */
+/** [[graft.operators.KCore]] and [[graft.operators.KTruss]] synchronous
+  * peeling. */
 class KCoreSpec extends SparkSpec {
   import spark.implicits._
 
@@ -38,5 +39,28 @@ class KCoreSpec extends SparkSpec {
     assert(capped === Map(1L -> 1, 5L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
     val full = runMap(edges, 2)
     assert(full.values.forall(_ > 0)) // no 2-core in a path
+  }
+  private def trussMap(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Int] =
+    graft.operators.KTruss.run(edges.toDF("u", "v"), k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+
+  test("k-truss: triangle with a tail — the tail edge peels, the triangle survives k=3") {
+    val m = trussMap(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)), 3)
+    assert(m((3L, 4L)) === 1)
+    assert(m((1L, 2L)) === 0 && m((1L, 3L)) === 0 && m((2L, 3L)) === 0)
+  }
+
+  test("k-truss: cascade — losing one triangle edge dissolves the dependent one") {
+    // two triangles sharing edge (2,3): 123 and 234, plus tail 4-5.
+    // k=4 (support >= 2): only (2,3) has support 2; all others 1 -> round 1
+    // removes them, (2,3) drops to 0 -> round 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val m = trussMap(edges, 4)
+    assert(m((2L, 3L)) === 2, m.toString)
+    assert(m((4L, 5L)) === 1)
+    assert(m((1L, 2L)) === 1 && m((3L, 4L)) === 1)
+    // K5 survives k=4 (every edge in 3 triangles)
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    assert(trussMap(k5, 4).values.forall(_ === 0))
   }
 }
