@@ -830,7 +830,96 @@ object AdvancedQueries {
             FROM sub WHERE o_orderkey % 96 = 0
             ORDER BY lane"""))
 
+  /** Time-series resample with LINEAR interpolation — q99's LOCF sibling
+    * for signals where holding the last value flat is wrong (gauges,
+    * rates): every empty spine hour gets
+    * v = prev + (next − prev)·(t − prev_t)/(next_t − prev_t) between its
+    * bracketing observations. The bracket comes from the SAME custom
+    * as-of merge-scan run twice — backward as-is, forward on the negated
+    * hour axis (an as-of over −t IS the next-observation join, no new
+    * operator needed) — so the scale contract is q99's: corpus-sized
+    * work is the pre-aggregation; the per-key scans see only the
+    * calendar-bounded resampled series. Hours outside [first, last]
+    * observation interpolate to NULL on both engines (no extrapolation);
+    * an exact-hit hour short-circuits to its own value (the 0/0 guard).
+    */
+  private val q167 = GraftQuery(
+    "q167_resample_linear_interp",
+    (s, dir) => {
+      val HourUs = 3600000000L
+      val ev = Tables.events(s, dir)
+      val bounds = ev.agg(
+        expr(s"min(unix_micros(ts) div ${HourUs}L)").as("h0"),
+        expr(s"max(unix_micros(ts) div ${HourUs}L)").as("h1"))
+      val spine = ev.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+      // sparse signal: hourly mean value where the hour is observed at all
+      // (purchases only — purchases and errors — sparse signals whose empty hours interpolate)
+      val obs = ev.filter(col("event_type").isin("purchase", "error"))
+        .filter(col("value") >= 200)
+        .groupBy(col("event_type"), expr(s"unix_micros(ts) div ${HourUs}L").as("hr"))
+        .agg(round(Exact.sumD(col("value"))
+          / count(lit(1)).cast("double"), 9).as("v"))
+      val spine2 = spine.filter(col("event_type").isin("purchase", "error"))
+      val back = AsOfJoin.asOf(
+        spine2, obs, Seq("event_type"), "hr", "hr",
+        rightPayload = Seq("hr", "v"), prefix = "prev_")
+      val fwd = AsOfJoin.asOf(
+        back.withColumn("nhr", -col("hr")),
+        obs.select(col("event_type"), (-col("hr")).as("nhr"),
+          col("hr").as("ohr"), col("v")),
+        Seq("event_type"), "nhr", "nhr",
+        rightPayload = Seq("ohr", "v"), prefix = "next_")
+        .drop("nhr")
+      fwd
+        .withColumn("interp",
+          when(col("prev_hr").isNull || col("next_ohr").isNull, lit(null))
+            .when(col("next_ohr") === col("prev_hr"), round(col("prev_v"), 9))
+            .otherwise(round(
+              col("prev_v") + (col("next_v") - col("prev_v"))
+                * (col("hr") - col("prev_hr")).cast("double")
+                / (col("next_ohr") - col("prev_hr")).cast("double"), 9)))
+        .select(col("event_type"), col("hr"), col("prev_hr"),
+          col("next_ohr").as("next_hr"), col("interp"))
+        .orderBy("event_type", "hr")
+    },
+    Some("""WITH b AS (
+              SELECT CAST(epoch_us(min(CAST(ts AS TIMESTAMP))) // 3600000000 AS BIGINT) AS h0,
+                     CAST(epoch_us(max(CAST(ts AS TIMESTAMP))) // 3600000000 AS BIGINT) AS h1
+              FROM events),
+            t AS (SELECT DISTINCT event_type FROM events
+                  WHERE event_type IN ('purchase', 'error')),
+            spine AS (
+              SELECT t.event_type, unnest(generate_series(b.h0, b.h1)) AS hr
+              FROM t, b),
+            obs AS (
+              SELECT event_type,
+                     CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS hr,
+                     round(CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 9) AS v
+              FROM events
+              WHERE event_type IN ('purchase', 'error') AND value >= 200
+              GROUP BY 1, 2),
+            back AS (
+              SELECT s.event_type, s.hr, o.hr AS prev_hr, o.v AS prev_v
+              FROM spine s ASOF LEFT JOIN obs o
+                ON s.event_type = o.event_type AND o.hr <= s.hr),
+            fwd AS (
+              SELECT bk.event_type, bk.hr, bk.prev_hr, bk.prev_v,
+                     o.hr AS next_hr, o.v AS next_v
+              FROM back bk ASOF LEFT JOIN obs o
+                ON bk.event_type = o.event_type AND o.hr >= bk.hr)
+            SELECT event_type, hr, prev_hr, next_hr,
+                   CASE WHEN prev_hr IS NULL OR next_hr IS NULL THEN NULL
+                        WHEN next_hr = prev_hr THEN round(prev_v, 9)
+                        ELSE round(prev_v + (next_v - prev_v)
+                               * CAST(hr - prev_hr AS DOUBLE)
+                               / CAST(next_hr - prev_hr AS DOUBLE), 9)
+                   END AS interp
+            FROM fwd ORDER BY event_type, hr"""))
+
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
-      q105, q140, q141, q149, q150, q161)
+      q105, q140, q141, q149, q150, q161, q167)
 }

@@ -1167,9 +1167,90 @@ object EventQueries {
             FROM days d JOIN dau USING (day) JOIN wau w ON d.day = w.day
             ORDER BY d.day"""))
 
+  /** Markov next-event prediction EVALUATED out-of-sample: transition
+    * counts learned on the first epoch-half (the q154 midpoint split)
+    * pick each state's argmax successor, and accuracy is measured on the
+    * second half's consecutive pairs — the held-out eval that tells you
+    * whether q106's transition matrix actually predicts, instead of just
+    * describing, behavior. Per-user ordering is the q106 (ts, event_id)
+    * contract; argmax ties break to the lexicographically smaller
+    * successor on both engines; TEST pairs whose source state never
+    * appeared in training drop identically (inner join on the model).
+    * Both halves' pair extraction is one lag window per user; the model
+    * and its argmax are |types|²-bounded and broadcast.
+    */
+  def markovEval(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val tagged = ev.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("us") <= col("mid"), lit("train")).otherwise(lit("test")))
+    val w = Window.partitionBy("user_id", "half").orderBy(col("ts"), col("event_id"))
+    val pairs = tagged
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("half"), col("prev_type"), col("event_type").as("next_type"))
+    val model = pairs.filter(col("half") === "train")
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+    val wArg = Window.partitionBy("prev_type")
+      .orderBy(col("n").desc, col("next_type").asc)
+    val pred = model.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted"))
+    pairs.filter(col("half") === "test")
+      .join(broadcast(pred), "prev_type")
+      .groupBy("prev_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_pairs").cast("double"), 9))
+      .orderBy("prev_type")
+  }
+
+  private val q166 = GraftQuery(
+    "q166_markov_heldout_eval",
+    (s, dir) => markovEval(Tables.events(s, dir)),
+    Some("""WITH ev AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us
+              FROM events),
+            mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+            tagged AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN us <= mid THEN 'train' ELSE 'test' END AS half
+              FROM ev CROSS JOIN mid),
+            pairs AS (
+              SELECT half, prev_type, event_type AS next_type FROM (
+                SELECT half, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id, half
+                         ORDER BY ts, event_id) AS prev_type
+                FROM tagged)
+              WHERE prev_type IS NOT NULL),
+            model AS (
+              SELECT prev_type, next_type, count(*) AS n
+              FROM pairs WHERE half = 'train' GROUP BY 1, 2),
+            pred AS (
+              SELECT prev_type, next_type AS predicted FROM (
+                SELECT prev_type, next_type,
+                       row_number() OVER (PARTITION BY prev_type
+                         ORDER BY n DESC, next_type) AS rn
+                FROM model)
+              WHERE rn = 1)
+            SELECT p.prev_type, count(*) AS n_pairs,
+                   CAST(sum(CASE WHEN p.next_type = d.predicted THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_correct,
+                   round(CAST(sum(CASE WHEN p.next_type = d.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 9) AS accuracy
+            FROM pairs p JOIN pred d USING (prev_type)
+            WHERE p.half = 'test'
+            GROUP BY p.prev_type ORDER BY p.prev_type"""))
+
   // def, not val: q29/q66/q67 land estimate parquet and their oracle SQL
   // must embed the path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
-      q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152, q160)
+      q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152, q160,
+      q166)
 }

@@ -44,4 +44,25 @@ class IngestStickinessSpec extends SparkSpec {
     assert(good.agg(sum("k")).head.getLong(0) === 24L)
     assert(bad.head.getAs[String]("_bad") === "oops,not-a-long,nah")
   }
+  test("markovEval: held-out accuracy against the trained argmax") {
+    import spark.implicits._
+    // train half (day 1): u1 emits a->b, a->b, a->c  => argmax(a) = b
+    // test half (day 28): pairs a->b (correct) and a->c (wrong)
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a"), (1L, "2024-01-01 10:01:00", 2L, "b"),
+      (1L, "2024-01-01 10:02:00", 3L, "a"), (1L, "2024-01-01 10:03:00", 4L, "b"),
+      (1L, "2024-01-01 10:04:00", 5L, "a"), (1L, "2024-01-01 10:05:00", 6L, "c"),
+      (2L, "2024-01-28 10:00:00", 7L, "a"), (2L, "2024-01-28 10:01:00", 8L, "b"),
+      (2L, "2024-01-28 10:02:00", 9L, "a"), (2L, "2024-01-28 10:03:00", 10L, "c"))
+    val ev = rows.toDF("user_id", "tss", "event_id", "event_type")
+      .select(col("user_id"), to_timestamp(col("tss")).as("ts"),
+        col("event_id"), col("event_type"))
+    val out = graft.queries.EventQueries.markovEval(ev).collect()
+    // train pairs: a->b, b->a, a->b, b->a, a->c ⇒ argmax(a)=b, argmax(b)=a.
+    // test pairs: a->b (hit), b->a (hit), a->c (miss) ⇒
+    //   prev a: 2 pairs / 1 correct; prev b: 1 pair / 1 correct
+    val byPrev = out.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byPrev("a") === ((2L, 1L)), out.mkString(";"))
+    assert(byPrev("b") === ((1L, 1L)), out.mkString(";"))
+  }
 }
