@@ -829,6 +829,45 @@ object GraphQueries {
         .orderBy("u", "v"),
     Some(ktrussOracle))
 
+  /** Reciprocal nearest neighbors over the landed knn graph: pairs where
+    * each vector ranks in the OTHER's top-5 — the mutual-consistency
+    * filter (Qin et al.'s k-reciprocal reranking; also the classic
+    * record-matching primitive) that kills the asymmetric hub matches a
+    * one-directional knn keeps: a hub appears in everyone's list while
+    * its own list holds only its true peers. One self-join of the
+    * directed knn edges on the reversed pair — O(k·n) edges in, never
+    * touching the corpus. The oracle rebuilds the knn ranks from raw
+    * embeddings (the quartet's non-self-certified contract) and
+    * re-derives the mutual pairs.
+    */
+  private def q168 = GraftQuery(
+    "q168_reciprocal_nn_pairs",
+    (s, dir) => {
+      val k = knnTopK(s, dir)
+        .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 12).as("cos"))
+      k.filter(col("q_id") < col("n_id"))
+        .join(k.select(col("n_id").as("q_id"), col("q_id").as("n_id"),
+          col("rank").as("rank_back")), Seq("q_id", "n_id"))
+        .select(col("q_id").as("a"), col("n_id").as("b"),
+          col("rank").cast("int").as("rank_ab"),
+          col("rank_back").cast("int").as("rank_ba"), col("cos"))
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH p AS (
+         SELECT a.vec_id AS qa, b.vec_id AS qb,
+                ${SimilarityQueries.cosSql("a.embedding", "b.embedding")} AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       rr AS (SELECT qa, qb, cos, row_number() OVER (PARTITION BY qa
+                     ORDER BY cos DESC, qb) AS rk FROM p),
+       k AS (SELECT qa, qb, rk, cos FROM rr WHERE rk <= 5)
+       SELECT f.qa AS a, f.qb AS b,
+              CAST(f.rk AS INT) AS rank_ab, CAST(bk.rk AS INT) AS rank_ba,
+              round(f.cos, 12) AS cos
+       FROM k f JOIN k bk ON f.qa = bk.qb AND f.qb = bk.qa
+       WHERE f.qa < f.qb
+       ORDER BY a, b"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156, q157, q158, q165)
+    Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156, q157, q158,
+      q165, q168)
 }

@@ -1253,9 +1253,61 @@ object TextQueries {
             FROM v GROUP BY pattern ORDER BY pattern"""
     })
 
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009): every
+    * token occurrence lands in one of d = 64 signed buckets via the
+    * engine-portable md5 hash (the q139 family — both engines parse the
+    * same 60-bit hex prefix), sign = ±1 from the next hash bit, so
+    * collisions cancel in expectation instead of inflating. Per doc:
+    * token count, nnz (occupied buckets whose signed sum survived
+    * cancellation) and the L2 norm of the hashed vector — the
+    * fixed-width, vocabulary-free featurization that needs NO fitted
+    * dictionary, which is what makes it the streaming/100 TB-friendly
+    * vectorizer: one narrow pass, one (doc, bucket) hash aggregate,
+    * integer-exact until the final sqrt.
+    */
+  def hashedFeatures(docs: DataFrame, d: Int = 64): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("h", expr("conv(substring(md5(word), 1, 15), 16, 10)").cast("long"))
+      .withColumn("bucket", col("h") % d)
+      .withColumn("sign",
+        when(expr(s"(h div ${d}L) % 2") === 0, lit(1L)).otherwise(lit(-1L)))
+    occ
+      .groupBy("doc_id", "bucket").agg(sum(col("sign")).as("v"), count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("v") =!= 0, 1L).otherwise(0L)).as("nnz"),
+        round(sqrt(sum(col("v") * col("v")).cast("double")), 9).as("l2_norm"))
+      .orderBy("doc_id")
+  }
+
+  private val q169 = GraftQuery(
+    "q169_feature_hashing",
+    (s, dir) => hashedFeatures(Tables.documents(s, dir)),
+    Some("""WITH occ AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+              FROM occ WHERE length(word) > 0),
+            b AS (
+              SELECT doc_id, h % 64 AS bucket,
+                     CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign
+              FROM h),
+            pb AS (
+              SELECT doc_id, bucket, sum(sign) AS v, count(*) AS n
+              FROM b GROUP BY 1, 2)
+            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+                   round(sqrt(CAST(sum(v * v) AS DOUBLE)), 9) AS l2_norm
+            FROM pb GROUP BY doc_id ORDER BY doc_id"""))
+
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
-      q115, q116, q121, q125, q129, q139, q145, q151, q164)
+      q115, q116, q121, q125, q129, q139, q145, q151, q164, q169)
 }
