@@ -724,7 +724,147 @@ object CurationQueries {
               LIMIT 100)
             ORDER BY doc_id"""))
 
+  /** The curation WATERFALL: the whole LLM-data pipeline run end to end
+    * as sequential gates, reporting per-source survival at every stage —
+    * the one number sheet a data lead actually reads ("source X loses
+    * 40% to near-dups, source Y to repetition"). Stages, each the exact
+    * semantics of its standalone query:
+    *
+    *   1. exact dedup      — first-writer-wins per normalized-text
+    *                         fingerprint (q18)
+    *   2. near-dup dedup   — among survivors, drop the LARGER id of
+    *                         every 3-gram-Jaccard ≥ 0.3 pair (q19's
+    *                         pair list over the stage-1 corpus)
+    *   3. repetition gate  — drop q145-flagged docs (ttr < 0.30 or top
+    *                         bigram > 0.20; sub-3-token docs pass)
+    *   4. eval holdout     — remove the q146 eval slice (doc_id ≡ 0
+    *                         mod 11) from the training corpus
+    *   5. decontamination  — drop docs sharing any 8-token shingle with
+    *                         that eval slice (q146; sub-8-token docs
+    *                         pass)
+    *
+    * Every stage is the anti-join/aggregate shape its standalone query
+    * already carries, applied to the previous stage's survivor set — so
+    * the waterfall's cost is the sum of its stages, not a new join
+    * pattern, and each stage's scale story is inherited. The oracle
+    * replays all five gates in one CTE chain.
+    */
+  private val q170 = GraftQuery(
+    "q170_curation_waterfall",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      // 1. exact dedup
+      val s1 = graft.operators.Dedup.firstWriterWins(
+        docs.select(col("doc_id"), col("source"), col("text"),
+          TextFunctions.fingerprint(col("text")).as("fp")),
+        Seq("fp"), Seq(col("doc_id").asc))
+        .select("doc_id", "source", "text")
+      val s1c = graft.operators.Components.cut(s1, None)
+      // 2. near-dup pairs over stage-1 survivors: drop each pair's larger id
+      val dupB = graft.operators.NearDup
+        .ngramJaccardPairs(s1c, n = 3, threshold = 0.3)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val s2 = graft.operators.Components.cut(
+        s1c.join(dupB, Seq("doc_id"), "left_anti"), None)
+      // 3. repetition gate (docs with < 3 tokens carry no row and pass)
+      val rep = TextQueries.repetitionPerDoc(s2).filter(col("flagged") === 1L)
+        .select("doc_id")
+      val s3 = graft.operators.Components.cut(
+        s2.join(rep, Seq("doc_id"), "left_anti"), None)
+      // 4. eval holdout
+      val s4 = s3.filter(col("doc_id") % 11 =!= 0)
+      // 5. decontamination vs the ORIGINAL corpus's eval slice (q146)
+      val sh = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(t) - 7), i -> md5(concat_ws(' ', slice(t, i, 8))))"))
+            .as("sh"))
+      val evalSh = sh.filter(col("doc_id") % 11 === 0).select("sh").distinct()
+      val contaminated = sh.filter(col("doc_id") % 11 =!= 0)
+        .join(evalSh, Seq("sh"), "left_semi").select("doc_id").distinct()
+      val s5 = s4.join(contaminated, Seq("doc_id"), "left_anti")
+      def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy("source").agg(count(lit(1)).as(name))
+      cnt(docs, "n_start")
+        .join(cnt(s1c, "n_exact_dedup"), "source")
+        .join(cnt(s2, "n_near_dedup"), "source")
+        .join(cnt(s3, "n_repetition"), "source")
+        .join(cnt(s4, "n_holdout"), "source")
+        .join(cnt(s5, "n_decontaminated"), "source")
+        .orderBy("source")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, source, text,
+                     lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS nt
+              FROM documents),
+            s1 AS MATERIALIZED (
+              SELECT doc_id, source, nt FROM (
+                SELECT doc_id, source, nt,
+                       row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn
+                FROM docs)
+              WHERE rn = 1),
+            t1 AS (SELECT doc_id, source, string_split(nt, ' ') AS t FROM s1),
+            sh3 AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS s
+              FROM t1 WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+            dupb AS (
+              SELECT DISTINCT b.doc_id AS doc_id
+              FROM (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                    FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2) p
+              JOIN sizes sa ON p.da = sa.doc_id
+              JOIN sizes sb ON p.db = sb.doc_id
+              JOIN s1 b ON b.doc_id = p.db
+              WHERE CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) >= 0.3),
+            s2 AS MATERIALIZED (
+              SELECT * FROM t1 WHERE doc_id NOT IN (SELECT doc_id FROM dupb)),
+            rep AS (
+              SELECT f.doc_id FROM (
+                SELECT doc_id,
+                       round(CAST(len(list_distinct(t)) AS DOUBLE)
+                         / CAST(len(t) AS DOUBLE), 9) AS ttr
+                FROM s2 WHERE len(t) >= 3) f
+              JOIN (
+                SELECT doc_id,
+                       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 9) AS tbf
+                FROM (
+                  SELECT doc_id, b, count(*) AS c FROM (
+                    SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                           for i in generate_series(1, len(t)-1)]) AS b
+                    FROM s2 WHERE len(t) >= 3)
+                  GROUP BY 1, 2)
+                GROUP BY doc_id) g ON f.doc_id = g.doc_id
+              WHERE f.ttr < 0.30 OR g.tbf > 0.20),
+            s3 AS MATERIALIZED (
+              SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM rep)),
+            s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id % 11 <> 0),
+            sh8 AS (
+              SELECT d.doc_id,
+                     unnest([md5(array_to_string(list_slice(t, i, i + 7), ' '))
+                             for i in generate_series(1, len(t) - 7)]) AS sh
+              FROM (SELECT doc_id, string_split(nt, ' ') AS t FROM docs) d
+              WHERE len(t) >= 8),
+            ev AS (SELECT DISTINCT sh FROM sh8 WHERE doc_id % 11 = 0),
+            cont AS (
+              SELECT DISTINCT doc_id FROM sh8
+              WHERE doc_id % 11 <> 0 AND sh IN (SELECT sh FROM ev)),
+            s5 AS (
+              SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+            SELECT d.source,
+                   count(*) AS n_start,
+                   count(*) FILTER (d.doc_id IN (SELECT doc_id FROM s1)) AS n_exact_dedup,
+                   count(*) FILTER (d.doc_id IN (SELECT doc_id FROM s2)) AS n_near_dedup,
+                   count(*) FILTER (d.doc_id IN (SELECT doc_id FROM s3)) AS n_repetition,
+                   count(*) FILTER (d.doc_id IN (SELECT doc_id FROM s4)) AS n_holdout,
+                   count(*) FILTER (d.doc_id IN (SELECT doc_id FROM s5)) AS n_decontaminated
+            FROM docs d GROUP BY d.source ORDER BY d.source"""))
+
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
-      q90, q92, q94, q96, q120, q124)
+      q90, q92, q94, q96, q120, q124, q170)
 }

@@ -984,7 +984,11 @@ object TextQueries {
     * Gopher gates; per-doc means ride rounded DECIMAL sums so the
     * per-source rollup is partition-order free.
     */
-  def repetitionProfile(docs: DataFrame, minTokens: Int = 3): DataFrame = {
+  /** Per-doc repetition signals + flag — [[repetitionProfile]]'s row
+    * frame, exposed for the q170 waterfall (docs under `minTokens`
+    * carry no row; callers decide how short docs route).
+    */
+  def repetitionPerDoc(docs: DataFrame, minTokens: Int = 3): DataFrame = {
     val t = docs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= minTokens)
@@ -1004,9 +1008,13 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(round((sum(col("c")) - count(lit(1))).cast("double")
         / sum(col("c")).cast("double"), 9).as("dup_trigram_frac"))
-    val d = base.join(bg, "doc_id").join(tg, "doc_id")
+    base.join(bg, "doc_id").join(tg, "doc_id")
       .withColumn("flagged",
         when(col("ttr") < 0.30 || col("top_bigram_frac") > 0.20, 1L).otherwise(0L))
+  }
+
+  def repetitionProfile(docs: DataFrame, minTokens: Int = 3): DataFrame = {
+    val d = repetitionPerDoc(docs, minTokens)
     def meanOf(c: String) =
       round(sum(col(c).cast(DecimalType(38, 9))).cast("double")
         / count(lit(1)).cast("double"), 9).as(s"mean_$c")
