@@ -919,7 +919,96 @@ object AdvancedQueries {
                    END AS interp
             FROM fwd ORDER BY event_type, hr"""))
 
+  /** Small-quantity-order revenue (TPC-H Q17 shape): average yearly
+    * revenue lost if small orders (below 20% of the part's average
+    * quantity) stopped shipping — written as the CORRELATED SCALAR
+    * SUBQUERY the benchmark specifies, so the row under test is
+    * Catalyst's decorrelation: the optimizer must rewrite the per-row
+    * subquery into one per-part aggregate joined back (a plan a 100 TB
+    * fact table survives), not execute it per lineitem row. Brand
+    * filter keeps the probe side selective; the decimal sum follows the
+    * Exact contract.
+    */
+  private val q171 = GraftQuery(
+    "q171_small_qty_revenue",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+                 / 7.0 AS DOUBLE) AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem_v, part_v
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.2 * avg(l_quantity)
+            FROM lineitem_v
+            WHERE l_partkey = p_partkey)""")
+    },
+    Some("""SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+                     / 7.0 AS DOUBLE) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey
+              AND p_brand = 'Brand#1'
+              AND l_quantity < (
+                SELECT 0.2 * avg(l_quantity)
+                FROM lineitem
+                WHERE l_partkey = p_partkey)"""))
+
+  /** Full pricing summary (TPC-H Q1 shape): the benchmark's flagship
+    * scan-heavy aggregate — eight measures per (returnflag, linestatus)
+    * over nearly the whole fact table, one shuffle with map-side
+    * partials doing all the work. Every sum rides decimals; the two
+    * averages divide the decimal-backed sums by the group count with the
+    * identical IEEE step on both engines.
+    */
+  private val q172 = GraftQuery(
+    "q172_pricing_summary",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(30, 6))).cast("double")
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          round(dsum(col("l_quantity")) / count(lit(1)).cast("double"), 9)
+            .as("avg_qty"),
+          round(dsum(col("l_extendedprice")) / count(lit(1)).cast("double"), 9)
+            .as("avg_price"),
+          round(dsum(col("l_discount")) / count(lit(1)).cast("double"), 9)
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+                     AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE)
+                     AS sum_charge,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 9) AS avg_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 9) AS avg_price,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 9) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
-      q105, q140, q141, q149, q150, q161, q167)
+      q105, q140, q141, q149, q150, q161, q167, q171, q172)
 }

@@ -101,7 +101,8 @@ class PlanShapeSpec extends SparkSpec {
       "q148_adamic_adar", "q149_basket_rules", "q150_rfm_segments",
       "q151_bm25_retrieval", "q152_mean_shift_changepoint", "q154_psi_drift",
       "q155_theil_sen_trend", "q159_nearest_centroid_eval",
-      "q160_dau_wau_stickiness")
+      "q160_dau_wau_stickiness", "q171_small_qty_revenue",
+      "q172_pricing_summary")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
