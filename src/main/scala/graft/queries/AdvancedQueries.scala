@@ -1008,7 +1008,47 @@ object AdvancedQueries {
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
+  /** ORC round trip — the fourth storage format next to parquet (the
+    * default), JSONL (q89) and quarantined CSV (q161): a deterministic
+    * orders projection is written as ZLIB ORC once per (JVM, scale dir)
+    * and read back through Spark's vectorized ORC reader with a pushed
+    * filter, proving the format path end to end (schema, compression,
+    * predicate pushdown) rather than assuming parquet parity. Graded by
+    * the q161 generator-replay contract: the oracle never reads the ORC
+    * file — it recomputes the expected aggregate from `orders`, so a
+    * reader that drops, duplicates, or mistypes rows breaks the hash.
+    */
+  private val orcLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val q173 = GraftQuery(
+    "q173_orc_roundtrip",
+    (s, dir) => {
+      val path = orcLanded.computeIfAbsent(dir, _ => {
+        val p = Scratch.tempDir("graft_orc") + "/orders_orc"
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 3 === 0)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+          .write.mode("overwrite").option("compression", "zlib").orc(p)
+        p
+      })
+      s.read.orc(path)
+        .filter(col("o_totalprice") >= 50000.0)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sumD(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price,
+                   min(o_orderdate) AS first_order,
+                   CAST(max(o_orderkey) AS BIGINT) AS max_key
+            FROM orders
+            WHERE o_orderkey % 3 = 0 AND o_totalprice >= 50000.0
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
-      q105, q140, q141, q149, q150, q161, q167, q171, q172)
+      q105, q140, q141, q149, q150, q161, q167, q171, q172, q173)
 }
