@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
@@ -8,9 +9,30 @@ object Bench {
     * `load` = 1-minute /proc/loadavg sampled (before, after) the query's
     * runs: rounds 3-5 each burned judge time separating host contention
     * from regression — the recorded load answers that permanently.
+    * `overheadSecs` = min over runs of (first-job-start − submit): the
+    * driver-side floor (analyze/optimize/plan + scheduling) that no
+    * executor-side work can shrink — with 170+ sub-second queries this
+    * fixed cost is a large share of the total, and recording it keeps
+    * perf verdicts honest about which share a change can actually move.
     */
   final case class QTime(name: String, secs: Option[Double], extra: Option[String],
-      load: Option[(Double, Double)] = None)
+      load: Option[(Double, Double)] = None, overheadSecs: Option[Double] = None)
+
+  /** Records the wall time of the FIRST job submitted after `reset()`.
+    * The listener bus is async; `firstJobStartMs` polls briefly so a
+    * just-finished query's job-start event has time to land.
+    */
+  private final class FirstJobListener extends SparkListener {
+    @volatile private var first: Long = -1L
+    def reset(): Unit = first = -1L
+    override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+      if (first < 0) first = jobStart.time
+    def firstJobStartMs(deadlineMs: Long = 200): Option[Long] = {
+      val until = System.currentTimeMillis() + deadlineMs
+      while (first < 0 && System.currentTimeMillis() < until) Thread.sleep(5)
+      if (first < 0) None else Some(first)
+    }
+  }
 
   /** 1-minute load average; None off-Linux or on any parse hiccup. */
   private def loadAvg(): Option[Double] =
@@ -43,16 +65,32 @@ object Bench {
   def timeQueries(
       spark: SparkSession, sfDir: String,
       queries: Seq[(String, (SparkSession, String) => DataFrame)],
-      runs: Int): Seq[QTime] =
-    queries.map { case (name, fn) =>
+      runs: Int): Seq[QTime] = {
+    val jobListener = new FirstJobListener
+    spark.sparkContext.addSparkListener(jobListener)
+    try queries.map { case (name, fn) =>
       val loadBefore = loadAvg()
+      val overheads = scala.collection.mutable.ArrayBuffer.empty[Double]
       def withLoad(q: QTime): QTime =
-        q.copy(load = for (b <- loadBefore; a <- loadAvg()) yield (b, a))
+        q.copy(
+          load = for (b <- loadBefore; a <- loadAvg()) yield (b, a),
+          overheadSecs = if (overheads.isEmpty) None else Some(overheads.min))
       def once(): Option[Double] = {
+        jobListener.reset()
+        val wall0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
+          val secs = (System.nanoTime() - t0) / 1e9
+          // (first-job-start − submit): builder + analyze/optimize/plan +
+          // DAG submission. A query whose builder itself runs jobs (the
+          // land-once caches) attributes those to engine time correctly —
+          // its FIRST job is the cache probe, not the final count.
+          jobListener.firstJobStartMs().foreach { js =>
+            val oh = (js - wall0) / 1e3
+            if (oh >= 0) overheads += oh
+          }
+          Some(secs)
         } catch {
           case t: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
@@ -76,7 +114,8 @@ object Bench {
           withLoad(QTime(name, once().map(t => (times :+ t).min), extra))
         else withLoad(QTime(name, Some(times.min), None))
       }
-    }
+    } finally spark.sparkContext.removeSparkListener(jobListener)
+  }
 
   private def extraCounts(results: Seq[QTime]): String = {
     val heavy = results.count(_.extra.contains("heavy"))
@@ -91,14 +130,20 @@ object Bench {
     * and are listed in `failed`; only successful times enter the total.
     */
   def toJson(results: Seq[QTime], sfDir: String, runs: Int): String = {
-    val qs = results.map { case QTime(k, v, _, _) => "\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"") }
+    val qs = results.map { case QTime(k, v, _, _, _) => "\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case QTime(k, None, _, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val failed = results.collect { case QTime(k, None, _, _, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     // per-query (before, after) 1-min loadavg, 2dp — the contention record
-    val loads = results.collect { case QTime(k, _, _, Some((b, a))) =>
+    val loads = results.collect { case QTime(k, _, _, Some((b, a)), _) =>
       f"""\"$k\":[$b%.2f,$a%.2f]""" }.mkString("{", ",", "}")
+    // per-query driver-side floor: min over runs of (first-job-start −
+    // submit), 3dp — subtracting this column from `queries` isolates the
+    // executor-side time a perf change can actually move
+    val overheads = results.collect { case QTime(k, _, _, _, Some(oh)) =>
+      f"""\"$k\":$oh%.3f""" }.mkString("{", ",", "}")
     val total = results.flatMap(_.secs).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)},"loadavg_1m":$loads,$policy}"""
+    val totalOverhead = results.flatMap(_.overheadSecs).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)},"loadavg_1m":$loads,"overhead_sec":$overheads,"overhead_total":${f"$totalOverhead%.1f"},$policy}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -134,8 +179,9 @@ object Bench {
         f""","loadavg_1m_span":[${ls.head._1}%.2f,${ls.last._2}%.2f],"loadavg_1m_max":${ls.iterator.map(l => math.max(l._1, l._2)).max}%.2f"""
       case _ => ""
     }
+    val totalOverhead = results.flatMap(_.overheadSecs).sum
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"failed_count":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)}$loadSpan,$policy}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"failed_count":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)},"overhead_total":${f"$totalOverhead%.1f"}$loadSpan,$policy}"""
     // Files.write throws on any I/O failure (a PrintWriter only sets a
     // silent error flag — a truncated summary would defeat the point);
     // relative path = the sbt working dir, overridable for other layouts

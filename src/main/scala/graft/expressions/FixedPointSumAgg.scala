@@ -36,11 +36,19 @@ import org.apache.spark.sql.types._
   *
   * Range: the quantized |x·10^s| must stay below 2⁶² for the
   * single-long fast path; larger (still finite) values take an exact
-  * slow path through the integral double's binary expansion. The
-  * 128-bit register itself holds ±1.7e38 — ~1e12 rows of 1e16-scaled
-  * values before overflow would even approach, far past any corpus this
-  * engine targets; non-finite inputs are skipped like SQL nulls (the
-  * decimal cast they replace yields NULL there too).
+  * slow path through the integral double's binary expansion, and a
+  * single value whose quantization exceeds 127 bits (|x·10^s| ≥ 2¹²⁷,
+  * e.g. x = 1e300 at the default scale) raises ArithmeticException
+  * rather than silently wrapping mod 2¹²⁸. The 128-bit register itself
+  * holds ±1.7e38 — ~1e12 rows of 1e16-scaled values before overflow
+  * would even approach, far past any corpus this engine targets;
+  * non-finite inputs are skipped like SQL nulls (the decimal cast they
+  * replace yields NULL there too, and the SQL twin filters them before
+  * its HUGEINT cast, which would otherwise error on NaN in DuckDB).
+  *
+  * Null contract: an empty group (no finite, non-null input) evaluates
+  * to NULL — the same answer SQL `sum` gives — tracked by a seen flag
+  * in the accumulator.
   *
   * Output: DOUBLE — `toBigInteger.doubleValue / 10^s`, the exact
   * sequence the SQL twin performs.
@@ -59,7 +67,7 @@ case class FixedPointSumAgg(
   override def prettyName: String = "graft_fixed_point_sum"
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes: Seq[DataType] = Seq(DoubleType)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
 
   override def createAggregationBuffer(): FixedPointSumAgg.Acc =
@@ -83,16 +91,18 @@ case class FixedPointSumAgg(
 
   override def merge(a: FixedPointSumAgg.Acc, b: FixedPointSumAgg.Acc): FixedPointSumAgg.Acc = {
     a.add128(b.hi, b.lo)
+    a.seen |= b.seen
     a
   }
 
   override def eval(buf: FixedPointSumAgg.Acc): Any =
-    buf.toBigInteger.doubleValue() / pow
+    if (!buf.seen) null else buf.toBigInteger.doubleValue() / pow
 
   override def serialize(buf: FixedPointSumAgg.Acc): Array[Byte] = {
-    val bb = ByteBuffer.allocate(16)
+    val bb = ByteBuffer.allocate(17)
     bb.putLong(buf.hi)
     bb.putLong(buf.lo)
+    bb.put(if (buf.seen) 1.toByte else 0.toByte)
     bb.array()
   }
 
@@ -101,6 +111,7 @@ case class FixedPointSumAgg(
     val a = new FixedPointSumAgg.Acc
     a.hi = bb.getLong
     a.lo = bb.getLong
+    a.seen = bb.get() != 0
     a
   }
 
@@ -119,9 +130,10 @@ object FixedPointSumAgg {
   final class Acc {
     var hi: Long = 0L
     var lo: Long = 0L
+    var seen: Boolean = false
 
     /** Add a signed long (sign-extended to 128 bits). */
-    def addLong(v: Long): Unit = add128(v >> 63, v)
+    def addLong(v: Long): Unit = { seen = true; add128(v >> 63, v) }
 
     /** Add a signed 128-bit value given as (hi, unsigned lo). */
     def add128(bh: Long, bl: Long): Unit = {
@@ -133,6 +145,11 @@ object FixedPointSumAgg {
     }
 
     def addBig(v: java.math.BigInteger): Unit = {
+      if (v.bitLength() > 127)
+        throw new ArithmeticException(
+          s"graft_fixed_point_sum: quantized value needs ${v.bitLength()} bits, " +
+            "exceeding the signed 128-bit accumulator; lower the scale")
+      seen = true
       val shifted = v.shiftRight(64)
       add128(shifted.longValue(), v.longValue())
     }

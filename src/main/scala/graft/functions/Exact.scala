@@ -40,9 +40,14 @@ object Exact {
         org.apache.spark.sql.GraftColumnBridge.expression(c.cast(DoubleType)),
         scale).toAggregateExpression())
 
-  /** DuckDB replay of [[sumFx]] over SQL expression `e`. */
+  /** DuckDB replay of [[sumFx]] over SQL expression `e`. NaN/Inf inputs
+    * are filtered to NULL before the HUGEINT cast (DuckDB errors on
+    * `CAST(NaN AS HUGEINT)` instead of skipping), matching the Spark
+    * side's skip-non-finite contract; an empty/all-null group yields
+    * NULL on both engines.
+    */
   def sumFxSql(e: String, scale: Int = 6): String =
-    s"(CAST(sum(CAST(CASE WHEN ($e) * 1e$scale >= 0" +
-      s" THEN floor(($e) * 1e$scale + 0.5)" +
+    s"(CAST(sum(CAST(CASE WHEN NOT isfinite($e) THEN NULL" +
+      s" WHEN ($e) * 1e$scale >= 0 THEN floor(($e) * 1e$scale + 0.5)" +
       s" ELSE ceil(($e) * 1e$scale - 0.5) END AS HUGEINT)) AS DOUBLE) / 1e$scale)"
 }

@@ -36,12 +36,19 @@ object Mmr {
       .select(col(qCol), col(cCol), col("rel"),
         round(lit(lambda) * col("rel"), 12).as("mmr"), lit(1).as("step"))
     for (i <- 2 to k) {
+      // Left-join the penalty: a shortlist candidate with no sim row
+      // against any selected item gets penalty 0 (its similarity is
+      // unknown ≈ unrelated) instead of silently vanishing from every
+      // later step when the caller's sims table is incomplete.
+      val simToSel = sims
+        .join(selected.select(col(qCol), col(cCol).as(mCol)), Seq(qCol, mCol))
+        .groupBy(qCol, cCol)
+        .agg(max(col("sim")).as("pen"))
       val pen = short
         .join(selected.select(qCol, cCol), Seq(qCol, cCol), "left_anti")
-        .join(sims, Seq(qCol, cCol))
-        .join(selected.select(col(qCol), col(cCol).as(mCol)), Seq(qCol, mCol))
-        .groupBy(qCol, cCol, "rel")
-        .agg(max(col("sim")).as("pen"))
+        .join(simToSel, Seq(qCol, cCol), "left")
+        .select(col(qCol), col(cCol), col("rel"),
+          coalesce(col("pen"), lit(0.0)).as("pen"))
       val wM = Window.partitionBy(qCol).orderBy(col("mmr").desc, col(cCol))
       val pick = pen
         .withColumn("mmr",

@@ -942,7 +942,11 @@ object AdvancedQueries {
         WHERE p_partkey = l_partkey
           AND p_brand = 'Brand#1'
           AND l_quantity < (
-            SELECT 0.2 * avg(l_quantity)
+            -- DOUBLE-pin the threshold: Spark would otherwise keep exact
+            -- DECIMAL arithmetic here while DuckDB's avg(DECIMAL) returns
+            -- DOUBLE, and a threshold within double-epsilon of a quantity
+            -- could flip the comparison between engines.
+            SELECT 0.2 * CAST(avg(l_quantity) AS DOUBLE)
             FROM lineitem_v
             WHERE l_partkey = p_partkey)""")
     },
@@ -953,7 +957,7 @@ object AdvancedQueries {
             WHERE p_partkey = l_partkey
               AND p_brand = 'Brand#1'
               AND l_quantity < (
-                SELECT 0.2 * avg(l_quantity)
+                SELECT 0.2 * CAST(avg(l_quantity) AS DOUBLE)
                 FROM lineitem
                 WHERE l_partkey = p_partkey)"""))
 
@@ -1048,7 +1052,147 @@ object AdvancedQueries {
             WHERE o_orderkey % 3 = 0 AND o_totalprice >= 50000.0
             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Order-priority check (TPC-H Q4 shape): count orders per priority in
+    * a one-year window having at least one line shipped > 60 days after
+    * the order date, written as the CORRELATED EXISTS the benchmark
+    * specifies. The row under test is Catalyst's rewrite of the
+    * per-order subquery into ONE left semi join on `l_orderkey` —
+    * a single shuffle pair that scales linearly — not a per-row probe.
+    * Date arithmetic is exact integer timestamp math on both engines,
+    * so no float boundary can flip the predicate.
+    */
+  private val q174 = GraftQuery(
+    "q174_priority_exists",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_v
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_v
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  /** Excess-quantity suppliers (TPC-H Q20 shape): suppliers who shipped
+    * a `small ring` part at more than 1.9× that part's average shipped
+    * quantity — a NESTED correlated IN: the IN-subquery itself contains
+    * a correlated scalar subquery over the same fact table. Catalyst
+    * must decorrelate BOTH levels: the inner avg becomes one per-part
+    * aggregate joined back on `l_partkey`, the IN becomes a left semi
+    * join on `s_suppkey` — two shuffles total, no per-row execution.
+    * Quantities are whole numbers, so the double avg is exact and
+    * partition-order independent; the threshold is DOUBLE-pinned on
+    * both engines like q171.
+    */
+  private val q175 = GraftQuery(
+    "q175_excess_qty_suppliers",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier_v
+        WHERE s_suppkey IN (
+          SELECT li.l_suppkey
+          FROM lineitem_v li
+          WHERE li.l_partkey IN (
+              SELECT p_partkey FROM part_v WHERE p_name LIKE 'small ring%')
+            AND li.l_quantity > (
+              SELECT 1.9 * CAST(avg(l2.l_quantity) AS DOUBLE)
+              FROM lineitem_v l2
+              WHERE l2.l_partkey = li.l_partkey))
+        ORDER BY s_suppkey""")
+    },
+    Some("""SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT li.l_suppkey
+              FROM lineitem li
+              WHERE li.l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'small ring%')
+                AND li.l_quantity > (
+                  SELECT 1.9 * CAST(avg(l2.l_quantity) AS DOUBLE)
+                  FROM lineitem l2
+                  WHERE l2.l_partkey = li.l_partkey))
+            ORDER BY s_suppkey"""))
+
+  /** Suppliers who kept orders waiting (TPC-H Q21 shape): for finished
+    * orders, count per supplier the lines shipped > 60 days late where
+    * at least one OTHER supplier contributed to the same order (EXISTS)
+    * but NO other supplier was also late on it (NOT EXISTS) — the
+    * multi-level EXISTS/NOT-EXISTS decorrelation stress. Catalyst plans
+    * one left semi and one left anti join, both with an equi-component
+    * on `l_orderkey` (so shuffled hash/sort-merge, never a broadcast
+    * nested loop over the fact table) plus the non-equi supplier and
+    * lateness residuals.
+    */
+  private val q176 = GraftQuery(
+    "q176_waiting_suppliers",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier_v, lineitem_v l1, orders_v, nation_v
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem_v l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem_v l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          AND s_nationkey = n_nationkey
+          AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name""")
+    },
+    Some("""SELECT s_name, count(*) AS numwait
+            FROM supplier, lineitem l1, orders, nation
+            WHERE s_suppkey = l1.l_suppkey
+              AND o_orderkey = l1.l_orderkey
+              AND o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              AND s_nationkey = n_nationkey
+              AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name"""))
+
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
-      q105, q140, q141, q149, q150, q161, q167, q171, q172, q173)
+      q105, q140, q141, q149, q150, q161, q167, q171, q172, q173, q174, q175,
+      q176)
 }

@@ -787,12 +787,19 @@ object CurationQueries {
       val s5 = s4.join(contaminated, Seq("doc_id"), "left_anti")
       def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
         df.groupBy("source").agg(count(lit(1)).as(name))
+      // Left-join each stage's counts onto the full source list: a stage
+      // that eliminates EVERY doc of a source must report that source
+      // with 0 (as the oracle's count(*) FILTER does), not drop the row.
+      def zeroed(name: String) = coalesce(col(name), lit(0L)).as(name)
       cnt(docs, "n_start")
-        .join(cnt(s1c, "n_exact_dedup"), "source")
-        .join(cnt(s2, "n_near_dedup"), "source")
-        .join(cnt(s3, "n_repetition"), "source")
-        .join(cnt(s4, "n_holdout"), "source")
-        .join(cnt(s5, "n_decontaminated"), "source")
+        .join(cnt(s1c, "n_exact_dedup"), Seq("source"), "left")
+        .join(cnt(s2, "n_near_dedup"), Seq("source"), "left")
+        .join(cnt(s3, "n_repetition"), Seq("source"), "left")
+        .join(cnt(s4, "n_holdout"), Seq("source"), "left")
+        .join(cnt(s5, "n_decontaminated"), Seq("source"), "left")
+        .select(col("source"), col("n_start"), zeroed("n_exact_dedup"),
+          zeroed("n_near_dedup"), zeroed("n_repetition"),
+          zeroed("n_holdout"), zeroed("n_decontaminated"))
         .orderBy("source")
     },
     Some("""WITH docs AS (

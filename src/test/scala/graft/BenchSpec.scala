@@ -27,7 +27,15 @@ class BenchSpec extends SparkSpec {
     assert(json.contains("\"loadavg_1m\":{"))
     assert(json.contains("\"good_query\":["))
     assert(res.forall(_.load.isDefined))
+    // overhead split: the good query ran at least one job, so it records
+    // a (first-job-start − submit) floor; the crashed one records none
+    assert(json.contains("\"overhead_sec\":{"))
+    assert(byNameQ(res)("good_query").overheadSecs.exists(_ >= 0.0))
+    assert(byNameQ(res)("bad_query").overheadSecs.isEmpty)
   }
+
+  private def byNameQ(res: Seq[Bench.QTime]): Map[String, Bench.QTime] =
+    res.map(q => q.name -> q).toMap
 
   test("adaptive rerun: >20% disagreement triggers exactly one extra sample") {
     var noisyCalls = 0

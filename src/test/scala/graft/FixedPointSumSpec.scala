@@ -58,6 +58,32 @@ class FixedPointSumSpec extends SparkSpec {
     assert(sumFx(xs, 2) === 4.0)
   }
 
+  test("empty and all-null/non-finite groups evaluate to NULL like SQL sum") {
+    val empty = Seq.empty[Double].toDF("x")
+      .agg(Exact.sumFx(col("x"), 6).as("s")).collect().head
+    assert(empty.isNullAt(0))
+    val allNonFinite = Seq(Double.NaN, Double.PositiveInfinity).toDF("x")
+      .agg(Exact.sumFx(col("x"), 6).as("s")).collect().head
+    assert(allNonFinite.isNullAt(0))
+    // grouped: a group present in the data still sums; seen-flag survives
+    // the shuffle serialization round trip
+    val grouped = Seq((1, 1.5), (1, 2.5), (2, Double.NaN)).toDF("k", "x")
+      .repartition(4)
+      .groupBy("k").agg(Exact.sumFx(col("x"), 2).as("s"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(grouped(1) === Some(4.0))
+    assert(grouped(2) === None)
+  }
+
+  test("a single value past 127 bits errors instead of wrapping") {
+    val e = intercept[org.apache.spark.SparkException] {
+      sumFx(Seq(1.0e300), 6)
+    }
+    assert(e.getMessage.contains("128-bit") ||
+      Option(e.getCause).exists(_.getMessage.contains("128-bit")))
+  }
+
   test("half-away-from-zero at the quantization boundary") {
     // 0.005 at scale 2 → 0.5 in binary is 0.005000000000000000104…·100
     // = 0.5000000000000000104 → floor(+0.5) keeps 1; -0.005 → -1

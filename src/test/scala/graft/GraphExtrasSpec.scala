@@ -92,4 +92,20 @@ class GraphExtrasSpec extends SparkSpec {
     assert(sel.count(_._1 == 0L) === 2)
     assert(sel.count(_._1 == 1L) === 1) // q1 has one candidate: step 1 only
   }
+
+  test("MMR candidate missing from sims gets penalty 0, not dropped") {
+    import spark.implicits._
+    // candidate 3 has NO sim row against anything: it must survive with
+    // pen 0 → mmr = λ·rel, and win step 2 over candidate 2 (penalized)
+    val short = Seq((0L, 1L, 0.9), (0L, 2L, 0.85), (0L, 3L, 0.5))
+      .toDF("q_id", "n_id", "rel")
+    val sims = Seq((0L, 2L, 1L, 0.95), (0L, 1L, 2L, 0.95))
+      .toDF("q_id", "n_id", "m_id", "sim")
+    val sel = graft.operators.Mmr.select(short, sims, lambda = 0.5, k = 3)
+      .orderBy("step").collect()
+    assert(sel.map(_.getAs[Long]("n_id")).toSeq === Seq(1L, 3L, 2L))
+    // step 2: cand 2 scores 0.5·0.85 − 0.5·0.95 = −0.05; cand 3 scores
+    // 0.5·0.5 − 0 = 0.25 → 3 wins, and later still appears at step 3
+    assert(math.abs(sel(1).getAs[Double]("mmr") - 0.25) < 1e-9)
+  }
 }

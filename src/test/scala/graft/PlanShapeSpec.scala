@@ -102,9 +102,30 @@ class PlanShapeSpec extends SparkSpec {
       "q151_bm25_retrieval", "q152_mean_shift_changepoint", "q154_psi_drift",
       "q155_theil_sen_trend", "q159_nearest_centroid_eval",
       "q160_dau_wau_stickiness", "q171_small_qty_revenue",
-      "q172_pricing_summary")
+      "q172_pricing_summary", "q174_priority_exists",
+      "q175_excess_qty_suppliers", "q176_waiting_suppliers")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
+  }
+
+  test("q174 EXISTS decorrelates to one left semi join") {
+    val p = plan("q174_priority_exists")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("Subquery"), "per-row subquery survived:\n" + p.take(1500))
+  }
+
+  test("q175 nested correlated IN decorrelates to semi join + aggregate join") {
+    val p = plan("q175_excess_qty_suppliers")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("Subquery"), "per-row subquery survived:\n" + p.take(1500))
+  }
+
+  test("q176 EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan("q176_waiting_suppliers")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoop"),
+      "fact-table nested loop:\n" + p.take(2000))
   }
 }
