@@ -167,7 +167,12 @@ object Bench {
     // shared-hardware noise; the minimum is the standard stable estimator
     // of a query's actual cost
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = timeQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1), runs)
+    // local-iteration subset (comma-separated names); driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = timeQueries(spark, sfDir, selected, runs)
     println(toJson(results, sfDir, runs))
     // the full line above is the driver contract, but its recorded copy has
     // been tail/head-truncated between rounds — also drop a tiny summary

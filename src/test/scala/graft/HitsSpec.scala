@@ -35,6 +35,25 @@ class HitsSpec extends SparkSpec {
     assert(scoresOf(g, iters = 4) === serialHits(g, iters = 4))
   }
 
+  test("distributed path is bit-identical to the driver-local path") {
+    // default run() takes the local path (tiny graph); threshold 0 forces
+    // the distributed rounds — both must produce the IDENTICAL doubles,
+    // or the adaptive cutover would change query results at the boundary
+    val g = Seq(("a", "b", 2.0), ("b", "c", 1.7), ("c", "a", 3.0),
+      ("a", "c", 1.1), ("d", "a", 0.9), ("c", "d", 2.3), ("b", "d", 0.3))
+    val df = g.toDF("src", "dst", "w")
+    val local = Hits.run(df, "src", "dst", Some("w"), iterations = 5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val dist = Hits.run(df, "src", "dst", Some("w"), iterations = 5,
+      localEdgeThreshold = 0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(local.keySet === dist.keySet)
+    local.foreach { case (k, (a, h)) =>
+      assert(java.lang.Double.compare(a, dist(k)._1) === 0, s"auth($k)")
+      assert(java.lang.Double.compare(h, dist(k)._2) === 0, s"hub($k)")
+    }
+  }
+
   /** Serial replica: double scalar steps, BigDecimal for the associative
     * sums, HALF_UP at the operator's scales (15 for contributions and the
     * L1 norms' inputs, 12 for normalized scores).
