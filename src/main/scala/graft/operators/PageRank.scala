@@ -43,6 +43,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object PageRank {
 
+  /** Edge-count bound below which the recurrence runs serially on the
+    * driver — the [[Hits.LocalEdgeThreshold]] adaptive contract: one
+    * bounded collect replaces O(iterations) scheduled jobs for
+    * aggregate-sized graphs, with the serial path replaying the
+    * distributed BigDecimal round/cast sequence bit-for-bit (pinned by
+    * PageRankSpec's differential test and the q108/q156 oracles).
+    */
+  val LocalEdgeThreshold = 100000
+
   /** Ranks for every node of `edges` (`node`, `rank`), rank summing to 1.
     *
     * @param edges      edge list; `srcCol`/`dstCol` any orderable type,
@@ -57,7 +66,8 @@ object PageRank {
       weightCol: Option[String] = None,
       iterations: Int = 10, damping: Double = 0.85,
       checkpointEvery: Int = 5,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localEdgeThreshold: Int = LocalEdgeThreshold): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
@@ -66,8 +76,16 @@ object PageRank {
     // normalization below both read it, and an unpersisted `edges` lineage
     // (e.g. a fact-fact join feeding this operator) would execute twice
     // — the same entry contract Hits.run already had
-    val e = edges
+    val eSel = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+
+    if (localEdgeThreshold > 0) {
+      val probe = eSel.limit(localEdgeThreshold + 1).collect()
+      if (probe.length <= localEdgeThreshold)
+        return runLocal(edges.sparkSession, probe, iterations, damping, None)
+    }
+
+    val e = eSel
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nodes = e.select(col("src").as("node"))
@@ -160,13 +178,28 @@ object PageRank {
       weightCol: Option[String] = None,
       iterations: Int = 10, damping: Double = 0.85,
       checkpointEvery: Int = 5,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localEdgeThreshold: Int = LocalEdgeThreshold): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
     val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
-    val e = edges
+    val eSel = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+
+    if (localEdgeThreshold > 0) {
+      val probe = eSel.limit(localEdgeThreshold + 1).collect()
+      if (probe.length <= localEdgeThreshold) {
+        // seeds must be bounded too — same probe contract
+        val seedProbe = seeds.select(col(seeds.columns.head).as("node"))
+          .distinct().limit(localEdgeThreshold + 1).collect()
+        if (seedProbe.length <= localEdgeThreshold)
+          return runLocal(edges.sparkSession, probe, iterations, damping,
+            Some(seedProbe.map(_.get(0)).toSet))
+      }
+    }
+
+    val e = eSel
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -230,6 +263,88 @@ object PageRank {
       reset.unpersist()
       e.unpersist()
     }
+  }
+
+  // ---- driver-local exact replay --------------------------------------
+
+  private def rnd(x: Double, s: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  private def dec15(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(15, java.math.RoundingMode.HALF_UP)
+
+  /** Serial replay of the distributed recurrence — uniform teleport when
+    * `seedSet` is None ([[run]]), reset-distribution teleport otherwise
+    * ([[runPersonalized]]). Every arithmetic step mirrors a plan
+    * expression 1:1: out-weight decimal sums, double `frac` divides,
+    * rnd15+dec15 contributions, coalesced dangling decimal sum, the
+    * round-12 rank update.
+    */
+  private def runLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row],
+      iterations: Int, damping: Double,
+      seedSet: Option[Set[Any]]): DataFrame = {
+    val edges = edgeRows.map(r => (r.get(0), r.get(1), r.getDouble(2)))
+    val nodes: Array[Any] = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.length.toDouble
+
+    // out-weight per src: decimal sum → correctly-rounded double
+    val outW = new java.util.HashMap[Any, java.math.BigDecimal]()
+    edges.foreach { case (s, _, w) => outW.merge(s, dec15(w), (a, b) => a.add(b)) }
+    // normalized fractions, srcs with out_w <= 0 dropped (same filter)
+    val norm = edges.flatMap { case (s, d, w) =>
+      val ow = outW.get(s).doubleValue()
+      if (ow > 0) Some((s, d, w / ow)) else None
+    }
+    val emitters: Set[Any] = norm.map(_._1).toSet
+
+    // teleport vector: uniform 1/n (plain run) or the reset distribution
+    val rv: Any => Double = seedSet match {
+      case None => _ => 1.0 / n // unused on the uniform path (teleport is scalar)
+      case Some(seeds) =>
+        val inGraph = seeds.intersect(nodes.toSet)
+        val sn = inGraph.size.toDouble
+        v => if (inGraph.contains(v)) 1.0 / sn else 0.0
+    }
+    var ranks: Map[Any, Double] = seedSet match {
+      case None    => nodes.map(_ -> rnd(1.0 / n, 12)).toMap
+      case Some(_) => nodes.map(v => v -> rnd(rv(v), 12)).toMap
+    }
+
+    val uniformTeleport = (1 - damping) / n // same scala-side fold as lit(...)
+    for (_ <- 1 to iterations) {
+      val sums = new java.util.HashMap[Any, java.math.BigDecimal]()
+      norm.foreach { case (s, d, frac) =>
+        sums.merge(d, dec15(rnd(ranks(s) * frac, 15)), (a, b) => a.add(b))
+      }
+      val dmAcc = nodes.filterNot(emitters.contains)
+        .map(v => dec15(ranks(v)))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      val dm = dmAcc.doubleValue() // coalesce(sum, 0) on the empty set = 0
+      ranks = nodes.map { v =>
+        val contrib = Option(sums.get(v)).map(_.doubleValue()).getOrElse(0.0)
+        val next = seedSet match {
+          case None    => rnd(uniformTeleport + damping * (contrib + dm / n), 12)
+          case Some(_) => rnd((1 - damping) * rv(v) + damping * (contrib + dm * rv(v)), 12)
+        }
+        v -> next
+      }.toMap
+    }
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "node",
+        if (edgeRows.isEmpty) org.apache.spark.sql.types.StringType
+        else edgeRows.head.schema.fields(0).dataType),
+      org.apache.spark.sql.types.StructField(
+        "rank", org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val out = nodes.toSeq.map(v => org.apache.spark.sql.Row(v, ranks(v)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      schema)
   }
 
 }

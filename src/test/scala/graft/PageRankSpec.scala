@@ -87,6 +87,28 @@ class PageRankSpec extends SparkSpec {
     assert(r("a") > 0 && r("b") > 0 && r("c") > 0, r.toString)
   }
 
+  test("distributed path is bit-identical to the driver-local path (both variants)") {
+    val g = Seq(("a", "b", 2.0), ("b", "c", 1.7), ("c", "a", 3.0),
+      ("a", "c", 1.1), ("d", "a", 0.9), ("c", "d", 2.3), ("b", "d", 0.3))
+    val df = g.toDF("src", "dst", "w")
+    def toMapOf(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val local = toMapOf(PageRank.run(df, "src", "dst", Some("w"), iterations = 6))
+    val dist = toMapOf(PageRank.run(df, "src", "dst", Some("w"), iterations = 6,
+      localEdgeThreshold = 0))
+    assert(local.keySet === dist.keySet)
+    local.foreach { case (k, v) =>
+      assert(java.lang.Double.compare(v, dist(k)) === 0, s"rank($k)") }
+    val seeds = Seq("a", "d").toDF("node")
+    val pLocal = toMapOf(PageRank.runPersonalized(df, "src", "dst", seeds,
+      Some("w"), iterations = 6))
+    val pDist = toMapOf(PageRank.runPersonalized(df, "src", "dst", seeds,
+      Some("w"), iterations = 6, localEdgeThreshold = 0))
+    assert(pLocal.keySet === pDist.keySet)
+    pLocal.foreach { case (k, v) =>
+      assert(java.lang.Double.compare(v, pDist(k)) === 0, s"pprank($k)") }
+  }
+
   test("personalized: seeds outside the graph are ignored; dangling mass returns to seeds") {
     // b is dangling; teleport + dangling fold both land on seed a
     val g = Seq(("a", "b", 1.0))
