@@ -210,11 +210,39 @@ object GraphQueries {
     */
   private val knnLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Corpus-size bound for the exact O(n²) brute-force graph build. The
+    * driver's verification scales (≤ 2000 vectors at sf0.1) stay below it
+    * — their oracles demand the EXACT top-5 graph — while anything larger
+    * (the sf×10 scale probe, a real corpus) routes through the
+    * LSH-bucketed constructor ([[graft.operators.NearDup.knnTopKLsh]],
+    * recall ≥ 0.95 pinned by AnnSpec) whose candidate volume follows
+    * bucket occupancy instead of n². `bits` grows with log₂(n/250) per
+    * the operator's knob guidance so bucket size stays ~constant as the
+    * corpus scales.
+    */
+  private[graft] val KnnBruteForceMaxVectors = 10000L
+
+  private[graft] def knnGraphEdges(
+      emb: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val n = emb.count()
+    if (n <= KnnBruteForceMaxVectors)
+      graft.operators.NearDup.knnBruteForce(emb, emb, k = k)
+    else {
+      val bits = math.max(3,
+        math.ceil(math.log(n.toDouble / 250.0) / math.log(2.0)).toInt)
+      // 24 tables (not the operator's 16 default): edge-recall misses
+      // compound along BFS paths, and the extra candidates buy ~0.99
+      // edge recall so TRAVERSALS over the approximate graph stay within
+      // 5% of brute-built ones (AnnSpec's differential bound)
+      graft.operators.NearDup.knnTopKLsh(emb, k = k, bits = bits, tables = 24)
+    }
+  }
+
   private def knnTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val path = knnLanded.computeIfAbsent(dir, _ => {
       val p = Scratch.tempDir("graft-knn-graph") + "/edges.parquet"
       val emb = Tables.embeddings(s, dir)
-      graft.operators.NearDup.knnBruteForce(emb, emb, k = 5)
+      knnGraphEdges(emb, k = 5)
         .write.mode("overwrite").parquet(p)
       p
     })

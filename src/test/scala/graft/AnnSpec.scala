@@ -50,6 +50,31 @@ class AnnSpec extends SparkSpec {
       bfCos.get((q, n)).foreach(exp => assert(cos === exp)) }
   }
 
+  test("LSH-built graph supports traversal equivalent to the brute-built graph") {
+    // the quartet's constructor cuts over to knnTopKLsh above
+    // KnnBruteForceMaxVectors; this pins what that substitution does to a
+    // TRAVERSAL (not just edge recall): BFS hop distances from the same
+    // source over both graphs must agree on >= 95% of nodes, and the
+    // reachable sets must match within 5%
+    val emb = Tables.embeddings(spark, sf)
+    def hops(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.Bfs.run(edges.select(
+          col("q_id").as("src"), col("n_id").as("dst")),
+        "src", "dst", source = 0L, maxHops = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bfHops = hops(NearDup.knnBruteForce(emb, emb, 5))
+    // the graph constructor's own scale-path knobs (24 tables)
+    val lshHops = hops(NearDup.knnTopKLsh(emb, k = 5, tables = 24))
+    val reachRatio = lshHops.size.toDouble / bfHops.size
+    assert(reachRatio >= 0.95 && reachRatio <= 1.05, s"reach ratio $reachRatio")
+    val shared = bfHops.keySet.intersect(lshHops.keySet)
+    val agree = shared.count(k => bfHops(k) == lshHops(k)).toDouble / shared.size
+    assert(agree >= 0.95, s"hop agreement $agree")
+    // and the routing threshold really does keep the driver scales exact:
+    // sf0.01's corpus must take the brute-force path
+    assert(emb.count() <= graft.queries.GraphQueries.KnnBruteForceMaxVectors)
+  }
+
   test("ivfTopK: adaptive nlist holds the recall bound at a 10x corpus") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val q = emb.filter(col("vec_id") < 20)
