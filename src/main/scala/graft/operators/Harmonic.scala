@@ -25,20 +25,47 @@ import org.apache.spark.sql.functions._
   */
 object Harmonic {
 
+  /** Node-count bound above which an implicit all-sources run switches to
+    * the sampled-pivot estimator — exact Θ(V²) pair state must be an
+    * EXPLICIT choice (pass `sources` = all nodes) on large graphs, never
+    * the silent default.
+    */
+  val MaxExactNodes = 4096L
+
+  /** Pivot count for the sampled estimator (Eppstein–Wang / pivot family:
+    * ĥ(v) = ((n−1)/m)·Σ_{p∈S} 1/d(p,v), error O(1/√m) relative to the
+    * node count).
+    */
+  val SamplePivots = 256
+
   /** (node, n_reached, harmonic) per source node, harmonic rounded at
     * 12 dp from fixed-point 1/d sums. `und`: undirected edges (uCol <
     * vCol, deduplicated). `sources`: optional one-column frame limiting
-    * the BFS sources (the sampled-pivot path); None = every node.
+    * the BFS sources; None = every node when |V| ≤ `maxExactNodes`,
+    * otherwise the deterministic sampled-pivot ESTIMATOR (BFS from the
+    * `SamplePivots` nodes with smallest xxhash64, per-node estimate
+    * scaled by (n−1)/m over distances TO the pivots — exact d(p,v) by
+    * undirected symmetry; n_reached = pivots reaching v).
     */
   def run(und: DataFrame, uCol: String = "u", vCol: String = "v",
-      maxHops: Int = 8, sources: Option[DataFrame] = None): DataFrame = {
+      maxHops: Int = 8, sources: Option[DataFrame] = None,
+      maxExactNodes: Long = MaxExactNodes): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val nb = und.select(col(uCol).as("node"), col(vCol).as("nbr"))
       .unionByName(und.select(col(vCol).as("node"), col(uCol).as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allNodes = nb.select("node").distinct()
+    var sampledN = -1L // > 0 ⇒ pivot-estimator mode, value = |V|
     val srcs = sources match {
-      case None => allNodes
+      case None =>
+        val nCount = allNodes.count()
+        if (nCount <= maxExactNodes) allNodes
+        else {
+          sampledN = nCount
+          // deterministic pivots: the m smallest (hash, node) — seeded by
+          // the hash function itself, stable across runs and partitions
+          allNodes.orderBy(xxhash64(col("node")), col("node")).limit(SamplePivots)
+        }
       case Some(sd) =>
         sd.select(col(sd.columns.head).as("node")).distinct().join(allNodes, "node")
     }
@@ -62,13 +89,25 @@ object Harmonic {
           frontier = next
         }
       }
-      visited
-        .filter(col("dist") > 0)
-        .groupBy(col("src").as("node"))
-        .agg(
-          count(lit(1)).as("n_reached"),
-          round(graft.functions.Exact.sumFx(
-            lit(1.0) / col("dist").cast("double"), 15), 12).as("harmonic"))
+      if (sampledN > 0) {
+        // pivot estimator: aggregate by DESTINATION — d(p,v) = d(v,p) on
+        // an undirected graph — and scale by (n−1)/m
+        val scale = (sampledN - 1).toDouble / SamplePivots.toDouble
+        visited
+          .filter(col("dist") > 0)
+          .groupBy(col("node"))
+          .agg(
+            count(lit(1)).as("n_reached"),
+            round(lit(scale) * graft.functions.Exact.sumFx(
+              lit(1.0) / col("dist").cast("double"), 15), 12).as("harmonic"))
+      } else
+        visited
+          .filter(col("dist") > 0)
+          .groupBy(col("src").as("node"))
+          .agg(
+            count(lit(1)).as("n_reached"),
+            round(graft.functions.Exact.sumFx(
+              lit(1.0) / col("dist").cast("double"), 15), 12).as("harmonic"))
     } finally {
       nb.unpersist()
     }

@@ -42,6 +42,30 @@ class GraphExtrasSpec extends SparkSpec {
     assert(math.abs(h(1L) - 1.5) < 1e-9)
   }
 
+  test("harmonic: implicit all-sources on a large graph becomes the pivot estimator") {
+    // real embedding knn graph (500 nodes at sf0.001): forcing the
+    // size cutover (maxExactNodes = 1) must produce per-node ESTIMATES
+    // within a stated error of the exact all-sources run — and the
+    // estimator path must be what an implicit large-graph call gets
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val und = graft.operators.NearDup.knnBruteForce(emb, emb, 5)
+      .select(least(col("q_id"), col("n_id")).as("u"),
+        greatest(col("q_id"), col("n_id")).as("v"))
+      .distinct()
+    val exact = graft.operators.Harmonic.run(und, maxHops = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val est = graft.operators.Harmonic.run(und, maxHops = 8, maxExactNodes = 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every exact node with nonzero centrality gets an estimate
+    assert(est.keySet.subsetOf(exact.keySet))
+    assert(est.size >= (exact.size * 0.95).toInt, s"${est.size} vs ${exact.size}")
+    val relErrs = est.toSeq.map { case (k, v) => math.abs(v - exact(k)) / exact(k) }
+    val mean = relErrs.sum / relErrs.size
+    assert(mean <= 0.15, f"mean relative error $mean%.3f")
+    val median = relErrs.sorted.apply(relErrs.size / 2)
+    assert(median <= 0.12, f"median relative error $median%.3f")
+  }
+
   test("nearest-centroid eval: separable blobs score perfect per-label F1") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
