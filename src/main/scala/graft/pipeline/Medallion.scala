@@ -120,7 +120,12 @@ final case class Medallion(root: String) {
       .write.mode(SaveMode.Overwrite).parquet(goldMonthly)
   }
 
-  /** Entry-point-1 shape (main.py:19-85): load → transform → gold. */
+  /** Entry-point-1 shape (main.py:19-85): load → transform → gold.
+    * Each layer lands in place as it completes — a crash mid-run leaves
+    * bronze newer than silver/gold. [[runAtomic]] is the
+    * single-commit-per-run variant matching the reference's one
+    * `commit()` (load.py:271).
+    */
   def run(spark: SparkSession, transactions: DataFrame, balance: DataFrame,
       pots: DataFrame, clock: Column): Unit = {
     loadBronzeTransactions(spark, transactions, clock)
@@ -128,5 +133,74 @@ final case class Medallion(root: String) {
     appendSnapshot(pots, bronzePots, clock)
     transformSilver(spark)
     buildGold(spark)
+  }
+
+  /** The committed medallion view: a Medallion rooted at the current
+    * version directory, so `.silverTx` etc. address the last ATOMICALLY
+    * published run. Empty until the first [[runAtomic]] commit.
+    */
+  def committed(spark: SparkSession): Option[Medallion] =
+    Versions.latest(spark, root).map { case (_, dir) => Medallion(dir) }
+
+  /** [[run]] with the reference's single-commit semantics
+    * (/root/reference/src/load/load.py:271 — one `commit()` after every
+    * layer is written): all seven tables are staged under `root/v<N>`,
+    * computed against the PREVIOUS committed version's bronze, and the
+    * `_LATEST` pointer flips once at the end ([[Versions.publish]]) —
+    * bronze, silver and gold appear together or not at all. A crash at
+    * any point (injectable via `afterSilver`, the widest window) leaves
+    * readers on the old consistent version; rerunning the batch stages
+    * the same version again and commits.
+    *
+    * Returns the committed version number.
+    */
+  def runAtomic(spark: SparkSession, transactions: DataFrame, balance: DataFrame,
+      pots: DataFrame, clock: Column,
+      afterSilver: () => Unit = () => ()): Long =
+    runAtomicBatches(spark, Seq(transactions -> clock), balance, pots, clock,
+      afterSilver)
+
+  /** [[runAtomic]] for a multi-page ingest: every batch folds into the
+    * staged bronze with its own audit clock (the reference loads all API
+    * pages before its single commit), then ONE transform + gold + flip.
+    */
+  def runAtomicBatches(spark: SparkSession, batches: Seq[(DataFrame, Column)],
+      balance: DataFrame, pots: DataFrame, snapClock: Column,
+      afterSilver: () => Unit = () => ()): Long = {
+    require(batches.nonEmpty, "at least one transaction batch")
+    val cur = Versions.latest(spark, root)
+    val next = cur.map(_._1 + 1).getOrElse(1L)
+    val stage = Medallion(s"$root/v$next")
+    val curM = cur.map { case (_, dir) => Medallion(dir) }
+
+    // L1 against the COMMITTED bronze: fold each batch's insert-if-absent
+    // into the staged frame, land once
+    var bronze = curM.map(m => spark.read.parquet(m.bronzeTx))
+      .getOrElse(batches.head._1.withColumn("date_retrieved", batches.head._2).limit(0))
+    batches.foreach { case (df, clk) =>
+      val stamped = df.withColumn("date_retrieved", clk)
+      val fresh = Dedup.firstWriterWins(
+        Dedup.insertIfAbsent(stamped, bronze, Seq("id")),
+        Seq("id"), Seq(col("created").asc_nulls_last, col("id").asc))
+      bronze = bronze.unionByName(fresh)
+    }
+    bronze.write.mode(SaveMode.Overwrite).parquet(stage.bronzeTx)
+
+    // L2/L3 snapshots: committed history ∪ this run's stamped snapshot
+    def stageSnapshot(df: DataFrame, prev: Option[String], path: String): Unit = {
+      val snap = df.withColumn("date_retrieved", snapClock)
+      val hist = prev.map(spark.read.parquet).getOrElse(snap.limit(0))
+      hist.unionByName(snap).write.mode(SaveMode.Overwrite).parquet(path)
+    }
+    stageSnapshot(balance, curM.map(_.bronzeBalance), stage.bronzeBalance)
+    stageSnapshot(pots, curM.map(_.bronzePots), stage.bronzePots)
+
+    stage.transformSilver(spark)
+    afterSilver() // crash-injection seam: silver staged, gold not yet
+    stage.buildGold(spark)
+
+    Versions.markComplete(spark, root, next)
+    Versions.publish(spark, root, next)
+    next
   }
 }

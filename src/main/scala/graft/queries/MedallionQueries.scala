@@ -76,12 +76,17 @@ object MedallionQueries {
       .withColumn("__okey",
         substring(col("id"), 4, 9).cast("long")) // tx_%09d ⇒ o_orderkey
       .localCheckpoint()
-    m.loadBronzeTransactions(s,
-      base.filter(col("__okey") % 4 =!= 0).drop("__okey"), to_timestamp(lit(T1)))
-    m.loadBronzeTransactions(s, base.drop("__okey"), to_timestamp(lit(T2)))
-    m.transformSilver(s)
-    m.buildGold(s)
-    m
+    // the reference's single-commit semantics: both pages fold into ONE
+    // staged version (bronze+silver+gold land together, Medallion
+    // .runAtomicBatches), and the queries read the COMMITTED view — the
+    // oracle gate therefore covers the atomic publish path end to end
+    val empty = base.limit(0).select(col("id"), col("created"))
+    m.runAtomicBatches(s,
+      Seq(
+        base.filter(col("__okey") % 4 =!= 0).drop("__okey") -> to_timestamp(lit(T1)),
+        base.drop("__okey") -> to_timestamp(lit(T2))),
+      balance = empty, pots = empty, snapClock = to_timestamp(lit(T2)))
+    m.committed(s).get
   }
 
   /** The oracle's re-derivation of what bronze must contain after the two

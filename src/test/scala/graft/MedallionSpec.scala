@@ -169,6 +169,50 @@ class MedallionSpec extends SparkSpec {
       (5L, "update", None, Some("e"))))
   }
 
+  test("atomic commit: crash between silver and gold leaves readers on the old version") {
+    import spark.implicits._
+    val root = tmpDir("medallion_atomic")
+    val m = Medallion(root)
+    val bal = Seq((100L, "GBP")).toDF("balance", "currency")
+    val pots = Seq(("pot_1", 50L)).toDF("pot_id", "balance")
+    val clock1 = lit("2025-02-01T00:00:00Z").cast("timestamp")
+    val clock2 = lit("2025-02-02T00:00:00Z").cast("timestamp")
+
+    val v1 = m.runAtomic(spark,
+      bronzeBatch(tx("tx_1", -100, "2025-01-01T00:00:00Z")), bal, pots, clock1)
+    assert(v1 === 1L)
+    val c1 = m.committed(spark).get
+    assert(spark.read.parquet(c1.bronzeTx).count() === 1)
+    assert(spark.read.parquet(c1.silverTx).count() === 1)
+    val goldBefore = spark.read.parquet(c1.goldMonthly).collect().map(_.toString).sorted
+
+    // inject a crash in the widest window: silver staged, gold not built
+    val boom = intercept[RuntimeException] {
+      m.runAtomic(spark,
+        bronzeBatch(tx("tx_2", -200, "2025-01-02T00:00:00Z")), bal, pots, clock2,
+        afterSilver = () => throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage === "injected crash")
+    // readers: still version 1, every layer the OLD consistent set —
+    // bronze has NOT advanced ahead of silver/gold
+    assert(graft.pipeline.Versions.latest(spark, root).get._1 === 1L)
+    val cAfter = m.committed(spark).get
+    assert(spark.read.parquet(cAfter.bronzeTx).count() === 1)
+    assert(spark.read.parquet(cAfter.silverTx).count() === 1)
+    assert(spark.read.parquet(cAfter.goldMonthly).collect().map(_.toString).sorted
+      === goldBefore)
+
+    // recovery: rerunning the batch stages v2 again and flips all layers at once
+    val v2 = m.runAtomic(spark,
+      bronzeBatch(tx("tx_2", -200, "2025-01-02T00:00:00Z")), bal, pots, clock2)
+    assert(v2 === 2L)
+    val c2 = m.committed(spark).get
+    assert(spark.read.parquet(c2.bronzeTx).count() === 2)
+    assert(spark.read.parquet(c2.silverTx).count() === 2)
+    assert(spark.read.parquet(c2.bronzeBalance).count() === 2) // one snapshot per commit
+    assert(spark.read.parquet(c2.bronzePots).count() === 2)
+  }
+
   test("incremental gold state fold == full rebuild, for any batch split") {
     val fact = Tables.orders(spark, "/root/testdata/sf0.001")
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
