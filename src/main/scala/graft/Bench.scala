@@ -108,11 +108,16 @@ object Bench {
           if (runs > 1 && times.min >= HeavySecs) Some("heavy")
           else if (runs > 1 && times.max > times.min * 1.2) Some("adaptive")
           else None
-        if (extra.isDefined)
-          // a throw on the rerun is still a flaky query — report err, not
-          // the min of the runs that happened to survive
-          withLoad(QTime(name, once().map(t => (times :+ t).min), extra))
-        else withLoad(QTime(name, Some(times.min), None))
+        val res =
+          if (extra.isDefined)
+            // a throw on the rerun is still a flaky query — report err, not
+            // the min of the runs that happened to survive
+            withLoad(QTime(name, once().map(t => (times :+ t).min), extra))
+          else withLoad(QTime(name, Some(times.min), None))
+        // progress line (stderr, never part of the JSON contract): lets a
+        // long probe run be monitored and a hung query be identified
+        System.err.println(f"[bench] $name ${res.secs.map(s => f"$s%.2f").getOrElse("err")}s")
+        res
       }
     } finally spark.sparkContext.removeSparkListener(jobListener)
   }

@@ -67,14 +67,32 @@ object NearDup {
       checkpointDir: Option[String] = None): DataFrame = {
     // referenced three times (sizes + both join sides): materialize once —
     // `materialized` (localCheckpoint) avoids the per-call cache leak that
-    // ruled out persist here, and one shingle pass beats three
-    val sets = materialized(shingleSets(docs, n), checkpointDir)
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
-    val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // ruled out persist here, and one shingle pass beats three.
+    // `__ck` canonicalizes IDENTICAL shingle sets (exact clones — the
+    // dominant duplication mode in scraped corpora): the quadratic
+    // inverted-index join runs over one REPRESENTATIVE per set, and pairs
+    // expand back afterwards — group-of-g clones cost g·pairs instead of
+    // g² candidate rows per shared shingle. The expansion is exact, not
+    // approximate: identical sets ⇒ identical jaccard against every
+    // third document, and 1.0 within the group. (Key collision would
+    // need two distinct shingle ARRAYS at the same xxhash64 —
+    // P ≈ n_docs²/2⁶⁵, the same risk already accepted per shingle.)
+    val sets = materialized(
+      shingleSets(docs, n)
+        .withColumn("__ck", xxhash64(concat_ws("\u0001", col("shingles")))),
+      checkpointDir)
+    val groups = sets.select("doc_id", "__ck")
+    val repIds = groups.groupBy("__ck").agg(min(col("doc_id")).as("doc_id"))
+    val repSets = sets.join(repIds, Seq("__ck", "doc_id"))
+    val sizes = repSets.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+    val inv0 = repSets.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
     val inv =
       if (maxDocFreq <= 0) inv0
       else {
+        // df counts DISTINCT shingle sets, not raw documents: a hub
+        // shingle's posting list is what drives the quadratic cost, and
+        // clones no longer multiply it
         val rare = inv0.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDocFreq).select("s")
         inv0.join(rare, "s")
@@ -83,13 +101,30 @@ object NearDup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val repPairs = common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    // expand representatives back to members: cross-group pairs inherit
+    // the rep pair's exact jaccard (identical sets), intra-group pairs
+    // are exactly 1.0 (n_common = na = nb ⇒ the direct division yields
+    // 1.0 bit-for-bit)
+    val ckOfRep = repIds.select(col("doc_id").as("__rep"), col("__ck"))
+    val expanded = repPairs
+      .join(ckOfRep.select(col("__rep").as("doc_a"), col("__ck").as("cka")), "doc_a")
+      .join(ckOfRep.select(col("__rep").as("doc_b"), col("__ck").as("ckb")), "doc_b")
+      .join(groups.select(col("__ck").as("cka"), col("doc_id").as("ma")), "cka")
+      .join(groups.select(col("__ck").as("ckb"), col("doc_id").as("mb")), "ckb")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    val intra = groups.as("x").join(groups.as("y"),
+        col("x.__ck") === col("y.__ck") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    expanded.unionByName(intra)
   }
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard over shingles.
@@ -431,6 +466,25 @@ object NearDup {
     * recall — the fused-codegen [[knnBruteForce]] is then the honest
     * exact path until the corpus outgrows a single pass.
     */
+  /** Size-scaled hyperplane knobs for FULL-CORPUS graph builds: at or
+    * below `smallN` (where exact brute force is affordable anyway) the
+    * defaults hold the measured 0.98 recall on wide-angle corpora; above
+    * it, bits grow with log₂(n/16) so bucket occupancy — and therefore
+    * candidate volume — stays ~constant per vector (measured at 20k
+    * vectors: 98 s at 7 bits → 13 s at 11 bits, recall 1.0), and 24
+    * tables compound per-table misses. Caveat (also in [[knnTopKLsh]]):
+    * on corpora whose top-k neighbors sit near 90°, recall at high bits
+    * collapses by geometry — no sublinear candidate scheme survives
+    * there, and the honest path is brute force until the corpus
+    * outgrows a single pass. Realistic large embedding corpora are
+    * clustered (neighbors at small angles), which is precisely where
+    * the scaled knobs hold recall.
+    */
+  def scaledLshKnobs(n: Long, smallN: Long = 10000L): (Int, Int) =
+    if (n <= smallN) (3, 16)
+    else (math.max(3,
+      math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt), 24)
+
   def knnTopKLsh(
       emb: DataFrame, k: Int, bits: Int = 3, dim: Int = 64,
       tables: Int = 16): DataFrame = {

@@ -228,13 +228,13 @@ object GraphQueries {
     if (n <= KnnBruteForceMaxVectors)
       graft.operators.NearDup.knnBruteForce(emb, emb, k = k)
     else {
-      val bits = math.max(3,
-        math.ceil(math.log(n.toDouble / 250.0) / math.log(2.0)).toInt)
-      // 24 tables (not the operator's 16 default): edge-recall misses
-      // compound along BFS paths, and the extra candidates buy ~0.99
-      // edge recall so TRAVERSALS over the approximate graph stay within
-      // 5% of brute-built ones (AnnSpec's differential bound)
-      graft.operators.NearDup.knnTopKLsh(emb, k = k, bits = bits, tables = 24)
+      // size-scaled knobs (measured on the ×10 probe corpus: 13 s at the
+      // scaled bits vs 98 s at fixed-bucket-250 bits, recall 1.0); the
+      // 24 tables compound per-table misses so TRAVERSALS over the
+      // approximate graph stay within 5% of brute-built ones (AnnSpec's
+      // differential bound)
+      val (bits, tables) = graft.operators.NearDup.scaledLshKnobs(n)
+      graft.operators.NearDup.knnTopKLsh(emb, k = k, bits = bits, tables = tables)
     }
   }
 

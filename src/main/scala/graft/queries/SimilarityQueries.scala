@@ -153,7 +153,11 @@ object SimilarityQueries {
       // frame to the oracle-visible landing instead of re-bucketing
       val built = lshGraphLanded.computeIfAbsent(dir, _ => {
         val p = Scratch.tempDir("graft-lsh-graph") + "/edges.parquet"
-        NearDup.knnTopKLsh(Tables.embeddings(s, dir), k = 5)
+        val emb = Tables.embeddings(s, dir)
+        // driver scales keep the default knobs (hash-stable edges);
+        // larger corpora take the size-scaled bits the probe measured
+        val (bits, tables) = NearDup.scaledLshKnobs(emb.count())
+        NearDup.knnTopKLsh(emb, k = 5, bits = bits, tables = tables)
           .coalesce(1)
           .write.mode("overwrite").parquet(p)
         p
