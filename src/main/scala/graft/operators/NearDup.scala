@@ -174,18 +174,42 @@ object NearDup {
     // project (evaluating the winnow expression ~3x per row) and the
     // self-join recomputes the whole pipeline on each side — profiled at
     // 6 evaluations per document vs 1 here (q35 round-5 triage, PLANS.md)
-    val fps = materialized(
+    // `__ck` canonicalizes identical fingerprint SETS (exact clones) —
+    // the ngramJaccardPairs contraction: the quadratic inverted-index
+    // join runs over one representative per set, pairs expand back
+    // exactly (shared counts are set-determined), and intra-group pairs
+    // share ALL fingerprints (winnow emits a distinct set, so
+    // n_shared = |fps| bit-for-bit)
+    val fps0 = materialized(
       docs.select(col("doc_id"),
         graft.expressions.WinnowExpr.winnowFingerprints(
           TextFunctions.normalizeText(col("text")), k, w).as("fps")),
       checkpointDir)
       .filter(size(col("fps")) > 0)
+      .withColumn("__ck", xxhash64(col("fps")))
+    val groups = fps0.select(col("doc_id"), col("__ck"), size(col("fps")).as("nfp"))
+    val repIds = groups.groupBy("__ck").agg(min(col("doc_id")).as("doc_id"))
+    val fps = fps0.join(repIds, Seq("__ck", "doc_id"))
     val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
-    inv.as("a").join(inv.as("b"),
+    val repPairs = inv.as("a").join(inv.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    val ckOfRep = repIds.select(col("doc_id").as("__rep"), col("__ck"))
+    val expanded = repPairs
+      .join(ckOfRep.select(col("__rep").as("doc_a"), col("__ck").as("cka")), "doc_a")
+      .join(ckOfRep.select(col("__rep").as("doc_b"), col("__ck").as("ckb")), "doc_b")
+      .join(groups.select(col("__ck").as("cka"), col("doc_id").as("ma")), "cka")
+      .join(groups.select(col("__ck").as("ckb"), col("doc_id").as("mb")), "ckb")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("n_shared"))
+    val intra = groups.as("x").join(groups.as("y"),
+        col("x.__ck") === col("y.__ck") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.nfp").cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    expanded.unionByName(intra)
   }
 
   /** SimHash near-dup pairs within `maxHamming` (≤ 3 for complete 4-block

@@ -48,14 +48,23 @@ object SetSimJoin {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     // (doc_id, sorted distinct shingle-hash array) — read by the ordering
-    // join, the verify re-attach (twice), and sizes: materialize once
-    val sets = Components.cut(
+    // join, the verify re-attach (twice), and sizes: materialize once.
+    // `__ck` canonicalizes identical shingle sets (exact clones): the
+    // prefix index and candidate join run over one representative per
+    // set, and pairs expand back exactly afterwards — the same clone
+    // contraction as ngramJaccardPairs (a group of g clones costs g
+    // output pairs, not g² prefix-candidate rows).
+    val sets0 = Components.cut(
       docs.select(col("doc_id"),
           graft.functions.Sketches.wordShingles(col("text"), n).as("sh"))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"),
-          array_sort(transform(col("sh"), s => xxhash64(s))).as("sh")),
+          array_sort(transform(col("sh"), s => xxhash64(s))).as("sh"))
+        .withColumn("__ck", xxhash64(col("sh"))),
       checkpointDir)
+    val groups = sets0.select(col("doc_id"), col("__ck"), size(col("sh")).as("nsh"))
+    val repIds = groups.groupBy("__ck").agg(min(col("doc_id")).as("doc_id"))
+    val sets = sets0.join(repIds, Seq("__ck", "doc_id"))
     val posts = sets.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfreq = posts.groupBy("s").agg(count(lit(1)).as("df"))
     // per-doc (df asc, hash asc) order lives in a doc-sized array sort —
@@ -74,7 +83,7 @@ object SetSimJoin {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
+    val repPairs = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -87,6 +96,28 @@ object SetSimJoin {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         col("n_common"), round(col("jaccard"), 12).as("jaccard"))
+    // expand representatives to members: identical sets ⇒ identical
+    // (n_a, n_b, n_common, jaccard); sizes swap when the member order
+    // flips relative to the rep order
+    val ckOfRep = repIds.select(col("doc_id").as("__rep"), col("__ck"))
+    val expanded = repPairs
+      .join(ckOfRep.select(col("__rep").as("doc_a"), col("__ck").as("cka")), "doc_a")
+      .join(ckOfRep.select(col("__rep").as("doc_b"), col("__ck").as("ckb")), "doc_b")
+      .join(groups.select(col("__ck").as("cka"), col("doc_id").as("ma")), "cka")
+      .join(groups.select(col("__ck").as("ckb"), col("doc_id").as("mb")), "ckb")
+      .select(
+        least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"),
+        when(col("ma") < col("mb"), col("n_a")).otherwise(col("n_b")).as("n_a"),
+        when(col("ma") < col("mb"), col("n_b")).otherwise(col("n_a")).as("n_b"),
+        col("n_common"), col("jaccard"))
+    // intra-group pairs: J = 1 exactly (n_common = n_a = n_b)
+    val intra = groups.as("x").join(groups.as("y"),
+        col("x.__ck") === col("y.__ck") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.nsh").cast("long").as("n_a"), col("y.nsh").cast("long").as("n_b"),
+        col("x.nsh").cast("long").as("n_common"), lit(1.0).as("jaccard"))
+    expanded.unionByName(intra)
   }
 
   /** Blocking + pairwise edit-distance verification — the "candidate
