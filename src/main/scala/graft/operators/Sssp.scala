@@ -33,10 +33,18 @@ object Sssp {
     * edges; dist = exact min-weight path (source at 0.0). Unreachable
     * nodes are absent.
     */
+  /** Edge bound for the serial driver path ([[Bfs.LocalEdgeThreshold]]
+    * contract). The serial replay is round-synchronous Bellman–Ford with
+    * the identical IEEE adds and order-free mins, so it is bit-identical
+    * to the distributed rounds.
+    */
+  val LocalEdgeThreshold = 100000
+
   def run(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
       source: Long, rounds: Int = 8, undirected: Boolean = true,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localEdgeThreshold: Int = LocalEdgeThreshold): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
     val e0 = edges.select(
@@ -46,6 +54,36 @@ object Sssp {
       when(col(weightCol) < 0, raise_error(
         concat(lit("Sssp requires non-negative weights, got "), col(weightCol))))
         .otherwise(col(weightCol)).cast("double").as("w"))
+
+    if (localEdgeThreshold > 0) {
+      val probe = e0.limit(localEdgeThreshold + 1).collect()
+      if (probe.length <= localEdgeThreshold) {
+        val raw = probe.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val both = if (undirected) raw ++ raw.map(t => (t._2, t._1, t._3)) else raw
+        // parallel edges: keep the lightest (min is order-free)
+        val adjM = new java.util.HashMap[(Long, Long), Double]()
+        both.foreach { case (s, d, w) =>
+          if (s != d) adjM.merge((s, d), w, (a, b) => math.min(a, b))
+        }
+        val edgesBySrc = scala.jdk.CollectionConverters.MapHasAsScala(adjM).asScala
+          .toSeq.map { case ((s, d), w) => (s, d, w) }.groupBy(_._1)
+        var dist = Map[Long, Double](source -> 0.0)
+        for (_ <- 1 to rounds) {
+          // round-SYNCHRONOUS: relaxations read the previous round's table
+          val next = new java.util.HashMap[Long, java.lang.Double]()
+          dist.foreach { case (n, dv) => next.merge(n, dv, (a, b) => math.min(a, b)) }
+          dist.foreach { case (u, du) =>
+            edgesBySrc.getOrElse(u, Nil).foreach { case (_, v, w) =>
+              val cand = du + w
+              next.merge(v, cand, (a, b) => math.min(a, b))
+            }
+          }
+          dist = scala.jdk.CollectionConverters.MapHasAsScala(next).asScala
+            .map { case (k, v) => k -> v.doubleValue() }.toMap
+        }
+        return spark.createDataFrame(dist.toSeq).toDF("node", "dist")
+      }
+    }
     val adj = (if (undirected) e0.union(e0.select(col("d").as("s"), col("s").as("d"), col("w")))
       else e0)
       .filter(col("s") =!= col("d"))

@@ -42,6 +42,21 @@ class GraphExtrasSpec extends SparkSpec {
     assert(math.abs(h(1L) - 1.5) < 1e-9)
   }
 
+  test("harmonic: distributed exact path is bit-identical to the driver-local path") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 5L), (6L, 7L))
+      .toDF("u", "v")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val local = toMapOf(graft.operators.Harmonic.run(und, maxHops = 6))
+    val dist = toMapOf(graft.operators.Harmonic.run(und, maxHops = 6,
+      localEdgeThreshold = 0))
+    assert(local.keySet === dist.keySet)
+    local.foreach { case (k, (n, h)) =>
+      assert(n === dist(k)._1, s"n_reached($k)")
+      assert(java.lang.Double.compare(h, dist(k)._2) === 0, s"harmonic($k)")
+    }
+  }
+
   test("harmonic: implicit all-sources on a large graph becomes the pivot estimator") {
     // real embedding knn graph (500 nodes at sf0.001): forcing the
     // size cutover (maxExactNodes = 1) must produce per-node ESTIMATES

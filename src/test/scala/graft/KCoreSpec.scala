@@ -44,6 +44,21 @@ class KCoreSpec extends SparkSpec {
     graft.operators.KTruss.run(edges.toDF("u", "v"), k).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
 
+  test("KCore/KTruss: distributed paths are bit-identical to the driver-local paths") {
+    // two triangles over a bridge + a pendant tail: exercises multi-round
+    // peels in both decompositions
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (6L, 7L))
+    val coreL = runMap(es, 2)
+    val coreD = KCore.run(es.toDF("u", "v"), 2, localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(coreL === coreD)
+    val trussL = trussMap(es, 3)
+    val trussD = graft.operators.KTruss.run(es.toDF("u", "v"), 3, localEdgeThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(trussL === trussD)
+  }
+
   test("k-truss: triangle with a tail — the tail edge peels, the triangle survives k=3") {
     val m = trussMap(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)), 3)
     assert(m((3L, 4L)) === 1)

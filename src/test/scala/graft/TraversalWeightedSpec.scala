@@ -56,6 +56,33 @@ class TraversalWeightedSpec extends SparkSpec {
     assert(a != b, s"bridge merged the communities: $got")
   }
 
+  test("Bfs/Sssp/Lpa: distributed paths are bit-identical to the driver-local paths") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 0.5), (2L, 3L, 1.5), (3L, 1L, 0.7), (3L, 4L, 2.25),
+      (4L, 5L, 0.25), (1L, 4L, 3.5), (5L, 6L, 1.0), (2L, 4L, 0.125))
+      .toDF("src", "dst", "w")
+    val bfsL = graft.operators.Bfs.run(e, "src", "dst", 1L, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bfsD = graft.operators.Bfs.run(e, "src", "dst", 1L, maxHops = 4,
+      localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bfsL === bfsD)
+    val ssspL = graft.operators.Sssp.run(e, "src", "dst", "w", 1L, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ssspD = graft.operators.Sssp.run(e, "src", "dst", "w", 1L, rounds = 5,
+      localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ssspL.keySet === ssspD.keySet)
+    ssspL.foreach { case (k, v) =>
+      assert(java.lang.Double.compare(v, ssspD(k)) === 0, s"dist($k)") }
+    val lpaL = graft.operators.Lpa.run(e, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpaD = graft.operators.Lpa.run(e, "src", "dst", rounds = 4,
+      localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpaL === lpaD)
+  }
+
   test("Lpa: deterministic across runs (fixed rounds, min-label ties)") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
     val r1 = Lpa.run(edges, "s", "d", rounds = 3).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
