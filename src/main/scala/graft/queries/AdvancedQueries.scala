@@ -1191,8 +1191,148 @@ object AdvancedQueries {
             GROUP BY s_name
             ORDER BY numwait DESC, s_name"""))
 
+  /** Min-cost supplier per part (TPC-H Q2 shape): lineitem stands in for
+    * partsupp (its (l_partkey, l_suppkey) min unit price is the supply
+    * cost), and the row under test is the CORRELATED SCALAR MIN — for each
+    * small part, keep only the supplier(s) whose unit cost equals that
+    * part's minimum. Catalyst decorrelates the per-part min into ONE
+    * aggregate over the derived cost table joined back on `l_partkey`; the
+    * cost table itself is built once and read by both the outer query and
+    * the subquery (no per-row re-aggregation). Determinism: `unit_cost` is
+    * one IEEE division per line and `min` selects an element of that set,
+    * so the equality compares two bit-identical doubles on both engines.
+    */
+  private val q177 = GraftQuery(
+    "q177_min_cost_supplier",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem_v WHERE l_quantity > 0
+          GROUP BY l_partkey, l_suppkey)
+        SELECT p_partkey, p_name, s_suppkey, s_name,
+               round(ps.unit_cost, 9) AS unit_cost
+        FROM part_v JOIN ps ON p_partkey = ps.l_partkey
+                    JOIN supplier_v ON s_suppkey = ps.l_suppkey
+        WHERE p_size <= 10
+          AND ps.unit_cost = (
+            SELECT min(ps2.unit_cost) FROM ps ps2
+            WHERE ps2.l_partkey = p_partkey)
+        ORDER BY p_partkey, s_suppkey
+        LIMIT 100""")
+    },
+    Some("""WITH ps AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS unit_cost
+              FROM lineitem WHERE l_quantity > 0
+              GROUP BY l_partkey, l_suppkey)
+            SELECT p_partkey, p_name, s_suppkey, s_name,
+                   round(ps.unit_cost, 9) AS unit_cost
+            FROM part JOIN ps ON p_partkey = ps.l_partkey
+                      JOIN supplier ON s_suppkey = ps.l_suppkey
+            WHERE p_size <= 10
+              AND ps.unit_cost = (
+                SELECT min(ps2.unit_cost) FROM ps ps2
+                WHERE ps2.l_partkey = p_partkey)
+            ORDER BY p_partkey, s_suppkey
+            LIMIT 100"""))
+
+  /** Dormant high-balance customers (TPC-H Q22 shape): per market segment,
+    * count the above-average-balance customers who placed NO urgent order
+    * since 1999 — an UNCORRELATED scalar subquery (the positive-balance
+    * mean) gating a correlated NOT EXISTS. Catalyst plans the scalar as a
+    * one-row broadcast and the NOT EXISTS as a left anti join on
+    * `o_custkey` with the priority/date residual pushed into the probe
+    * side's scan — no per-customer subquery execution. The threshold is
+    * an exact DECIMAL(30,4) sum cast to DOUBLE then one IEEE divide by the
+    * count, so both engines gate on the same binary value (the q171/q175
+    * boundary-pinning rule); the output balance total is the same exact
+    * decimal sum.
+    */
+  private val q178 = GraftQuery(
+    "q178_dormant_rich_customers",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_mktsegment AS segment, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS totacctbal
+        FROM customer_v
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+                     / count(*)
+            FROM customer_v WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders_v
+            WHERE o_custkey = c_custkey
+              AND o_orderpriority = '1-URGENT'
+              AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_mktsegment
+        ORDER BY segment""")
+    },
+    Some("""SELECT c_mktsegment AS segment, count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+                         / count(*)
+                FROM customer WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT'
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_mktsegment
+            ORDER BY segment"""))
+
+  /** Top-revenue suppliers (TPC-H Q15 shape): a revenue view over one
+    * quarter of shipments, then the supplier(s) whose total equals the
+    * view's MAX — the aggregate-over-aggregate-view decorrelation. The view
+    * is ONE hash aggregate over the filtered fact scan (the shipdate
+    * predicate pushes to parquet); the scalar max is a one-row broadcast;
+    * the final join probes supplier by key. Revenue is the exact
+    * DECIMAL(30,4) sum of `extendedprice·(1−discount)` cast to DOUBLE once
+    * per supplier, so the max-equality compares bit-identical values on
+    * both engines.
+    */
+  private val q179 = GraftQuery(
+    "q179_top_revenue_supplier",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue
+          FROM lineitem_v
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier_v JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")
+    },
+    Some("""WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                   AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey"""))
+
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
       q105, q140, q141, q149, q150, q161, q167, q171, q172, q173, q174, q175,
-      q176)
+      q176, q177, q178, q179)
 }

@@ -871,7 +871,97 @@ object CurationQueries {
                    count(*) FILTER (d.doc_id IN (SELECT doc_id FROM s5)) AS n_decontaminated
             FROM docs d GROUP BY d.source ORDER BY d.source"""))
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every pool
+    * document by how much more likely its tokens are under a TARGET slice
+    * (here: the doc_id % 13 == 0 docs standing in for a curated corpus)
+    * than under the pool itself, using HASHED n-gram features — the
+    * vocabulary-free trick that makes the estimator one narrow pass at
+    * 100 TB. Each token lands in one of 256 buckets via the portable
+    * md5 hash (the q139/q169 family); bucket add-one log-ratios
+    * ln(p̂_target/p̂_pool) come from two ≤256-row count tables; a doc's
+    * weight is Σ n_db·lr_b over its buckets. Plan shape: ONE token-stream
+    * shuffle into the (doc, bucket) aggregate; the two bucket tables and
+    * both totals derive from that frame (cut so it lands once) and
+    * broadcast back onto it — the corpus never shuffles again. Float
+    * determinism: the q102 contract (per-bucket ln rounds at 15 dp from
+    * one fixed double expression, per-doc contributions round at 15 and
+    * sum as DECIMAL(38,15), display weight rounds at 9).
+    */
+  private val q180 = GraftQuery(
+    "q180_dsir_importance",
+    (s, dir) => {
+      val B = 256
+      val occ = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % 13 === 0).as("is_t"),
+          explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .withColumn("bucket",
+          expr("conv(substring(md5(word), 1, 15), 16, 10)").cast("long") % B)
+      val dbc = graft.operators.Components.cut(
+        occ.groupBy("doc_id", "source", "is_t", "bucket")
+          .agg(count(lit(1)).as("n_db")), None)
+      val bt = dbc.filter(col("is_t")).groupBy("bucket")
+        .agg(sum("n_db").as("ct"))
+      val bs = dbc.filter(!col("is_t")).groupBy("bucket")
+        .agg(sum("n_db").as("cs"))
+      val nt = bt.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+      val ns = bs.agg(coalesce(sum("cs"), lit(0L)).as("ns"))
+      val lr = bt.join(bs, Seq("bucket"), "full_outer")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
+        .select(col("bucket"),
+          round(log(
+            ((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0))
+              * (col("ns").cast("double") + lit(256.0)))
+              / ((coalesce(col("cs"), lit(0L)).cast("double") + lit(1.0))
+                * (col("nt").cast("double") + lit(256.0)))), 15).as("lr"))
+      dbc.filter(!col("is_t"))
+        .join(broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+          sum("n_db").as("n_tokens"),
+          round(
+            sum(round(col("n_db").cast("double") * col("lr"), 15)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+              .cast("double"), 9).as("weight"))
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(200)
+    },
+    Some("""WITH occ AS (
+              SELECT doc_id, source, doc_id % 13 = 0 AS is_t,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            w AS (
+              SELECT doc_id, source, is_t,
+                     ('0x' || substr(md5(word), 1, 15))::BIGINT % 256 AS bucket
+              FROM occ WHERE length(word) > 0),
+            dbc AS (
+              SELECT doc_id, source, is_t, bucket, count(*) AS n_db
+              FROM w GROUP BY doc_id, source, is_t, bucket),
+            bt AS (SELECT bucket, CAST(sum(n_db) AS BIGINT) AS ct
+                   FROM dbc WHERE is_t GROUP BY bucket),
+            bs AS (SELECT bucket, CAST(sum(n_db) AS BIGINT) AS cs
+                   FROM dbc WHERE NOT is_t GROUP BY bucket),
+            nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM bt),
+            ns AS (SELECT CAST(coalesce(sum(cs), 0) AS BIGINT) AS ns FROM bs),
+            lr AS (
+              SELECT bucket,
+                     round(ln(((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0)
+                                 * (CAST(ns AS DOUBLE) + 256.0))
+                              / ((CAST(coalesce(cs, 0) AS DOUBLE) + 1.0)
+                                 * (CAST(nt AS DOUBLE) + 256.0))), 15) AS lr
+              FROM bt FULL JOIN bs USING (bucket) CROSS JOIN nt CROSS JOIN ns)
+            SELECT doc_id, source, CAST(sum(n_db) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(CAST(round(CAST(n_db AS DOUBLE) * lr, 15)
+                       AS DECIMAL(38,15))) AS DOUBLE), 9) AS weight
+            FROM dbc JOIN lr USING (bucket)
+            WHERE NOT is_t
+            GROUP BY doc_id, source
+            ORDER BY weight DESC, doc_id
+            LIMIT 200"""))
+
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
-      q90, q92, q94, q96, q120, q124, q170)
+      q90, q92, q94, q96, q120, q124, q170, q180)
 }

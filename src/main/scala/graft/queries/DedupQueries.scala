@@ -498,6 +498,76 @@ object DedupQueries {
             FROM train t LEFT JOIN c ON t.source = c.source
             ORDER BY t.source"""))
 
+  /** Duplicate-paragraph-fraction filter (the Dolma/RefinedWeb doc-level
+    * rule): a document is dropped when MORE THAN 30 % of its 8-token
+    * passages also appear in at least one OTHER document — the doc-level
+    * verdict derived from passage-level duplication stats. Distinct from
+    * q73 (which keeps the first occurrence of each passage) and q85 (which
+    * strips frequent passages from every doc): here the passage stats
+    * decide the fate of the WHOLE document. Plan shape: one explode into
+    * non-overlapping 8-token chunk fingerprints, ONE shuffle on the
+    * fingerprint for the distinct-doc count, a co-partitioned join back,
+    * and a per-doc then per-source aggregate — no self-join, no window.
+    * Determinism: the fraction is one integer-ratio IEEE division and the
+    * report mean follows the q102 decimal-sum contract.
+    */
+  private val q181 = GraftQuery(
+    "q181_dup_paragraph_filter",
+    (s, dir) => {
+      val ch = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(1, size(t) - 7, 8), i -> md5(concat_ws(' ', slice(t, i, 8))))"))
+            .as("fp"))
+      val fpDocs = ch.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val perDoc = ch.join(fpDocs, "fp")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("frac",
+          col("n_dup").cast("double") / col("n_chunks").cast("double"))
+      perDoc.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("frac") <= 0.3, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("frac") > 0.3, 1L).otherwise(0L)).as("n_dropped"),
+          round(
+            sum(round(col("frac"), 15)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+              .cast("double") / count(lit(1)).cast("double"), 9)
+            .as("mean_dup_frac"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, source,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            ch AS (
+              SELECT doc_id, source,
+                     unnest([md5(array_to_string(list_slice(t, i, i + 7), ' '))
+                             for i in generate_series(1, len(t) - 7, 8)]) AS fp
+              FROM d WHERE len(t) >= 8),
+            fd AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY fp),
+            pd AS (
+              SELECT doc_id, source, count(*) AS n_chunks,
+                     CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+              FROM ch JOIN fd USING (fp)
+              GROUP BY doc_id, source),
+            f AS (
+              SELECT doc_id, source,
+                     CAST(n_dup AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS frac
+              FROM pd)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN frac <= CAST(0.3 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN frac > CAST(0.3 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                   round(CAST(sum(CAST(round(frac, 15) AS DECIMAL(38,15))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 9) AS mean_dup_frac
+            FROM f GROUP BY source ORDER BY source"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146)
+    Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146, q181)
 }

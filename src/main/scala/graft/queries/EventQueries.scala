@@ -1247,10 +1247,44 @@ object EventQueries {
             WHERE p.half = 'test'
             GROUP BY p.prev_type ORDER BY p.prev_type"""))
 
+  /** q46's LEFT OUTER twin ([[graft.streaming.StreamOps
+    * .clickPurchaseJoinOuter]]): the streaming interval join that also
+    * emits every purchase with NO preceding-hour click, as a null-extended
+    * row — run for real with the double-sided sentinel watermark flush
+    * ([[graft.streaming.StreamOps.clickPurchaseOuterDrain]]: data batch,
+    * then one far-future click + purchase advancing BOTH branch
+    * watermarks, then the trailing no-data batch null-flushing the
+    * unmatched state). Hash-compared against DuckDB's batch LEFT JOIN:
+    * held-back outer rows fail the row count, re-emissions fail the hash.
+    * On this corpus most purchases are unmatched, so the outer path — the
+    * part q46 cannot express — carries the bulk of the result.
+    */
+  private val q183 = GraftQuery(
+    "q183_stream_left_outer_join",
+    (s, dir) => {
+      import graft.streaming.StreamOps
+      StreamOps.clickPurchaseOuterDrain(
+          s,
+          graft.Tables.events(s, dir)
+            .select("event_id", "user_id", "event_type", "ts"),
+          Scratch.tempDir("graft_louter_join_"), statePartitions = 8)
+        .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id,
+                   CAST(p.ts AS TIMESTAMP) AS p_ts,
+                   c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS c_ts
+            FROM events p LEFT JOIN events c
+              ON c.event_type = 'click'
+             AND p.user_id = c.user_id
+             AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '1 hour'
+             AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+            WHERE p.event_type = 'purchase'
+            ORDER BY purchase_id, click_id NULLS FIRST"""))
+
   // def, not val: q29/q66/q67 land estimate parquet and their oracle SQL
   // must embed the path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
       q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152, q160,
-      q166)
+      q166, q183)
 }

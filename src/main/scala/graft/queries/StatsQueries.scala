@@ -469,5 +469,85 @@ object StatsQueries {
             FROM med m JOIN nd USING (event_type)
             ORDER BY event_type"""))
 
-  def all: Seq[GraftQuery] = Seq(q131, q132, q133, q134, q154, q155)
+  /** Robust outlier detection per event type: median / MAD (median
+    * absolute deviation) instead of mean / stddev, so a heavy tail cannot
+    * drag its own detection threshold (the classic robust-statistics
+    * argument; 1.4826·MAD estimates σ under normality, and the flag is
+    * the standard |x − med| > 3σ̂ — folded to the single literal 4.4478 so
+    * both engines multiply once). Medians are EXACT, via the q155 rank
+    * idiom: row_number under a (value, event_id) total order, middle
+    * element (odd n) or mean of the two middles (even) — the identical
+    * integer rank arithmetic on both engines, no engine quantile
+    * definition anywhere. Plan shape: two ranked per-type windows (value,
+    * then deviation) with the ≤|types|-row median/MAD frames broadcast
+    * back — the exact-verification shape (the [[OrderStats]] scale note);
+    * at 100 TB the same rule rides the mergeable DDSketch estimate (q29/
+    * q67) and this operator is its audit.
+    */
+  def robustOutliers(events: DataFrame): DataFrame = {
+    val v = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("double").as("value"))
+    val w1 = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val med = v
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+      .groupBy("event_type", "n")
+      .agg(round(sum(col("value")) / count(lit(1)), 9).as("med"))
+    val dev = v.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("event_id"), col("n"), col("med"),
+        abs(col("value") - col("med")).as("dev"))
+    val w2 = Window.partitionBy("event_type").orderBy(col("dev"), col("event_id"))
+    val mad = dev
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+      .groupBy("event_type")
+      .agg(round(sum(col("dev")) / count(lit(1)), 9).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type", "n", "med", "mad")
+      .agg(sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+        .as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  private val q182 = GraftQuery(
+    "q182_median_mad_outliers",
+    (s, dir) => robustOutliers(Tables.events(s, dir)),
+    Some("""WITH v AS (
+              SELECT event_type, event_id, CAST(value AS DOUBLE) AS value
+              FROM events WHERE value IS NOT NULL),
+            r1 AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM v),
+            med AS (
+              SELECT event_type, n, round(sum(value) / count(*), 9) AS med
+              FROM r1 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+              GROUP BY event_type, n),
+            d AS (
+              SELECT v.event_type, v.event_id, med.n, med.med,
+                     abs(v.value - med.med) AS dev
+              FROM v JOIN med USING (event_type)),
+            r2 AS (
+              SELECT event_type, n, dev,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY dev, event_id) AS rn
+              FROM d),
+            mad AS (
+              SELECT event_type, round(sum(dev) / count(*), 9) AS mad
+              FROM r2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+              GROUP BY event_type)
+            SELECT d.event_type, d.n, d.med, mad.mad,
+                   CAST(sum(CASE WHEN d.dev > CAST(4.4478 AS DOUBLE) * mad.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM d JOIN mad USING (event_type)
+            GROUP BY d.event_type, d.n, d.med, mad.mad
+            ORDER BY d.event_type"""))
+
+  def all: Seq[GraftQuery] = Seq(q131, q132, q133, q134, q154, q155, q182)
 }

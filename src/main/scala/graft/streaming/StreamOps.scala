@@ -109,7 +109,6 @@ object StreamOps {
     */
   def sessionAggAppend(spark: SparkSession, events: DataFrame, scratchDir: String,
       sentinelUser: Long = Long.MinValue, statePartitions: Int = 0): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val data = events.select(
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("timestamp").as("ts"),
@@ -118,9 +117,35 @@ object StreamOps {
     // past max end (= max ts + 30 min gap) + 1 h watermark horizon
     val sentinelTs = new java.sql.Timestamp(
       maxTs.getTime + (90 + 10) * 60 * 1000L)
+    val staged = stageOrdered(scratchDir, Seq(
+      data -> "000_data",
+      data.sparkSession.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(sentinelUser, sentinelTs, 0.0)),
+        data.schema) -> "001_sentinel"))
+    runAvailableNow(
+      spark,
+      s2 => sessionAgg(s2.readStream
+        .schema(data.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)),
+      "s_append_sessions", OutputMode.Append(), statePartitions)
+      .filter(col("user_id") =!= sentinelUser)
+  }
+
+  /** Stage each frame as one parquet file in `scratchDir/staged`, with
+    * modification times pinned 60 s apart in sequence order — the file
+    * source orders batches by modification time, so under
+    * `maxFilesPerTrigger = 1` each frame becomes its own micro-batch in
+    * the given order (a sentinel can never land in, or before, the data
+    * batch). Returns the staged directory.
+    */
+  private def stageOrdered(scratchDir: String,
+      batches: Seq[(DataFrame, String)]): String = {
+    import java.nio.file.{Files, Paths}
     val staged = Paths.get(scratchDir, "staged")
     Files.createDirectories(staged)
-    def stageOne(df: DataFrame, name: String, modMillis: Long): Unit = {
+    val t0 = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case ((df, name), i) =>
       val tmp = Paths.get(scratchDir, s"tmp_$name")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
@@ -128,26 +153,11 @@ object StreamOps {
       val target = staged.resolve(s"$name.parquet")
       Files.move(part, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // the file source orders batches by modification time: pin it so
-      // the sentinel can never land in (or before) the data batch
       Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime.fromMillis(modMillis))
+        java.nio.file.attribute.FileTime.fromMillis(
+          t0 - (batches.size - 1 - i) * 60000L))
     }
-    val t0 = System.currentTimeMillis()
-    stageOne(data, "000_data", t0 - 60000)
-    stageOne(
-      data.sparkSession.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(sentinelUser, sentinelTs, 0.0)),
-        data.schema),
-      "001_sentinel", t0)
-    runAvailableNow(
-      spark,
-      s2 => sessionAgg(s2.readStream
-        .schema(data.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged.toString)),
-      "s_append_sessions", OutputMode.Append(), statePartitions)
-      .filter(col("user_id") =!= sentinelUser)
+    staged.toString
   }
 
   /** Per-user running totals via custom state — the escape hatch for
@@ -264,6 +274,78 @@ object StreamOps {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") <= col("p_ts"))
       .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts")
+  }
+
+  /** LEFT OUTER stream-stream interval join: [[clickPurchaseJoin]]'s
+    * pairing plus every purchase with NO click in the preceding hour,
+    * emitted with null click columns — the attribution question batch
+    * answers with a left join, kept incremental. An outer result can only
+    * be produced once the watermark has passed the purchase's whole match
+    * window (before that, a matching click could still arrive), which is
+    * exactly what makes the state bounded: each held left row is either
+    * matched or null-flushed when the watermark clears it, never retained.
+    */
+  def clickPurchaseJoinOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts")
+  }
+
+  /** One-shot drain of [[clickPurchaseJoinOuter]] over a bounded corpus.
+    * A naive AvailableNow run would hold back every unmatched purchase:
+    * null rows flush only when the watermark passes their window, and with
+    * all data in one batch the final watermark stops an hour short. So the
+    * sessionAggAppend sentinel pattern, on BOTH sides: stage the events as
+    * one micro-batch, then a sentinel batch carrying a far-future click
+    * AND purchase under a reserved user (the global watermark is the MIN
+    * across both branches, so each needs its own advance), then Spark's
+    * trailing no-data batch null-flushes every real unmatched purchase.
+    * The sentinel purchase itself stays inside the final horizon (held in
+    * state, never emitted) and is excluded by its reserved user anyway.
+    *
+    * `events` is the BATCH frame (event_id, user_id, event_type, ts).
+    */
+  def clickPurchaseOuterDrain(spark: SparkSession, events: DataFrame,
+      scratchDir: String, sentinelUser: Long = Long.MinValue,
+      statePartitions: Int = 0): DataFrame = {
+    val data = events.select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type").cast("string").as("event_type"),
+      col("ts").cast("timestamp").as("ts"))
+    val maxTs = data.agg(max(col("ts"))).head.getTimestamp(0)
+    // past the 1 h join window + the 1 h watermark delay on both sides
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
+    val staged = stageOrdered(scratchDir, Seq(
+      data -> "000_data",
+      data.sparkSession.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(-1L, sentinelUser, "click", sentinelTs),
+          org.apache.spark.sql.Row(-2L, sentinelUser, "purchase", sentinelTs)),
+        data.schema) -> "001_sentinel"))
+    runAvailableNow(
+      spark,
+      s2 => {
+        val src = s2.readStream
+          .schema(data.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged)
+        clickPurchaseJoinOuter(
+          src.filter(col("event_type") === "purchase"),
+          src.filter(col("event_type") === "click"))
+      },
+      "s_louter_join", OutputMode.Append(), statePartitions)
+      .filter(col("user_id") =!= sentinelUser)
   }
 
   /** Streaming exact dedup: at-least-once sources re-deliver, so drop
