@@ -114,6 +114,9 @@ object StreamOps {
       col("ts").cast("timestamp").as("ts"),
       col("value").cast("double").as("value"))
     val maxTs = data.agg(max(col("ts"))).head.getTimestamp(0)
+    require(maxTs != null,
+      "sessionAggAppend: events frame is empty or ts is all-null — no max " +
+        "event time to stamp the drain sentinel with")
     // past max end (= max ts + 30 min gap) + 1 h watermark horizon
     val sentinelTs = new java.sql.Timestamp(
       maxTs.getTime + (90 + 10) * 60 * 1000L)
@@ -148,8 +151,11 @@ object StreamOps {
     batches.zipWithIndex.foreach { case ((df, name), i) =>
       val tmp = Paths.get(scratchDir, s"tmp_$name")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst.orElseThrow(() => new IllegalStateException(s"no parquet in $tmp"))
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.toString.endsWith(".parquet"))
+          .findFirst.orElseThrow(() => new IllegalStateException(s"no parquet in $tmp"))
+        finally listing.close()
       val target = staged.resolve(s"$name.parquet")
       Files.move(part, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -324,6 +330,9 @@ object StreamOps {
       col("event_type").cast("string").as("event_type"),
       col("ts").cast("timestamp").as("ts"))
     val maxTs = data.agg(max(col("ts"))).head.getTimestamp(0)
+    require(maxTs != null,
+      "clickPurchaseOuterDrain: events frame is empty or ts is all-null — " +
+        "no max event time to stamp the drain sentinels with")
     // past the 1 h join window + the 1 h watermark delay on both sides
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
     val staged = stageOrdered(scratchDir, Seq(
