@@ -43,4 +43,35 @@ object Dedup {
     */
   def insertIfAbsent(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*).dropDuplicates(keys), keys, "left_anti")
+
+  /** Blocked fuzzy entity resolution over a name column — the classic
+    * record-linkage pipeline (block → bounded pairwise edit distance →
+    * transitive closure → canonical survivor). Returns one
+    * (`nameCol`, canonical) row per DISTINCT name value; rows whose name
+    * matched nothing map to themselves.
+    *
+    * Scale contract: comparisons happen on the DISTINCT-name dictionary
+    * (canonicalize-first — a billion rows of one misspelling cost one
+    * node), and only within a block (`blockExpr` over the name), the
+    * standard recall-for-scale trade: a true match split across blocks is
+    * consciously forfeited, so callers pick a block key coarse enough for
+    * their typo model (last token here — typos concentrate in prefixes —
+    * phonetic keys or q-gram buckets for harder corpora). Pairwise work
+    * is Σ|block|² over distinct names; the expansion back to fact rows is
+    * the caller's broadcast-size hash join on the returned dictionary.
+    */
+  def fuzzyNameClusters(names: DataFrame, nameCol: String,
+      blockExpr: Column, maxDistance: Int = 2): DataFrame = {
+    val n = names.select(col(nameCol)).distinct()
+      .withColumn("__blk", blockExpr)
+    val cand = n.as("a").join(n.as("b"),
+        col("a.__blk") === col("b.__blk")
+          && col(s"a.$nameCol") < col(s"b.$nameCol"))
+      .filter(levenshtein(col(s"a.$nameCol"), col(s"b.$nameCol")) <= maxDistance)
+      .select(col(s"a.$nameCol").as("__na"), col(s"b.$nameCol").as("__nb"))
+    val comp = Components.connectedComponents(cand, "__na", "__nb")
+      .select(col("id").as(nameCol), col("cluster_id").as("canonical"))
+    n.select(col(nameCol)).join(comp, Seq(nameCol), "left")
+      .withColumn("canonical", coalesce(col("canonical"), col(nameCol)))
+  }
 }

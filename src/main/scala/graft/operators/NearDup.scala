@@ -306,6 +306,34 @@ object NearDup {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** SemDeDup candidate pairs (Abbas et al. 2023): exact-cosine near-dup
+    * pairs generated only WITHIN a clustering cell — `assign` is a
+    * (vec_id, cluster) frame (typically [[KMeans.run]] output). Same
+    * double-prefilter + decimal-exact recompute as
+    * [[embeddingNearDupPairs]], but the self-join carries the cluster key,
+    * so candidate volume is Σ|cell|² ≈ n²/k instead of n² — k grows with
+    * the corpus (SemDeDup runs 50k cells on LAION) and per-cell work stays
+    * constant; cross-cell near-dups are consciously forfeited (the
+    * documented recall trade).
+    */
+  def semDedupPairs(emb: DataFrame, assign: DataFrame,
+      threshold: Double): DataFrame = {
+    val v = withNorm(emb).join(assign.select("vec_id", "cluster"), "vec_id")
+    val a = v.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(Similarity.cosineFromParts(
+        Similarity.dotFast(col("ea"), col("eb")), col("na"), col("nb"))
+        >= threshold - CosGuard)
+      .withColumn("cos", Similarity.cosineFromParts(
+        Similarity.dotExact(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("cluster", "vec_a", "vec_b", "cos")
+  }
+
   /** Random-hyperplane LSH bucketing: vectors agreeing on all `bits` sign
     * bits of a table land in one bucket; exact cosine verifies candidates.
     * Recall < 1 by construction (per-table hit prob (1−θ/π)^bits; tested

@@ -62,4 +62,30 @@ object Triangles {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
       .orderBy("node")
   }
+
+  /** Local clustering coefficient: (node, degree, triangles, coefficient)
+    * for EVERY node of the undirected graph — [[perNode]]'s counts
+    * (zero-filled for triangle-free nodes) over the degree frame, with
+    * coefficient = 2T / (deg·(deg−1)) as one integer-ratio IEEE divide
+    * rounded to 9 dp (0.0 for degree-1 nodes). Same cost shape as
+    * [[perNode]] plus one degree aggregate and a node-keyed join — the
+    * O(E^1.5) wedge bound is unchanged.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = edges.select(
+      col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    val und = e0.filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(perNode(edges, srcCol, dstCol), Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double"), 9))
+          .otherwise(lit(0.0)).as("coefficient"))
+  }
 }

@@ -1331,8 +1331,248 @@ object AdvancedQueries {
             WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
             ORDER BY s_suppkey"""))
 
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): an OR of three
+    * brand/size/quantity conjunctions across a part–lineitem join. The
+    * optimizer test is predicate DECOMPOSITION: Catalyst must extract the
+    * common `p_partkey = l_partkey` equi-condition so the join stays a
+    * hash join, and push the disjunction's per-side conjuncts
+    * (`p_size >= 1`, quantity bounds) below the join as partial filters
+    * — a naive engine evaluates the whole OR post-join. Revenue rides
+    * the decimal sum; one aggregate row.
+    */
+  private val q190 = GraftQuery(
+    "q190_disjunctive_revenue",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")
+    },
+    Some("""SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)"""))
+
+  /** Large-volume customers (TPC-H Q18 shape): orders whose total line
+    * quantity exceeds 300 (top ~0.5% of the order-size distribution),
+    * with customer identity. The optimizer test: the IN over a HAVING
+    * aggregate must become ONE aggregate + semi join on `l_orderkey` —
+    * the fact table is scanned twice (once for the filter aggregate,
+    * once for the output sum) but never per-row. Quantities are whole
+    * numbers; sums are exact longs cast once.
+    */
+  private val q191 = GraftQuery(
+    "q191_large_volume_customers",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS total_qty
+        FROM customer_v
+        JOIN orders_v ON o_custkey = c_custkey
+        JOIN lineitem_v ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem_v
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey""")
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS total_qty
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey"""))
+
+  /** National market share (TPC-H Q8 shape): NATION_10's share of ASIA's
+    * yearly delivered revenue — a five-table snowflake join (lineitem →
+    * orders → customer → nation → region on the demand side, lineitem →
+    * supplier → nation on the supply side) with a conditional aggregate
+    * ratio. The optimizer test is join ORDER and broadcast: region,
+    * nation, supplier, customer are all dimension-sized and must
+    * broadcast; the fact table is touched once. The share divides two
+    * decimal-exact sums; CASE-vs-filter consistency is pinned by using
+    * the same conditional form on both engines.
+    */
+  private val q192 = GraftQuery(
+    "q192_nation_market_share",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      Tables.region(s, dir).createOrReplaceTempView("region_v")
+      s.sql("""
+        SELECT year(o_orderdate) AS o_year,
+               round(CAST(sum(CASE WHEN sn.n_name = 'NATION_10'
+                     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))
+                     ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 9)
+                 AS mkt_share,
+               count(*) AS n_lines
+        FROM lineitem_v
+        JOIN orders_v ON o_orderkey = l_orderkey
+        JOIN customer_v ON c_custkey = o_custkey
+        JOIN nation_v cn ON cn.n_nationkey = c_nationkey
+        JOIN region_v ON r_regionkey = cn.n_regionkey
+        JOIN supplier_v ON s_suppkey = l_suppkey
+        JOIN nation_v sn ON sn.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY year(o_orderdate)
+        ORDER BY o_year""")
+    },
+    Some("""SELECT year(o_orderdate) AS o_year,
+                   round(CAST(sum(CASE WHEN sn.n_name = 'NATION_10'
+                         THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))
+                         ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 9)
+                     AS mkt_share,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = cn.n_regionkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY year(o_orderdate)
+            ORDER BY o_year"""))
+
+  /** Important parts (TPC-H Q11 shape, adapted — no partsupp table in
+    * this schema): parts whose delivered revenue exceeds 1.5× the
+    * AVERAGE per-part revenue. The threshold is scale-invariant (Q11's
+    * literal `0.0001` fraction degenerates as the part count grows —
+    * picking a relative multiple keeps the answer non-empty at every
+    * sf), while preserving the optimizer shape under test: the scalar
+    * subquery computes ONCE (one extra aggregate over the fact table)
+    * and the HAVING compares against its broadcast scalar — never a
+    * correlated per-group execution. Threshold arithmetic is
+    * double-on-decimal-exact sums, identical on both engines.
+    */
+  private val q193 = GraftQuery(
+    "q193_important_parts",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                 AS part_value
+        FROM lineitem_v
+        GROUP BY l_partkey
+        HAVING CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+             > (SELECT 1.5 * CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                      / CAST(count(DISTINCT l_partkey) AS DOUBLE)
+                FROM lineitem_v)
+        ORDER BY part_value DESC, l_partkey""")
+    },
+    Some("""SELECT l_partkey,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                     AS part_value
+            FROM lineitem
+            GROUP BY l_partkey
+            HAVING CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                 > (SELECT 1.5 * CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                          / CAST(count(DISTINCT l_partkey) AS DOUBLE)
+                    FROM lineitem)
+            ORDER BY part_value DESC, l_partkey"""))
+
+  /** Promotion revenue share (TPC-H Q14 shape): per month of 1997, the
+    * percentage of delivered revenue from PROMO-type parts. A
+    * fact-to-dimension hash join with a conditional-ratio aggregate per
+    * month — the month grouping keeps the result a 12-row frame no
+    * matter the corpus, the canonical "wide scan, tiny answer" rollup.
+    */
+  private val q194 = GraftQuery(
+    "q194_promo_revenue_share",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT month(l_shipdate) AS ship_month,
+               round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))
+                     ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 9)
+                 AS promo_share_pct,
+               count(*) AS n_lines
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY month(l_shipdate)
+        ORDER BY ship_month""")
+    },
+    Some("""SELECT month(l_shipdate) AS ship_month,
+                   round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))
+                         ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE), 9)
+                     AS promo_share_pct,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY month(l_shipdate)
+            ORDER BY ship_month"""))
+
+  /** Supplier diversity per part segment (TPC-H Q16 shape, adapted to
+    * lineitem as the part–supplier bridge): distinct suppliers that
+    * shipped each (brand, type, size) segment, excluding one brand
+    * outright and excluding suppliers in deficit via NOT IN. The
+    * optimizer test: the NOT IN subquery must become a broadcast
+    * null-aware anti join (supplier is dimension-sized), and the
+    * count(DISTINCT) expands to the two-phase partial-distinct
+    * aggregate, not a global sort.
+    */
+  private val q195 = GraftQuery(
+    "q195_part_supplier_diversity",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier_v WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    },
+    Some("""SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#5'
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
       q105, q140, q141, q149, q150, q161, q167, q171, q172, q173, q174, q175,
-      q176, q177, q178, q179)
+      q176, q177, q178, q179, q190, q191, q192, q193, q194, q195)
 }

@@ -1281,10 +1281,86 @@ object EventQueries {
             WHERE p.event_type = 'purchase'
             ORDER BY purchase_id, click_id NULLS FIRST"""))
 
+  /** Linear multi-touch attribution: every purchase's value is split
+    * EQUALLY across all of that user's click/view touches in the prior
+    * 7 days, and purchases with no touch in the window credit a synthetic
+    * `(direct)` channel in full — the marketing-analytics counterpart of
+    * q69's funnel (which counts conversions; this allocates revenue).
+    * The report is per-channel: touches credited, distinct purchases
+    * participated in, and attributed revenue.
+    *
+    * Plan shape: ONE equi-join on `user_id` with the 7-day range as a
+    * residual predicate — per-user pair volume is (user's purchases ×
+    * user's touches in window), bounded by per-user activity, never a
+    * cross-corpus product; a pathological single hot user is AQE
+    * skew-split territory, not a plan change. The per-purchase touch
+    * count comes from a window over the join output (no second join),
+    * and each credit `value/k` is one IEEE divide rounded to 15 dp
+    * before the decimal-exact channel sum (the q102 contract).
+    */
+  def linearAttribution(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value"))
+      val touches = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("ts").as("t_ts"))
+      // range predicate lives IN the left-join condition: a user with
+      // touches only OUTSIDE the window must still yield a null (direct)
+      // row, which join-then-filter would silently drop
+      val joined = purchases.as("p").join(touches.as("t"),
+        col("p.user_id") === col("t.user_id")
+          && col("t.t_ts") < col("p.p_ts")
+          && col("t.t_ts") >= col("p.p_ts") - expr("INTERVAL 7 DAYS"),
+        "left")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("purchase_id")
+      val credited = joined
+        .withColumn("k", count(col("t_ts")).over(w))
+        .select(
+          coalesce(col("channel"), lit("(direct)")).as("channel"),
+          col("purchase_id"),
+          when(col("k") > 0, round(col("value") / col("k").cast("double"), 15))
+            .otherwise(col("value")).as("credit"))
+      credited.groupBy("channel")
+        .agg(
+          count(lit(1)).as("n_touches"),
+          countDistinct(col("purchase_id")).as("n_purchases"),
+          round(Exact.sumFx(col("credit"), 15), 9).as("attributed_revenue"))
+        .orderBy("channel")
+  }
+
+  private val q189 = GraftQuery(
+    "q189_linear_attribution",
+    (s, dir) => linearAttribution(Tables.events(s, dir)),
+    Some(s"""WITH p AS (
+              SELECT event_id AS purchase_id, user_id,
+                     CAST(ts AS TIMESTAMP) AS p_ts, value
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT user_id, event_type AS channel, CAST(ts AS TIMESTAMP) AS t_ts
+              FROM events WHERE event_type IN ('click', 'view')),
+            j AS (
+              SELECT p.purchase_id, p.value, t.channel, t.t_ts
+              FROM p LEFT JOIN t ON p.user_id = t.user_id
+                AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+            k AS (
+              SELECT purchase_id, value, channel,
+                     count(t_ts) OVER (PARTITION BY purchase_id) AS k
+              FROM j),
+            credited AS (
+              SELECT coalesce(channel, '(direct)') AS channel, purchase_id,
+                     CASE WHEN k > 0 THEN round(value / CAST(k AS DOUBLE), 15)
+                          ELSE value END AS credit
+              FROM k)
+            SELECT channel, count(*) AS n_touches,
+                   count(DISTINCT purchase_id) AS n_purchases,
+                   round(${Exact.sumFxSql("credit", 15)}, 9) AS attributed_revenue
+            FROM credited GROUP BY channel ORDER BY channel"""))
+
   // def, not val: q29/q66/q67 land estimate parquet and their oracle SQL
   // must embed the path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
       q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152, q160,
-      q166, q183)
+      q166, q183, q189)
 }

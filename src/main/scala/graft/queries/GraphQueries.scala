@@ -895,7 +895,54 @@ object GraphQueries {
        WHERE f.qa < f.qb
        ORDER BY a, b"""))
 
+  /** Local clustering coefficient over the embedding knn graph
+    * ([[graft.operators.Triangles.clusteringCoefficient]]): q127 counts
+    * triangle participation for nodes IN triangles; this normalizes it
+    * into the density measure — EVERY node (zero-filled), its degree,
+    * and 2T/(deg·(deg−1)) — next to q153/q165's cohesion peels
+    * (k-core/k-truss bound WHERE dense subgraphs are; the coefficient
+    * says HOW dense each node's neighborhood is). Triangle enumeration
+    * is q127's degree-oriented one-pass; the oracle independently
+    * rebuilds the edge set (the q126 contract — the landed graph is
+    * never self-certified) and closes wedges by naive id order, the
+    * same triangle SET by symmetry. The coefficient is one integer
+    * ratio — bit-identical on both engines.
+    */
+  private val q188 = GraftQuery(
+    "q188_clustering_coefficient",
+    (s, dir) =>
+      graft.operators.Triangles
+        .clusteringCoefficient(knnEdges(s, dir), "src", "dst")
+        .orderBy("node"),
+    Some(s"""WITH $knnEdgesSql,
+            und AS (
+              SELECT least(s, d) AS a, greatest(s, d) AS b
+              FROM e0 WHERE s <> d GROUP BY 1, 2),
+            deg AS (
+              SELECT n, count(*) AS deg FROM (
+                SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+              GROUP BY n),
+            tri AS (
+              SELECT e1.a AS c0, e1.b AS c1, e2.b AS c2
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corners AS (
+              SELECT c0 AS n FROM tri
+              UNION ALL SELECT c1 FROM tri
+              UNION ALL SELECT c2 FROM tri),
+            pn AS (SELECT n, count(*) AS triangles FROM corners GROUP BY n)
+            SELECT CAST(deg.n AS BIGINT) AS node,
+                   CAST(deg.deg AS BIGINT) AS degree,
+                   CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+                   CASE WHEN deg.deg >= 2
+                        THEN round(2.0 * CAST(coalesce(pn.triangles, 0) AS DOUBLE)
+                          / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 9)
+                        ELSE 0.0 END AS coefficient
+            FROM deg LEFT JOIN pn USING (n)
+            ORDER BY node"""))
+
   val all: Seq[GraftQuery] =
     Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156, q157, q158,
-      q165, q168)
+      q165, q168, q188)
 }

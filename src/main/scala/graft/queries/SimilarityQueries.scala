@@ -920,9 +920,80 @@ object SimilarityQueries {
     },
     Some(mmrOracle))
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication that bounds the
+    * pairwise-cosine quadratic by PARTITIONING through k-means cells —
+    * candidate pairs form only inside a cell, survivors are the min
+    * vec_id of each within-cell near-dup component, and the report is the
+    * per-cell keep/drop census a curation run reads before committing the
+    * prune. The contrast with q78 (global brute-force pairs + components)
+    * is the entire point: q78's candidate set is O(n²) in the corpus,
+    * SemDeDup's is O(Σ|cell|²) — with cells sized n/k it is n²/k, and at
+    * 100 TB k grows with the corpus (the paper runs 50k clusters on
+    * LAION) so per-cell work stays constant while cross-cell pairs are
+    * consciously forfeited (the documented recall trade, same contract
+    * structure as q186's blocking).
+    *
+    * Reuses the q128 clustering (one Lloyd run per JVM × scale dir) and
+    * lands the assignment for the oracle, which replays pair generation,
+    * transitive closure, and the census over the same rows — the
+    * clustering itself stays hash-gated by q128. Threshold 0.4 suits this
+    * synthetic corpus's geometry (max pairwise cosine ≈ 0.51; production
+    * corpora with true semantic dups run ≥ 0.95); the cosine is the exact
+    * decimal-accumulated dot (q22's scheme), so both engines make the
+    * identical keep/drop decision at the threshold.
+    */
+  private def q187 = GraftQuery(
+    "q187_semdedup",
+    (s, dir) => {
+      val path = Landed.land("q187_semdedup", dir)
+      kmeansShared(s, dir)
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+      val assign = s.read.parquet(path).select("vec_id", "cluster")
+      val pairs = NearDup
+        .semDedupPairs(Tables.embeddings(s, dir), assign, threshold = 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val surv = graft.operators.Components.neardupClusters(pairs)
+        .select(col("doc_id").as("vec_id"), col("is_survivor"))
+      assign.join(surv, Seq("vec_id"), "left")
+        .withColumn("kept", coalesce(col("is_survivor"), lit(true)))
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n_members"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE asn AS (
+              SELECT vec_id, cluster
+              FROM read_parquet('${Landed.oraclePath("q187_semdedup")}/*.parquet')),
+            em AS (
+              SELECT asn.vec_id, asn.cluster, b.embedding
+              FROM asn JOIN embeddings b USING (vec_id)),
+            pairs AS (
+              SELECT x.vec_id AS va, y.vec_id AS vb
+              FROM em x JOIN em y
+                ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+              WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4),
+            edges AS (
+              SELECT va AS s, vb AS d FROM pairs
+              UNION SELECT vb, va FROM pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+            surv AS (
+              SELECT s AS vec_id, least(s, min(d)) = s AS kept
+              FROM reach GROUP BY s)
+            SELECT asn.cluster, count(*) AS n_members,
+                   CAST(sum(CASE WHEN coalesce(surv.kept, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN coalesce(surv.kept, TRUE) THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+            FROM asn LEFT JOIN surv USING (vec_id)
+            GROUP BY asn.cluster ORDER BY asn.cluster"""))
+
   // def, not val: q24/q32/q70 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
   def all: Seq[GraftQuery] =
     Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128, q130, q137,
-      q138, q142, q159, q163)
+      q138, q142, q159, q163, q187)
 }

@@ -495,9 +495,14 @@ object StatsQueries {
       .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
       .groupBy("event_type", "n")
       .agg(round(sum(col("value")) / count(lit(1)), 9).as("med"))
-    val dev = v.join(broadcast(med), "event_type")
-      .select(col("event_type"), col("event_id"), col("n"), col("med"),
-        abs(col("value") - col("med")).as("dev"))
+    // materialized: dev (a ranked-window join output over the full events
+    // scan) feeds BOTH the MAD aggregate and the final outlier count —
+    // without the cut the heavy half of the plan runs twice
+    val dev = graft.operators.Components.cut(
+      v.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("event_id"), col("n"), col("med"),
+          abs(col("value") - col("med")).as("dev")),
+      None)
     val w2 = Window.partitionBy("event_type").orderBy(col("dev"), col("event_id"))
     val mad = dev
       .withColumn("rn", row_number().over(w2))
@@ -549,5 +554,153 @@ object StatsQueries {
             GROUP BY d.event_type, d.n, d.med, mad.mad
             ORDER BY d.event_type"""))
 
-  def all: Seq[GraftQuery] = Seq(q131, q132, q133, q134, q154, q155, q182)
+  /** Truncated exponential moving average of the per-type daily count
+    * series — the smoothing baseline dashboards and anomaly monitors run
+    * over event streams (q147's seasonal z-score uses a static hourly
+    * baseline; this is its trend-following counterpart). Decay α = 1/2,
+    * so every weight is an EXACT power of two: `1 / 2^(i−j)` is an exact
+    * double, and count·2⁻ᵈ is an exact double too (an integer mantissa
+    * shifted), which removes pow/exp libm variance between engines
+    * entirely — determinism comes from the weights, not from rounding
+    * tricks. The window is truncated at `horizon` lags (weights below
+    * 2⁻⁴⁰ are beyond double-visible anyway) and normalized by the
+    * truncated weight sum, so the first days are well-defined instead of
+    * biased toward zero.
+    *
+    * Plan shape: ONE shuffle builds the daily rollup (the only pass over
+    * the corpus); the smoothing join is daily × horizon rows — bounded by
+    * the CALENDAR times a constant, the q155 contract — so the quadratic
+    * term never touches event volume. At 100 TB the rollup is the same
+    * single map-side-combined aggregate and the smoothing cost is
+    * unchanged.
+    */
+  def ewmaDaily(events: DataFrame, horizon: Int = 40): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .select(col("event_type"), col("day"),
+        datediff(col("day"), col("d0")).cast("long").as("i"), col("c"))
+    val hist = idx.select(col("event_type"), col("i").as("j"), col("c").as("cj"))
+    idx.join(hist, Seq("event_type"))
+      .filter(col("j") <= col("i") && col("j") > col("i") - horizon)
+      .withColumn("w", lit(1.0) / pow(lit(2.0), (col("i") - col("j")).cast("double")))
+      .groupBy(col("event_type"), col("day"), col("c"))
+      .agg(
+        graft.functions.Exact.sumFx(col("cj").cast("double") * col("w"), 15).as("num"),
+        graft.functions.Exact.sumFx(col("w"), 15).as("den"))
+      .select(col("event_type"), col("day"), col("c"),
+        round(col("num") / col("den"), 9).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q184 = GraftQuery(
+    "q184_ewma_daily",
+    (s, dir) => ewmaDaily(Tables.events(s, dir)),
+    Some(s"""WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2),
+            d0 AS (SELECT min(day) AS d0 FROM daily),
+            idx AS (
+              SELECT event_type, day, CAST(datediff('day', d0, day) AS BIGINT) AS i, c
+              FROM daily CROSS JOIN d0),
+            pair AS (
+              SELECT a.event_type, a.day, a.c, b.c AS cj,
+                     1.0 / pow(2.0, CAST(a.i - b.i AS DOUBLE)) AS w
+              FROM idx a JOIN idx b ON a.event_type = b.event_type
+              WHERE b.i <= a.i AND b.i > a.i - 40)
+            SELECT event_type, day, c,
+                   round(${graft.functions.Exact.sumFxSql("CAST(cj AS DOUBLE) * w", 15)}
+                     / ${graft.functions.Exact.sumFxSql("w", 15)}, 9) AS ewma
+            FROM pair GROUP BY event_type, day, c
+            ORDER BY event_type, day"""))
+
+  /** Autocorrelation of the per-type daily count series at lags 1/2/3/7 —
+    * the standard seasonality probe (a weekly cycle surfaces as a lag-7
+    * peak) run before fitting any forecast model. Exactness is free here:
+    * the series values are COUNTS, so all five moment sums are integer
+    * arithmetic carried in DECIMAL(38,0)/HUGEINT — no floating point
+    * exists until the closed-form Pearson at the end, which is the same
+    * IEEE sequence on both engines (the q131 scheme with integer
+    * moments). Missing days pair only where BOTH endpoints exist (join on
+    * the day index, not row position). Degenerate windows (either side
+    * constant) yield NULL, not a 0/0 NaN.
+    *
+    * Plan shape: one daily rollup shuffle, then a self-join on
+    * (event_type, day index) over the ≤|days|·|lags| exploded frame —
+    * calendar-bounded like q155/q184, corpus volume touched once.
+    */
+  def acfDaily(events: DataFrame, lags: Seq[Int] = Seq(1, 2, 3, 7)): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("i"), col("c"))
+    val withLag = idx
+      .withColumn("lag", explode(array(lags.map(l => lit(l)): _*)))
+      .select(col("event_type"), col("lag"),
+        (col("i") - col("lag")).as("j"), col("c").as("x"))
+    val pairs = withLag.join(
+      idx.select(col("event_type"), col("i").as("j"), col("c").as("y")),
+      Seq("event_type", "j"))
+    val m = pairs.groupBy("event_type", "lag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val dxx = n * d("sxx") - d("sx") * d("sx")
+    val dyy = n * d("syy") - d("sy") * d("sy")
+    m.select(col("event_type"), col("lag"), col("n"),
+        when(dxx > 0.0 && dyy > 0.0,
+          round((n * d("sxy") - d("sx") * d("sy")) / sqrt(dxx * dyy), 9))
+          .as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  private val q185 = GraftQuery(
+    "q185_acf_daily",
+    (s, dir) => acfDaily(Tables.events(s, dir)),
+    Some("""WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2),
+            d0 AS (SELECT min(day) AS d0 FROM daily),
+            idx AS (
+              SELECT event_type, CAST(datediff('day', d0, day) AS BIGINT) AS i, c
+              FROM daily CROSS JOIN d0),
+            pairs AS (
+              SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+              FROM idx a
+              CROSS JOIN (SELECT unnest([1, 2, 3, 7]) AS lag) l
+              JOIN idx b ON a.event_type = b.event_type AND b.i = a.i - l.lag),
+            m AS (
+              SELECT event_type, lag, count(*) AS n,
+                     sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                     sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                     sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                     sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+              FROM pairs GROUP BY event_type, lag)
+            SELECT event_type, CAST(lag AS INT) AS lag, n,
+                   CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                         AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+                        THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+                        ELSE NULL END AS acf
+            FROM m ORDER BY event_type, lag"""))
+
+  def all: Seq[GraftQuery] =
+    Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185)
 }

@@ -72,4 +72,27 @@ class EventQueriesSpec extends SparkSpec {
     assert(q67.filter(!col("p50_within") || !col("p95_within") ||
       !col("p99_within")).count() === 0)
   }
+
+  test("linearAttribution: equal split, direct fallback, window exclusion") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: purchase 10.0 with one click + one view in window -> 5 + 5
+      (1L, 1L, "click", ts("2024-01-04 00:00:00"), 0.0),
+      (2L, 1L, "view", ts("2024-01-03 00:00:00"), 0.0),
+      (3L, 1L, "purchase", ts("2024-01-05 00:00:00"), 10.0),
+      // user 2: no touches -> (direct) 8.0
+      (4L, 2L, "purchase", ts("2024-01-05 00:00:00"), 8.0),
+      // user 3: touch 10 days before -> outside window -> (direct) 6.0
+      (5L, 3L, "click", ts("2023-12-26 00:00:00"), 0.0),
+      (6L, 3L, "purchase", ts("2024-01-05 00:00:00"), 6.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = graft.queries.EventQueries.linearAttribution(events)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getAs[Double]("attributed_revenue"))))
+      .toMap
+    assert(got("click") === ((1L, 1L, 5.0)))
+    assert(got("view") === ((1L, 1L, 5.0)))
+    assert(got("(direct)") === ((2L, 2L, 14.0)))
+  }
 }

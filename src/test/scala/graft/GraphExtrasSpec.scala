@@ -147,4 +147,20 @@ class GraphExtrasSpec extends SparkSpec {
     // 0.5·0.5 − 0 = 0.25 → 3 wins, and later still appears at step 3
     assert(math.abs(sel(1).getAs[Double]("mmr") - 0.25) < 1e-9)
   }
+
+  test("clusteringCoefficient: triangle + pendant hand graph") {
+    // K3 on {1,2,3} plus pendant edge 3-4 (fed with duplicate/reversed
+    // edges to exercise normalization)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = graft.operators.Triangles
+      .clusteringCoefficient(edges, "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((2L, 1L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((3L, 1L, 0.333333333))) // 2·1/(3·2), rounded to 9 dp
+    assert(got(4L) === ((1L, 0L, 0.0)))         // degree-1: defined as 0
+  }
 }

@@ -112,4 +112,37 @@ class NearDupSpec extends SparkSpec {
       assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("fuzzyNameClusters: typo variants merge transitively inside a block, not across") {
+    // block = last token; "cold anvil"–"old anvil" (lev 1) chain through
+    // "olde anvil" (lev 1 from old, 2 from cold); the gear block chains
+    // old–red (2) and new–red (2) into one entity; "old gear" must NOT
+    // merge with "old anvil" (different blocks)
+    val names = Seq("cold anvil", "old anvil", "olde anvil", "old gear",
+      "new gear", "red gear").toDF("p_name")
+    val got = graft.operators.Dedup.fuzzyNameClusters(
+        names, "p_name",
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("p_name"), " "), -1))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("cold anvil") === "cold anvil")
+    assert(got("old anvil") === "cold anvil")
+    assert(got("olde anvil") === "cold anvil")
+    assert(got("old gear") === "new gear")   // via red (2), NOT via old anvil
+    assert(got("new gear") === "new gear")
+    assert(got("red gear") === "new gear")
+  }
+
+  test("semDedupPairs: within-cell pairs only; cross-cell near-dups are forfeited") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.01f)), // near-dups
+      (3L, Array(0.0f, 1.0f)),                             // distinct
+      (4L, Array(1.0f, 0.001f)))                           // near-dup of 1, other cell
+      .toDF("vec_id", "embedding")
+    val assign = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1)).toDF("vec_id", "cluster")
+    val pairs = graft.operators.NearDup.semDedupPairs(emb, assign, threshold = 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L))) // (1,4) crosses cells; 3 matches nothing
+  }
 }

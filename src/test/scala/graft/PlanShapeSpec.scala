@@ -103,10 +103,52 @@ class PlanShapeSpec extends SparkSpec {
       "q155_theil_sen_trend", "q159_nearest_centroid_eval",
       "q160_dau_wau_stickiness", "q171_small_qty_revenue",
       "q172_pricing_summary", "q174_priority_exists",
-      "q175_excess_qty_suppliers", "q176_waiting_suppliers")
+      "q175_excess_qty_suppliers", "q176_waiting_suppliers",
+      // round-9 declarative additions (q186/q187/q188 run component/
+      // kmeans loops at plan-build time — audited by their operator
+      // specs)
+      "q184_ewma_daily", "q185_acf_daily", "q189_linear_attribution",
+      "q190_disjunctive_revenue", "q191_large_volume_customers",
+      "q192_nation_market_share", "q193_important_parts",
+      "q194_promo_revenue_share", "q195_part_supplier_diversity")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
+  }
+
+  test("q190 disjunction decomposes: equi hash join + per-side partial filters") {
+    val p = plan("q190_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "OR-of-ANDs must not defeat the equi join:\n" + p.take(1500))
+    // the quantity bound common to the disjunction's lineitem conjuncts
+    // must be pushed below the join into the fact-side scan
+    assert(p.contains("PushedFilters:"), p.take(1500))
+  }
+
+  test("q191 IN-over-HAVING becomes aggregate + semi join, not per-row") {
+    val p = plan("q191_large_volume_customers")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("Subquery"), "per-row subquery survived:\n" + p.take(1500))
+  }
+
+  test("q192 snowflake joins broadcast every dimension") {
+    val p = plan("q192_nation_market_share")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "dimension join fell back to a fact-side shuffle:\n" + p.take(1500))
+  }
+
+  test("q195 NOT IN plans as a broadcast null-aware anti join") {
+    val p = plan("q195_part_supplier_diversity")
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("q189 attribution joins purchases to touches on the user key") {
+    val p = plan("q189_linear_attribution")
+    // the 7-day range must ride the user_id equi join as a residual
+    // condition, never a nested-loop over the corpus
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      p.take(1500))
   }
 
   test("q174 EXISTS decorrelates to one left semi join") {

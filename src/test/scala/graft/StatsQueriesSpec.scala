@@ -138,4 +138,39 @@ class StatsQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pairs") === 15L)
     assert(r.getAs[Double]("theil_sen_slope") === 1.0)
   }
+
+  test("ewmaDaily: hand-computed normalized half-life weights") {
+    // counts 1, 3, 2 over three days; α = 1/2 truncated-normalized form:
+    //   day0: 1
+    //   day1: (3 + 1·2⁻¹) / (1 + 2⁻¹)        = 3.5 / 1.5
+    //   day2: (2 + 3·2⁻¹ + 1·2⁻²) / 1.75     = 3.75 / 1.75
+    val rows =
+      (1 to 1).map(_ => ("a", ts("2024-03-01 10:00:00"))) ++
+        (1 to 3).map(i => ("a", ts(s"2024-03-02 0$i:00:00"))) ++
+        (1 to 2).map(i => ("a", ts(s"2024-03-03 0$i:00:00")))
+    val got = StatsQueries.ewmaDaily(rows.toDF("event_type", "ts"))
+      .collect().map(r => r.getDate(1).toString -> r.getAs[Double]("ewma")).toMap
+    assert(got("2024-03-01") === 1.0)
+    assert(math.abs(got("2024-03-02") - 3.5 / 1.5) < 1e-9)
+    assert(math.abs(got("2024-03-03") - 3.75 / 1.75) < 1e-9)
+  }
+
+  test("acfDaily: linear series is perfectly autocorrelated, alternation flips sign") {
+    // type a: counts 1..10 (linear ⇒ acf = 1 at every lag);
+    // type b: counts alternate 1,2,1,2,... ⇒ lag1 = −1, lag2 = +1
+    val rows = (0 until 10).flatMap { d =>
+      val date = f"2024-03-${d + 1}%02d"
+      (1 to (d + 1)).map(k => ("a", ts(f"$date ${k % 24}%02d:00:00"))) ++
+        (1 to (if (d % 2 == 0) 1 else 2)).map(k => ("b", ts(f"$date ${k % 24}%02d:30:00")))
+    }
+    val got = StatsQueries.acfDaily(rows.toDF("event_type", "ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getAs[Double]("acf"))))
+      .toMap
+    assert(got(("a", 1)) === ((9L, 1.0)))
+    assert(got(("a", 3)) === ((7L, 1.0)))
+    assert(got(("a", 7)) === ((3L, 1.0)))
+    assert(got(("b", 1))._2 === -1.0)
+    assert(got(("b", 2))._2 === 1.0)
+  }
 }
