@@ -1313,9 +1313,168 @@ object TextQueries {
                    round(sqrt(CAST(sum(v * v) AS DOUBLE)), 9) AS l2_norm
             FROM pb GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** BPE merge learning (Sennrich et al. 2016) — the first `rounds` merge
+    * rules of byte-pair-encoding tokenizer training, learned from the
+    * corpus: start from character sequences per word, repeatedly count
+    * adjacent symbol pairs (weighted by word frequency) and merge the
+    * most frequent pair everywhere. The output is the merge TABLE —
+    * (round, merge_left, merge_right, merged, pair_count) — the artifact
+    * a tokenizer trainer ships.
+    *
+    * Scale contract (canonicalize-first, the q186 scheme): the corpus is
+    * scanned ONCE for the word-frequency dictionary; all `rounds`
+    * iterations run over the DISTINCT-word state (vocabulary-sized, never
+    * corpus-sized), each one pair-count aggregate + a 1-row argmax
+    * collect + one literal-pattern rewrite. Pair counts are exact integer
+    * sums; the argmax tie-breaks on the pair string (space < every symbol
+    * char, so string order equals (left, right) tuple order).
+    *
+    * Merge application is greedy non-overlapping left-to-right, realized
+    * as TWO literal `replace` passes over the space-separated symbol
+    * string: one pass misses an occurrence exactly when it shares its
+    * boundary space with a just-replaced neighbor, and every such blocked
+    * occurrence is isolated afterwards, so the second pass completes the
+    * greedy set (DedupProps-style worked examples: " a a a " → " aa a ",
+    * " r l r l r " → " r lr lr "). Both engines run the identical
+    * replace-twice semantics — that determinism is why the merge is a
+    * string rewrite and not a per-word fold.
+    */
+  private def bpeTrain(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var state = graft.operators.Components.cut(
+      docs.select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+        .select(col("w"), concat(lit(" "),
+          array_join(filter(split(col("w"), ""), x => x =!= ""), " "),
+          lit(" ")).as("s"), col("wf")),
+      None)
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = state
+        .select(col("wf"), split(trim(col("s")), " ").as("t"))
+        // single-symbol words carry no pairs (and Spark's sequence(1, 0)
+        // would run DESCENDING, not empty)
+        .filter(size(col("t")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, concat(col("l"), lit(" "), col("r")))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((r, l, rt, l + rt, cnt))
+        val pat = lit(s" $l $rt ")
+        val rep = lit(s" $l$rt ")
+        state = graft.operators.Components.cut(
+          state.select(col("w"),
+            replace(replace(col("s"), pat, rep), pat, rep).as("s"), col("wf")),
+          None)
+        r += 1
+      }
+    }
+    (learned.toSeq, state)
+  }
+
+  def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, rounds)._1
+      .toDF("round", "merge_left", "merge_right", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  /** Tokenizer INFERENCE over the [[bpeMerges]] table: the trained state
+    * already encodes every vocabulary word as its merged subword
+    * sequence, so application is one dictionary join — corpus word
+    * occurrences probe the (word → subword count) map (broadcast-sized:
+    * the vocabulary, not the corpus) and roll up per source. The fertility
+    * ratio (subwords per word) is THE tokenizer-quality number a data
+    * pipeline tracks per corpus slice; all sums are exact integers.
+    */
+  def bpeEncodeStats(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val sub = bpeTrain(docs, rounds)._2
+      .select(col("w"), size(split(trim(col("s")), " ")).as("n_sub"))
+    docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(sub), Seq("w"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        round(sum(col("n_sub")).cast("double") / count(lit(1)).cast("double"), 9)
+          .as("avg_subwords_per_word"))
+      .orderBy("source")
+  }
+
+  /** Shared unrolled-round CTE prefix for the q196/q197 oracles (the
+    * kmeans-oracle scheme applied to tokenizer training): w0 is the
+    * word-frequency dictionary in char-symbol form; each round appends
+    * pair counts (p_r), the 1-row argmax (m_r), and the replace-twice
+    * rewritten state (w_r).
+    */
+  private def bpeCtePrefix(rounds: Int): String = {
+    val cts = (1 to rounds).map { r =>
+      s"""p$r AS (
+           SELECT t[i] AS l, t[i+1] AS r, sum(wf) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS t, wf FROM w${r - 1}),
+                LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+           GROUP BY 1, 2),
+         m$r AS (
+           SELECT l, r, cnt FROM p$r
+           ORDER BY cnt DESC, l || ' ' || r LIMIT 1),
+         w$r AS (
+           SELECT w.w, replace(replace(w.s, ' ' || m.l || ' ' || m.r || ' ',
+                                            ' ' || m.l || m.r || ' '),
+                               ' ' || m.l || ' ' || m.r || ' ',
+                               ' ' || m.l || m.r || ' ') AS s, w.wf
+           FROM w${r - 1} w CROSS JOIN m$r m)"""
+    }.mkString(",\n         ")
+    s"""WITH occ AS (
+         SELECT source, unnest(string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')) AS w
+         FROM documents),
+       w0 AS (
+         SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
+                count(*) AS wf
+         FROM occ WHERE w <> '' GROUP BY w),
+       $cts"""
+  }
+
+  private def bpeMergesOracle(rounds: Int): String = {
+    val sel = (1 to rounds).map(r =>
+      s"SELECT $r AS round, l AS merge_left, r AS merge_right, l || r AS merged, cnt AS pair_count FROM m$r")
+      .mkString("\n          UNION ALL ")
+    s"""${bpeCtePrefix(rounds)}
+       SELECT CAST(round AS INT) AS round, merge_left, merge_right, merged,
+              CAST(pair_count AS BIGINT) AS pair_count
+       FROM ($sel) ORDER BY round"""
+  }
+
+  private val q196 = GraftQuery(
+    "q196_bpe_merges",
+    (s, dir) => bpeMerges(Tables.documents(s, dir), rounds = 5),
+    Some(bpeMergesOracle(5)))
+
+  private val q197 = GraftQuery(
+    "q197_bpe_encode_stats",
+    (s, dir) => bpeEncodeStats(Tables.documents(s, dir), rounds = 5),
+    Some(s"""${bpeCtePrefix(5)},
+            sub AS (SELECT w, len(string_split(trim(s), ' ')) AS n_sub FROM w5)
+            SELECT source, count(*) AS n_words,
+                   CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+                   round(CAST(sum(n_sub) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+                     AS avg_subwords_per_word
+            FROM occ JOIN sub USING (w)
+            GROUP BY source ORDER BY source"""))
+
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
-      q115, q116, q121, q125, q129, q139, q145, q151, q164, q169)
+      q115, q116, q121, q125, q129, q139, q145, q151, q164, q169, q196, q197)
 }

@@ -169,4 +169,25 @@ class TextStatsSpec extends SparkSpec {
       TextQueries.tokenKlDivergence(docs)
         .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
   }
+
+  test("bpeMerges: hand-traced two rounds incl. overlapping-pair counting and greedy merge") {
+    // corpus "aaab aaab ab": round 1 counts (a,a)=4 (overlaps counted:
+    // 2 per "aaab"), (a,b)=3 -> merge (a,a). Greedy application turns
+    // "a a a b" into "aa a b" (NOT "aa aa b"). Round 2: (aa,a)=2,
+    // (a,b)=2+1=3 -> merge (a,b).
+    val docs = Seq((1L, "aaab aaab ab", "s1")).toDF("doc_id", "text", "source")
+    val merges = TextQueries.bpeMerges(docs, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(merges.toSeq === Seq((1, "a", "a", "aa", 4L), (2, "a", "b", "ab", 3L)))
+  }
+
+  test("bpeEncodeStats: fertility from the trained state") {
+    // after the two merges above: "aaab" -> [aa, ab] (2 subwords),
+    // "ab" -> [ab] (1) => 3 words, 5 subwords, 5/3
+    val docs = Seq((1L, "aaab aaab ab", "s1")).toDF("doc_id", "text", "source")
+    val r = TextQueries.bpeEncodeStats(docs, rounds = 2).collect().head
+    assert(r.getString(0) === "s1")
+    assert(r.getLong(1) === 3L && r.getLong(2) === 5L)
+    assert(r.getAs[Double]("avg_subwords_per_word") === 1.666666667)
+  }
 }
