@@ -345,6 +345,19 @@ object NearDup {
     * [[knnTopKLsh]] (graph building). Planes are deterministic ~N(0,1)
     * via Box–Muller over splitmix64 streams — no RNG state to ship.
     */
+  /** Deterministic single-table hyperplane partition of the corpus:
+    * (vec_id, cluster) with cluster = the `bits`-bit sign signature —
+    * directionally-similar vectors share a cell. The one-pass coarse
+    * partitioner for [[semDedupPairs]] above kmeans-tractable sizes: the
+    * paper's kmeans cells exist for semantic coherence, which sign
+    * agreement approximates at a single scan (no Lloyd iterations, no
+    * n·k assignment dots — at 20k vectors the k = n/250 kmeans
+    * assignment alone cost 4.8M decimal dot products).
+    */
+  def lshCells(emb: DataFrame, bits: Int, dim: Int = 64): DataFrame =
+    hyperplaneBuckets(emb, bits, dim, tables = 1)
+      .select(col("vec_id"), col("bkt.bucket").as("cluster"))
+
   private def hyperplaneBuckets(
       emb: DataFrame, bits: Int, dim: Int, tables: Int): DataFrame = {
     val planes: Seq[Seq[Float]] = (0 until tables * bits).map { p =>

@@ -942,11 +942,36 @@ object SimilarityQueries {
     * decimal-accumulated dot (q22's scheme), so both engines make the
     * identical keep/drop decision at the threshold.
     */
+  /** SemDeDup's cell count must GROW with the corpus or the within-cell
+    * quadratic comes back: at the ×10 probe (20k vectors) the fixed
+    * KmK = 8 kmeans cells were 2500 vectors each — 25M candidate pairs,
+    * 21.5 s (vs 1.1 s at sf0.1) — and re-running Lloyd with k = n/250
+    * was WORSE (102 s: the n·k assignment dots dominate). Above
+    * [[graft.queries.GraphQueries.KnnBruteForceMaxVectors]]' bound the
+    * partitioner switches to [[NearDup.lshCells]] — one sign-signature
+    * scan, 2^bits ≈ n/250 cells, no iterations (measured: 10.8 s for the
+    * full q187 at 20k — linear in the ×10 data); below it the shared q128
+    * clustering is reused so the verification-scale result stays pinned
+    * to the hash-gated Lloyd run. The oracle replays from the LANDED
+    * assignment either way — the census math is graded at any scale, the
+    * partitioner is the documented knob (the q126/q142 routing contract).
+    */
+  private def semdedupAssign(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.count()
+    if (n <= GraphQueries.KnnBruteForceMaxVectors) kmeansShared(s, dir)
+    else {
+      val bits = math.max(3,
+        (math.log(n / 250.0) / math.log(2.0)).round.toInt)
+      NearDup.lshCells(emb, bits)
+    }
+  }
+
   private def q187 = GraftQuery(
     "q187_semdedup",
     (s, dir) => {
       val path = Landed.land("q187_semdedup", dir)
-      kmeansShared(s, dir)
+      semdedupAssign(s, dir)
         .repartition(1)
         .write.mode("overwrite").parquet(path)
       val assign = s.read.parquet(path).select("vec_id", "cluster")
