@@ -961,7 +961,216 @@ object CurationQueries {
             ORDER BY weight DESC, doc_id
             LIMIT 200"""))
 
+  /** Per-source sequence-packing PROFILE — the planning rollup over q55's
+    * concat-and-chunk contract ([[graft.operators.Packing.packBins]]):
+    * each source's token stream is laid in doc_id order and cut every
+    * L=512 tokens (GPT-style — documents cross boundaries; the attention
+    * mask, not the packer, separates them), and the query reports what a
+    * packing job would produce per source: sequence count, tail fill,
+    * boundary-crossing docs, max sequences one doc spans, docs-per-
+    * sequence density. Where q55 emits the global per-doc bin assignment
+    * through the two-phase prefix scan, this partitions the tape BY
+    * SOURCE: one narrow token-count scan, ONE shuffle on `source` for the
+    * running-offset window, then the per-source hash aggregate on the same
+    * partitioning (no second exchange). At 100 TB the per-source window
+    * swaps to `Packing.prefixSumBy(source-prefixed order)` unchanged in
+    * semantics — sources are the parallel unit either way. All outputs are
+    * integer arithmetic except the density, one exact IEEE divide rounded
+    * at 6.
+    */
+  private val q198 = GraftQuery(
+    "q198_sequence_packing",
+    (s, dir) => {
+      val L = 512L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val pos = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("endc", sum("n_tok").over(w))
+        .withColumn("first_seq",
+          floor((col("endc") - col("n_tok")).cast("double") / lit(L.toDouble)))
+        .withColumn("last_seq",
+          floor((col("endc") - 1).cast("double") / lit(L.toDouble)))
+      pos.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"),
+          (floor((sum("n_tok") - 1).cast("double") / lit(L.toDouble)) + 1)
+            .cast("long").as("n_seqs"),
+          (sum("n_tok") -
+            floor((sum("n_tok") - 1).cast("double") / lit(L.toDouble))
+              .cast("long") * L).as("tail_fill"),
+          sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
+            .as("boundary_docs"),
+          sum(col("last_seq") - col("first_seq") + 1).as("doc_seq_spans"),
+          max(col("last_seq") - col("first_seq") + 1).as("max_span"),
+          round(
+            sum(col("last_seq") - col("first_seq") + 1).cast("double") /
+              (floor((sum("n_tok") - 1).cast("double") / lit(L.toDouble)) + 1),
+            6).as("docs_per_seq"))
+        .orderBy("source")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id, source,
+                     lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS nt
+              FROM documents),
+            tok AS (
+              SELECT doc_id, source,
+                     CAST(CASE WHEN length(nt) = 0 THEN 0
+                          ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_tok
+              FROM norm),
+            pos AS (
+              SELECT source, n_tok,
+                     sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS endc
+              FROM tok WHERE n_tok > 0),
+            sp AS (
+              SELECT source, n_tok, endc,
+                     CAST(floor(CAST(endc - n_tok AS DOUBLE) / 512.0) AS BIGINT) AS first_seq,
+                     CAST(floor(CAST(endc - 1 AS DOUBLE) / 512.0) AS BIGINT) AS last_seq
+              FROM pos)
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(floor(CAST(sum(n_tok) - 1 AS DOUBLE) / 512.0) + 1 AS BIGINT) AS n_seqs,
+                   CAST(sum(n_tok)
+                        - CAST(floor(CAST(sum(n_tok) - 1 AS DOUBLE) / 512.0) AS BIGINT) * 512
+                     AS BIGINT) AS tail_fill,
+                   CAST(sum(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs,
+                   CAST(sum(last_seq - first_seq + 1) AS BIGINT) AS doc_seq_spans,
+                   CAST(max(last_seq - first_seq + 1) AS BIGINT) AS max_span,
+                   round(CAST(sum(last_seq - first_seq + 1) AS DOUBLE)
+                         / (floor(CAST(sum(n_tok) - 1 AS DOUBLE) / 512.0) + 1), 6) AS docs_per_seq
+            FROM sp GROUP BY source ORDER BY source"""))
+
+  /** Weighted sampling without replacement — Efraimidis–Spirakis exponential
+    * races with hash-derived uniforms, the standard one-pass distributed
+    * algorithm (each row's priority −ln(u)/w depends only on the row, so
+    * the per-stratum k smallest survive any partitioning; a cluster takes
+    * a per-partition top-k then merges). Weight = n_chars (longer docs
+    * proportionally likelier), u from the portable md5 family on a strict
+    * (0,1) grid. Priorities round at 9 dp BEFORE ranking in both engines,
+    * doc_id breaks ties — the selection boundary is grid-exact, never a
+    * last-ulp libm race. ONE narrow scan, one shuffle on `source` for the
+    * rank window (at scale: TopKAgg per stratum — no global sort).
+    */
+  private val q199 = GraftQuery(
+    "q199_weighted_sample_es",
+    (s, dir) => {
+      val k = 50
+      val u = (expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+        .cast("long") % 1000000L + 1L).cast("double") / lit(1000001.0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("pri"), col("doc_id"))
+      Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(-log(u) / col("n_chars").cast("double"), 9).as("pri"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select("source", "doc_id", "n_chars", "pri")
+        .orderBy("source", "pri", "doc_id")
+    },
+    Some("""WITH pri AS (
+              SELECT source, doc_id, n_chars,
+                     round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                                  % 1000000 + 1) / 1000001.0)
+                           / CAST(n_chars AS DOUBLE), 9) AS pri
+              FROM documents WHERE n_chars > 0),
+            rk AS (
+              SELECT source, doc_id, n_chars, pri,
+                     row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rk
+              FROM pri)
+            SELECT source, doc_id, n_chars, pri
+            FROM rk WHERE rk <= 50
+            ORDER BY source, pri, doc_id"""))
+
+  /** Temperature-weighted source mixing to a token budget — the
+    * multilingual-pretraining rebalancer: source shares ∝ T_i^τ (τ=1/2,
+    * so `sqrt` — IEEE-exact in both engines) flatten the natural
+    * distribution, per-source keep-rates min(1, B·p_i/T_i) hit a 50 %
+    * token budget, and a deterministic md5 gate (salted so it is
+    * independent of q199's draw) admits documents. Per-source√ weights
+    * round at 6 dp and total as DECIMAL(38,6) — the cross-engine
+    * float-sum-order hazard is removed by summing on the decimal grid.
+    * Plan: token counts computed ONCE (cut), totals are a ≤|sources|-row
+    * broadcast joined back, one final per-source aggregate — two scans of
+    * nothing wider than (doc_id, source, n_tok).
+    */
+  private val q200 = GraftQuery(
+    "q200_temperature_mixing",
+    (s, dir) => {
+      val tok = graft.operators.Components.cut(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+          .filter(col("n_tok") > 0), None)
+      val totals = tok.groupBy("source").agg(sum("n_tok").as("t_tokens"))
+        .withColumn("sw", round(sqrt(col("t_tokens").cast("double")), 6))
+      val sums = totals.agg(
+        sum(col("sw").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("sw_total"),
+        floor(sum("t_tokens").cast("double") * 0.5).cast("long").as("budget"))
+      val rates = totals.crossJoin(broadcast(sums))
+        .select(col("source"), col("t_tokens"),
+          round(
+            least(lit(1.0),
+              col("budget").cast("double") * col("sw") / col("sw_total") /
+                col("t_tokens").cast("double")), 6).as("rate"))
+      val u = (expr(
+        "conv(substring(md5(concat(cast(doc_id as string), '/mix')), 1, 15), 16, 10)")
+        .cast("long") % 1000000L).cast("double") / lit(1000000.0)
+      tok.withColumn("u", u)
+        .join(broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+          first("t_tokens").as("t_tokens"),
+          first("rate").as("rate"),
+          sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("kept_docs"),
+          sum(when(col("u") < col("rate"), col("n_tok")).otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy("source")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id, source,
+                     lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS nt
+              FROM documents),
+            tok AS (
+              SELECT doc_id, source,
+                     CAST(CASE WHEN length(nt) = 0 THEN 0
+                          ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_tok
+              FROM norm),
+            tk AS (SELECT * FROM tok WHERE n_tok > 0),
+            totals AS (
+              SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_tokens,
+                     round(sqrt(CAST(sum(n_tok) AS DOUBLE)), 6) AS sw
+              FROM tk GROUP BY source),
+            sums AS (
+              SELECT CAST(sum(CAST(sw AS DECIMAL(38,6))) AS DOUBLE) AS sw_total,
+                     CAST(floor(CAST(sum(t_tokens) AS DOUBLE) * 0.5) AS BIGINT) AS budget
+              FROM totals),
+            rates AS (
+              SELECT source, t_tokens,
+                     round(least(1.0,
+                       CAST(budget AS DOUBLE) * sw / sw_total
+                         / CAST(t_tokens AS DOUBLE)), 6) AS rate
+              FROM totals CROSS JOIN sums),
+            gated AS (
+              SELECT tk.source, tk.n_tok, rates.t_tokens, rates.rate,
+                     (('0x' || substr(md5(CAST(tk.doc_id AS VARCHAR) || '/mix'), 1, 15))::BIGINT
+                        % 1000000) / 1000000.0 AS u
+              FROM tk JOIN rates USING (source))
+            SELECT source,
+                   any_value(t_tokens) AS t_tokens,
+                   any_value(rate) AS rate,
+                   CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+                   CAST(sum(CASE WHEN u < rate THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+            FROM gated GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
-      q90, q92, q94, q96, q120, q124, q170, q180)
+      q90, q92, q94, q96, q120, q124, q170, q180, q198, q199, q200)
 }

@@ -136,4 +136,84 @@ class CurationSpec extends SparkSpec {
     assert(bynm("tie").getDouble(3) === 0.5)
     assert(bynm("one").isNullAt(3))
   }
+
+  private def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  // the q199/q200 portable gate, replayed independently of Spark
+  private def md5U60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("q198 packing profile: hand-traced boundary crossings at L=512") {
+    // source a tape: 500 | 20 | 1004 tokens -> ends 500, 520, 1524.
+    // doc 2 straddles seqs 0-1; doc 3 spans seqs 1-2. 3 seqs, tail 500.
+    val docs = Seq(
+      (1L, words(500), "en", "a", 1L),
+      (2L, words(20), "en", "a", 1L),
+      (3L, words(1004), "en", "a", 1L),
+      (9L, words(7), "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("graft_q198")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.byName("q198_sequence_packing").run(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    assert(a.getAs[Long]("n_docs") === 3L)
+    assert(a.getAs[Long]("total_tokens") === 1524L)
+    assert(a.getAs[Long]("n_seqs") === 3L)
+    assert(a.getAs[Long]("tail_fill") === 500L)
+    assert(a.getAs[Long]("boundary_docs") === 2L)
+    assert(a.getAs[Long]("doc_seq_spans") === 5L)
+    assert(a.getAs[Long]("max_span") === 2L)
+    assert(a.getAs[Double]("docs_per_seq") === 1.666667)
+    // a one-doc source: one partial sequence, nothing straddles
+    val b = rows("b")
+    assert(b.getAs[Long]("n_seqs") === 1L && b.getAs[Long]("tail_fill") === 7L
+      && b.getAs[Long]("boundary_docs") === 0L)
+  }
+
+  test("q199 E-S weighted sample: exactly the k smallest hash priorities survive") {
+    // 60 docs in one source (> k=50): the query must return precisely the
+    // 50 smallest round(-ln(u)/w, 9) keys, u replayed here from md5
+    val docs = (1 to 60).map(i =>
+      (i.toLong, words(3), "en", "s", 10L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("graft_q199")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("q199_weighted_sample_es").run(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("pri")))
+    assert(got.length === 50)
+    val expected = (1 to 60).map { i =>
+      val u = (md5U60(i.toString) % 1000000L + 1L).toDouble / 1000001.0
+      val pri = BigDecimal(-math.log(u) / (10L + i).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i.toLong, pri)
+    }.sortBy(p => (p._2, p._1)).take(50)
+    assert(got.toSeq === expected)
+  }
+
+  test("q200 temperature mixing: sqrt-share rates and md5-gate census replay") {
+    // T_a=400, T_b=100 -> sw 20/10, S=30, B=250;
+    // rate_a = 250*20/30/400 = .416667, rate_b = 250*10/30/100 = .833333
+    val docs = ((1 to 40).map(i => (i.toLong, words(10), "en", "a", 1L)) ++
+      (101 to 110).map(i => (i.toLong, words(10), "en", "b", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("graft_q200")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.byName("q200_temperature_mixing").run(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("a").getAs[Double]("rate") === 0.416667)
+    assert(rows("b").getAs[Double]("rate") === 0.833333)
+    def keptOf(ids: Seq[Long], rate: Double): Long = ids.count { id =>
+      (md5U60(s"$id/mix") % 1000000L).toDouble / 1000000.0 < rate
+    }.toLong
+    assert(rows("a").getAs[Long]("kept_docs") ===
+      keptOf((1L to 40L), 0.416667))
+    assert(rows("b").getAs[Long]("kept_docs") ===
+      keptOf((101L to 110L), 0.833333))
+    assert(rows("a").getAs[Long]("kept_tokens") ===
+      rows("a").getAs[Long]("kept_docs") * 10L)
+  }
 }
