@@ -141,23 +141,59 @@ object NearDup {
       checkpointDir: Option[String] = None): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rowsPerBand = numPerms / bands
+    // `__ck` canonicalizes IDENTICAL shingle sets (exact clones), the
+    // ngramJaccardPairs contraction: signature, band buckets, est and
+    // exact jaccard are all FUNCTIONS of the set, so one representative
+    // per set runs the whole bucket-join + verify and pairs expand back
+    // exactly afterwards — a group of g clones costs g·pairs instead of
+    // g²·bands candidate rows (measured ×9 over linear on a ×100
+    // clone-heavy corpus without this).
+    val sets0 = materialized(shingleSets(docs, n)
+      .withColumn("__ck", xxhash64(concat_ws("\u0001", col("shingles")))),
+      checkpointDir)
+    val repIds = sets0.groupBy("__ck").agg(min(col("doc_id")).as("doc_id"))
     // referenced three times (bucketing + both re-attach joins)
-    val sets = materialized(shingleSets(docs, n)
+    val sets = materialized(sets0
+      .join(repIds, Seq("__ck", "doc_id"))
       .withColumn("sig", Sketches.minhashSignature(col("shingles"), numPerms))
       .filter(col("sig").isNotNull), checkpointDir)
+    // members of groups whose rep survived the sig filter (sig is
+    // set-determined, so survival is group-uniform by construction)
+    val groups = sets0.select("doc_id", "__ck")
+      .join(sets.select(col("__ck")), "__ck")
     val buckets = sets
       .select(col("doc_id"), explode(Sketches.bandKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
+    val repPairs = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("est_jaccard", Sketches.estJaccard(col("sig_a"), col("sig_b")))
       .withColumn("jaccard", Sketches.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+    // expand representatives back to members: cross-group pairs inherit
+    // the rep pair's est/jaccard bit-for-bit (identical signatures and
+    // sets); intra-group pairs are exactly est = 1.0 (all numPerms
+    // components equal) and jaccard = 1.0 (|∩| = |∪|), which every
+    // threshold ≤ 1 keeps — identical to what the un-canonicalized join
+    // emits for clone pairs
+    val ckOfRep = repIds.select(col("doc_id").as("__rep"), col("__ck"))
+    val expanded = repPairs
+      .join(ckOfRep.select(col("__rep").as("doc_a"), col("__ck").as("cka")), "doc_a")
+      .join(ckOfRep.select(col("__rep").as("doc_b"), col("__ck").as("ckb")), "doc_b")
+      .join(groups.select(col("__ck").as("cka"), col("doc_id").as("ma")), "cka")
+      .join(groups.select(col("__ck").as("ckb"), col("doc_id").as("mb")), "ckb")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"),
+        col("est_jaccard"), col("jaccard"))
+    val intra = groups.as("x").join(groups.as("y"),
+        col("x.__ck") === col("y.__ck") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("est_jaccard"), lit(1.0).as("jaccard"))
+    expanded.unionByName(intra)
   }
 
   /** Partial-overlap (containment) pairs via winnowing fingerprints
@@ -214,20 +250,43 @@ object NearDup {
 
   /** SimHash near-dup pairs within `maxHamming` (≤ 3 for complete 4-block
     * blocking). Returns (doc_a, doc_b, hamming).
+    *
+    * Canonicalized on the FINGERPRINT itself (the ngramJaccardPairs
+    * contraction, one step simpler): the simhash is a pure function of the
+    * token stream, so exact clones share it, the block self-join runs over
+    * one representative per DISTINCT fingerprint, and pairs expand back —
+    * cross-group pairs inherit the rep pair's hamming (same fingerprints),
+    * intra-group pairs are hamming 0 ≤ every maxHamming. A clone group of
+    * g costs g·pairs in the expansion instead of g²·4 block-join rows.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxHamming <= 3, "4x16-bit blocking is only complete for hamming <= 3")
-    val hashed = docs.select(col("doc_id"),
-      Sketches.simhash(TextFunctions.tokens(col("text"))).as("simhash"))
-    val blocks = hashed.select(col("doc_id"), col("simhash"),
+    // referenced three ways (rep derivation + both expansion sides + intra):
+    // one simhash pass over the corpus, not five
+    val hashed = materialized(docs.select(col("doc_id"),
+      Sketches.simhash(TextFunctions.tokens(col("text"))).as("simhash")),
+      checkpointDir)
+    val repIds = hashed.groupBy("simhash").agg(min(col("doc_id")).as("doc_id"))
+    val blocks = repIds.select(col("doc_id"), col("simhash"),
       explode(Sketches.simhashBlocks(col("simhash"))).as("blk"))
-    blocks.as("a").join(blocks.as("b"),
+    val repPairs = blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      .dropDuplicates("sh_a", "sh_b")
       .filter(col("hamming") <= maxHamming)
+    val expanded = repPairs
+      .join(hashed.select(col("simhash").as("sh_a"), col("doc_id").as("ma")), "sh_a")
+      .join(hashed.select(col("simhash").as("sh_b"), col("doc_id").as("mb")), "sh_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("hamming"))
+    val intra = hashed.as("x").join(hashed.as("y"),
+        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(lit(0L)).as("hamming"))
+    expanded.unionByName(intra)
   }
 
   /** Both shingle sets attached to a candidate pair list — the shingling
@@ -466,16 +525,33 @@ object NearDup {
     import org.apache.spark.sql.types.DecimalType
     val occ = docs.select(col("doc_id"),
       explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-    // (doc × word)-sized cut: df derivation and the scoring join both read it
+    // (doc × word)-sized cut: __ck derivation and the rep projection read it
     val tf = materialized(
       occ.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")), checkpointDir)
+    // `__ck` canonicalizes IDENTICAL token MULTISETS (exact clones), the
+    // ngramJaccardPairs contraction: tf·idf weights, norms, dots and cosine
+    // are all functions of the multiset (df counts members, see below), so
+    // the Σ df² inverted-index join runs over one REPRESENTATIVE per
+    // multiset — a corpus where every doc has g clones costs the g=1 join,
+    // not g²·Σdf² (measured ×10 over linear on a ×100 clone-heavy corpus
+    // without this). sort_array makes the hash input order-canonical.
+    val ck = materialized(tf
+      .groupBy("doc_id")
+      .agg(xxhash64(sort_array(collect_list(struct(col("word"), col("tf")))))
+        .as("__ck")), checkpointDir)
+    val repIds = ck.groupBy("__ck").agg(min(col("doc_id")).as("doc_id"))
+    val gsz = ck.groupBy("__ck").agg(count(lit(1)).as("gsz"))
     val dTot = docs.agg(count(lit(1)).as("d_total"))
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // df counts DOCUMENTS (clones included): rep tf rows weighted by
+    // group size reproduce the raw per-word document frequency exactly
+    val repTf = tf.join(ck, "doc_id").join(repIds, Seq("__ck", "doc_id"))
+    val dfreq = repTf.join(gsz, "__ck")
+      .groupBy("word").agg(sum(col("gsz")).as("df"))
       .crossJoin(broadcast(dTot))
       .filter(col("df") <= ceil(lit(maxDocFreqFrac) * col("d_total")))
       .select("word", "df")
-    // read three ways below (norms + both join sides) — cut once
-    val wts = materialized(tf
+    // read four ways below (norms + self-dots + both join sides) — cut once
+    val wts = materialized(repTf
       .join(dfreq, "word")
       .crossJoin(broadcast(dTot))
       .select(col("doc_id"), col("word"),
@@ -491,12 +567,42 @@ object NearDup {
         (col("a.w") * col("b.w")).cast(DecimalType(38, 20)).as("p"))
       .groupBy("doc_a", "doc_b")
       .agg(sum(col("p")).cast("double").as("dot"))
-    dots
+    val repPairs = dots
       .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
       .withColumn("cos", col("dot") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 12).as("cos"))
+    // expand representatives back to members. Cross-group pairs inherit
+    // the rep pair's cos bit-for-bit (identical weight vectors). An
+    // intra-group pair's dot is Σ w·w over the ONE shared vector — the
+    // identical decimal sum the direct join would produce — divided by
+    // nrm² (NOT analytically 1.0: sqrt(x)² ≠ x in IEEE, and the oracle
+    // replays the same two-step arithmetic).
+    val selfCos = wts
+      .groupBy("doc_id")
+      .agg(sum((col("w") * col("w")).cast(DecimalType(38, 20)))
+        .cast("double").as("dself"))
+      .join(norms, "doc_id")
+      .withColumn("cos", col("dself") / (col("nrm") * col("nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_id"), round(col("cos"), 12).as("cos"))
+    val ckOfRep = repIds.select(col("doc_id").as("__rep"), col("__ck"))
+    val groups = ck.select("doc_id", "__ck")
+    val expanded = repPairs
+      .join(ckOfRep.select(col("__rep").as("doc_a"), col("__ck").as("cka")), "doc_a")
+      .join(ckOfRep.select(col("__rep").as("doc_b"), col("__ck").as("ckb")), "doc_b")
+      .join(groups.select(col("__ck").as("cka"), col("doc_id").as("ma")), "cka")
+      .join(groups.select(col("__ck").as("ckb"), col("doc_id").as("mb")), "ckb")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("cos"))
+    val intra = selfCos
+      .join(ckOfRep.select(col("__rep").as("doc_id"), col("__ck")), "doc_id")
+      .join(groups.select(col("__ck"), col("doc_id").as("ma")), "__ck")
+      .join(groups.select(col("__ck"), col("doc_id").as("mb")), "__ck")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("doc_a"), col("mb").as("doc_b"), col("cos"))
+    expanded.unionByName(intra)
   }
 
   /** Approximate top-k cosine neighbors for EVERY vector via hyperplane-LSH
@@ -561,15 +667,37 @@ object NearDup {
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
       .dropDuplicates("q_id", "n_id")
     val v = withNorm(emb)
-    val scored = cand
-      .join(v.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        col("nrm").as("qn")), "q_id")
-      .join(v.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
-        col("nrm").as("nn")), "n_id")
+    val qside = v.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      col("nrm").as("qn"))
+    val nside = v.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+      col("nrm").as("nn"))
+    // two-phase verify (file-header discipline, the embeddingKnn shape):
+    // the codegen'd DOUBLE dot ranks all candidates and a bounded top
+    // (k + margin) per vector survives; only survivors pay the ~10×
+    // decimal-exact cosine. On a clone-heavy corpus candidates per vector
+    // track cluster size (hyperplanes cannot split near-0° neighbors), so
+    // exact-scoring every candidate was the dominant cost of the ×100
+    // graph build. margin covers double-vs-decimal ordering churn
+    // (|fast − exact| ≲ 1e-13 for unit-ish 64-dim vectors); when a
+    // vector's candidates fit inside k + margin the result is identical
+    // to exact-scoring everything, by construction.
+    val margin = 20
+    val shortFn = graft.functions.TopKAgg.topK(k + margin)
+    val shortlist = cand
+      .join(qside, "q_id")
+      .join(nside, "n_id")
+      .select(col("q_id"), col("n_id"), Similarity.cosineFromParts(
+        Similarity.dotFast(col("qe"), col("ne")), col("qn"), col("nn")).as("fast"))
+      .groupBy("q_id")
+      .agg(shortFn(col("fast"), col("n_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
+    val topkFn = graft.functions.TopKAgg.topK(k)
+    shortlist
+      .join(qside, "q_id")
+      .join(nside, "n_id")
       .select(col("q_id"), col("n_id"), Similarity.cosineFromParts(
         Similarity.dotExact(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
-    val topkFn = graft.functions.TopKAgg.topK(k)
-    scored
       .groupBy("q_id")
       .agg(topkFn(col("cos"), col("n_id")).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
