@@ -74,4 +74,53 @@ object Dedup {
     n.select(col(nameCol)).join(comp, Seq(nameCol), "left")
       .withColumn("canonical", coalesce(col("canonical"), col(nameCol)))
   }
+
+  /** Cross-document repeated-substring profile — the first phase of
+    * exact-substring training-data dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): every `w`-token window
+    * is hashed; a window whose hash occurs in ≥ 2 DISTINCT documents is a
+    * cross-corpus repeat, and each document reports how many of its tokens
+    * are covered by at least one repeated window. Returns one row per
+    * document: (doc_id, n_tokens, dup_tokens, dup_frac).
+    *
+    * Scale contract: inherently clone-LINEAR — there is no pair join
+    * anywhere, so a boilerplate block shared by g documents costs g flagged
+    * rows, not g². One corpus scan emits the window hashes from the token
+    * array in a codegen'd `transform` (no explode-then-self-join); the only
+    * shuffles are the hash-keyed distinct-doc count, the flag join back,
+    * and a doc-keyed window whose state is one document's flagged
+    * positions. Covered-token counting is an interval merge over sorted
+    * window starts (consecutive starts closer than `w` overlap), exact,
+    * not w·|flags|.
+    */
+  def crossDocRepeatProfile(docs: DataFrame, w: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("t"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // (doc_id, p, h): window start p (1-based) and the xxhash64 of the
+    // w tokens from p — built array-side, one row per window
+    val grams = toks.filter(col("n_tokens") >= w)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), (col("n_tokens") - (w - 1)).cast("int")),
+          i => xxhash64(concat_ws("\u0001", slice(col("t"), i, lit(w)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
+    val dup = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val flagged = grams.join(dup, "h").select("doc_id", "p")
+    val wnd = Window.partitionBy("doc_id").orderBy("p")
+    val covered = flagged
+      .withColumn("nxt", lead(col("p"), 1).over(wnd))
+      .withColumn("cov",
+        when(col("nxt").isNull || col("nxt") - col("p") >= w, lit(w.toLong))
+          .otherwise(col("nxt") - col("p")))
+      .groupBy("doc_id").agg(sum(col("cov")).as("dup_tokens"))
+    toks.select("doc_id", "n_tokens")
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("dup_tokens").cast("double") / col("n_tokens"), 12)))
+  }
 }

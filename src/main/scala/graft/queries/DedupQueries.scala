@@ -638,7 +638,54 @@ object DedupQueries {
             FROM part p LEFT JOIN canon c USING (p_name)
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Cross-document exact-substring repeat profile — phase one of
+    * exact-substring training-data dedup (Lee et al. 2021, arXiv
+    * 2107.06499): hash every 8-token window, flag hashes occurring in
+    * >= 2 DISTINCT documents, and report per-document covered-token
+    * counts via an interval merge over sorted window starts. There is no
+    * pair join anywhere, so the operator is clone-LINEAR (a boilerplate
+    * block shared by g documents costs g flagged rows, not g^2) — the
+    * scale-defining property vs the pair-emitting q19/q20 family. The
+    * DuckDB oracle rebuilds the identical windows as chr(1)-joined
+    * STRINGS, so both engines flag the same window sets (xxhash64
+    * collisions aside, P ~ windows^2/2^64).
+    */
+  private val q201 = GraftQuery(
+    "q201_crossdoc_substring_dedup",
+    (s, dir) =>
+      Dedup.crossDocRepeatProfile(Tables.documents(s, dir), w = 8)
+        .orderBy("doc_id"),
+    Some("""WITH norm AS (
+              SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS nt
+              FROM documents),
+            toks AS (
+              SELECT doc_id, string_split(nt, ' ') AS t,
+                     CAST(CASE WHEN length(nt) = 0 THEN 0
+                          ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_tokens
+              FROM norm),
+            g AS (
+              SELECT doc_id, unnest([{'p': i, 'gr': array_to_string(t[i:i+7], chr(1))}
+                       for i in generate_series(1, len(t) - 7)], recursive := true)
+              FROM toks WHERE n_tokens >= 8),
+            d AS (SELECT gr FROM g GROUP BY gr HAVING count(DISTINCT doc_id) >= 2),
+            f AS (SELECT doc_id, p FROM g JOIN d USING (gr)),
+            cov AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN nxt IS NULL OR nxt - p >= 8 THEN 8
+                              ELSE nxt - p END) AS BIGINT) AS dup_tokens
+              FROM (SELECT doc_id, p,
+                           lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+                    FROM f)
+              GROUP BY doc_id)
+            SELECT t.doc_id, t.n_tokens,
+                   COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+                   round(CASE WHEN t.n_tokens = 0 THEN 0.0
+                         ELSE CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE)
+                              / t.n_tokens END, 12) AS dup_frac
+            FROM toks t LEFT JOIN cov USING (doc_id)
+            ORDER BY t.doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146, q181,
-      q186)
+      q186, q201)
 }

@@ -145,4 +145,22 @@ class NearDupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(pairs === Set((1L, 2L))) // (1,4) crosses cells; 3 matches nothing
   }
+
+  test("crossDocRepeatProfile: shared 8-token runs flagged and interval-merged") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),                        // shares a..h with 2
+      (2L, "z z a b c d e f g h q"),
+      (3L, "unique tokens only here nothing shared at all ok fine"),
+      (4L, "p q r s t u v w x extra one"),                // shares p..x (9) with 5
+      (5L, "pre p q r s t u v w x post"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.crossDocRepeatProfile(docs, w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((10L, 8L)),  // one flagged window -> 8 covered tokens
+      2L -> ((11L, 8L)),
+      3L -> ((10L, 0L)),  // nothing cross-doc
+      4L -> ((11L, 9L)),  // two overlapping windows merge to a 9-token span
+      5L -> ((11L, 9L))))
+  }
 }
