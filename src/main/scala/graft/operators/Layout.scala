@@ -83,6 +83,46 @@ object Layout {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** 2-D Hilbert curve index of two bucketized coordinates (each already in
+    * [0, 2^bits), e.g. from [[bucketize]]) — a native codegen'd loop
+    * ([[graft.expressions.HilbertIndex]]; a built-ins composition nests the
+    * per-plane CASEs exponentially in `bits` and OOMs analysis at 12 bits).
+    * Same no-UDF write-path contract as [[zValue]].
+    *
+    * Why a second curve: Morton order teleports between quadrant
+    * boundaries (consecutive curve positions can be spatially far), while
+    * every Hilbert step moves to a spatially ADJACENT cell — so equal-size
+    * curve ranges map to tighter spatial boxes, i.e. tighter per-file
+    * min/max on both columns for the same file count. LayoutSpec pins the
+    * adjacency property (every consecutive step has Manhattan distance 1)
+    * and that Hilbert's total spatial jump length beats Morton's on the
+    * same grid.
+    */
+  def hilbertValue(xb: Column, yb: Column, bits: Int): Column =
+    graft.expressions.HilbertIndex(xb, yb, bits)
+
+  /** Hilbert-ordered parquet over exactly two numeric columns — the
+    * locality-preserving sibling of [[writeZOrdered]]: curve value from
+    * broadcast min/max, range-partitioned, sorted within files, dropped
+    * before write.
+    */
+  def writeHilbertOrdered(df: DataFrame, dir: String, cols: Seq[String],
+      files: Int, bits: Int = 12): Unit = {
+    require(cols.size == 2, s"2-D Hilbert layout needs exactly 2 columns, got ${cols.size}")
+    val aggExprs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__lo_$c"),
+      max(col(c).cast("double")).as(s"__hi_$c")))
+    val agg = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val buck = cols.map(c => bucketize(col(c), col(s"__lo_$c"), col(s"__hi_$c"), bits))
+    val h = df
+      .crossJoin(broadcast(agg))
+      .withColumn("__h", hilbertValue(buck(0), buck(1), bits))
+    h.repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop(cols.map(c => Seq(s"__lo_$c", s"__hi_$c")).flatten :+ "__h": _*)
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Compact a parquet directory toward `targetFileBytes` per output file
     * (small-file maintenance: streaming appends and per-batch loads leave
     * many small files, and file-open overhead then dominates scans). File

@@ -354,6 +354,27 @@ object AdvancedQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
             FROM orders ORDER BY o_orderkey"""))
 
+  /** Hilbert-curve clustered layout + readback — the locality-preserving
+    * sibling of q82's Z-order: every curve step moves to a spatially
+    * adjacent cell, so equal curve ranges (= files) map to tighter 2-D
+    * boxes than Morton's quadrant teleports for the same file count.
+    * LayoutSpec pins the curve properties (bijection, unit-step adjacency,
+    * total jump length < Morton); this query hash-gates the write+read
+    * round trip against the plain table.
+    */
+  private val q202 = GraftQuery(
+    "q202_hilbert_readback",
+    (s, dir) => {
+      val out = Scratch.tempDir("graft_q202_h_") + "/hilbert"
+      graft.operators.Layout.writeHilbertOrdered(
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        out, Seq("o_custkey", "o_totalprice"), files = 8)
+      s.read.parquet(out).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            FROM orders ORDER BY o_orderkey"""))
+
   /** VALUE-range window frames — the capability q43's ROWS frames don't
     * cover: a trailing-7-DAY revenue average per event type, where the
     * frame is `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the day
@@ -1574,5 +1595,5 @@ object AdvancedQueries {
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
       q105, q140, q141, q149, q150, q161, q167, q171, q172, q173, q174, q175,
-      q176, q177, q178, q179, q190, q191, q192, q193, q194, q195)
+      q176, q177, q178, q179, q190, q191, q192, q193, q194, q195, q202)
 }

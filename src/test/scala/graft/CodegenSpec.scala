@@ -139,4 +139,16 @@ class CodegenSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(exact.subsetOf(genB.toSet), "bloom prefilter dropped a true match")
   }
+
+  test("HilbertIndex: loop generated inline, codegen == interpreted, 12-bit analyzes") {
+    def df = spark.range(256).select(
+      col("id"),
+      graft.expressions.HilbertIndex((col("id") % 16), (col("id") / 16).cast("long"), 4).as("h4"),
+      graft.expressions.HilbertIndex(col("id") * 13 % 4096, col("id") * 7 % 4096, 12).as("h12"))
+    val cg = codegenOf(df)
+    assert(cg.contains("ghS"), s"hilbert loop not generated inline:\n$cg")
+    val (gen, interp) = bothPaths(df)
+    assert(gen === interp)
+    assert(gen.length === 256)
+  }
 }

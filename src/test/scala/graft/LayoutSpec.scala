@@ -102,6 +102,31 @@ class LayoutSpec extends SparkSpec {
     assert(zCand < linCand, s"z-order candidate rows $zCand not < linear $linCand")
   }
 
+  test("hilbert curve: bijective, every step spatially adjacent, jumps beat morton") {
+    val bits = 5
+    val n = 1 << bits // 32x32 grid
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") % n).as("x"), floor(col("id") / n).cast("long").as("y"))
+    val d = grid.select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), bits).as("d"),
+        Layout.zValue(Seq(col("x"), col("y")), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bijection onto [0, n^2)
+    assert(d.map(_._3).sorted.toSeq === (0L until n.toLong * n).toSeq)
+    // walk the curve: every consecutive pair of cells is Manhattan-adjacent
+    val walk = d.sortBy(_._3)
+    val steps = walk.sliding(2).map { case Array(a, b) =>
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2)
+    }.toSeq
+    assert(steps.forall(_ == 1L), s"non-adjacent hilbert steps: ${steps.count(_ != 1L)}")
+    // morton teleports; hilbert's total spatial jump length is strictly less
+    val mortonJumps = d.sortBy(_._4).sliding(2).map { case Array(a, b) =>
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2)
+    }.sum
+    assert(steps.sum < mortonJumps,
+      s"hilbert total jumps ${steps.sum} not < morton $mortonJumps")
+  }
+
   test("compact merges a many-file directory and round-trips the data") {
     val root = Files.createTempDirectory("graft-layout-compact").toString
     val events = Tables.events(spark, "/root/testdata/sf0.001")
