@@ -1474,7 +1474,103 @@ object TextQueries {
 
   // def, not val: q98 lands estimate parquet — its oracle SQL embeds the
   // path recorded at dump time (the q21/q76 pattern)
+  /** Multinomial Naive Bayes language classifier — train on the 4/5 of the
+    * corpus with doc_id % 5 != 0, predict the held-out 1/5, report per-doc
+    * prediction + correctness. Laplace (+1) smoothing over the training
+    * vocabulary; priors from training document counts; deterministic
+    * argmax (score DESC, lang ASC).
+    *
+    * Plan shape at scale: the model is two vocab-bounded aggregates
+    * (lang x word counts, lang totals); scoring is ONE pass over the test
+    * token stream fanned out x|langs| (a 5-row broadcast), joined to the
+    * model on (lang, word) — the only corpus-sized shuffle — then a
+    * doc-keyed aggregate. Determinism contract = q102/q103: each token's
+    * log-likelihood rounds at 15 dp and accumulates on the DECIMAL(38,15)
+    * grid, so partition order cannot move a score and the argmax is exact
+    * in both engines.
+    */
+  private val q203 = GraftQuery(
+    "q203_naive_bayes_langid",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val occTr = train.select(col("lang"), explode(tokens(col("text"))).as("word"))
+      val cw = graft.operators.Components.cut(
+        occTr.groupBy("lang", "word").agg(count(lit(1)).as("c_lw")), None)
+      val ct = cw.groupBy("lang").agg(sum("c_lw").as("n_l"))
+      val vocab = cw.agg(countDistinct(col("word")).as("v"))
+      val priors = train.groupBy("lang").agg(count(lit(1)).as("d_l"))
+      val dTot = train.agg(count(lit(1)).as("d"))
+      val occTe = test.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      val scored = occTe
+        .crossJoin(broadcast(ct.select(col("lang").as("cand"), col("n_l"))))
+        .join(cw.select(col("lang").as("cand"), col("word"), col("c_lw")),
+          Seq("cand", "word"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("cand"),
+          round(log((coalesce(col("c_lw"), lit(0L)) + 1).cast("double")
+            / (col("n_l") + col("v")).cast("double")), 15)
+            .cast(DecimalType(38, 15)).as("ll"))
+        .groupBy("doc_id", "cand").agg(sum(col("ll")).as("loglik"))
+      val withPrior = scored
+        .join(broadcast(priors.select(col("lang").as("cand"), col("d_l"))), "cand")
+        .crossJoin(broadcast(dTot))
+        .withColumn("score", col("loglik")
+          + round(log(col("d_l").cast("double") / col("d").cast("double")), 15)
+            .cast(DecimalType(38, 15)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("cand").asc)
+      val pred = withPrior
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand").as("pred"))
+      test.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .withColumn("correct", col("lang") === col("pred"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+            te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            occ_tr AS (
+              SELECT lang,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM tr),
+            cw AS (SELECT lang, word, count(*) AS c_lw FROM occ_tr GROUP BY 1, 2),
+            ct AS (SELECT lang, CAST(sum(c_lw) AS BIGINT) AS n_l FROM cw GROUP BY 1),
+            v AS (SELECT count(DISTINCT word) AS v FROM cw),
+            pr AS (SELECT lang, count(*) AS d_l FROM tr GROUP BY 1),
+            dt AS (SELECT count(*) AS d FROM tr),
+            occ_te AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM te),
+            sc AS (
+              SELECT o.doc_id, ct.lang AS cand,
+                     sum(CAST(round(ln(
+                         CAST(COALESCE(cw.c_lw, 0) + 1 AS DOUBLE)
+                         / CAST(ct.n_l + v.v AS DOUBLE)), 15)
+                       AS DECIMAL(38,15))) AS loglik
+              FROM occ_te o CROSS JOIN ct CROSS JOIN v
+              LEFT JOIN cw ON cw.lang = ct.lang AND cw.word = o.word
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT sc.doc_id, sc.cand,
+                     sc.loglik + CAST(round(ln(
+                         CAST(pr.d_l AS DOUBLE) / CAST(dt.d AS DOUBLE)), 15)
+                       AS DECIMAL(38,15)) AS score
+              FROM sc JOIN pr ON pr.lang = sc.cand CROSS JOIN dt),
+            p AS (
+              SELECT doc_id, cand,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, cand) AS rn
+              FROM scored)
+            SELECT t.doc_id, t.lang, p.cand AS pred, (t.lang = p.cand) AS correct
+            FROM te t JOIN p ON p.doc_id = t.doc_id AND p.rn = 1
+            ORDER BY t.doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
-      q115, q116, q121, q125, q129, q139, q145, q151, q164, q169, q196, q197)
+      q115, q116, q121, q125, q129, q139, q145, q151, q164, q169, q196, q197,
+      q203)
 }
