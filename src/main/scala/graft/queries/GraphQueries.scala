@@ -942,7 +942,102 @@ object GraphQueries {
             FROM deg LEFT JOIN pn USING (n)
             ORDER BY node"""))
 
+  private val BtwLevels = 8
+  private val BtwSources = 8
+
+  /** Serial replay of [[graft.operators.Betweenness.run]]: multi-source
+    * BFS distances (recursive CTE + min), path counts σ unrolled one level
+    * per CTE (exact BIGINT sums over distance-(k−1) predecessors), then
+    * dependency accumulation unrolled deepest→1 — each (u,w) contribution
+    * σ_u/σ_w·(1+δ_w) computed in DOUBLE, rounded at 15 dp, summed as
+    * DECIMAL(38,15) (the q102 grid), exactly the operator's arithmetic.
+    */
+  private def betweennessOracle: String = {
+    val sb = new StringBuilder(s"WITH RECURSIVE $knnEdgesSql")
+    sb.append(s""",
+       e AS MATERIALIZED (
+         SELECT DISTINCT s, d FROM (
+           SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0)
+         WHERE s <> d),
+       srcs AS (SELECT vec_id AS src FROM embeddings ORDER BY vec_id LIMIT $BtwSources),
+       bfs AS (
+         SELECT src, src AS node, 0 AS hop FROM srcs
+         UNION
+         SELECT bfs.src, e.d, bfs.hop + 1 FROM bfs JOIN e ON e.s = bfs.node
+         WHERE bfs.hop < $BtwLevels),
+       dist AS MATERIALIZED (SELECT src, node, min(hop) AS dist FROM bfs GROUP BY 1, 2),
+       sg0 AS MATERIALIZED (SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma FROM srcs)""")
+    for (i <- 1 to BtwLevels) {
+      sb.append(s""",
+       sg$i AS MATERIALIZED (
+         SELECT di.src, di.node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         FROM dist di
+         JOIN e ON e.d = di.node
+         JOIN dist dp ON dp.src = di.src AND dp.node = e.s AND dp.dist = ${i - 1}
+         JOIN sg${i - 1} p ON p.src = di.src AND p.node = e.s
+         WHERE di.dist = $i GROUP BY 1, 2)""")
+    }
+    sb.append(s""",
+       dl$BtwLevels AS (SELECT src, node, CAST(NULL AS DECIMAL(38,15)) AS delta
+                        FROM dist WHERE 1 = 0)""")
+    for (j <- (BtwLevels - 1) to 1 by -1) {
+      sb.append(s""",
+       dl$j AS MATERIALIZED (
+         SELECT du.src, du.node,
+                CAST(sum(CAST(round(
+                    CAST(su.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE)
+                    * CAST(1 + COALESCE(dn.delta, 0) AS DOUBLE), 15)
+                  AS DECIMAL(38,15))) AS DECIMAL(38,15)) AS delta
+         FROM dist du
+         JOIN e ON e.s = du.node
+         JOIN dist dw ON dw.src = du.src AND dw.node = e.d AND dw.dist = ${j + 1}
+         JOIN sg$j su ON su.src = du.src AND su.node = du.node
+         JOIN sg${j + 1} sw ON sw.src = du.src AND sw.node = e.d
+         LEFT JOIN dl${j + 1} dn ON dn.src = du.src AND dn.node = e.d
+         WHERE du.dist = $j GROUP BY 1, 2)""")
+    }
+    val unions = (1 to (BtwLevels - 1))
+      .map(j => s"SELECT src, node, delta FROM dl$j")
+      .mkString(" UNION ALL ")
+    sb.append(s""",
+       alld AS (
+         $unions),
+       dep AS (SELECT node, CAST(sum(delta) AS DECIMAL(38,15)) AS dep
+               FROM alld GROUP BY 1)
+       SELECT CAST(v.vec_id AS BIGINT) AS node,
+              round(CAST(COALESCE(dep.dep, 0) AS DOUBLE) * 0.5, 9) AS bc
+       FROM embeddings v LEFT JOIN dep ON dep.node = v.vec_id
+       ORDER BY node""")
+    sb.toString
+  }
+
+  /** Sampled Brandes betweenness over the similarity graph
+    * ([[graft.operators.Betweenness]], $BtwSources lowest vec_ids as the
+    * source sample, 8-level horizon): which vectors sit on the most
+    * shortest paths — the bridge/bottleneck probe completing the
+    * centrality family (harmonic = closeness q157, PageRank q156,
+    * HITS q112). Conventional undirected halving at display time; nodes
+    * off every sampled shortest-path tree score 0.
+    */
+  private val q204 = GraftQuery(
+    "q204_betweenness_sampled",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val srcs = emb.select("vec_id").orderBy("vec_id")
+        .limit(BtwSources).collect().map(_.getLong(0)).toSeq
+      val dep = graft.operators.Betweenness.run(
+        knnEdges(s, dir), "src", "dst", srcs, maxLevels = BtwLevels)
+      emb.select(col("vec_id").as("node"))
+        .join(dep, Seq("node"), "left")
+        .select(col("node"),
+          round(coalesce(col("dep"), lit(java.math.BigDecimal.ZERO)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+            .cast("double") * 0.5, 9).as("bc"))
+        .orderBy("node")
+    },
+    Some(betweennessOracle))
+
   val all: Seq[GraftQuery] =
     Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156, q157, q158,
-      q165, q168, q188)
+      q165, q168, q188, q204)
 }

@@ -163,4 +163,39 @@ class GraphExtrasSpec extends SparkSpec {
     assert(got(3L) === ((3L, 1L, 0.333333333))) // 2·1/(3·2), rounded to 9 dp
     assert(got(4L) === ((1L, 0L, 0.0)))         // degree-1: defined as 0
   }
+
+  test("betweenness on a path graph, all sources: exact Brandes dependencies") {
+    // path 1-2-3-4-5; dep(v) = Σ_s δ_s(v) = 2·bc(v): dep(2)=6, dep(3)=8, dep(4)=6
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    def depMap(threshold: Int) = graft.operators.Betweenness
+      .run(e, "u", "v", sources = Seq(1L, 2L, 3L, 4L, 5L),
+        localEdgeThreshold = threshold)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val local = depMap(100000)
+    assert(local.keySet === Set(2L, 3L, 4L))
+    assert(local(2L).doubleValue() === 6.0)
+    assert(local(3L).doubleValue() === 8.0)
+    assert(local(4L).doubleValue() === 6.0)
+    // distributed path (threshold 0) is bit-identical, decimal for decimal
+    val dist = depMap(0)
+    assert(dist.view.mapValues(_.toPlainString).toMap
+      === local.view.mapValues(_.toPlainString).toMap)
+  }
+
+  test("betweenness splits flow across equal shortest paths (diamond)") {
+    // 1-2, 1-3, 2-4, 3-4: from source 1, σ(4)=2 ⇒ δ(2)=δ(3)=1/2
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val got = graft.operators.Betweenness.run(e, "u", "v", sources = Seq(1L))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(got === Map(2L -> 0.5, 3L -> 0.5))
+  }
+
+  test("betweenness maxLevels truncates dependency flow past the horizon") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    // BFS from 1 capped at 2 levels reaches {2,3}; only δ(2)=1 survives
+    val got = graft.operators.Betweenness
+      .run(e, "u", "v", sources = Seq(1L), maxLevels = 2)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(got === Map(2L -> 1.0))
+  }
 }
