@@ -127,6 +127,52 @@ object NearDup {
     expanded.unionByName(intra)
   }
 
+  /** Incremental near-dup maintenance: exact n-gram Jaccard pairs that
+    * TOUCH a new document batch, against an already-ingested corpus — the
+    * daily-increment production shape. The inverted index covers
+    * corpus ∪ batch, but the pair join is DRIVEN by the batch's postings
+    * (a-side), so per-shingle cost is df_new(s)·df_all(s) — linear in the
+    * increment for bounded document frequency — where a full recompute
+    * would pay Σ df_all² again for pairs the previous run already knows.
+    * Orientation guard: an (old, old) pair never forms (a is always new),
+    * a (new, new) pair forms once (a < b required when b is new), a
+    * (new, old) pair forms once (only the new side drives). Returns
+    * (doc_a, doc_b, jaccard), doc_a < doc_b, the exact arithmetic of
+    * [[ngramJaccardPairs]]. Caller contract: corpus and batch doc_ids are
+    * disjoint.
+    */
+  def ngramJaccardPairsIncremental(
+      corpus: DataFrame, batch: DataFrame, n: Int, threshold: Double,
+      maxDocFreq: Long = 0L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val all = corpus.select(col("doc_id"), col("text"), lit(false).as("is_new"))
+      .unionByName(batch.select(col("doc_id"), col("text"), lit(true).as("is_new")))
+    val sets = materialized(
+      shingleSets(all.select("doc_id", "text"), n)
+        .join(all.select("doc_id", "is_new"), "doc_id"), checkpointDir)
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+    val inv0 = sets.select(col("doc_id"), col("is_new"), explode(col("shingles")).as("s0"))
+      .select(col("doc_id"), col("is_new"), xxhash64(col("s0")).as("s"))
+    val inv =
+      if (maxDocFreq <= 0) inv0
+      else inv0.join(
+        inv0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("s"), "s")
+    val common = inv.filter(col("is_new")).as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id")
+          && (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard over shingles.
     * Returns (doc_a, doc_b, est_jaccard, jaccard) for verified pairs.
     *

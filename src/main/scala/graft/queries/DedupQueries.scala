@@ -685,7 +685,49 @@ object DedupQueries {
             FROM toks t LEFT JOIN cov USING (doc_id)
             ORDER BY t.doc_id"""))
 
+  /** Incremental near-dup maintenance — q19's exact pairs restricted to
+    * those touching a "new batch" (the synthetic daily crawl: doc_id % 10
+    * = 7), computed by driving the inverted-index join from the batch's
+    * postings only ([[NearDup.ngramJaccardPairsIncremental]]): per-shingle
+    * cost df_new·df_all, linear in the increment, where a nightly full
+    * recompute would pay the corpus quadratic again. The oracle computes
+    * the FULL exact pair set and filters by batch membership — so the
+    * incremental path is gated against the ground truth it claims to
+    * maintain, not against itself.
+    */
+  private val q205 = GraftQuery(
+    "q205_incremental_jaccard_pairs",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      NearDup.ngramJaccardPairsIncremental(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7), n = 3, threshold = 0.3)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS s
+              FROM norm WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+            FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+              AND (doc_a % 10 = 7 OR doc_b % 10 = 7)
+            ORDER BY doc_a, doc_b"""))
+
   def all: Seq[GraftQuery] =
     Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146, q181,
-      q186, q201)
+      q186, q201, q205)
 }

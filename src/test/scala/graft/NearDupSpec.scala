@@ -146,6 +146,20 @@ class NearDupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L))) // (1,4) crosses cells; 3 matches nothing
   }
 
+  test("incremental jaccard pairs == full pairs filtered to batch-touching, no dup orientations") {
+    val docs = Tables.documents(spark, sf)
+    val full = NearDup.ngramJaccardPairs(docs, 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = full.filter(p => p._1 % 10 == 7 || p._2 % 10 == 7).toSet
+    val inc = NearDup.ngramJaccardPairsIncremental(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7), 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(inc.length === inc.toSet.size, "duplicate pair orientations emitted")
+    assert(inc.toSet === expect)
+    assert(expect.nonEmpty, "fixture produced no batch-touching pairs — test is vacuous")
+  }
+
   test("crossDocRepeatProfile: shared 8-token runs flagged and interval-merged") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),                        // shares a..h with 2
