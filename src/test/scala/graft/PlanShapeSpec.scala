@@ -110,7 +110,12 @@ class PlanShapeSpec extends SparkSpec {
       "q184_ewma_daily", "q185_acf_daily", "q189_linear_attribution",
       "q190_disjunctive_revenue", "q191_large_volume_customers",
       "q192_nation_market_share", "q193_important_parts",
-      "q194_promo_revenue_share", "q195_part_supplier_diversity")
+      "q194_promo_revenue_share", "q195_part_supplier_diversity",
+      // round-9 closers (q202 writes at build time and q204 runs the
+      // Brandes loop at build time — audited by LayoutSpec/
+      // GraphExtrasSpec; these three are pure declarative plans)
+      "q201_crossdoc_substring_dedup", "q203_naive_bayes_langid",
+      "q205_incremental_jaccard_pairs")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
