@@ -94,15 +94,24 @@ object Dedup {
     * not w·|flags|.
     */
   def crossDocRepeatProfile(docs: DataFrame, w: Int = 8): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.tokens(col("text")).as("t"),
-      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-    // (doc_id, p, h): window start p (1-based) and the xxhash64 of the
-    // w tokens from p — built array-side, one row per window
-    val grams = toks.filter(col("n_tokens") >= w)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(1), (col("n_tokens") - (w - 1)).cast("int")),
-          i => xxhash64(concat_ws("\u0001", slice(col("t"), i, lit(w)))))))
+    // ONE corpus scan: per-doc token count + the w-token window hashes,
+    // materialized together (Catalyst shares no subtrees — without the cut
+    // the dup aggregate, the flag join, and the final count projection
+    // each re-scan and re-tokenize the corpus: measured 3 scans in the
+    // uncut plan). The cut frame holds ~one long per corpus token — the
+    // deliberate trade of 1x-corpus block storage for 2 saved full
+    // tokenize passes.
+    val per = Components.cut(
+      docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") >= w,
+            transform(sequence(lit(1), (col("n_tokens") - (w - 1)).cast("int")),
+              i => xxhash64(concat_ws("\u0001", slice(col("t"), i, lit(w))))))
+            .otherwise(array().cast("array<bigint>")).as("hs")), None)
+    // (doc_id, p, h): window start p (1-based); empty hs ⇒ no rows
+    val grams = per.select(col("doc_id"), posexplode(col("hs")))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
     val dup = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -116,7 +125,7 @@ object Dedup {
         when(col("nxt").isNull || col("nxt") - col("p") >= w, lit(w.toLong))
           .otherwise(col("nxt") - col("p")))
       .groupBy("doc_id").agg(sum(col("cov")).as("dup_tokens"))
-    toks.select("doc_id", "n_tokens")
+    per.select("doc_id", "n_tokens")
       .join(covered, Seq("doc_id"), "left")
       .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
       .withColumn("dup_frac",
