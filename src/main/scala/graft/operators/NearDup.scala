@@ -147,30 +147,66 @@ object NearDup {
       checkpointDir: Option[String] = None): DataFrame = {
     val all = corpus.select(col("doc_id"), col("text"), lit(false).as("is_new"))
       .unionByName(batch.select(col("doc_id"), col("text"), lit(true).as("is_new")))
-    val sets = materialized(
+    // same clone canonicalization as ngramJaccardPairs — a batch of
+    // verbatim re-crawls (the COMMON increment in practice) must not pay
+    // g clones x df postings each; only DIRTY groups (containing >= 1 new
+    // member) drive the index join, one representative per distinct set
+    val sets0 = materialized(
       shingleSets(all.select("doc_id", "text"), n)
+        .withColumn("__ck", xxhash64(concat_ws("\u0001", col("shingles"))))
         .join(all.select("doc_id", "is_new"), "doc_id"), checkpointDir)
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
-    val inv0 = sets.select(col("doc_id"), col("is_new"), explode(col("shingles")).as("s0"))
-      .select(col("doc_id"), col("is_new"), xxhash64(col("s0")).as("s"))
+    val groups = sets0.select("doc_id", "__ck", "is_new")
+    val repIds = groups.groupBy("__ck").agg(min(col("doc_id")).as("doc_id"))
+    val dirty = groups.filter(col("is_new")).select("__ck").distinct()
+      .withColumn("__dirty", lit(true))
+    val repSets = sets0.join(repIds, Seq("__ck", "doc_id"))
+      .join(dirty, Seq("__ck"), "left")
+      .withColumn("__dirty", coalesce(col("__dirty"), lit(false)))
+    val sizes = repSets.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+    val inv0 = repSets.select(col("doc_id"), col("__dirty"), explode(col("shingles")).as("s0"))
+      .select(col("doc_id"), col("__dirty"), xxhash64(col("s0")).as("s"))
     val inv =
       if (maxDocFreq <= 0) inv0
       else inv0.join(
         inv0.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDocFreq).select("s"), "s")
-    val common = inv.filter(col("is_new")).as("a").join(inv.as("b"),
+    // orientation guard at the GROUP level: a dirty rep always drives;
+    // dirty-dirty pairs form once (a < b), dirty-clean once (only the
+    // dirty side drives), clean-clean never
+    val common = inv.filter(col("__dirty")).as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id")
-          && (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
-      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+          && (!col("b.__dirty") || col("a.doc_id") < col("b.doc_id")))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("ra"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("rb"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+    val repPairs = common
+      .join(sizes.withColumnRenamed("doc_id", "ra").withColumnRenamed("n_shingles", "na"), "ra")
+      .join(sizes.withColumnRenamed("doc_id", "rb").withColumnRenamed("n_shingles", "nb"), "rb")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select("ra", "rb", "jaccard")
+    // expand group pairs to member pairs that TOUCH the batch
+    val ckOfRep = repIds.select(col("doc_id").as("rep"), col("__ck"))
+    val expanded = repPairs
+      .join(ckOfRep.select(col("rep").as("ra"), col("__ck").as("cka")), "ra")
+      .join(ckOfRep.select(col("rep").as("rb"), col("__ck").as("ckb")), "rb")
+      .join(groups.select(col("__ck").as("cka"), col("doc_id").as("ma"),
+        col("is_new").as("ma_new")), "cka")
+      .join(groups.select(col("__ck").as("ckb"), col("doc_id").as("mb"),
+        col("is_new").as("mb_new")), "ckb")
+      .filter(col("ma_new") || col("mb_new"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    // intra-group clone pairs touching the batch: exactly 1.0, driven by
+    // new members only (a clean group never self-joins)
+    val intra = groups.filter(col("is_new")).as("x").join(groups.as("y"),
+        col("x.__ck") === col("y.__ck") && col("x.doc_id") =!= col("y.doc_id")
+          && (!col("y.is_new") || col("x.doc_id") < col("y.doc_id")))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        lit(1.0).as("jaccard"))
+    expanded.unionByName(intra)
   }
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard over shingles.
