@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{DotDecimal, DotDouble, TextSketchExprs, WinnowExpr}
+import graft.expressions.{DotDecimal, DotDouble, HilbertIndex, TextSketchExprs, WinnowExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,7 +33,9 @@ object GraftFunctions {
         args => TextSketchExprs.MinHashSig(args(0), intLit(args(1)))),
       ("graft_simhash64", 1, args => TextSketchExprs.SimHash64(args(0))),
       ("graft_winnow_fingerprints", 3,
-        args => WinnowExpr.WinnowFingerprints(args(0), intLit(args(1)), intLit(args(2))))
+        args => WinnowExpr.WinnowFingerprints(args(0), intLit(args(1)), intLit(args(2)))),
+      ("graft_hilbert", 3,
+        args => HilbertIndex(args(0), args(1), intLit(args(2))))
     ).map { case (name, arity, builder) =>
       (FunctionIdentifier(name),
         new ExpressionInfo("graft", name),

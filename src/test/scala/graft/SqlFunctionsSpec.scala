@@ -57,12 +57,23 @@ class SqlFunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftSparkExtensions().apply(ext)
     val names = graft.functions.GraftFunctions.functionSet.map(_._1.funcName)
-    assert(names.size === 6 && names.distinct.size === 6)
+    assert(names.size === 7 && names.distinct.size === 7)
     // every builder produces a well-formed expression from dummy args
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(64)
     val (_, _, minhash) = graft.functions.GraftFunctions.functionSet
       .find(_._1.funcName == "graft_minhash_sig").get
     assert(minhash(Seq(lit, lit)).isInstanceOf[
       graft.expressions.TextSketchExprs.MinHashSig])
+  }
+
+  test("graft_hilbert is callable from SQL and matches the Column API") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val got = spark.sql(
+      "SELECT graft_hilbert(5L, 3L, 4) AS h").head().getLong(0)
+    val viaCol = spark.range(1).select(
+      graft.expressions.HilbertIndex(
+        org.apache.spark.sql.functions.lit(5L),
+        org.apache.spark.sql.functions.lit(3L), 4).as("h")).head().getLong(0)
+    assert(got === viaCol)
   }
 }
