@@ -1170,7 +1170,70 @@ object CurationQueries {
                    CAST(sum(CASE WHEN u < rate THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
             FROM gated GROUP BY source ORDER BY source"""))
 
+  /** Sliding-window chunking for retrieval / context assembly (C = 64
+    * tokens, stride S = 48 ⇒ 16-token overlap): the RAG-prep sibling of
+    * q55's pack-to-the-boundary. Chunk count is closed-form
+    * (1 if n ≤ C else ⌊(n−C+S−1)/S⌋+1 — integer arithmetic, no float
+    * ceil), chunk k starts at 1+kS and takes min(C, n−start+1) tokens,
+    * and each chunk carries the md5 of its space-joined tokens so the
+    * oracle hash-gates CONTENT, not just geometry. Entirely array-side:
+    * one corpus scan, a codegen'd transform per doc, no shuffle before
+    * the display ORDER BY.
+    */
+  private val q206 = GraftQuery(
+    "q206_rag_chunking",
+    (s, dir) => {
+      val C = 64
+      val S = 48
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("t"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      val nch = when(col("n") === 0, lit(0L))
+        .when(col("n") <= C, lit(1L))
+        .otherwise((col("n") - C + (S - 1)) / S + 1)
+      toks
+        .filter(col("n") > 0) // sequence(0, -1) would DESCEND for empty docs
+        .select(col("doc_id"), col("n"), posexplode(
+          transform(sequence(lit(0), (nch - 1).cast("int")),
+            k => {
+              val start = k.cast("long") * S + 1
+              val len = least(lit(C.toLong), col("n") - start + 1)
+              struct(start.as("start_tok"), len.as("n_chunk_tokens"),
+                md5(concat_ws(" ", slice(col("t"), start.cast("int"), len.cast("int"))))
+                  .as("chunk_md5"))
+            })))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col.start_tok"), col("col.n_chunk_tokens"), col("col.chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS nt
+              FROM documents),
+            toks AS (
+              SELECT doc_id, string_split(nt, ' ') AS t,
+                     CAST(CASE WHEN length(nt) = 0 THEN 0
+                          ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n
+              FROM norm),
+            sized AS (
+              SELECT doc_id, t, n,
+                     CASE WHEN n = 0 THEN 0
+                          WHEN n <= 64 THEN 1
+                          ELSE (n - 64 + 47) // 48 + 1 END AS nch
+              FROM toks),
+            ch AS (
+              SELECT doc_id, unnest(
+                [{'chunk_idx': CAST(k AS BIGINT),
+                  'start_tok': CAST(k * 48 + 1 AS BIGINT),
+                  'n_chunk_tokens': CAST(least(64, n - (k * 48 + 1) + 1) AS BIGINT),
+                  'chunk_md5': md5(array_to_string(
+                    t[(k * 48 + 1):(k * 48 + least(64, n - (k * 48 + 1) + 1))], ' '))}
+                 for k in generate_series(0, CAST(nch - 1 AS BIGINT))],
+                recursive := true)
+              FROM sized WHERE n > 0)
+            SELECT doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_md5
+            FROM ch ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
-      q90, q92, q94, q96, q120, q124, q170, q180, q198, q199, q200)
+      q90, q92, q94, q96, q120, q124, q170, q180, q198, q199, q200, q206)
 }

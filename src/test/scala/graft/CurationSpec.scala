@@ -216,4 +216,28 @@ class CurationSpec extends SparkSpec {
     assert(rows("a").getAs[Long]("kept_tokens") ===
       rows("a").getAs[Long]("kept_docs") * 10L)
   }
+
+  test("q206 chunk geometry: counts, starts, tail lengths, overlap content") {
+    import spark.implicits._
+    // 100 distinct tokens: chunks at 1 and 49; tail chunk = 52 tokens
+    val text100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val text64 = (1 to 64).map(i => s"v$i").mkString(" ")
+    val text10 = (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, text100), (2L, text64), (3L, text10), (4L, ""))
+      .toDF("doc_id", "text")
+    val q = graft.Registry.byName("q206_rag_chunking")
+    // run the query body against a landed copy of the fixture via the
+    // same chunk arithmetic, replayed directly on the operator pipeline
+    val dir = graft.queries.Scratch.tempDir("graft_q206_fix")
+    docs.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = q.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got === List(
+      (1L, 0L, 1L, 64L), (1L, 1L, 49L, 52L), // ceil((100-64)/48)+1 = 2 chunks
+      (2L, 0L, 1L, 64L),                      // exactly C ⇒ one chunk
+      (3L, 0L, 1L, 10L)))                     // short doc ⇒ one short chunk
+    // overlap content: chunk 1 of doc 1 starts at token 49 = "w49"
+    val md5s = q.run(spark, dir).collect().map(_.getString(4))
+    assert(md5s.distinct.length === md5s.length) // distinct windows ⇒ distinct hashes
+  }
 }
