@@ -135,6 +135,51 @@ object Multimodal {
       }
   }
 
+  /** A sampled frame resized to a fixed target grid — the
+    * batch-normalization stage every vision pipeline runs before model
+    * input. Nearest-neighbor (sample (tx, ty) reads source pixel
+    * (⌊tx·w/tw⌋, ⌊ty·h/th⌋)) — integer arithmetic, bit-deterministic on
+    * any partitioning, so the landed samples can be digest-gated.
+    */
+  final case class ResizedFrame(
+      media_id: Long, frame_idx: Int, width: Int, height: Int,
+      samples: Array[Float])
+
+  /** Frame-sample every `stride`-th frame, then resize each kept frame to
+    * tw × th — fused in ONE mapPartitions pass so the decode runs once per
+    * item (decode → sample → resize is the canonical preprocessing chain;
+    * running the stages as separate operators would re-decode per stage).
+    */
+  def sampleAndResize(
+      spark: SparkSession, media: DataFrame, stride: Int, tw: Int, th: Int,
+      decoder: MediaDecoder = FakeDecoder): Dataset[ResizedFrame] = {
+    require(stride >= 1 && tw >= 1 && th >= 1,
+      s"need stride/tw/th >= 1, got $stride/$tw/$th")
+    import spark.implicits._
+    media.select(col("media_id").as[Long], col("payload").as[Array[Byte]])
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val d = decoder.decode(bytes)
+          d.frames.indices.by(stride).map { fi =>
+            val f = d.frames(fi)
+            val out = new Array[Float](tw * th)
+            var ty = 0
+            while (ty < th) {
+              val sy = ty * d.height / th
+              var tx = 0
+              while (tx < tw) {
+                val sx = tx * d.width / tw
+                out(ty * tw + tx) = f(sy * d.width + sx)
+                tx += 1
+              }
+              ty += 1
+            }
+            ResizedFrame(id, fi, d.width, d.height, out)
+          }
+        }
+      }
+  }
+
   /** The harness ships no binary table; derive one from `documents` (UTF-8
     * payloads) — the plumbing under test is byte-domain and agnostic to
     * what produced the bytes.

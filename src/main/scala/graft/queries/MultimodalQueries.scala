@@ -91,5 +91,51 @@ object MultimodalQueries {
              FROM read_parquet('${Landed.oraclePath("q31_multimodal_features")}/*.parquet')
              ORDER BY media_id"""))
 
-  def all: Seq[GraftQuery] = Seq(q30, q31)
+  /** Frame-sample (stride 2) + nearest-neighbor resize to 8×8 over the
+    * REAL JvmDecoder — the decode → sample → resize preprocessing chain
+    * fused in one mapPartitions pass (one decode per item). q31's landed-
+    * digest scheme: the resized sample grids land as parquet and BOTH
+    * engines recompute the digests (count, decimal-accumulated mean,
+    * corner sample, md5 of the JSON grid) over the same landed arrays, so
+    * the resize arithmetic is hash-gated while the decoded values stay
+    * engine-specific (pinned by MultimodalSpec).
+    */
+  private def q207 = GraftQuery(
+    "q207_multimodal_frame_resize",
+    (s, dir) => {
+      val path = Landed.land("q207_multimodal_frame_resize", dir)
+      Multimodal.sampleAndResize(
+        s, Multimodal.encodedMediaFromDocuments(s, Tables.documents(s, dir)),
+        stride = 2, tw = 8, th = 8,
+        decoder = graft.operators.Codecs.JvmDecoder)
+        .toDF()
+        .withColumn("samples_json", to_json(col("samples")))
+        .repartition(1) // see q24: empty-safe single part file
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(
+          col("media_id"), col("frame_idx"), col("width"), col("height"),
+          size(col("samples")).as("n_samples"),
+          round(aggregate(col("samples"),
+              lit(java.math.BigDecimal.ZERO)
+                .cast(org.apache.spark.sql.types.DecimalType(38, 20)),
+              (acc, x) => (acc + x.cast("double")
+                .cast(org.apache.spark.sql.types.DecimalType(38, 20)))
+                .cast(org.apache.spark.sql.types.DecimalType(38, 20)))
+            .cast("double") / size(col("samples")), 12).as("mean_luma"),
+          element_at(col("samples"), 1).cast("double").as("s0"),
+          md5(col("samples_json")).as("grid_md5"))
+        .orderBy("media_id", "frame_idx")
+    },
+    Some(s"""SELECT media_id, frame_idx, width, height,
+                    CAST(len(samples) AS INT) AS n_samples,
+                    round(CAST(list_sum(list_transform(samples,
+                        x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(38,20))))
+                      AS DOUBLE) / len(samples), 12) AS mean_luma,
+                    CAST(samples[1] AS DOUBLE) AS s0,
+                    md5(samples_json) AS grid_md5
+             FROM read_parquet('${Landed.oraclePath("q207_multimodal_frame_resize")}/*.parquet')
+             ORDER BY media_id, frame_idx"""))
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q207)
 }

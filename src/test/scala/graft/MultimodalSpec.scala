@@ -129,4 +129,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.withMetaQuarantine(spark, enc)
       .filter(_.error.isDefined).count() === 0)
   }
+
+  test("sampleAndResize: stride keeps every 2nd frame, nearest-neighbor grid exact") {
+    // a known 4x2 3-frame "video": frame k holds pixel value k*100 + index
+    object GridDecoder extends Multimodal.MediaDecoder {
+      override def sniffFormat(bytes: Array[Byte]): String = "grid"
+      override def decode(bytes: Array[Byte]): Multimodal.Decoded =
+        Multimodal.Decoded(4, 2,
+          Array.tabulate(3)(k => Array.tabulate(8)(i => (k * 100 + i).toFloat)))
+    }
+    val media = Seq((7L, Array[Byte](1))).toDF("media_id", "payload")
+    val got = Multimodal.sampleAndResize(spark, media, stride = 2, tw = 8, th = 8,
+        decoder = GridDecoder)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq === Seq(0, 2)) // stride 2 over 3 frames
+    assert(got.forall(r => r.width === 4 && r.height === 2 && r.samples.length === 64))
+    // nearest neighbor: out(ty,tx) = f(floor(ty*2/8)*4 + floor(tx*4/8))
+    val f0 = got(0).samples
+    for (ty <- 0 until 8; tx <- 0 until 8) {
+      val expect = (ty * 2 / 8) * 4 + (tx * 4 / 8)
+      assert(f0(ty * 8 + tx) === expect.toFloat,
+        s"($tx,$ty): got ${f0(ty * 8 + tx)}, want $expect")
+    }
+    assert(got(1).samples(0) === 200f) // frame 2's first pixel
+  }
 }
