@@ -190,6 +190,30 @@ class GraphExtrasSpec extends SparkSpec {
     assert(got === Map(2L -> 0.5, 3L -> 0.5))
   }
 
+  test("sampled betweenness ranks the same bridges as exact all-sources") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val edges = graft.operators.NearDup.knnBruteForce(emb, emb, k = 5)
+      .select(col("q_id").as("src"), col("n_id").as("dst"))
+    val ids = emb.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    def dep(ss: Seq[Long]) = graft.operators.Betweenness
+      .run(edges, "src", "dst", ss, maxLevels = 16)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    val exact = dep(ids)              // every node a source — ground truth
+    val s8 = dep(ids.take(8))
+    val s64 = dep(ids.take(64))
+    def top20(m: Map[Long, Double]) = m.toSeq.sortBy(-_._2).take(20).map(_._1).toSet
+    val (tE, t8, t64) = (top20(exact), top20(s8), top20(s64))
+    // measured on this deterministic graph: 8 sources recover 4 of the
+    // top-20 bridges, 64 sources recover 11 — the Brandes-Pich sampling
+    // story (estimates converge with |sources|), pinned with slack so a
+    // regression in the dependency accumulation (not graph noise — the
+    // inputs are fixed) trips it
+    info(s"top-20 overlap: 8src=${(tE & t8).size}, 64src=${(tE & t64).size}, nodes=${ids.length}")
+    assert((tE & t8).size >= 2, s"8-source overlap ${(tE & t8).size}")
+    assert((tE & t64).size >= 8, s"64-source overlap ${(tE & t64).size}")
+    assert((tE & t64).size > (tE & t8).size, "no convergence with more sources")
+  }
+
   test("betweenness maxLevels truncates dependency flow past the horizon") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
     // BFS from 1 capped at 2 levels reaches {2,3}; only δ(2)=1 survives
