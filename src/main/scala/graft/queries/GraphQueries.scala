@@ -943,7 +943,11 @@ object GraphQueries {
             ORDER BY node"""))
 
   private val BtwLevels = 8
-  private val BtwSources = 8
+  // 32 of ~2000 sf0.01 nodes: the GraphExtrasSpec convergence measurement
+  // (4/20 top-bridge recovery at 8 sources -> 11/20 at 64 on the 500-node
+  // graph) says 8 under-samples; 32 balances estimator quality against the
+  // oracle's per-source unrolled CTE cost
+  private val BtwSources = 32
 
   /** Serial replay of [[graft.operators.Betweenness.run]]: multi-source
     * BFS distances (recursive CTE + min), path counts σ unrolled one level
