@@ -24,10 +24,14 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Determinism contract (the q102 decimal-grid scheme): each (u, w)
   * dependency contribution σ_u/σ_w · (1 + δ_w) is computed in DOUBLE
-  * (identical IEEE sequence in every engine), rounded HALF_UP at 15 dp,
-  * and accumulated as DECIMAL(38,15) — an exact, order-free sum, so the
-  * distributed aggregate, the driver-local replay, and a DuckDB oracle
-  * agree bit-for-bit. σ values are exact BIGINT path counts.
+  * (identical IEEE sequence in every engine — including the (1 + δ_w)
+  * add, which runs AFTER the decimal δ is cast to double: adding 1 to a
+  * DECIMAL(38,15) in Spark overflows to precision 39 and the
+  * precision-loss adjustment would HALF_UP-round away δ's 15th digit),
+  * rounded HALF_UP at 15 dp, and accumulated as DECIMAL(38,15) — an
+  * exact, order-free sum, so the distributed aggregate, the driver-local
+  * replay, and a DuckDB oracle agree bit-for-bit. σ values are exact
+  * BIGINT path counts.
   *
   * `maxLevels` bounds BFS depth (nodes farther than `maxLevels` from a
   * source contribute nothing for that source — a documented truncation,
@@ -111,7 +115,7 @@ object Betweenness {
         .join(w, col("src") === col("wsrc") && col("d") === col("wnode"))
         .select(col("src"), col("node"),
           round(col("sigma").cast("double") / col("wsig").cast("double")
-            * (lit(1L) + col("wdelta")).cast("double"), 15).cast(Dec15).as("c"))
+            * (lit(1.0) + col("wdelta").cast("double")), 15).cast(Dec15).as("c"))
         .groupBy("src", "node").agg(sum(col("c")).cast(Dec15).as("delta"))
       val deltaJC = Components.cut(deltaJ, checkpointDir)
       bcParts = deltaJC :: bcParts
@@ -182,8 +186,10 @@ object Betweenness {
               val w = it.next()
               if (dist.containsKey(w) && dist.get(w) == j + 1) {
                 val dw = delta.getOrDefault(w, java.math.BigDecimal.ZERO)
+                // (1 + δ) in DOUBLE, matching the distributed path's
+                // lit(1.0) + delta.cast(double) IEEE add exactly
                 val c = sigma.get(u).toDouble / sigma.get(w).toDouble *
-                  (java.math.BigDecimal.ONE.add(dw, mc)).doubleValue()
+                  (1.0 + dw.doubleValue())
                 // Spark's round(double, 15) = valueOf(x).setScale(15,
                 // HALF_UP).toDouble, then the decimal cast re-reads that
                 // double's shortest repr — replay both hops exactly

@@ -140,9 +140,14 @@ object Multimodal {
     * input. Nearest-neighbor (sample (tx, ty) reads source pixel
     * (⌊tx·w/tw⌋, ⌊ty·h/th⌋)) — integer arithmetic, bit-deterministic on
     * any partitioning, so the landed samples can be digest-gated.
+    *
+    * Field convention: `src_width`/`src_height` are the SOURCE frame's
+    * dimensions (provenance metadata — what the resize read from);
+    * `samples` is the tw × th TARGET grid in row-major order, so
+    * `samples.length` is the target area, never src_width · src_height.
     */
   final case class ResizedFrame(
-      media_id: Long, frame_idx: Int, width: Int, height: Int,
+      media_id: Long, frame_idx: Int, src_width: Int, src_height: Int,
       samples: Array[Float])
 
   /** Frame-sample every `stride`-th frame, then resize each kept frame to
@@ -174,7 +179,7 @@ object Multimodal {
               }
               ty += 1
             }
-            ResizedFrame(id, fi, d.width, d.height, out)
+            ResizedFrame(id, fi, d.width, d.height, out) // src dims; grid is tw×th
           }
         }
       }

@@ -990,7 +990,7 @@ object GraphQueries {
          SELECT du.src, du.node,
                 CAST(sum(CAST(round(
                     CAST(su.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE)
-                    * CAST(1 + COALESCE(dn.delta, 0) AS DOUBLE), 15)
+                    * (1 + CAST(COALESCE(dn.delta, 0) AS DOUBLE)), 15)
                   AS DECIMAL(38,15))) AS DECIMAL(38,15)) AS delta
          FROM dist du
          JOIN e ON e.s = du.node

@@ -114,7 +114,7 @@ object MultimodalQueries {
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path)
         .select(
-          col("media_id"), col("frame_idx"), col("width"), col("height"),
+          col("media_id"), col("frame_idx"), col("src_width"), col("src_height"),
           size(col("samples")).as("n_samples"),
           round(aggregate(col("samples"),
               lit(java.math.BigDecimal.ZERO)
@@ -127,7 +127,7 @@ object MultimodalQueries {
           md5(col("samples_json")).as("grid_md5"))
         .orderBy("media_id", "frame_idx")
     },
-    Some(s"""SELECT media_id, frame_idx, width, height,
+    Some(s"""SELECT media_id, frame_idx, src_width, src_height,
                     CAST(len(samples) AS INT) AS n_samples,
                     round(CAST(list_sum(list_transform(samples,
                         x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(38,20))))

@@ -1329,15 +1329,21 @@ object TextQueries {
     * sums; the argmax tie-breaks on the pair string (space < every symbol
     * char, so string order equals (left, right) tuple order).
     *
-    * Merge application is greedy non-overlapping left-to-right, realized
-    * as TWO literal `replace` passes over the space-separated symbol
-    * string: one pass misses an occurrence exactly when it shares its
-    * boundary space with a just-replaced neighbor, and every such blocked
-    * occurrence is isolated afterwards, so the second pass completes the
-    * greedy set (DedupProps-style worked examples: " a a a " → " aa a ",
-    * " r l r l r " → " r lr lr "). Both engines run the identical
-    * replace-twice semantics — that determinism is why the merge is a
-    * string rewrite and not a per-word fold.
+    * Merge application is REPLACE-TWICE: two literal `replace` passes
+    * over the space-separated symbol string. A pass misses an occurrence
+    * exactly when it shares its boundary space with a just-replaced
+    * neighbor, and the second pass picks up occurrences the first
+    * isolated (" a a a " → " aa a ", " r l r l r " → " r lr lr ").
+    * This matches canonical greedy left-to-right merging EXCEPT on runs
+    * of ≥ 6 repeated identical symbols, where replace-twice can place
+    * fewer merges (" a a a a a a " → pass 1 " aa a aa a ", pass 2 no-op:
+    * 2 merges where greedy LTR makes 3 — the leftover singles still abut
+    * replaced neighbors after pass 2). Replace-twice is therefore a FIXED
+    * semantics in its own right, not an implementation of Sennrich
+    * greedy: merge placement/count can deviate on run-heavy text, and
+    * determinism comes from both engines running the identical two-pass
+    * rewrite — which is why the merge is a string rewrite and not a
+    * per-word fold.
     */
   private def bpeTrain(docs: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {

@@ -190,6 +190,29 @@ class GraphExtrasSpec extends SparkSpec {
     assert(got === Map(2L -> 0.5, 3L -> 0.5))
   }
 
+  test("betweenness distributed path matches local bit-for-bit on fractional deltas") {
+    // Two backward levels with non-integer dependencies: 0-{1,2,3},
+    // 1-4, {2,3}-5, {4,5}-6 from source 0 gives σ(4)=1, σ(5)=2, σ(6)=3,
+    // so δ(4)=1/3 and δ(5)=2/3 — deltas with a nonzero 15th digit that
+    // then feed (1 + δ) at level 1. A decimal-typed (1 + δ) add would
+    // overflow DECIMAL(38,15) to precision 39 and HALF_UP-adjust to
+    // (38,14), silently dropping the 15th digit on the distributed path
+    // only — this pins all contribution arithmetic to the shared double
+    // grid.
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (2L, 5L), (3L, 5L),
+      (4L, 6L), (5L, 6L)).toDF("u", "v")
+    def depMap(threshold: Int) = graft.operators.Betweenness
+      .run(e, "u", "v", sources = Seq(0L), localEdgeThreshold = threshold)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val local = depMap(100000)
+    assert(local(4L).stripTrailingZeros.toPlainString === "0.333333333333333")
+    assert(local(5L).stripTrailingZeros.toPlainString === "0.666666666666667")
+    assert(local(1L).stripTrailingZeros.toPlainString === "1.333333333333333")
+    val dist = depMap(0)
+    assert(dist.view.mapValues(_.toPlainString).toMap
+      === local.view.mapValues(_.toPlainString).toMap)
+  }
+
   test("sampled betweenness ranks the same bridges as exact all-sources") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val edges = graft.operators.NearDup.knnBruteForce(emb, emb, k = 5)

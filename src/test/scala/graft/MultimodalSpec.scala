@@ -143,7 +143,8 @@ class MultimodalSpec extends SparkSpec {
         decoder = GridDecoder)
       .collect().sortBy(_.frame_idx)
     assert(got.map(_.frame_idx).toSeq === Seq(0, 2)) // stride 2 over 3 frames
-    assert(got.forall(r => r.width === 4 && r.height === 2 && r.samples.length === 64))
+    assert(got.forall(r =>
+      r.src_width === 4 && r.src_height === 2 && r.samples.length === 64))
     // nearest neighbor: out(ty,tx) = f(floor(ty*2/8)*4 + floor(tx*4/8))
     val f0 = got(0).samples
     for (ty <- 0 until 8; tx <- 0 until 8) {
