@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *  - [[embeddingNearDupPairs]] / [[knnBruteForce]]: exact cosine pairs /
   *    top-k, norms precomputed per vector (1 dot per pair, not 3).
   *  - [[embeddingNearDupLsh]]: random-hyperplane signature bucketing — the
-  *    100 TB path (buckets shrink the candidate space ~2^bits-fold).
+  *    100 TB path (buckets shrink the candidate space ~2^bits-fold);
+  *    [[embeddingNearDupPairsAuto]] routes exact-vs-LSH on corpus size
+  *    with [[scaledPairLshKnobs]] holding bucket occupancy constant.
   */
 object NearDup {
 
@@ -520,16 +522,31 @@ object NearDup {
 
   def embeddingNearDupLsh(
       emb: DataFrame, threshold: Double, bits: Int = 4, dim: Int = 64,
-      tables: Int = 8): DataFrame = {
-    val bucketed = hyperplaneBuckets(emb, bits, dim, tables)
+      tables: Int = 8, checkpointDir: Option[String] = None): DataFrame = {
+    // `__ck` canonicalizes IDENTICAL vectors (exact clones — what a
+    // verbatim re-crawl's embeddings look like), the ngramJaccardPairs
+    // contraction applied to the embedding domain: buckets, the double
+    // prefilter, and the exact cosine are all functions of the float
+    // array, so ONE representative per distinct vector runs the bucket
+    // join + verify and pairs expand back exactly afterwards — a clone
+    // group of g costs g·pairs instead of g²·tables candidate rows
+    // (hyperplanes can never split a clone group: identical vectors share
+    // every bucket of every table, so without this the group's quadratic
+    // lands in ALL `tables` joins).
+    val v0 = materialized(
+      withNorm(emb).withColumn("__ck", xxhash64(col("embedding"))),
+      checkpointDir)
+    val repIds = v0.groupBy("__ck").agg(min(col("vec_id")).as("vec_id"))
+    val reps = materialized(v0.join(repIds, Seq("__ck", "vec_id")), checkpointDir)
+    val bucketed = hyperplaneBuckets(
+      reps.select("vec_id", "embedding"), bits, dim, tables)
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-    val v = withNorm(emb)
-    cand
-      .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
-      .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+    val repPairs = cand
+      .join(reps.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(reps.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
       .filter(Similarity.cosineFromParts(
         Similarity.dotFast(col("ea"), col("eb")), col("na"), col("nb"))
         >= threshold - CosGuard)
@@ -537,6 +554,94 @@ object NearDup {
         Similarity.dotExact(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
+    // expand representatives back to members. Cross-group pairs inherit
+    // the rep pair's cos bit-for-bit (identical vectors ⇒ identical dot
+    // and norms). An intra-group (clone) pair's cos is the SAME two-step
+    // arithmetic the direct join would run — dotExact(e, e)/(nrm·nrm),
+    // NOT an analytic 1.0: sqrt(x)² ≠ x in IEEE and the oracle replays
+    // the division. A zero vector's self-cos is NaN and drops at the
+    // threshold filter, exactly like the direct join's clone pair.
+    val groups = v0.select("vec_id", "__ck")
+    val ckOfRep = repIds.select(col("vec_id").as("__rep"), col("__ck"))
+    val expanded = repPairs
+      .join(ckOfRep.select(col("__rep").as("vec_a"), col("__ck").as("cka")), "vec_a")
+      .join(ckOfRep.select(col("__rep").as("vec_b"), col("__ck").as("ckb")), "vec_b")
+      .join(groups.select(col("__ck").as("cka"), col("vec_id").as("ma")), "cka")
+      .join(groups.select(col("__ck").as("ckb"), col("vec_id").as("mb")), "ckb")
+      .select(least(col("ma"), col("mb")).as("vec_a"),
+        greatest(col("ma"), col("mb")).as("vec_b"), col("cos"))
+    val intra = reps
+      .withColumn("cos", Similarity.cosineFromParts(
+        Similarity.dotExact(col("embedding"), col("embedding")),
+        col("nrm"), col("nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("__ck"), col("cos"))
+      .join(groups.select(col("__ck"), col("vec_id").as("ma")), "__ck")
+      .join(groups.select(col("__ck"), col("vec_id").as("mb")), "__ck")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("vec_a"), col("mb").as("vec_b"), col("cos"))
+    expanded.unionByName(intra)
+  }
+
+  /** Size-scaled hyperplane knobs for THRESHOLD-pair LSH
+    * ([[embeddingNearDupLsh]]) — the [[scaledLshKnobs]] contract applied
+    * to the pair join, with `tables` solved from the recall target at the
+    * caller's threshold instead of fixed. At or below `smallN` the
+    * defaults (4 bits, 8 tables) hold — verification scales keep their
+    * hash-stable pair sets. Above it:
+    *
+    *  - `bits` grows with log₂(n/250) so expected bucket occupancy — and
+    *    therefore candidate volume, ~n·occupancy per table — stays LINEAR
+    *    in n instead of quadratic. This is the guard the ×100 probe
+    *    demanded: fixed 4-bit buckets put n/16 vectors in each bucket and
+    *    the candidate join wrote ~1.25×10¹¹ rows to shuffle disk at 200k
+    *    vectors; scaled bits hold occupancy at ~250 regardless of n.
+    *  - `tables` is the smallest count whose compounded per-table hit
+    *    probability p = (1−θ/π)^bits reaches `recallTarget` for pairs AT
+    *    the threshold (tighter pairs recall higher), capped at
+    *    `maxTables`: when the threshold is loose (θ large) no table count
+    *    holds the target — the cap is the documented recall forfeit, and
+    *    the honest alternative below ~10⁵ vectors is the exact
+    *    [[embeddingNearDupPairs]]. Production near-dup thresholds
+    *    (≥ 0.9, θ ≤ 26°) hold 0.95 recall with ≤ ~32 tables at any
+    *    corpus size.
+    */
+  def scaledPairLshKnobs(
+      n: Long, threshold: Double, smallN: Long = 10000L,
+      recallTarget: Double = 0.95, maxTables: Int = 48): (Int, Int) =
+    if (n <= smallN) (4, 8)
+    else {
+      val bits = math.max(4,
+        math.ceil(math.log(n / 250.0) / math.log(2.0)).toInt)
+      val theta = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+      val pTable = math.pow(1.0 - theta / math.Pi, bits)
+      val tables =
+        if (pTable >= 1.0) 1
+        else math.min(maxTables, math.max(8,
+          math.ceil(math.log1p(-recallTarget) / math.log1p(-pTable)).toInt))
+      (bits, tables)
+    }
+
+  /** Adaptive exact-vs-LSH routing for threshold pairs — the
+    * [[graft.queries.GraphQueries.knnGraphEdges]] contract applied to
+    * [[embeddingNearDupPairs]]: at or below `smallN` vectors the exact
+    * O(n²) join runs (verification scales demand the exact pair set and
+    * n² is affordable there); above it the corpus routes through
+    * [[embeddingNearDupLsh]] at [[scaledPairLshKnobs]], whose candidate
+    * volume follows bucket occupancy (~250·n) instead of n² — recall < 1
+    * by construction for pairs near the threshold (the documented trade;
+    * the knobs hold ≥ `0.95` where geometry allows, see the knob doc).
+    */
+  def embeddingNearDupPairsAuto(
+      emb: DataFrame, threshold: Double, smallN: Long = 10000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val n = emb.count()
+    if (n <= smallN) embeddingNearDupPairs(emb, threshold)
+    else {
+      val (bits, tables) = scaledPairLshKnobs(n, threshold, smallN)
+      embeddingNearDupLsh(emb, threshold, bits = bits, tables = tables,
+        checkpointDir = checkpointDir)
+    }
   }
 
   /** Exact top-k cosine neighbors for each query vector (brute force with a

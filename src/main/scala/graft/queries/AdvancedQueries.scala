@@ -1592,8 +1592,211 @@ object AdvancedQueries {
             GROUP BY p_brand, p_type, p_size
             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
 
+  /** Cross-nation shipping volume (TPC-H Q7 shape): yearly delivered
+    * revenue between two trading nations, BOTH directions — the
+    * disjunctive nation-pair predicate is the optimizer test: it cannot
+    * split into per-side filters, so it must evaluate post-join while
+    * nation/supplier/customer still broadcast and the fact table is
+    * touched once.
+    */
+  private val q208 = GraftQuery(
+    "q208_volume_shipping",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem_v
+        JOIN orders_v ON o_orderkey = l_orderkey
+        JOIN customer_v ON c_custkey = o_custkey
+        JOIN supplier_v ON s_suppkey = l_suppkey
+        JOIN nation_v sn ON sn.n_nationkey = s_nationkey
+        JOIN nation_v cn ON cn.n_nationkey = c_nationkey
+        WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+           OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+        GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year""")
+    },
+    Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+               OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+            GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+            ORDER BY supp_nation, cust_nation, l_year"""))
+
+  /** Product-type profit (TPC-H Q9 shape, adapted — no partsupp, so
+    * supply cost is modeled as 60% of retail price; the fixed-margin
+    * stand-in keeps Q9's signed-amount arithmetic without inventing a
+    * table): per supplier nation and order year, the profit on parts
+    * whose name contains 'red'. Each term is cast to exact decimal
+    * BEFORE the subtraction so the signed sum is partition-order
+    * independent; the p_name LIKE probe rides the broadcast part
+    * dimension (never a fact-side regex scan at 100 TB — the filter
+    * prunes the build side first).
+    */
+  private val q209 = GraftQuery(
+    "q209_product_type_profit",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))
+                      - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+                 AS sum_profit,
+               count(*) AS n_lines
+        FROM lineitem_v
+        JOIN part_v ON p_partkey = l_partkey
+        JOIN supplier_v ON s_suppkey = l_suppkey
+        JOIN orders_v ON o_orderkey = l_orderkey
+        JOIN nation_v ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year""")
+    },
+    Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))
+                          - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+                     AS sum_profit,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+            ORDER BY nation, o_year"""))
+
+  /** Returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    * revenue lost to returns in one quarter — a quarter-bounded orders
+    * filter, the `l_returnflag = 'R'` fact filter, customer + nation
+    * enrichment, and a TakeOrdered(20) instead of a full sort. The
+    * canonical "who should support call back" operational query.
+    */
+  private val q210 = GraftQuery(
+    "q210_returned_items",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                 AS revenue,
+               round(c_acctbal, 2) AS c_acctbal, n_name
+        FROM customer_v
+        JOIN orders_v ON o_custkey = c_custkey
+        JOIN lineitem_v ON l_orderkey = o_orderkey
+        JOIN nation_v ON n_nationkey = c_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")
+    },
+    Some("""SELECT c_custkey, c_name,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+                     AS revenue,
+                   round(c_acctbal, 2) AS c_acctbal, n_name
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON n_nationkey = c_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** Shipping-delay priority census (TPC-H Q12 shape, adapted — this
+    * schema has no l_shipmode/commitdate, so the band is the ship delay
+    * l_shipdate − o_orderdate): per delay band, how many critical
+    * (1-URGENT/2-HIGH) vs non-critical order lines shipped — Q12's
+    * conditional-count aggregate over a join-derived grouping key.
+    * datediff semantics are whole days on midnight-aligned timestamps,
+    * identical on both engines.
+    */
+  private val q211 = GraftQuery(
+    "q211_ship_delay_priority",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT CASE WHEN datediff(l_shipdate, o_orderdate) < 30 THEN 'fast'
+                    WHEN datediff(l_shipdate, o_orderdate) < 90 THEN 'medium'
+                    ELSE 'slow' END AS delay_band,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem_v JOIN orders_v ON o_orderkey = l_orderkey
+        GROUP BY 1 ORDER BY delay_band""")
+    },
+    Some("""SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
+                        WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'medium'
+                        ELSE 'slow' END AS delay_band,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1 ORDER BY delay_band"""))
+
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    * join customer → (priority-filtered) orders, count per customer —
+    * customers with no qualifying orders MUST survive as zero — then the
+    * second-level histogram of customers per order count. The outer join
+    * with a join-side filter (not a WHERE, which would turn it inner) is
+    * the semantic under test.
+    */
+  private val q212 = GraftQuery(
+    "q212_customer_order_distribution",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer_v
+              LEFT JOIN orders_v
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")
+    },
+    Some("""SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer
+                  LEFT JOIN orders
+                    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC"""))
+
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
       q105, q140, q141, q149, q150, q161, q167, q171, q172, q173, q174, q175,
-      q176, q177, q178, q179, q190, q191, q192, q193, q194, q195, q202)
+      q176, q177, q178, q179, q190, q191, q192, q193, q194, q195, q202,
+      q208, q209, q210, q211, q212)
 }

@@ -45,13 +45,19 @@ object SimilarityQueries {
                FROM scored)
              WHERE rank <= 5 ORDER BY q_id, rank"""))
 
-  /** Exact embedding near-dup pairs at cosine ≥ 0.4 (brute force; the
-    * oracle-checkable baseline for the LSH path).
+  /** Embedding near-dup pairs at cosine ≥ 0.4, adaptively routed
+    * ([[NearDup.embeddingNearDupPairsAuto]]): at or below 10k vectors the
+    * exact O(n²) join runs — the oracle-checkable baseline, and what the
+    * driver's verification scales (≤ 2000 vectors) always take — while a
+    * larger corpus routes through the size-scaled LSH path
+    * ([[NearDup.scaledPairLshKnobs]]) whose candidate volume follows
+    * bucket occupancy instead of n². The routing is pinned by
+    * NearDupSpec (forced-LSH recall against the exact set).
     */
   private val q23 = GraftQuery(
     "q23_embedding_neardup_pairs",
     (s, dir) =>
-      NearDup.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+      NearDup.embeddingNearDupPairsAuto(Tables.embeddings(s, dir), threshold = 0.4)
         .withColumn("cos", round(col("cos"), 12))
         .orderBy("vec_a", "vec_b"),
     Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -79,7 +85,14 @@ object SimilarityQueries {
     "q24_embedding_ann_lsh",
     (s, dir) => {
       val path = Landed.land("q24_embedding_ann_lsh", dir)
-      NearDup.embeddingNearDupLsh(Tables.embeddings(s, dir), threshold = 0.4)
+      val emb = Tables.embeddings(s, dir)
+      // size-scaled knobs (the candidate-volume guard the ×100 probe
+      // demanded): verification scales keep the hash-stable (4, 8)
+      // defaults; larger corpora grow bits with log₂(n/250) so bucket
+      // occupancy — and the candidate join — stays linear in n
+      val (bits, tables) = NearDup.scaledPairLshKnobs(emb.count(), 0.4)
+      NearDup.embeddingNearDupLsh(emb, threshold = 0.4,
+          bits = bits, tables = tables)
         // one part file: a zero-pair result still lands a schema-bearing
         // parquet (zero partitions would write only _SUCCESS and break
         // both the read-back and the oracle's glob)
@@ -183,7 +196,12 @@ object SimilarityQueries {
     "q78_embedding_dedup_clusters",
     (s, dir) =>
       graft.operators.Components.neardupClusters(
-        NearDup.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+        // q23's adaptive routing: exact pairs at verification scales,
+        // size-scaled LSH above 10k vectors — components only need edge
+        // CONNECTIVITY, so the LSH path's per-pair recall compounds
+        // favorably here (a cluster is lost only if every edge into it
+        // is missed)
+        NearDup.embeddingNearDupPairsAuto(Tables.embeddings(s, dir), threshold = 0.4)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_survivor"))
         .orderBy("vec_id"),
@@ -1016,9 +1034,137 @@ object SimilarityQueries {
             FROM asn LEFT JOIN surv USING (vec_id)
             GROUP BY asn.cluster ORDER BY asn.cluster"""))
 
+  private val MrlDims = Seq(8, 16, 32)
+  private val MrlK = 5
+  private val MrlQueries = 20
+
+  /** Matryoshka-truncation retrieval recall (Kusupati et al. 2022): how
+    * much of the FULL-dimension exact top-5 survives when queries rank by
+    * only the first d dims (d ∈ 8/16/32) — the eval a pipeline runs
+    * before shipping truncated embeddings to a cheaper ANN tier. Emits
+    * one row per (d_trunc, query): the overlap@5 against the full-dim
+    * baseline.
+    *
+    * Scale contract: each d is one [[NearDup.knnBruteForce]] pass over
+    * the broadcast query side (bounded TopKAgg, no corpus window); the
+    * truncation itself is a zero-shuffle `slice` projection. |dims|+1
+    * passes over the corpus, each O(|Q|·n) dots — the same budget as the
+    * q22 baseline it extends, and at real scale the sliced pass plugs
+    * into the LSH/IVF candidate paths unchanged (truncation commutes
+    * with bucketing).
+    */
+  private val q213 = GraftQuery(
+    "q213_matryoshka_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      def topIds(df: org.apache.spark.sql.DataFrame) =
+        NearDup.knnBruteForce(
+          df.filter(col("vec_id") < MrlQueries), df, k = MrlK)
+          .select(col("q_id"), col("n_id"))
+      val full = topIds(emb)
+      val perD = MrlDims.map { d =>
+        val sliced = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        topIds(sliced)
+          .join(full.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+          .select(lit(d).as("d_trunc"), col("q_id"), col("n_overlap"))
+      }
+      perD.reduce(_ unionByName _)
+        .withColumn("recall_at_k",
+          round(col("n_overlap").cast("double") / MrlK, 9))
+        .orderBy("d_trunc", "q_id")
+    },
+    Some {
+      val perD = MrlDims.map { d =>
+        s"""SELECT $d AS d_trunc, t.q_id,
+               CAST(sum(CASE WHEN f.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_overlap
+            FROM (SELECT q_id, n_id FROM (
+                    SELECT q.q_id, b.vec_id AS n_id,
+                           row_number() OVER (PARTITION BY q.q_id ORDER BY
+                             ${cosSql(s"q.qe[1:$d]", s"b.embedding[1:$d]")} DESC,
+                             b.vec_id) AS rk
+                    FROM (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                          WHERE vec_id < $MrlQueries) q,
+                         embeddings b WHERE b.vec_id <> q.q_id)
+                  WHERE rk <= $MrlK) t
+            LEFT JOIN (SELECT q_id, n_id FROM (
+                    SELECT q.q_id, b.vec_id AS n_id,
+                           row_number() OVER (PARTITION BY q.q_id ORDER BY
+                             ${cosSql("q.qe", "b.embedding")} DESC, b.vec_id) AS rk
+                    FROM (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                          WHERE vec_id < $MrlQueries) q,
+                         embeddings b WHERE b.vec_id <> q.q_id)
+                  WHERE rk <= $MrlK) f
+              ON f.q_id = t.q_id AND f.n_id = t.n_id
+            GROUP BY t.q_id"""
+      }.mkString("\n            UNION ALL\n            ")
+      s"""SELECT d_trunc, q_id, n_overlap,
+                 round(CAST(n_overlap AS DOUBLE) / $MrlK, 9) AS recall_at_k
+          FROM ($perD) ORDER BY d_trunc, q_id"""
+    })
+
+  /** Hard-negative mining for contrastive training: per anchor (the
+    * first 20 vectors), the 3 most-cosine-similar vectors with a
+    * DIFFERENT label — the "confusable but wrong" examples a contrastive
+    * batch wants next to each positive. Two-phase like
+    * [[NearDup.knnBruteForce]]: codegen'd double dots feed a bounded
+    * per-anchor TopKAgg (map-side partials carry ≤ k+margin rows, no
+    * corpus-wide window), then only survivors pay the decimal-exact
+    * cosine that the oracle hash-compares.
+    */
+  private val q214 = GraftQuery(
+    "q214_hard_negative_mining",
+    (s, dir) => {
+      import graft.functions.Similarity
+      val emb = Tables.embeddings(s, dir)
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Similarity.normExact(col("embedding")).as("nrm"), col("label"))
+      val q = broadcast(v.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("label").as("anchor_label")))
+      val c = v.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("label").as("neg_label"))
+      val k = 3
+      val shortFn = graft.functions.TopKAgg.topK(k + 20)
+      val shortlist = c.join(q,
+          col("q_id") =!= col("n_id") && col("anchor_label") =!= col("neg_label"))
+        .select(col("q_id"), col("n_id"), Similarity.cosineFromParts(
+          Similarity.dotFast(col("qe"), col("ne")), col("qn"), col("nn")).as("fast"))
+        .groupBy("q_id")
+        .agg(shortFn(col("fast"), col("n_id")).as("top"))
+        .select(col("q_id"), explode(col("top")).as("t"))
+        .select(col("q_id"), col("t.id").as("n_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      c.join(broadcast(shortlist.join(q, "q_id")), "n_id")
+        .withColumn("cos", round(Similarity.cosineFromParts(
+          Similarity.dotExact(col("qe"), col("ne")), col("qn"), col("nn")), 12))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("anchor_label"), col("n_id"), col("neg_label"),
+          col("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""SELECT q_id, anchor_label, n_id, neg_label,
+                    round(cos, 12) AS cos, CAST(rk AS INT) AS rank
+             FROM (
+               SELECT q.q_id, q.anchor_label, b.vec_id AS n_id,
+                      b.label AS neg_label,
+                      ${cosSql("q.qe", "b.embedding")} AS cos,
+                      row_number() OVER (PARTITION BY q.q_id ORDER BY
+                        ${cosSql("q.qe", "b.embedding")} DESC, b.vec_id) AS rk
+               FROM (SELECT vec_id AS q_id, embedding AS qe, label AS anchor_label
+                     FROM embeddings WHERE vec_id < 20) q,
+                    embeddings b
+               WHERE b.vec_id <> q.q_id AND b.label <> q.anchor_label)
+             WHERE rk <= 3 ORDER BY q_id, rank"""))
+
   // def, not val: q24/q32/q70 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
   def all: Seq[GraftQuery] =
     Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128, q130, q137,
-      q138, q142, q159, q163, q187)
+      q138, q142, q159, q163, q187, q213, q214)
 }

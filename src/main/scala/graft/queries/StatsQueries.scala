@@ -701,6 +701,242 @@ object StatsQueries {
                         ELSE NULL END AS acf
             FROM m ORDER BY event_type, lag"""))
 
+  // ---------------------------------------------------------------- q215
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) of document length per source
+    * against the rest of the corpus — the standard nonparametric "is this
+    * source's length distribution shifted" drift test, run for every
+    * source in ONE global ranking. Average ranks handle ties exactly
+    * (avg_rank(v) = #smaller + (#equal+1)/2 — exact halves, so doubles
+    * carry them losslessly), rank sums ride a DECIMAL(30,1) accumulator
+    * (order-free), and the z closed form (normal approximation WITH the
+    * tie-corrected variance) is the same IEEE sequence on both engines.
+    *
+    * Scale shape: the ranking windows run over DISTINCT length values
+    * (domain-bounded — document lengths, not documents), per-source rank
+    * sums are one hash aggregate over (source, value) counts, and the two
+    * corpus scalars (N, Σ(t³−t)) broadcast. The corpus itself is touched
+    * by exactly one counting aggregate.
+    */
+  private val q215 = GraftQuery(
+    "q215_mann_whitney_u",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+      val sv = d.groupBy("source", "x").agg(count(lit(1)).as("c"))
+      val byVal = sv.groupBy("x").agg(sum(col("c")).as("cv"))
+      val wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+      val ranksDf = byVal
+        .withColumn("cumprev", coalesce(sum(col("cv")).over(wv), lit(0L)))
+        .withColumn("avg_rank",
+          col("cumprev").cast("double") + (col("cv").cast("double") + 1.0) / 2.0)
+      val totals = byVal.agg(
+        sum(col("cv")).as("n_total"),
+        sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tie_sum"))
+      sv.join(ranksDf.select("x", "avg_rank"), "x")
+        .groupBy("source")
+        .agg(sum(col("c")).as("n"),
+          sum((col("avg_rank") * col("c").cast("double")).cast(DecimalType(30, 1)))
+            .cast("double").as("rank_sum"))
+        .crossJoin(broadcast(totals))
+        .select(col("source"), col("n"), col("rank_sum"),
+          col("n_total"), col("tie_sum"))
+        .withColumn("n_rest", (col("n_total") - col("n")).cast("double"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("u_stat",
+          col("rank_sum") - col("nd") * (col("nd") + 1.0) / 2.0)
+        .withColumn("z_stat", round(
+          (col("u_stat") - col("nd") * col("n_rest") / 2.0)
+            / sqrt(col("nd") * col("n_rest") / 12.0
+              * ((col("n_total").cast("double") + 1.0)
+                - col("tie_sum").cast("double")
+                  / (col("n_total").cast("double")
+                    * (col("n_total").cast("double") - 1.0)))), 9))
+        .select(col("source"), col("n"), round(col("rank_sum"), 1).as("rank_sum"),
+          round(col("u_stat"), 1).as("u_stat"), col("z_stat"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+            sv AS (SELECT source, x, count(*) AS c FROM d GROUP BY 1, 2),
+            bv AS (SELECT x, CAST(sum(c) AS BIGINT) AS cv FROM sv GROUP BY 1),
+            rk AS (
+              SELECT x,
+                     CAST(coalesce(sum(cv) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                       + (CAST(cv AS DOUBLE) + 1.0) / 2.0 AS avg_rank
+              FROM bv),
+            tot AS (SELECT CAST(sum(cv) AS BIGINT) AS n_total,
+                           CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tie_sum
+                    FROM bv),
+            agg AS (
+              SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(sum(CAST(avg_rank * CAST(c AS DOUBLE) AS DECIMAL(30,1)))
+                       AS DOUBLE) AS rank_sum
+              FROM sv JOIN rk USING (x) GROUP BY 1)
+            SELECT source, n, round(rank_sum, 1) AS rank_sum,
+                   round(rank_sum - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0, 1)
+                     AS u_stat,
+                   round(((rank_sum - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+                       - CAST(n AS DOUBLE) * CAST(n_total - n AS DOUBLE) / 2.0)
+                     / sqrt(CAST(n AS DOUBLE) * CAST(n_total - n AS DOUBLE) / 12.0
+                       * ((CAST(n_total AS DOUBLE) + 1.0)
+                         - CAST(tie_sum AS DOUBLE)
+                           / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)))), 9)
+                     AS z_stat
+            FROM agg CROSS JOIN tot
+            ORDER BY source"""))
+
+  // ---------------------------------------------------------------- q216
+
+  /** Two-sample Kolmogorov–Smirnov statistic of document length per
+    * source against the rest of the corpus: D = max over the value
+    * domain of |F_source − F_rest|, with the smallest attaining value
+    * reported. Both CDFs are step functions that only jump at observed
+    * values, so evaluating on the (source × distinct-value) GRID is
+    * exact — and the grid is sources × value-domain rows (domain-bounded,
+    * like q215's ranking), never corpus-sized. Each |ΔF| rounds at 12 dp
+    * BEFORE the max so both engines pick identical argmaxes.
+    */
+  private val q216 = GraftQuery(
+    "q216_ks_two_sample",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+      val sv = d.groupBy("source", "x").agg(count(lit(1)).as("c"))
+      val byVal = sv.groupBy("x").agg(sum(col("c")).as("cv"))
+      val srcN = sv.groupBy("source").agg(sum(col("c")).as("n"))
+      val totals = byVal.agg(sum(col("cv")).as("n_total"))
+      // dense (source × value) grid, then cumulative counts per source
+      val grid = srcN.select("source", "n").crossJoin(byVal.select("x", "cv"))
+        .join(sv, Seq("source", "x"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wcum = Window.partitionBy("source").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cums = grid
+        .withColumn("cum_s", sum(col("c")).over(wcum))
+        .join(byVal
+          .withColumn("cum_all", sum(col("cv")).over(
+            Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("x", "cum_all"), "x")
+        .crossJoin(broadcast(totals))
+        .withColumn("d", round(abs(
+          col("cum_s").cast("double") / col("n").cast("double")
+            - (col("cum_all") - col("cum_s")).cast("double")
+              / (col("n_total") - col("n")).cast("double")), 12))
+      val wPick = Window.partitionBy("source").orderBy(col("d").desc, col("x").asc)
+      cums.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("n"), col("d").as("d_stat"), col("x").as("at_x"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+            sv AS (SELECT source, x, count(*) AS c FROM d GROUP BY 1, 2),
+            bv AS (SELECT x, CAST(sum(c) AS BIGINT) AS cv FROM sv GROUP BY 1),
+            sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sv GROUP BY 1),
+            tot AS (SELECT CAST(sum(cv) AS BIGINT) AS n_total FROM bv),
+            grid AS (
+              SELECT sn.source, sn.n, bv.x, coalesce(sv.c, 0) AS c
+              FROM sn CROSS JOIN bv
+              LEFT JOIN sv ON sv.source = sn.source AND sv.x = bv.x),
+            cums AS (
+              SELECT g.source, g.n, g.x,
+                     sum(g.c) OVER (PARTITION BY g.source ORDER BY g.x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+                     a.cum_all
+              FROM grid g
+              JOIN (SELECT x, sum(cv) OVER (ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+                    FROM bv) a USING (x)),
+            scored AS (
+              SELECT source, n, x,
+                     round(abs(CAST(cum_s AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(cum_all - cum_s AS DOUBLE)
+                         / CAST(n_total - n AS DOUBLE)), 12) AS d
+              FROM cums CROSS JOIN tot)
+            SELECT source, n, d AS d_stat, x AS at_x FROM (
+              SELECT source, n, d, x,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY d DESC, x ASC) AS rn
+              FROM scored) WHERE rn = 1
+            ORDER BY source"""))
+
+  // ---------------------------------------------------------------- q217
+
+  /** Welch's unequal-variance t of document length per source against
+    * the rest of the corpus, with the Welch–Satterthwaite dof — the
+    * parametric complement to q215/q216 (same one-vs-rest design, so the
+    * three tests cross-check each other on the same drift question).
+    * n_chars is integral: Σx and Σx² are EXACT integer sums (one hash
+    * aggregate, map-side combined), the per-source rest-side moments are
+    * total − source (no second scan), and the closed form is a fixed
+    * IEEE sequence rounded at 9 dp on both engines.
+    */
+  private val q217 = GraftQuery(
+    "q217_welch_ttest",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+      val bySrc = d.groupBy("source").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val tot = bySrc.agg(
+        sum(col("n")).as("nt"), sum(col("sx")).as("sxt"),
+        sum(col("sxx")).as("sxxt"))
+      def mean(sx: Column, n: Column) = sx.cast("double") / n.cast("double")
+      def svar(sxx: Column, sx: Column, n: Column) =
+        ((sxx.cast("double")
+          - sx.cast("double") * sx.cast("double") / n.cast("double"))
+          / (n.cast("double") - 1.0))
+      val j = bySrc.crossJoin(broadcast(tot))
+        .withColumn("nr", col("nt") - col("n"))
+        .withColumn("m_s", mean(col("sx"), col("n")))
+        .withColumn("m_r", mean(col("sxt") - col("sx"), col("nr")))
+        .withColumn("v_s", svar(col("sxx"), col("sx"), col("n")))
+        .withColumn("v_r", svar(col("sxxt") - col("sxx"), col("sxt") - col("sx"), col("nr")))
+        .withColumn("se_s", col("v_s") / col("n").cast("double"))
+        .withColumn("se_r", col("v_r") / col("nr").cast("double"))
+      j.select(col("source"), col("n"),
+          round(col("m_s"), 9).as("mean_src"),
+          round(col("m_r"), 9).as("mean_rest"),
+          round((col("m_s") - col("m_r")) / sqrt(col("se_s") + col("se_r")), 9)
+            .as("t_stat"),
+          round((col("se_s") + col("se_r")) * (col("se_s") + col("se_r"))
+            / (col("se_s") * col("se_s") / (col("n").cast("double") - 1.0)
+              + col("se_r") * col("se_r") / (col("nr").cast("double") - 1.0)), 9)
+            .as("dof"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+            bs AS (SELECT source, count(*) AS n,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(x * x) AS BIGINT) AS sxx
+                   FROM d GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                           CAST(sum(sx) AS BIGINT) AS sxt,
+                           CAST(sum(sxx) AS BIGINT) AS sxxt
+                    FROM bs),
+            c AS (
+              SELECT source, n,
+                     CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m_s,
+                     CAST(sxt - sx AS DOUBLE) / CAST(nt - n AS DOUBLE) AS m_r,
+                     ((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE) AS se_s,
+                     ((CAST(sxxt - sxx AS DOUBLE)
+                       - CAST(sxt - sx AS DOUBLE) * CAST(sxt - sx AS DOUBLE)
+                         / CAST(nt - n AS DOUBLE))
+                      / (CAST(nt - n AS DOUBLE) - 1.0)) / CAST(nt - n AS DOUBLE) AS se_r,
+                     nt - n AS nr
+              FROM bs CROSS JOIN tot)
+            SELECT source, n,
+                   round(m_s, 9) AS mean_src,
+                   round(m_r, 9) AS mean_rest,
+                   round((m_s - m_r) / sqrt(se_s + se_r), 9) AS t_stat,
+                   round((se_s + se_r) * (se_s + se_r)
+                     / (se_s * se_s / (CAST(n AS DOUBLE) - 1.0)
+                       + se_r * se_r / (CAST(nr AS DOUBLE) - 1.0)), 9) AS dof
+            FROM c ORDER BY source"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185)
+    Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185, q215, q216, q217)
 }

@@ -101,6 +101,67 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH clone canonicalization: clone pairs exact, expansion bit-identical") {
+    // append exact clones of vecs 0..9 — hyperplanes can never split a
+    // clone group, so without canonicalization every table's bucket join
+    // pays the group quadratic; with it, one representative runs the join
+    // and the expansion must reproduce the direct join's cos bit-for-bit
+    val emb = Tables.embeddings(spark, sf)
+    val clones = emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+    val embC = emb.unionByName(clones)
+    def pairMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairMap(NearDup.embeddingNearDupPairs(embC, 0.4))
+    val lsh = pairMap(NearDup.embeddingNearDupLsh(embC, 0.4))
+    // subset with value-identical cosines (the expansion is exact, not
+    // approximate)
+    lsh.foreach { case (k, cos) =>
+      assert(exact.contains(k), s"LSH emitted non-exact pair $k")
+      assert(exact(k) === cos, s"pair $k: exact=${exact(k)} lsh=$cos")
+    }
+    // every intra-clone pair survives (self-cos ≈ 1 ≥ 0.4) — clone pairs
+    // are found by construction, never by bucket luck
+    (0 until 10).foreach { i =>
+      assert(lsh.contains((i.toLong, 100000L + i)), s"clone pair of $i missing")
+    }
+  }
+
+  test("embeddingNearDupPairsAuto routes exact below smallN, scaled LSH above") {
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(NearDup.embeddingNearDupPairs(emb, 0.4))
+    // default smallN (10k) >= 500 vectors: the exact path verbatim
+    assert(pairs(NearDup.embeddingNearDupPairsAuto(emb, 0.4)) === exact)
+    // forced LSH path (smallN = 10): a value-identical subset with the
+    // recall the scaled tables buy (18 tables at threshold 0.4 vs the
+    // default 8 — measured 1.0 on this corpus; pinned with slack)
+    val routed = pairs(NearDup.embeddingNearDupPairsAuto(emb, 0.4, smallN = 10))
+    routed.foreach { case (k, cos) =>
+      assert(exact.contains(k) && exact(k) === cos, s"routed pair $k mismatched")
+    }
+    val recall = routed.size.toDouble / math.max(1, exact.size)
+    info(s"forced-LSH recall: $recall (${routed.size}/${exact.size})")
+    assert(recall >= 0.8, s"scaled-knob recall $recall")
+  }
+
+  test("scaledPairLshKnobs: defaults at small n, occupancy-constant bits above") {
+    assert(NearDup.scaledPairLshKnobs(500L, 0.4) === ((4, 8)))
+    assert(NearDup.scaledPairLshKnobs(10000L, 0.4) === ((4, 8)))
+    val (b200k, t200k) = NearDup.scaledPairLshKnobs(200000L, 0.4)
+    assert(b200k === 10) // ceil(log2(200000/250))
+    assert(t200k >= 8 && t200k <= 48)
+    // tight production thresholds hold the recall target within the cap
+    val (b, t) = NearDup.scaledPairLshKnobs(1000000L, 0.95)
+    assert(b === 12) // ceil(log2(1e6/250))
+    assert(t < 48, s"0.95-threshold tables $t hit the forfeit cap")
+    // bits monotone in n: occupancy never regresses as the corpus grows
+    val bitsSeq = Seq(20000L, 100000L, 1000000L, 100000000L)
+      .map(n => NearDup.scaledPairLshKnobs(n, 0.9)._1)
+    assert(bitsSeq === bitsSeq.sorted)
+  }
+
   test("knnBruteForce returns k ranked neighbors per query") {
     val emb = Tables.embeddings(spark, sf)
     val out = NearDup.knnBruteForce(emb.filter(col("vec_id") < 3), emb, 5)
