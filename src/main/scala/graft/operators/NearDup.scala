@@ -597,27 +597,32 @@ object NearDup {
     *    the candidate join wrote ~1.25×10¹¹ rows to shuffle disk at 200k
     *    vectors; scaled bits hold occupancy at ~250 regardless of n.
     *  - `tables` is the smallest count whose compounded per-table hit
-    *    probability p = (1−θ/π)^bits reaches `recallTarget` for pairs AT
-    *    the threshold (tighter pairs recall higher), capped at
-    *    `maxTables`: when the threshold is loose (θ large) no table count
-    *    holds the target — the cap is the documented recall forfeit, and
-    *    the honest alternative below ~10⁵ vectors is the exact
-    *    [[embeddingNearDupPairs]]. Production near-dup thresholds
-    *    (≥ 0.9, θ ≤ 26°) hold 0.95 recall with ≤ ~32 tables at any
-    *    corpus size.
+    *    probability p = (1−θ/π)^bits reaches `recallTarget` at the DESIGN
+    *    POINT cos = max(threshold, 0.9) — the near-dup regime the
+    *    operator exists for — capped at `maxTables`. Solving at a loose
+    *    caller threshold instead would be a trap twice over: no table
+    *    count holds 0.95 recall at θ ≈ 66° (the solve just slams into
+    *    the cap), and every extra table RE-EMITS every near-clone
+    *    cluster's true-pair quadratic into the candidate join (clones
+    *    share all buckets of all tables — the clone-cluster floor is
+    *    tables·Σ|cluster|²/2, measured as the dominant ×100 candidate
+    *    term). Pairs between the threshold and the design point recall
+    *    lower — the documented forfeit for loose thresholds; pairs at
+    *    ≥ 0.95 recall higher than the target.
     */
   def scaledPairLshKnobs(
       n: Long, threshold: Double, smallN: Long = 10000L,
-      recallTarget: Double = 0.95, maxTables: Int = 48): (Int, Int) =
+      recallTarget: Double = 0.95, maxTables: Int = 24): (Int, Int) =
     if (n <= smallN) (4, 8)
     else {
       val bits = math.max(4,
         math.ceil(math.log(n / 250.0) / math.log(2.0)).toInt)
-      val theta = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+      val design = math.max(threshold, 0.9)
+      val theta = math.acos(math.max(-1.0, math.min(1.0, design)))
       val pTable = math.pow(1.0 - theta / math.Pi, bits)
       val tables =
         if (pTable >= 1.0) 1
-        else math.min(maxTables, math.max(8,
+        else math.min(maxTables, math.max(6,
           math.ceil(math.log1p(-recallTarget) / math.log1p(-pTable)).toInt))
       (bits, tables)
     }

@@ -727,7 +727,279 @@ object DedupQueries {
               AND (doc_a % 10 = 7 OR doc_b % 10 = 7)
             ORDER BY doc_a, doc_b"""))
 
+  /** Shared oracle CTE prefix: normalized token arrays + the exact
+    * 3-gram Jaccard pair set at `threshold` — q33's pair pipeline,
+    * factored for the q218/q220 consumers (jaccard carried through).
+    */
+  private def pairCtes(threshold: Double): String =
+    s"""norm AS (
+         SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, unnest(list_distinct(
+                  [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   for i in generate_series(1, len(t)-2)])) AS s
+         FROM norm WHERE len(t) >= 3),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       common AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b,
+                CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM common
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold)"""
+
+  /** ROUGE-1/2 scores for each near-dup pair (doc_a the reference, doc_b
+    * the candidate — the pair orientation is already canonical a < b):
+    * clipped-count n-gram overlap, the summarization-eval arithmetic
+    * reused as a dedup diagnostic — "how much of the kept doc does the
+    * dropped doc actually reproduce", which whole-set Jaccard (the pair
+    * filter) deliberately blurs. Counts are MULTISET (clipped by
+    * least(count_a, count_b)), unlike the distinct-shingle Jaccard.
+    *
+    * Scale shape: gram counting runs ONLY over docs that appear in a pair
+    * (left-semi prune, the verifyPairsJaccard discipline), per-pair
+    * overlaps are two inverted joins on (gram) — Σ df_pairdocs(gram)²
+    * bounded by the pair list, never the corpus — and every score is a
+    * ratio of exact integer sums, so both engines emit identical doubles.
+    */
+  private val q218 = GraftQuery(
+    "q218_rouge_pair_overlap",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.operators.Components.cut(
+        NearDup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+          .select("doc_a", "doc_b"), None)
+      val ids = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val toks = graft.operators.Components.cut(
+        docs.join(ids, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t")),
+        None)
+      def gramCounts(n: Int) = {
+        val grams =
+          if (n == 1) toks.select(col("doc_id"), explode(col("t")).as("g"))
+          else toks.filter(size(col("t")) >= n)
+            .select(col("doc_id"), explode(expr(
+              "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+              .as("g"))
+        grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      }
+      val gc1 = graft.operators.Components.cut(gramCounts(1), None)
+      val gc2 = graft.operators.Components.cut(gramCounts(2), None)
+      def scores(gc: org.apache.spark.sql.DataFrame, tag: String) = {
+        val tot = gc.groupBy("doc_id").agg(sum(col("c")).as("tot"))
+        // pairs DRIVE the overlap join (never gram x gram across the
+        // whole pair-doc set): pairs join a-grams on doc_a, then an equi
+        // join on (doc_b, gram) - work bounded by per-pair gram counts
+        val ov = pairs
+          .join(gc.select(col("doc_id").as("doc_a"), col("g"), col("c").as("ca")),
+            Seq("doc_a"))
+          .join(gc.select(col("doc_id").as("doc_b"), col("g"), col("c").as("cb")),
+            Seq("doc_b", "g"))
+          .groupBy("doc_a", "doc_b")
+          .agg(sum(least(col("ca"), col("cb"))).as("ov"))
+        pairs
+          .join(ov, Seq("doc_a", "doc_b"), "left")
+          .join(tot.select(col("doc_id").as("doc_a"), col("tot").as("ta")),
+            Seq("doc_a"), "left")
+          .join(tot.select(col("doc_id").as("doc_b"), col("tot").as("tb")),
+            Seq("doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            coalesce(col("ov"), lit(0L)).as("ov"),
+            coalesce(col("ta"), lit(0L)).as("ta"),
+            coalesce(col("tb"), lit(0L)).as("tb"))
+          .withColumn(s"r${tag}_recall",
+            when(col("ta") === 0, lit(0.0))
+              .otherwise(round(col("ov").cast("double") / col("ta").cast("double"), 9)))
+          .withColumn(s"r${tag}_precision",
+            when(col("tb") === 0, lit(0.0))
+              .otherwise(round(col("ov").cast("double") / col("tb").cast("double"), 9)))
+          .withColumn(s"r${tag}_f1",
+            when(col("ov") === 0, lit(0.0))
+              .otherwise(round(
+                lit(2.0) * (col("ov").cast("double") / col("ta").cast("double"))
+                  * (col("ov").cast("double") / col("tb").cast("double"))
+                  / (col("ov").cast("double") / col("ta").cast("double")
+                    + col("ov").cast("double") / col("tb").cast("double")), 9)))
+          .select(col("doc_a"), col("doc_b"),
+            col(s"r${tag}_precision"), col(s"r${tag}_recall"), col(s"r${tag}_f1"))
+      }
+      scores(gc1, "1")
+        .join(scores(gc2, "2"), Seq("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH ${pairCtes(0.3)},
+            pids AS (SELECT doc_a AS doc_id FROM pairs
+                     UNION SELECT doc_b FROM pairs),
+            g1 AS (SELECT n.doc_id, unnest(n.t) AS g
+                   FROM norm n JOIN pids USING (doc_id)),
+            gc1 AS (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2),
+            g2 AS (SELECT n.doc_id,
+                          unnest([n.t[i] || ' ' || n.t[i+1]
+                                  for i in generate_series(1, len(n.t)-1)]) AS g
+                   FROM norm n JOIN pids USING (doc_id)
+                   WHERE len(n.t) >= 2),
+            gc2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+            t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM gc1 GROUP BY 1),
+            t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM gc2 GROUP BY 1),
+            o1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+                   FROM gc1 a JOIN gc1 b ON a.g = b.g
+                   JOIN pairs p ON p.doc_a = a.doc_id AND p.doc_b = b.doc_id
+                   GROUP BY 1, 2),
+            o2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+                   FROM gc2 a JOIN gc2 b ON a.g = b.g
+                   JOIN pairs p ON p.doc_a = a.doc_id AND p.doc_b = b.doc_id
+                   GROUP BY 1, 2),
+            sc AS (
+              SELECT p.doc_a, p.doc_b,
+                     coalesce(o1.ov, 0) AS ov1, coalesce(ta1.tot, 0) AS ta1,
+                     coalesce(tb1.tot, 0) AS tb1,
+                     coalesce(o2.ov, 0) AS ov2, coalesce(ta2.tot, 0) AS ta2,
+                     coalesce(tb2.tot, 0) AS tb2
+              FROM pairs p
+              LEFT JOIN o1 ON o1.doc_a = p.doc_a AND o1.doc_b = p.doc_b
+              LEFT JOIN o2 ON o2.doc_a = p.doc_a AND o2.doc_b = p.doc_b
+              LEFT JOIN t1 ta1 ON ta1.doc_id = p.doc_a
+              LEFT JOIN t1 tb1 ON tb1.doc_id = p.doc_b
+              LEFT JOIN t2 ta2 ON ta2.doc_id = p.doc_a
+              LEFT JOIN t2 tb2 ON tb2.doc_id = p.doc_b)
+            SELECT doc_a, doc_b,
+                   CASE WHEN tb1 = 0 THEN 0.0
+                        ELSE round(CAST(ov1 AS DOUBLE) / CAST(tb1 AS DOUBLE), 9)
+                   END AS r1_precision,
+                   CASE WHEN ta1 = 0 THEN 0.0
+                        ELSE round(CAST(ov1 AS DOUBLE) / CAST(ta1 AS DOUBLE), 9)
+                   END AS r1_recall,
+                   CASE WHEN ov1 = 0 THEN 0.0
+                        ELSE round(2.0 * (CAST(ov1 AS DOUBLE) / CAST(ta1 AS DOUBLE))
+                               * (CAST(ov1 AS DOUBLE) / CAST(tb1 AS DOUBLE))
+                               / (CAST(ov1 AS DOUBLE) / CAST(ta1 AS DOUBLE)
+                                  + CAST(ov1 AS DOUBLE) / CAST(tb1 AS DOUBLE)), 9)
+                   END AS r1_f1,
+                   CASE WHEN tb2 = 0 THEN 0.0
+                        ELSE round(CAST(ov2 AS DOUBLE) / CAST(tb2 AS DOUBLE), 9)
+                   END AS r2_precision,
+                   CASE WHEN ta2 = 0 THEN 0.0
+                        ELSE round(CAST(ov2 AS DOUBLE) / CAST(ta2 AS DOUBLE), 9)
+                   END AS r2_recall,
+                   CASE WHEN ov2 = 0 THEN 0.0
+                        ELSE round(2.0 * (CAST(ov2 AS DOUBLE) / CAST(ta2 AS DOUBLE))
+                               * (CAST(ov2 AS DOUBLE) / CAST(tb2 AS DOUBLE))
+                               / (CAST(ov2 AS DOUBLE) / CAST(ta2 AS DOUBLE)
+                                  + CAST(ov2 AS DOUBLE) / CAST(tb2 AS DOUBLE)), 9)
+                   END AS r2_f1
+            FROM sc ORDER BY doc_a, doc_b"""))
+
+  /** Per-document 8-gram novelty: the fraction of a document's distinct
+    * 8-gram shingles that appear in NO other document — the diversity /
+    * near-memorization probe a curation run reads next to the dedup
+    * family (a low-novelty doc is assembled from corpus boilerplate even
+    * when no single pair crosses a dedup threshold). One shingle explode
+    * + one df aggregate + one per-doc rollup: Σ postings, linear in the
+    * corpus; df is shuffle-keyed on the shingle hash like q19's index.
+    * Documents shorter than 8 tokens have no shingles and are absent, the
+    * q33 shingle-CTE convention.
+    */
+  private val q219 = GraftQuery(
+    "q219_ngram_novelty",
+    (s, dir) => {
+      val sh = graft.operators.Components.cut(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.Sketches.wordShingles(col("text"), 8).as("shingles"))
+          .filter(size(col("shingles")) > 0)
+          .select(col("doc_id"), explode(col("shingles")).as("s")),
+        None)
+      val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 9))
+        .orderBy("doc_id")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                          || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                          || ' ' || t[i+7]
+                        for i in generate_series(1, len(t)-7)])) AS s
+              FROM norm WHERE len(t) >= 8),
+            df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+            SELECT doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 9) AS novelty
+            FROM sh JOIN df USING (s)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  private val SweepThresholds = Seq(0.3, 0.5, 0.7, 0.9)
+
+  /** Dedup threshold sensitivity sweep: pair count, touched-document
+    * count, and mean Jaccard at each candidate threshold, from ONE exact
+    * pair computation at the loosest setting — the diagnostic a curation
+    * owner reads before committing a dedup threshold (how sharply does
+    * the prune grow as the bar drops). The sweep reuses the single
+    * Σ df² inverted-index join; each threshold row is a filter + two
+    * bounded aggregates over the pair list, so the sweep costs one q19
+    * regardless of how many thresholds it reports.
+    */
+  private val q220 = GraftQuery(
+    "q220_dedup_threshold_sweep",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val pairs = graft.operators.Components.cut(
+        NearDup.ngramJaccardPairs(Tables.documents(s, dir), n = 3,
+          threshold = SweepThresholds.min),
+        None)
+      SweepThresholds.map { t =>
+        val p = pairs.filter(col("jaccard") >= t)
+        val nDocs = p.select(col("doc_a").as("d"))
+          .union(p.select(col("doc_b").as("d")))
+          .agg(countDistinct(col("d")).as("n_docs"))
+        p.agg(
+            count(lit(1)).as("n_pairs"),
+            sum(round(col("jaccard"), 15).cast(DecimalType(38, 15))).as("jsum"))
+          .crossJoin(nDocs)
+          .select(lit(t).as("threshold"), col("n_pairs"), col("n_docs"),
+            when(col("n_pairs") === 0, lit(0.0))
+              .otherwise(round(col("jsum").cast("double")
+                / col("n_pairs").cast("double"), 9)).as("mean_jaccard"))
+      }.reduce(_ unionByName _)
+        .orderBy("threshold")
+    },
+    Some {
+      val perT = SweepThresholds.map { t =>
+        s"""SELECT $t AS threshold,
+               count(*) AS n_pairs,
+               (SELECT count(DISTINCT d) FROM (
+                  SELECT doc_a AS d FROM pairs WHERE jaccard >= $t
+                  UNION ALL SELECT doc_b FROM pairs WHERE jaccard >= $t)) AS n_docs,
+               CASE WHEN count(*) = 0 THEN 0.0
+                    ELSE round(CAST(sum(CAST(round(jaccard, 15) AS DECIMAL(38,15)))
+                           AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+               END AS mean_jaccard
+            FROM pairs WHERE jaccard >= $t"""
+      }.mkString("\n            UNION ALL\n            ")
+      s"""WITH ${pairCtes(SweepThresholds.min)}
+          SELECT threshold, n_pairs, n_docs, mean_jaccard
+          FROM ($perT) ORDER BY threshold"""
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146, q181,
-      q186, q201, q205)
+      q186, q201, q205, q218, q219, q220)
 }

@@ -1575,8 +1575,101 @@ object TextQueries {
             FROM te t JOIN p ON p.doc_id = t.doc_id AND p.rn = 1
             ORDER BY t.doc_id"""))
 
+  /** double nearest ln 2, written as a literal on BOTH engines — the two
+    * libms are not guaranteed to agree on ln(2) at the last ulp, and the
+    * q222 missing-mass term multiplies it into every score.
+    */
+  private val Ln2 = 0.6931471805599453
+
+  /** Jensen–Shannon divergence of each source's token distribution
+    * against the rest of the corpus — the SYMMETRIC, bounded ([0, ln 2])
+    * complement to q102's KL (KL explodes on source-only words; JS
+    * handles both supports natively, which is why corpus-drift monitors
+    * prefer it). One (source × word) aggregate, the q102 plan shape.
+    *
+    * Closed form with the zero-support masses folded analytically: words
+    * ABSENT from the source have m = q/2 exactly, so their total
+    * contribution is ln 2 · Q_miss with Q_miss = 1 − Σ_present c_rest/n_rest
+    * — exact integer arithmetic instead of a vocab-sized dense grid (the
+    * same trick keeps the shuffle (source × present-word)-sized at any
+    * corpus scale). Present-word terms round at 15 dp into DECIMAL(38,15)
+    * sums (the q102 grid); the final assembly is a fixed IEEE sequence
+    * with ln 2 as a shared literal.
+    */
+  private val q222 = GraftQuery(
+    "q222_js_divergence",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val occ = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("word"))
+      val sw = graft.operators.Components.cut(
+        occ.groupBy("source", "word").agg(count(lit(1)).as("c_sw")), None)
+      val srcTot = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+      val wTot = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
+      val tot = wTot.agg(sum("c_w").as("n"))
+      val p = col("c_sw").cast("double") / col("n_s").cast("double")
+      val q = col("c_r").cast("double") / col("n_r").cast("double")
+      val m = (p + q) / 2.0
+      sw
+        .join(wTot, "word")
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("c_r", col("c_w") - col("c_sw"))
+        .withColumn("n_r", col("n") - col("n_s"))
+        .select(col("source"), col("n_s"), col("n_r"), col("c_r"),
+          round(p * log(p / m), 15).cast(DecimalType(38, 15)).as("t_p"),
+          round(when(col("c_r") > 0, q * log(q / m)).otherwise(lit(0.0)), 15)
+            .cast(DecimalType(38, 15)).as("t_q"))
+        .groupBy("source")
+        .agg(
+          first(col("n_s")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("t_p")).cast("double").as("sp"),
+          sum(col("t_q")).cast("double").as("sq"),
+          sum(col("c_r")).as("crs"),
+          first(col("n_r")).as("nr"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(lit(0.5) * col("sp") + lit(0.5) * col("sq")
+            + lit(0.5) * lit(Ln2)
+              * ((col("nr").cast("double") - col("crs").cast("double"))
+                / col("nr").cast("double")), 9).as("js"))
+        .orderBy("source")
+    },
+    Some(s"""WITH occ AS (
+              SELECT source,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            sw AS (SELECT source, word, count(*) AS c_sw FROM occ GROUP BY 1, 2),
+            st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+            wt AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+            t AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM wt),
+            rows_ AS (
+              SELECT source, n_s, n - n_s AS n_r, c_w - c_sw AS c_r,
+                     CAST(round(
+                       (CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+                         * ln((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+                           / (((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+                               + (CAST(c_w - c_sw AS DOUBLE) / CAST(n - n_s AS DOUBLE))) / 2.0)), 15)
+                       AS DECIMAL(38,15)) AS t_p,
+                     CAST(round(CASE WHEN c_w - c_sw > 0 THEN
+                       (CAST(c_w - c_sw AS DOUBLE) / CAST(n - n_s AS DOUBLE))
+                         * ln((CAST(c_w - c_sw AS DOUBLE) / CAST(n - n_s AS DOUBLE))
+                           / (((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+                               + (CAST(c_w - c_sw AS DOUBLE) / CAST(n - n_s AS DOUBLE))) / 2.0))
+                       ELSE 0.0 END, 15) AS DECIMAL(38,15)) AS t_q
+              FROM sw JOIN wt USING (word) JOIN st USING (source) CROSS JOIN t)
+            SELECT source,
+                   CAST(any_value(n_s) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
+                   round(0.5 * CAST(sum(t_p) AS DOUBLE)
+                     + 0.5 * CAST(sum(t_q) AS DOUBLE)
+                     + 0.5 * $Ln2
+                       * ((CAST(any_value(n_r) AS DOUBLE) - CAST(sum(c_r) AS DOUBLE))
+                         / CAST(any_value(n_r) AS DOUBLE)), 9) AS js
+            FROM rows_ GROUP BY source ORDER BY source"""))
+
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
       q115, q116, q121, q125, q129, q139, q145, q151, q164, q169, q196, q197,
-      q203)
+      q203, q222)
 }

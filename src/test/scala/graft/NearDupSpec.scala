@@ -134,16 +134,18 @@ class NearDupSpec extends SparkSpec {
     val exact = pairs(NearDup.embeddingNearDupPairs(emb, 0.4))
     // default smallN (10k) >= 500 vectors: the exact path verbatim
     assert(pairs(NearDup.embeddingNearDupPairsAuto(emb, 0.4)) === exact)
-    // forced LSH path (smallN = 10): a value-identical subset with the
-    // recall the scaled tables buy (18 tables at threshold 0.4 vs the
-    // default 8 — measured 1.0 on this corpus; pinned with slack)
+    // forced LSH path (smallN = 10): a value-identical subset. Recall at
+    // this corpus's LOOSE 0.4 threshold is the documented forfeit (the
+    // knobs solve tables at the ≥ 0.9 near-dup design point); pinned
+    // where the deterministic planes actually land so a knob regression
+    // still trips it.
     val routed = pairs(NearDup.embeddingNearDupPairsAuto(emb, 0.4, smallN = 10))
     routed.foreach { case (k, cos) =>
       assert(exact.contains(k) && exact(k) === cos, s"routed pair $k mismatched")
     }
     val recall = routed.size.toDouble / math.max(1, exact.size)
     info(s"forced-LSH recall: $recall (${routed.size}/${exact.size})")
-    assert(recall >= 0.8, s"scaled-knob recall $recall")
+    assert(recall >= 0.5, s"scaled-knob recall $recall")
   }
 
   test("scaledPairLshKnobs: defaults at small n, occupancy-constant bits above") {
@@ -151,11 +153,11 @@ class NearDupSpec extends SparkSpec {
     assert(NearDup.scaledPairLshKnobs(10000L, 0.4) === ((4, 8)))
     val (b200k, t200k) = NearDup.scaledPairLshKnobs(200000L, 0.4)
     assert(b200k === 10) // ceil(log2(200000/250))
-    assert(t200k >= 8 && t200k <= 48)
+    assert(t200k >= 6 && t200k <= 24)
     // tight production thresholds hold the recall target within the cap
     val (b, t) = NearDup.scaledPairLshKnobs(1000000L, 0.95)
     assert(b === 12) // ceil(log2(1e6/250))
-    assert(t < 48, s"0.95-threshold tables $t hit the forfeit cap")
+    assert(t < 24, s"0.95-threshold tables $t hit the forfeit cap")
     // bits monotone in n: occupancy never regresses as the corpus grows
     val bitsSeq = Seq(20000L, 100000L, 1000000L, 100000000L)
       .map(n => NearDup.scaledPairLshKnobs(n, 0.9)._1)
