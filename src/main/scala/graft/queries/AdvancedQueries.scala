@@ -1794,9 +1794,41 @@ object AdvancedQueries {
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC"""))
 
+  /** Hive-partitioned write + partition-pruned readback rollup — the
+    * third layout mode next to q82 (Z-order) and q202 (Hilbert), and the
+    * FIRST lever for 100 TB time-series: `partitionBy(event_type)`
+    * directories let the IN-predicate prune whole directories before any
+    * file I/O (`PartitionFilters` in the scan, pinned by LayoutSpec; this
+    * query hash-gates that the layout round-trips the DATA — types,
+    * timestamps, the partition column coming back from directory names —
+    * by aggregating the pruned readback against an oracle that never saw
+    * the layout).
+    */
+  private val q223 = GraftQuery(
+    "q223_partition_pruned_rollup",
+    (s, dir) => {
+      val path = Scratch.tempDir("graft-hivepart") + "/events_by_type.parquet"
+      graft.operators.Layout.writePartitioned(
+        Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+        path, Seq("event_type"))
+      s.read.parquet(path)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sum_value"))
+        .withColumn("sum_value", round(col("sum_value"), 4))
+        .orderBy("event_type", "day")
+    },
+    Some("""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE), 4)
+                     AS sum_value
+            FROM events
+            WHERE event_type IN ('purchase', 'signup')
+            GROUP BY event_type, CAST(ts AS DATE)
+            ORDER BY event_type, day"""))
+
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
       q105, q140, q141, q149, q150, q161, q167, q171, q172, q173, q174, q175,
       q176, q177, q178, q179, q190, q191, q192, q193, q194, q195, q202,
-      q208, q209, q210, q211, q212)
+      q208, q209, q210, q211, q212, q223)
 }

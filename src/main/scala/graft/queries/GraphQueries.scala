@@ -1041,7 +1041,77 @@ object GraphQueries {
     },
     Some(betweennessOracle))
 
+  private val WalkSeed = 11L
+  private val WalkSteps = 4
+  private val WalkStarts = 50L
+
+  /** Deterministic "random" walks over the knn similarity graph — the
+    * node2vec/DeepWalk corpus generator (walk sequences feed skip-gram
+    * embedding training): one walk per start node, `WalkSteps` hops, the
+    * next hop from node u at step t being the out-neighbor v minimizing
+    * the seeded multiplicative scramble of (u, v, t)
+    * ([[graft.operators.Sharding.scramble]] — exact integer arithmetic
+    * with a SQL twin, so the oracle replays every choice bit-for-bit; no
+    * RNG state to ship, walks are reproducible on any partitioning).
+    *
+    * Scale shape: each step is one frontier ⋈ edges join (shuffle on the
+    * out-edge key) plus a per-walk argmin aggregate whose map-side
+    * partials carry ONE row per walk — state is O(walks), never
+    * O(walks × degree); steps chain through lineage cuts like the BFS
+    * family. The oracle unrolls the same argmin per step over the exact
+    * top-5 edge set.
+    */
+  private val q221 = GraftQuery(
+    "q221_random_walks",
+    (s, dir) => {
+      val edges = knnEdges(s, dir)
+      var frontier = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < WalkStarts)
+        .select(col("vec_id").as("walk_id"), col("vec_id").as("node"))
+      val steps = scala.collection.mutable.ArrayBuffer(
+        frontier.withColumn("step", lit(0)))
+      for (t <- 1 to WalkSteps) {
+        val h = graft.operators.Sharding.scramble(
+          col("node") * lit(100003L) + col("dst") * lit(31L) + lit(t.toLong),
+          WalkSeed)
+        frontier = graft.operators.Components.cut(
+          frontier.join(edges, col("node") === col("src"))
+            .select(col("walk_id"), col("dst"), h.as("h"))
+            .groupBy("walk_id")
+            .agg(min(struct(col("h"), col("dst"))).as("m"))
+            .select(col("walk_id"), col("m.dst").as("node")), None)
+        steps += frontier.withColumn("step", lit(t))
+      }
+      steps.reduce(_ unionByName _)
+        .select(col("walk_id"), col("step"), col("node"))
+        .orderBy("walk_id", "step")
+    },
+    Some {
+      val stepCtes = (1 to WalkSteps).map { t =>
+        val h = graft.operators.Sharding.scrambleSql(
+          s"(w.node * 100003 + e0.d * 31 + $t)", WalkSeed)
+        s"""s$t AS (
+             SELECT walk_id, node FROM (
+               SELECT w.walk_id, e0.d AS node,
+                      row_number() OVER (PARTITION BY w.walk_id
+                        ORDER BY $h, e0.d) AS rn
+               FROM s${t - 1} w JOIN e0 ON e0.s = w.node)
+             WHERE rn = 1)"""
+      }.mkString(",\n            ")
+      val unions = (1 to WalkSteps)
+        .map(t => s"SELECT walk_id, $t AS step, node FROM s$t")
+        .mkString("\n            UNION ALL ")
+      s"""WITH $knnEdgesSql,
+            s0 AS (SELECT vec_id AS walk_id, vec_id AS node
+                   FROM embeddings WHERE vec_id < $WalkStarts),
+            $stepCtes
+          SELECT walk_id, CAST(step AS INT) AS step, node FROM (
+            SELECT walk_id, 0 AS step, node FROM s0
+            UNION ALL $unions)
+          ORDER BY walk_id, step"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156, q157, q158,
-      q165, q168, q188, q204)
+      q165, q168, q188, q204, q221)
 }
