@@ -523,30 +523,55 @@ object NearDup {
   def embeddingNearDupLsh(
       emb: DataFrame, threshold: Double, bits: Int = 4, dim: Int = 64,
       tables: Int = 8, checkpointDir: Option[String] = None): DataFrame = {
-    // `__ck` canonicalizes IDENTICAL vectors (exact clones — what a
-    // verbatim re-crawl's embeddings look like), the ngramJaccardPairs
-    // contraction applied to the embedding domain: buckets, the double
-    // prefilter, and the exact cosine are all functions of the float
-    // array, so ONE representative per distinct vector runs the bucket
-    // join + verify and pairs expand back exactly afterwards — a clone
-    // group of g costs g·pairs instead of g²·tables candidate rows
-    // (hyperplanes can never split a clone group: identical vectors share
-    // every bucket of every table, so without this the group's quadratic
-    // lands in ALL `tables` joins).
-    val v0 = materialized(
-      withNorm(emb).withColumn("__ck", xxhash64(col("embedding"))),
+    // `__ck` canonicalizes on the FULL LSH SIGNATURE (every table's
+    // bucket, order-canonical, hashed): vectors in the same cell agree on
+    // ALL tables × bits sign bits — exact clones always, perturbed
+    // re-crawl copies usually (at θ ≈ 0.6° a pair agrees on all 273
+    // planes of the ×100 knobs with p ≈ 0.6). Candidate generation runs
+    // ONCE per cell pair instead of once per (table, member, member):
+    //  - the per-table bucket join runs over cell REPRESENTATIVES only;
+    //  - rep pairs expand to member pairs AFTER the rep-level dedup, so
+    //    a near-clone cluster's quadratic enters the candidate stream
+    //    once, not `tables` times (the fixed ×100 failure mode: 21 tables
+    //    × Σ|cluster|²/2 ≈ 7×10⁹ candidate rows filled the shuffle disk);
+    //  - within-cell member pairs are candidates by construction (they
+    //    share every bucket).
+    // Unlike an exact-clone contraction, same-cell vectors are NOT
+    // identical — so every expanded pair is still individually verified
+    // with the double prefilter + decimal-exact cosine; the contraction
+    // changes WHERE candidates come from, never the emitted arithmetic.
+    // Recall for a cross-cell pair now keys on its REPS sharing a bucket
+    // (rep angle ≈ pair angle ± cell diameter — cells are signature-tight
+    // by construction).
+    val v0 = materialized(withNorm(emb), checkpointDir)
+    val allBuckets = materialized(
+      hyperplaneBuckets(emb, bits, dim, tables), checkpointDir)
+    val groups = materialized(
+      allBuckets.groupBy("vec_id")
+        .agg(xxhash64(sort_array(collect_list(col("bkt")))).as("__ck")),
       checkpointDir)
-    val repIds = v0.groupBy("__ck").agg(min(col("vec_id")).as("vec_id"))
-    val reps = materialized(v0.join(repIds, Seq("__ck", "vec_id")), checkpointDir)
-    val bucketed = hyperplaneBuckets(
-      reps.select("vec_id", "embedding"), bits, dim, tables)
-    val cand = bucketed.as("a").join(bucketed.as("b"),
+    val repIds = groups.groupBy("__ck").agg(min(col("vec_id")).as("vec_id"))
+    val repBuckets = allBuckets.join(repIds, Seq("vec_id"))
+    val repCand = repBuckets.as("a").join(repBuckets.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
-    val repPairs = cand
-      .join(reps.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
-      .join(reps.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+      .select(col("a.vec_id").as("ra"), col("b.vec_id").as("rb"))
+      .dropDuplicates("ra", "rb")
+    val ckOfRep = repIds.select(col("vec_id").as("__rep"), col("__ck"))
+    // cells are disjoint, so an expanded member pair arises from exactly
+    // one rep pair — no post-expansion dedup needed
+    val cross = repCand
+      .join(ckOfRep.select(col("__rep").as("ra"), col("__ck").as("cka")), "ra")
+      .join(ckOfRep.select(col("__rep").as("rb"), col("__ck").as("ckb")), "rb")
+      .join(groups.select(col("__ck").as("cka"), col("vec_id").as("ma")), "cka")
+      .join(groups.select(col("__ck").as("ckb"), col("vec_id").as("mb")), "ckb")
+      .select(least(col("ma"), col("mb")).as("vec_a"),
+        greatest(col("ma"), col("mb")).as("vec_b"))
+    val intra = groups.as("x").join(groups.as("y"),
+        col("x.__ck") === col("y.__ck") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    cross.unionByName(intra)
+      .join(v0.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(v0.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
       .filter(Similarity.cosineFromParts(
         Similarity.dotFast(col("ea"), col("eb")), col("na"), col("nb"))
         >= threshold - CosGuard)
@@ -554,33 +579,6 @@ object NearDup {
         Similarity.dotExact(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
-    // expand representatives back to members. Cross-group pairs inherit
-    // the rep pair's cos bit-for-bit (identical vectors ⇒ identical dot
-    // and norms). An intra-group (clone) pair's cos is the SAME two-step
-    // arithmetic the direct join would run — dotExact(e, e)/(nrm·nrm),
-    // NOT an analytic 1.0: sqrt(x)² ≠ x in IEEE and the oracle replays
-    // the division. A zero vector's self-cos is NaN and drops at the
-    // threshold filter, exactly like the direct join's clone pair.
-    val groups = v0.select("vec_id", "__ck")
-    val ckOfRep = repIds.select(col("vec_id").as("__rep"), col("__ck"))
-    val expanded = repPairs
-      .join(ckOfRep.select(col("__rep").as("vec_a"), col("__ck").as("cka")), "vec_a")
-      .join(ckOfRep.select(col("__rep").as("vec_b"), col("__ck").as("ckb")), "vec_b")
-      .join(groups.select(col("__ck").as("cka"), col("vec_id").as("ma")), "cka")
-      .join(groups.select(col("__ck").as("ckb"), col("vec_id").as("mb")), "ckb")
-      .select(least(col("ma"), col("mb")).as("vec_a"),
-        greatest(col("ma"), col("mb")).as("vec_b"), col("cos"))
-    val intra = reps
-      .withColumn("cos", Similarity.cosineFromParts(
-        Similarity.dotExact(col("embedding"), col("embedding")),
-        col("nrm"), col("nrm")))
-      .filter(col("cos") >= threshold)
-      .select(col("__ck"), col("cos"))
-      .join(groups.select(col("__ck"), col("vec_id").as("ma")), "__ck")
-      .join(groups.select(col("__ck"), col("vec_id").as("mb")), "__ck")
-      .filter(col("ma") < col("mb"))
-      .select(col("ma").as("vec_a"), col("mb").as("vec_b"), col("cos"))
-    expanded.unionByName(intra)
   }
 
   /** Size-scaled hyperplane knobs for THRESHOLD-pair LSH
