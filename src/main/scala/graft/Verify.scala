@@ -8,14 +8,7 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // extra args = run only these queries (iteration aid; the driver passes none)
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build("graft-verify")
     // subset runs re-dump oracle SQL for ALL queries; landed-path oracles
     // outside the subset resolve through the per-scale path registry
     graft.queries.Landed.setDir(sfDir)

@@ -266,6 +266,15 @@ object Ann {
     * matrix carried in the fused expressions — past ~16 M vectors raise
     * nlist explicitly.
     */
+  /** Hook for callers that persist trained centroids across sessions
+    * (q32/q70 route this to the content-keyed Artifacts cache): given a
+    * version string naming the training knobs and the trainer thunk,
+    * return the centroids — from cache or by invoking the thunk. The
+    * default trains unconditionally (library callers with no cache).
+    */
+  type CentroidStore = (String, () => Array[Array[Float]]) => Array[Array[Float]]
+  val NoStore: CentroidStore = (_, build) => build()
+
   private[operators] def effectiveNlist(n: Long, nlist: Int): Int =
     if (nlist > 0) nlist
     else
@@ -303,10 +312,12 @@ object Ann {
   def ivfTopK(
       spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 0, nprobe: Int = 4, iters: Int = 1,
-      broadcastQueryRows: Long = 500000L): DataFrame = {
+      broadcastQueryRows: Long = 500000L,
+      centroidStore: CentroidStore = NoStore): DataFrame = {
     val n = corpus.count() // the one counting pass — threaded through
-    val centroids =
-      trainCentroids(spark, corpus, effectiveNlist(n, nlist), iters, knownCount = n)
+    val nl = effectiveNlist(n, nlist)
+    val centroids = centroidStore(s"nlist$nl-i$iters",
+      () => trainCentroids(spark, corpus, nl, iters, knownCount = n))
     val corpusCells = assignCells(corpus, centroids)
       .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
         Similarity.normExact(col("embedding")).as("nn"), col("cell"))

@@ -188,6 +188,11 @@ object Pq {
     * with `iters` Lloyd steps (L2 assignment, decimal-exact means).
     * Returns codebooks(m)(j) = codeword j of sub-space m.
     */
+  /** [[Ann.CentroidStore]]'s codebook twin — persistence hook for the
+    * trained PQ codebooks (m × ksub × dsub). */
+  type CodebookStore = (String, () => Array[Array[Array[Float]]]) => Array[Array[Array[Float]]]
+  val NoCodebookStore: CodebookStore = (_, build) => build()
+
   def trainCodebooks(spark: SparkSession, corpus: DataFrame, m: Int, ksub: Int,
       iters: Int = 2, knownCount: Long = -1L): Array[Array[Array[Float]]] = {
     import spark.implicits._
@@ -260,11 +265,15 @@ object Pq {
   def pqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
       nlist: Int = 0, nprobe: Int = 8,
-      broadcastQueryRows: Long = 500000L): DataFrame = {
+      broadcastQueryRows: Long = 500000L,
+      codebookStore: CodebookStore = NoCodebookStore,
+      centroidStore: Ann.CentroidStore = Ann.NoStore): DataFrame = {
     val n = corpus.count() // one counting pass, threaded into both trainers
-    val codebooks = trainCodebooks(spark, corpus, m, ksub, iters, knownCount = n)
-    val centroids = Ann.trainCentroids(spark, corpus,
-      Ann.effectiveNlist(n, nlist), iters = 1, knownCount = n)
+    val nl = Ann.effectiveNlist(n, nlist)
+    val codebooks = codebookStore(s"m$m-k$ksub-i$iters",
+      () => trainCodebooks(spark, corpus, m, ksub, iters, knownCount = n))
+    val centroids = centroidStore(s"nlist$nl-i1",
+      () => Ann.trainCentroids(spark, corpus, nl, iters = 1, knownCount = n))
     // SLIM approximate phase: only (ids, codes, cell, tables) flow through
     // the scan and the top-(k·refine) window — never the embeddings, whose
     // 2M wide rows would dominate the sort (the round-1 slim-shuffle lesson)

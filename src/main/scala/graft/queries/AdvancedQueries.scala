@@ -1826,9 +1826,127 @@ object AdvancedQueries {
             GROUP BY event_type, CAST(ts AS DATE)
             ORDER BY event_type, day"""))
 
+  /** Join-cardinality estimation from count-min sketch inner products
+    * (Cormode & Muthukrishnan §4.2) — the optimizer-side use of q139's
+    * sketch: |A ⋈ B| ≈ min over hash rows of Σ_cell cm_A·cm_B. Each side
+    * collapses to a d×w counter matrix BEFORE any join (map-side combined,
+    * O(partitions·d·w) shuffle), so the estimate costs two narrow scans
+    * while the exact count pays the full equi-join — the point of the
+    * operator at 100 TB. The md5 hash family is engine-portable, so the
+    * oracle rebuilds both matrices and the row-wise inner products
+    * identically; the emitted booleans pin the sketch's hard one-sided
+    * guarantee (est ≥ exact) and the ε = e/w slack bound on BOTH engines.
+    */
+  private val q226 = GraftQuery(
+    "q226_join_size_estimate",
+    (s, dir) => {
+      import graft.operators.CountMin
+      val lk = Tables.lineitem(s, dir).select(col("l_orderkey").cast("string").as("k"))
+      val ok = Tables.orders(s, dir).select(col("o_orderkey").cast("string").as("k"))
+      val ip = CountMin.sketch(lk, "k")
+        .select(col("r"), col("cell"), col("cnt").as("c1"))
+        .join(CountMin.sketch(ok, "k")
+          .select(col("r"), col("cell"), col("cnt").as("c2")), Seq("r", "cell"))
+        .groupBy("r").agg(sum(col("c1") * col("c2")).as("ip"))
+        .agg(min(col("ip")).as("est"))
+      val exact = Tables.lineitem(s, dir).select("l_orderkey")
+        .join(Tables.orders(s, dir).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      val n1 = Tables.lineitem(s, dir).agg(count(lit(1)).as("n_left"))
+      val n2 = Tables.orders(s, dir).agg(count(lit(1)).as("n_right"))
+      ip.crossJoin(broadcast(exact)).crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("est"), col("exact_cnt"), col("n_left"), col("n_right"),
+          (col("est") >= col("exact_cnt")).as("over_ok"),
+          (col("est").cast("double") <= col("exact_cnt").cast("double")
+            + lit(2.718281828459045) / lit(1024.0)
+              * col("n_left").cast("double") * col("n_right").cast("double"))
+            .as("within_bound"))
+    },
+    Some("""WITH ab AS (SELECT * FROM (VALUES
+              (0, 1103, 12289), (1, 52711, 96779),
+              (2, 304807, 712201), (3, 845723, 994009)) t(r, a, b)),
+            h1 AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                            % 2147483647 AS base FROM lineitem),
+            h2 AS (SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                            % 2147483647 AS base FROM orders),
+            sk1 AS (SELECT r, ((a * base + b) % 2147483647) % 1024 AS cell,
+                           count(*) AS cnt FROM h1 CROSS JOIN ab GROUP BY 1, 2),
+            sk2 AS (SELECT r, ((a * base + b) % 2147483647) % 1024 AS cell,
+                           count(*) AS cnt FROM h2 CROSS JOIN ab GROUP BY 1, 2),
+            ip AS (SELECT sk1.r, CAST(sum(sk1.cnt * sk2.cnt) AS BIGINT) AS ip
+                   FROM sk1 JOIN sk2 ON sk1.r = sk2.r AND sk1.cell = sk2.cell
+                   GROUP BY 1),
+            e AS (SELECT min(ip) AS est FROM ip),
+            x AS (SELECT count(*) AS exact_cnt
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            n1 AS (SELECT count(*) AS n_left FROM lineitem),
+            n2 AS (SELECT count(*) AS n_right FROM orders)
+            SELECT est, exact_cnt, n_left, n_right,
+                   est >= exact_cnt AS over_ok,
+                   CAST(est AS DOUBLE) <= CAST(exact_cnt AS DOUBLE)
+                     + 2.718281828459045 / 1024.0
+                       * CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                     AS within_bound
+            FROM e CROSS JOIN x CROSS JOIN n1 CROSS JOIN n2"""))
+
+  /** Functional-dependency profiling (the q141 data-quality family):
+    * for each candidate FD X→Y, the share of X keys mapping to more than
+    * one distinct Y. One groupBy per FD with a distinct-count — at scale
+    * each is a single map-combined shuffle on the key, and the violated/
+    * holds verdict is exact, not sampled. Declared-but-unenforced
+    * dependencies are exactly what the reference's SQLite schema carries
+    * (FK pragmas off), so the audit is the Spark-side replacement.
+    */
+  private val q230 = GraftQuery(
+    "q230_fd_violations",
+    (s, dir) => {
+      def fd(df: org.apache.spark.sql.DataFrame,
+          key: String, dep: String, name: String) =
+        df.groupBy(col(key))
+          .agg(countDistinct(col(dep)).as("nv"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_violating_keys"))
+          .select(lit(name).as("fd"), col("n_keys"), col("n_violating_keys"),
+            round(col("n_violating_keys").cast("double")
+              / col("n_keys").cast("double"), 12).as("violation_rate"),
+            (col("n_violating_keys") === 0).as("holds"))
+      fd(Tables.orders(s, dir), "o_custkey", "o_orderpriority",
+          "orders.o_custkey->o_orderpriority")
+        .unionByName(fd(Tables.lineitem(s, dir), "l_partkey", "l_suppkey",
+          "lineitem.l_partkey->l_suppkey"))
+        .unionByName(fd(Tables.customer(s, dir), "c_custkey", "c_nationkey",
+          "customer.c_custkey->c_nationkey"))
+        .orderBy("fd")
+    },
+    Some("""WITH f1 AS (
+              SELECT count(*) AS n_keys,
+                     CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys
+              FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nv
+                    FROM orders GROUP BY 1)),
+            f2 AS (
+              SELECT count(*) AS n_keys,
+                     CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys
+              FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nv
+                    FROM lineitem GROUP BY 1)),
+            f3 AS (
+              SELECT count(*) AS n_keys,
+                     CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys
+              FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS nv
+                    FROM customer GROUP BY 1)),
+            u AS (
+              SELECT 'orders.o_custkey->o_orderpriority' AS fd, * FROM f1
+              UNION ALL SELECT 'lineitem.l_partkey->l_suppkey', * FROM f2
+              UNION ALL SELECT 'customer.c_custkey->c_nationkey', * FROM f3)
+            SELECT fd, n_keys, n_violating_keys,
+                   round(CAST(n_violating_keys AS DOUBLE)
+                     / CAST(n_keys AS DOUBLE), 12) AS violation_rate,
+                   n_violating_keys = 0 AS holds
+            FROM u ORDER BY fd"""))
+
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
       q105, q140, q141, q149, q150, q161, q167, q171, q172, q173, q174, q175,
       q176, q177, q178, q179, q190, q191, q192, q193, q194, q195, q202,
-      q208, q209, q210, q211, q212, q223)
+      q208, q209, q210, q211, q212, q223, q226, q230)
 }

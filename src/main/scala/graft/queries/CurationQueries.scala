@@ -1233,7 +1233,102 @@ object CurationQueries {
             SELECT doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_md5
             FROM ch ORDER BY doc_id, chunk_idx"""))
 
+  /** Leakage-free (group-aware) train/val/test split: the standard
+    * hash-split — md5(doc) mod 10 → 8/1/1 — leaks near-duplicates across
+    * the boundary, contaminating eval; the fix is to split by NEAR-DUP
+    * CLUSTER: assign every document its cluster representative (q33's
+    * 3-gram Jaccard ≥ 0.3 components; singletons are their own rep) and
+    * hash the REP, so a whole near-dup family lands on one side. Emits
+    * the per-split census plus the leakage audit both engines recompute:
+    * `leaked_pairs` = near-dup pairs crossing splits, 0 by construction.
+    * At scale: the components build is the dedup pass the pipeline
+    * already runs; the split itself is one scan + a portable md5 mod.
+    */
+  private val q224 = GraftQuery(
+    "q224_leakage_free_split",
+    (s, dir) => {
+      import graft.operators.NearDup
+      val docs = Tables.documents(s, dir)
+      val pairs = NearDup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+        .select("doc_a", "doc_b")
+      val clusters = graft.operators.Components.neardupClusters(pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      val withSplit = docs.join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("rep"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+        .withColumn("b",
+          conv(substring(md5(col("rep").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 10)
+        .withColumn("split",
+          when(col("b") < 8, "train").when(col("b") === 8, "val")
+            .otherwise("test"))
+      val perSplit = withSplit.groupBy("split").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum(col("n_toks")).as("n_tokens"))
+      val leak = pairs
+        .join(withSplit.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(withSplit.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .agg(count(when(col("sa") =!= col("sb"), lit(1))).as("leaked_pairs"))
+      perSplit.crossJoin(broadcast(leak)).orderBy("split")
+    },
+    Some("""WITH RECURSIVE norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t,
+                     lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS nt
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS s
+              FROM norm WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM common
+              JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            crep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+                     FROM reach GROUP BY src),
+            ws AS (
+              SELECT n.doc_id, coalesce(c.rep, n.doc_id) AS rep,
+                     CAST(CASE WHEN length(nt) = 0 THEN 0
+                          ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_toks,
+                     ('0x' || substr(md5(CAST(coalesce(c.rep, n.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+                       % 10 AS b
+              FROM norm n LEFT JOIN crep c USING (doc_id)),
+            ws2 AS (
+              SELECT *, CASE WHEN b < 8 THEN 'train'
+                             WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+              FROM ws),
+            per AS (
+              SELECT split, count(*) AS n_docs,
+                     count(DISTINCT rep) AS n_clusters,
+                     CAST(sum(n_toks) AS BIGINT) AS n_tokens
+              FROM ws2 GROUP BY 1),
+            leak AS (
+              SELECT count(*) FILTER (WHERE sa.split <> sb.split) AS leaked_pairs
+              FROM pairs
+              JOIN ws2 sa ON sa.doc_id = pairs.doc_a
+              JOIN ws2 sb ON sb.doc_id = pairs.doc_b)
+            SELECT per.split, per.n_docs, per.n_clusters, per.n_tokens,
+                   leak.leaked_pairs
+            FROM per CROSS JOIN leak ORDER BY split"""))
+
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
-      q90, q92, q94, q96, q120, q124, q170, q180, q198, q199, q200, q206)
+      q90, q92, q94, q96, q120, q124, q170, q180, q198, q199, q200, q206,
+      q224)
 }

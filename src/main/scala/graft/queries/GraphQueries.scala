@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph analytics over relationship structure derived from the relational
   * tables — the §2 extension family for link/authority signals in corpus
@@ -20,9 +21,13 @@ object GraphQueries {
   private def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
     // the heavy fact-fact join collapses to a <=n_nations^2-row edge list:
     // land that ONCE per (JVM, dir) — r06 re-ran the 600k-row join for
-    // q108's node census, q108's normalization, and again for q112
-    val path = tradeLanded.computeIfAbsent(dir, _ => {
-      val p = Scratch.tempDir("graft-trade-graph") + "/edges.parquet"
+    // q108's node census, q108's normalization, and again for q112 —
+    // and reuse it ACROSS sessions (Artifacts: deterministic aggregate,
+    // content-keyed on the input fact/dim parquet)
+    val path = tradeLanded.computeIfAbsent(dir, _ =>
+      Artifacts.cached("trade-edges", "v1",
+        Seq("lineitem", "orders", "customer", "supplier", "nation")
+          .map(t => s"$dir/$t.parquet")) { p =>
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
       val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
       val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
@@ -39,7 +44,6 @@ object GraphQueries {
         .agg(count(lit(1)).cast("double").as("w"))
         .coalesce(1)
         .write.mode("overwrite").parquet(p)
-      p
     })
     s.read.parquet(path)
   }
@@ -239,13 +243,14 @@ object GraphQueries {
   }
 
   private def knnTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val path = knnLanded.computeIfAbsent(dir, _ => {
-      val p = Scratch.tempDir("graft-knn-graph") + "/edges.parquet"
-      val emb = Tables.embeddings(s, dir)
-      knnGraphEdges(emb, k = 5)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+    // cross-session reuse (Artifacts): the build is deterministic — exact
+    // top-5 below the brute-force bound, splitmix64-derived hyperplanes
+    // above — so a second Verify/Bench in the same sfDir skips it
+    val path = knnLanded.computeIfAbsent(dir, _ =>
+      Artifacts.cached("knn-graph", "k5-v1", Seq(s"$dir/embeddings.parquet")) { p =>
+        knnGraphEdges(Tables.embeddings(s, dir), k = 5)
+          .write.mode("overwrite").parquet(p)
+      })
     s.read.parquet(path)
   }
 
@@ -370,7 +375,11 @@ object GraphQueries {
     * neighbor-label count and a (count DESC, label ASC) argmax window,
     * coalesced over the previous round's node set — all integers.
     */
-  private def lpaOracle: String = {
+  /** The LPA recurrence CTE chain (shared by q136 and q227's modularity):
+    * appends el/lp0..lp`LpaRounds` after the knn edge CTEs; callers add
+    * their own final SELECT over `lp$LpaRounds`.
+    */
+  private def lpaBodySql: String = {
     val sb = new StringBuilder(s"WITH $knnEdgesSql")
     sb.append(""",
        el AS MATERIALIZED (
@@ -392,11 +401,13 @@ object GraphQueries {
          SELECT $p.node, coalesce(v$i.new_label, $p.label) AS label
          FROM $p LEFT JOIN v$i ON v$i.node = $p.node)""")
     }
-    sb.append(s"""
-       SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
-       FROM lp$LpaRounds ORDER BY node""")
     sb.toString
   }
+
+  private def lpaOracle: String =
+    s"""$lpaBodySql
+       SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+       FROM lp$LpaRounds ORDER BY node"""
 
   /** Label-propagation communities on the similarity graph
     * ([[graft.operators.Lpa]], 4 synchronous rounds): majority dynamics
@@ -1111,7 +1122,150 @@ object GraphQueries {
           ORDER BY walk_id, step"""
     })
 
+  /** Canonical undirected edge set of the knn graph — distinct
+    * (min, max) endpoint pairs of the directed top-5 edges.
+    */
+  private def knnUndirected(s: org.apache.spark.sql.SparkSession, dir: String) =
+    knnEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+  private val UndSql =
+    """und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+               FROM e0 WHERE s <> d),
+       deg AS (SELECT node, count(*) AS dg FROM (
+                 SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+               GROUP BY 1)"""
+
+  /** Newman modularity of the LPA communities (q136) on the knn graph:
+    * Q = Σ_c (e_c/m − (d_c/2m)²) over the canonical undirected edge set.
+    * One edge join against the (node → label) map and two hash
+    * aggregates — community count is what shuffles, never the corpus.
+    * Determinism: each community's term is computed in double (identical
+    * expression structure both engines — the squared factor is written as
+    * an explicit product, not pow), rounded HALF_UP at 15 dp onto the
+    * DECIMAL(38,15) grid, and Q is the exact, order-free decimal sum of
+    * the terms (the q102/q204 contract).
+    */
+  private def q227 = GraftQuery(
+    "q227_modularity_communities",
+    (s, dir) => {
+      val comm = graft.operators.Lpa
+        .run(knnEdges(s, dir), "src", "dst", rounds = LpaRounds)
+        .select(col("node"), col("label"))
+      val und = knnUndirected(s, dir)
+      val mm = und.agg(count(lit(1)).cast("double").as("m"))
+      val deg = und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val ein = und
+        .join(comm.select(col("node").as("a"), col("label").as("la")), "a")
+        .join(comm.select(col("node").as("b"), col("label").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community"))
+        .agg(count(lit(1)).as("internal_edges"))
+      val grp = comm.join(deg, "node")
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("degree_sum"))
+      val halfTerm = col("degree_sum").cast("double") / (lit(2.0) * col("m"))
+      val t = grp
+        .join(ein, Seq("community"), "left")
+        .na.fill(0L, Seq("internal_edges"))
+        .crossJoin(broadcast(mm))
+        .withColumn("term",
+          round(col("internal_edges").cast("double") / col("m")
+            - halfTerm * halfTerm, 15).cast(DecimalType(38, 15)))
+      val q = t.agg(sum(col("term")).cast("double").as("qsum"))
+      t.crossJoin(broadcast(q))
+        .select(col("community"), col("n_nodes"), col("internal_edges"),
+          col("degree_sum"),
+          round(col("term").cast("double"), 12).as("term"),
+          round(col("qsum"), 12).as("modularity"))
+        .orderBy("community")
+    },
+    Some(s"""$lpaBodySql,
+       $UndSql,
+       mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM und),
+       com AS (SELECT node, label FROM lp$LpaRounds),
+       ein AS (SELECT ca.label AS community, count(*) AS internal_edges
+               FROM und
+               JOIN com ca ON ca.node = und.a
+               JOIN com cb ON cb.node = und.b
+               WHERE ca.label = cb.label GROUP BY 1),
+       grp AS (SELECT com.label AS community, count(*) AS n_nodes,
+                      CAST(sum(dg) AS BIGINT) AS degree_sum
+               FROM com JOIN deg ON deg.node = com.node GROUP BY 1),
+       t AS (SELECT g.community, g.n_nodes,
+                    coalesce(e.internal_edges, 0) AS internal_edges,
+                    g.degree_sum,
+                    CAST(round(CAST(coalesce(e.internal_edges, 0) AS DOUBLE) / m
+                      - (CAST(g.degree_sum AS DOUBLE) / (2.0 * m))
+                        * (CAST(g.degree_sum AS DOUBLE) / (2.0 * m)), 15)
+                      AS DECIMAL(38,15)) AS term
+             FROM grp g LEFT JOIN ein e ON e.community = g.community
+             CROSS JOIN mm),
+       qq AS (SELECT CAST(sum(term) AS DOUBLE) AS qsum FROM t)
+       SELECT community, n_nodes, internal_edges, degree_sum,
+              round(CAST(term AS DOUBLE), 12) AS term,
+              round(qsum, 12) AS modularity
+       FROM t CROSS JOIN qq ORDER BY community"""))
+
+  /** Degree assortativity (Newman 2002) of the knn graph: Pearson
+    * correlation of endpoint degrees over the directed-both-ways edge
+    * list. All moments (Σjk, Σj, Σj²) are exact BIGINT sums — one edge
+    * scan, one aggregate row — and only the final closed form runs in
+    * double, so both engines agree bit-for-bit. A positive r says
+    * well-connected vectors link to each other (hub-dense semantic
+    * cores); negative says hubs link to leaves.
+    */
+  private def q228 = GraftQuery(
+    "q228_degree_assortativity",
+    (s, dir) => {
+      val und = knnUndirected(s, dir)
+      val deg = und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val ed = und.select(col("a").as("s"), col("b").as("d"))
+        .unionAll(und.select(col("b").as("s"), col("a").as("d")))
+      val jk = ed
+        .join(deg.select(col("node").as("s"), col("dg").as("j")), "s")
+        .join(deg.select(col("node").as("d"), col("dg").as("k")), "d")
+      val agg = jk.agg(
+        count(lit(1)).as("n_directed"),
+        sum(col("j") * col("k")).as("sum_jk"),
+        sum(col("j")).as("sum_j"),
+        sum(col("j") * col("j")).as("sum_j2"))
+      val nD = col("n_directed").cast("double")
+      val mean = col("sum_j").cast("double") / nD
+      agg.select(col("n_directed"), col("sum_jk"), col("sum_j"), col("sum_j2"),
+        round((col("sum_jk").cast("double") / nD - mean * mean)
+          / (col("sum_j2").cast("double") / nD - mean * mean), 12)
+          .as("assortativity"))
+    },
+    Some(s"""WITH $knnEdgesSql,
+       $UndSql,
+       ed AS (SELECT a AS s, b AS d FROM und
+              UNION ALL SELECT b AS s, a AS d FROM und),
+       jk AS (SELECT js.dg AS j, kd.dg AS k
+              FROM ed JOIN deg js ON js.node = ed.s
+                      JOIN deg kd ON kd.node = ed.d),
+       agg AS (SELECT count(*) AS n_directed,
+                      CAST(sum(j * k) AS BIGINT) AS sum_jk,
+                      CAST(sum(j) AS BIGINT) AS sum_j,
+                      CAST(sum(j * j) AS BIGINT) AS sum_j2
+               FROM jk)
+       SELECT n_directed, sum_jk, sum_j, sum_j2,
+              round((CAST(sum_jk AS DOUBLE) / CAST(n_directed AS DOUBLE)
+                      - (CAST(sum_j AS DOUBLE) / CAST(n_directed AS DOUBLE))
+                        * (CAST(sum_j AS DOUBLE) / CAST(n_directed AS DOUBLE)))
+                    / (CAST(sum_j2 AS DOUBLE) / CAST(n_directed AS DOUBLE)
+                      - (CAST(sum_j AS DOUBLE) / CAST(n_directed AS DOUBLE))
+                        * (CAST(sum_j AS DOUBLE) / CAST(n_directed AS DOUBLE))), 12)
+                AS assortativity
+       FROM agg"""))
+
   val all: Seq[GraftQuery] =
     Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156, q157, q158,
-      q165, q168, q188, q204, q221)
+      q165, q168, q188, q204, q221, q227, q228)
 }

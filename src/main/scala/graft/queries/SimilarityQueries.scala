@@ -58,12 +58,11 @@ object SimilarityQueries {
 
   private def routedPairsShared(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val path = routedPairsLanded.computeIfAbsent(dir, _ => {
-      val p = Scratch.tempDir("graft-emb-pairs") + "/pairs.parquet"
-      NearDup.embeddingNearDupPairsAuto(Tables.embeddings(s, dir), threshold = 0.4)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+    val path = routedPairsLanded.computeIfAbsent(dir, _ =>
+      Artifacts.cached("routed-pairs", "t0.4-v1", Seq(s"$dir/embeddings.parquet")) { p =>
+        NearDup.embeddingNearDupPairsAuto(Tables.embeddings(s, dir), threshold = 0.4)
+          .write.mode("overwrite").parquet(p)
+      })
     s.read.schema(PairsSchema).parquet(path)
   }
 
@@ -161,12 +160,23 @@ object SimilarityQueries {
     * corpus per query). Output is landed and the oracle replays exact
     * cosine + rank over it; AnnSpec bounds recall@5 against brute force.
     */
+  /** Cross-session persistence for the trained IVF centroids (verdict
+    * round-10 item 4): content-keyed on the embeddings parquet + the
+    * training knobs the operator reports in `ver`, so q32 and q70's
+    * internal coarse quantizer (same knobs → same version string) share
+    * ONE trained artifact across Verify/Bench/scale-probe sessions.
+    */
+  private def centroidStore(dir: String): graft.operators.Ann.CentroidStore =
+    (ver, build) => Artifacts.cachedTensor2(
+      "ivf-centroids", s"$ver-v1", Seq(s"$dir/embeddings.parquet"))(build())
+
   private def q32 = GraftQuery(
     "q32_ivf_topk",
     (s, dir) => {
       val path = Landed.land("q32_ivf_topk", dir)
       val emb = Tables.embeddings(s, dir)
-      graft.operators.Ann.ivfTopK(s, emb.filter(col("vec_id") < 20), emb, k = 5)
+      graft.operators.Ann.ivfTopK(s, emb.filter(col("vec_id") < 20), emb, k = 5,
+          centroidStore = centroidStore(dir))
         .repartition(1) // see q24: empty-safe single part file
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path)
@@ -191,17 +201,17 @@ object SimilarityQueries {
       // the builder runs once per (JVM, dir) — the quartet/kmeans landed
       // contract; repeat invocations (bench best-of-N) copy the scratch
       // frame to the oracle-visible landing instead of re-bucketing
-      val built = lshGraphLanded.computeIfAbsent(dir, _ => {
-        val p = Scratch.tempDir("graft-lsh-graph") + "/edges.parquet"
-        val emb = Tables.embeddings(s, dir)
-        // driver scales keep the default knobs (hash-stable edges);
-        // larger corpora take the size-scaled bits the probe measured
-        val (bits, tables) = NearDup.scaledLshKnobs(emb.count())
-        NearDup.knnTopKLsh(emb, k = 5, bits = bits, tables = tables)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(p)
-        p
-      })
+      val built = lshGraphLanded.computeIfAbsent(dir, _ =>
+        Artifacts.cached("lsh-knn-graph", "k5-scaled-v1",
+            Seq(s"$dir/embeddings.parquet")) { p =>
+          val emb = Tables.embeddings(s, dir)
+          // driver scales keep the default knobs (hash-stable edges);
+          // larger corpora take the size-scaled bits the probe measured
+          val (bits, tables) = NearDup.scaledLshKnobs(emb.count())
+          NearDup.knnTopKLsh(emb, k = 5, bits = bits, tables = tables)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(p)
+        })
       val path = Landed.land("q142_lsh_knn_graph", dir)
       s.read.parquet(built)
         .repartition(1) // see q24: empty-safe single part file
@@ -294,7 +304,10 @@ object SimilarityQueries {
     (s, dir) => {
       val path = Landed.land("q70_pq_adc_topk", dir)
       val emb = Tables.embeddings(s, dir)
-      graft.operators.Pq.pqTopK(s, emb.filter(col("vec_id") < 20), emb, k = 5)
+      graft.operators.Pq.pqTopK(s, emb.filter(col("vec_id") < 20), emb, k = 5,
+          codebookStore = (ver, build) => Artifacts.cachedTensor3(
+            "pq-codebooks", s"$ver-v1", Seq(s"$dir/embeddings.parquet"))(build()),
+          centroidStore = centroidStore(dir))
         .repartition(1) // see q24: empty-safe single part file
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path)
@@ -528,14 +541,14 @@ object SimilarityQueries {
   private val kmeansLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def kmeansShared(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val path = kmeansLanded.computeIfAbsent(dir, _ => {
-      val p = Scratch.tempDir("graft-kmeans") + "/assign.parquet"
-      graft.operators.KMeans.run(
-          Tables.embeddings(s, dir), k = KmK, iterations = KmIters, seed = KmSeed)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+    val path = kmeansLanded.computeIfAbsent(dir, _ =>
+      Artifacts.cached("kmeans-assign", s"k$KmK-i$KmIters-s$KmSeed-v1",
+          Seq(s"$dir/embeddings.parquet")) { p =>
+        graft.operators.KMeans.run(
+            Tables.embeddings(s, dir), k = KmK, iterations = KmIters, seed = KmSeed)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(p)
+      })
     s.read.parquet(path)
   }
 
@@ -1191,7 +1204,84 @@ object SimilarityQueries {
 
   // def, not val: q24/q32/q70 rebuild their oracle SQL from the recorded
   // landing path on every access (see the Landed note above)
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal) — the diversity-first data-selection primitive (Sener &
+    * Savarese 2018 use exactly this for coreset active learning): seed
+    * with the lowest vec_id, then k−1 rounds of "pick the vector farthest
+    * (max–min cosine distance) from everything selected so far". Each
+    * round is ONE corpus scan computing ≤ k cosines per row against the
+    * broadcast selected set (k is a bounded knob, so total work is
+    * O(k·n) — the MMR/q163 driver-bounded loop contract, never a pair
+    * join). Determinism: every pairwise distance is rounded HALF_UP at
+    * 12 dp BEFORE the min/argmax (the q216 round-before-argmax contract)
+    * and ties break on lowest vec_id, so both engines replay the
+    * identical selection sequence. `dist` is the selected vector's
+    * max–min distance at selection time (the coverage radius sequence;
+    * NULL for the seed).
+    */
+  private val KcRounds = 8
+
+  private def q225 = GraftQuery(
+    "q225_kcenter_coreset",
+    (s, dir) => {
+      import graft.functions.Similarity
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val seed = emb.orderBy("vec_id").limit(1)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].head()
+      var selected = List(seed)
+      val picked = scala.collection.mutable.ListBuffer(
+        (0, seed._1, Option.empty[Double]))
+      for (j <- 1 until KcRounds) {
+        val dists = selected.map { case (_, v) =>
+          val lv = typedLit(v)
+          round(lit(1.0) - Similarity.cosineFromParts(
+            Similarity.dotExact(col("embedding"), lv),
+            Similarity.normExact(col("embedding")),
+            Similarity.normExact(lv)), 12)
+        }
+        val next = emb
+          .filter(!col("vec_id").isin(selected.map(_._1): _*))
+          .select(col("vec_id"), col("embedding"),
+            dists.reduce(least(_, _)).as("dist"))
+          .orderBy(col("dist").desc, col("vec_id").asc).limit(1)
+          .as[(Long, Array[Float], Double)].head()
+        selected = (next._1, next._2) :: selected
+        picked += ((j, next._1, Some(next._3)))
+      }
+      picked.toSeq.toDF("sel_round", "vec_id", "dist")
+        .orderBy("sel_round")
+    },
+    Some {
+      val rounds = (1 until KcRounds).map { j =>
+        val prev = if (j == 1) "prev1" else s"prev$j"
+        s"""s$j AS (SELECT vec_id, embedding, dist FROM (
+             SELECT e.vec_id, e.embedding,
+                    min(round(1.0 - (${cosSql("e.embedding", "p.embedding")}), 12)) AS dist
+             FROM embeddings e CROSS JOIN $prev p
+             WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev)
+             GROUP BY e.vec_id, e.embedding)
+           ORDER BY dist DESC, vec_id LIMIT 1),
+           prev${j + 1} AS (SELECT vec_id, embedding FROM $prev
+                            UNION ALL SELECT vec_id, embedding FROM s$j)"""
+      }.mkString(",\n")
+      val unions = (1 until KcRounds)
+        .map(j => s"SELECT CAST($j AS INT) AS sel_round, vec_id, dist FROM s$j")
+        .mkString("\n UNION ALL ")
+      s"""WITH s0 AS (SELECT vec_id, embedding
+                      FROM embeddings
+                      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+          prev1 AS (SELECT vec_id, embedding FROM s0),
+          $rounds
+          SELECT sel_round, vec_id, dist FROM (
+            SELECT CAST(0 AS INT) AS sel_round, vec_id,
+                   CAST(NULL AS DOUBLE) AS dist FROM s0
+            UNION ALL $unions)
+          ORDER BY sel_round"""
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128, q130, q137,
-      q138, q142, q159, q163, q187, q213, q214)
+      q138, q142, q159, q163, q187, q213, q214, q225)
 }

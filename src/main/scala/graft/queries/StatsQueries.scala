@@ -937,6 +937,79 @@ object StatsQueries {
                        + se_r * se_r / (CAST(nr AS DOUBLE) - 1.0)), 9) AS dof
             FROM c ORDER BY source"""))
 
+  /** Benford first-digit conformance of the money column — the classic
+    * fabricated-data screen (Benford 1938; standard in financial DQ
+    * suites): leading-digit shares of `l_extendedprice` vs log10(1+1/d),
+    * with the χ² distance. One scan + a 9-row aggregate. Digit
+    * extraction avoids float log/formatting divergence entirely: cents =
+    * floor(price·100 + 0.5) (identical IEEE product both engines), then
+    * the first character of the BIGINT's decimal string. Expected shares
+    * are shared 12-dp literals; per-digit χ² terms round onto the
+    * DECIMAL(38,15) grid before the order-free sum (the q227 contract).
+    */
+  private val BenfordShares = Seq(
+    1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+    4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+    7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+
+  private def q231 = GraftQuery(
+    "q231_benford_digits",
+    (s, dir) => {
+      import s.implicits._
+      val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+      val obs = Tables.lineitem(s, dir)
+        .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val exp = BenfordShares.toDF("digit", "expected_share")
+      val tot = obs.agg(sum(col("n_obs")).as("n_total"))
+      val base = broadcast(exp).join(obs, Seq("digit"), "left")
+        .na.fill(0L, Seq("n_obs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("obs_raw",
+          col("n_obs").cast("double") / col("n_total").cast("double"))
+        .withColumn("term",
+          round((col("obs_raw") - col("expected_share"))
+            * (col("obs_raw") - col("expected_share"))
+            / col("expected_share"), 15).cast(DecimalType(38, 15)))
+      val chi = base.agg(
+        sum(col("term")).cast("double").as("tsum"),
+        max(col("n_total")).as("nt"))
+        .select(round(col("nt").cast("double") * col("tsum"), 6).as("chi2"))
+      base.crossJoin(broadcast(chi))
+        .select(col("digit"), col("n_obs"),
+          round(col("obs_raw"), 12).as("obs_share"),
+          col("expected_share"), col("chi2"))
+        .orderBy("digit")
+    },
+    Some("""WITH exp AS (SELECT * FROM (VALUES
+              (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608),
+              (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631),
+              (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561))
+              t(digit, expected_share)),
+            obs AS (
+              SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS INT) AS digit,
+                     count(*) AS n_obs
+              FROM lineitem GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs),
+            base AS (
+              SELECT e.digit, coalesce(o.n_obs, 0) AS n_obs,
+                     CAST(coalesce(o.n_obs, 0) AS DOUBLE)
+                       / CAST(n_total AS DOUBLE) AS obs_raw,
+                     e.expected_share, n_total
+              FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot),
+            terms AS (
+              SELECT *, CAST(round((obs_raw - expected_share)
+                       * (obs_raw - expected_share) / expected_share, 15)
+                     AS DECIMAL(38,15)) AS term
+              FROM base),
+            chi AS (SELECT round(CAST(max(n_total) AS DOUBLE)
+                             * CAST(sum(term) AS DOUBLE), 6) AS chi2 FROM terms)
+            SELECT digit, n_obs, round(obs_raw, 12) AS obs_share,
+                   expected_share, chi2
+            FROM terms CROSS JOIN chi ORDER BY digit"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185, q215, q216, q217)
+    Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185, q215, q216,
+      q217, q231)
 }

@@ -1668,8 +1668,60 @@ object TextQueries {
                          / CAST(any_value(n_r) AS DOUBLE)), 9) AS js
             FROM rows_ GROUP BY source ORDER BY source"""))
 
+  /** Flesch–Kincaid grade level per document — the classic readability
+    * score as a corpus-quality signal (alongside q16's ratio screens and
+    * q203's language id). Heuristic syllables: vowel-group count per
+    * word, floored at 1 (the standard dictionary-free approximation).
+    * Entirely array-side per row — `transform`/`aggregate` over the
+    * token array, zero shuffles before the display sort — so it scales
+    * as one corpus scan. Integer counts are exact; the one double
+    * formula runs per row with identical literal structure in both
+    * engines, rounded at 6 dp.
+    */
+  private val q229 = GraftQuery(
+    "q229_readability_fk",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val nWords = tokenCount(col("text")).cast("long")
+      val nSent = greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+      val nSyl = aggregate(toks, lit(0L), (acc, w) =>
+        acc + greatest(lit(1L),
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+          when(nWords === 0, lit(0L)).otherwise(nSyl).as("n_syllables"))
+        .withColumn("fk_grade",
+          when(col("n_words") === 0, lit(null).cast("double")).otherwise(
+            round(lit(0.39) * (col("n_words").cast("double")
+                / col("n_sentences").cast("double"))
+              + lit(11.8) * (col("n_syllables").cast("double")
+                / col("n_words").cast("double"))
+              - lit(15.59), 6)))
+        .orderBy("doc_id")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id, text,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            w AS (SELECT doc_id, unnest(t) AS word FROM norm),
+            syl AS (SELECT doc_id, count(*) AS n_words,
+                           CAST(sum(greatest(1, len(regexp_extract_all(word, '[aeiouy]+')))) AS BIGINT) AS n_syllables
+                    FROM w WHERE length(word) > 0 GROUP BY 1),
+            base AS (SELECT n.doc_id,
+                            coalesce(s.n_words, 0) AS n_words,
+                            CAST(greatest(1, len(regexp_extract_all(n.text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+                            coalesce(s.n_syllables, 0) AS n_syllables
+                     FROM norm n LEFT JOIN syl s USING (doc_id))
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words = 0 THEN NULL ELSE
+                     round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                         + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                         - 15.59, 6) END AS fk_grade
+            FROM base ORDER BY doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
       q115, q116, q121, q125, q129, q139, q145, q151, q164, q169, q196, q197,
-      q203, q222)
+      q203, q222, q229)
 }
