@@ -4,6 +4,7 @@ import graft.{GraftQuery, Tables}
 import graft.functions.TextFunctions
 import graft.operators.Curation
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data curation surface (driver north star §2b): data mixing
   * (stratified sampling), eval decontamination, and PII scrubbing — each
@@ -1327,8 +1328,77 @@ object CurationQueries {
                    leak.leaked_pairs
             FROM per CROSS JOIN leak ORDER BY split"""))
 
+  /** Calibration reliability table + expected calibration error (ECE) —
+    * the q120 classifier-eval companion: the min-max-normalized score
+    * (n_chars as the quality proxy, lang='en' as the label — q120's
+    * setup) binned into 10 equal-width confidence bins; per bin the mean
+    * confidence vs the observed positive rate, and the weighted gap sum.
+    * Equal-WIDTH bins (not quantile) keep binning a pure per-row closed
+    * form — no tie-break ambiguity, no sort. Determinism: mean confidence
+    * is computed from the exact BIGINT score sum ((Σs/n − min)/(max−min)),
+    * never an order-dependent double avg; ECE terms round onto the
+    * DECIMAL(38,15) grid before the order-free sum.
+    */
+  private val q235 = GraftQuery(
+    "q235_calibration_bins",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mm = docs.agg(min(col("n_chars")).cast("double").as("mn"),
+        max(col("n_chars")).cast("double").as("mx"))
+      val b = docs.crossJoin(broadcast(mm))
+        .select(
+          least(lit(9), floor((col("n_chars").cast("double") - col("mn"))
+            / (col("mx") - col("mn")) * lit(10.0)).cast("int")).as("bin"),
+          col("n_chars"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val g = b.groupBy("bin").agg(
+        count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("n_chars")).as("sum_score"))
+      val tot = g.agg(sum(col("n")).as("nn"))
+      val c = g.crossJoin(broadcast(mm))
+        .withColumn("conf_raw",
+          (col("sum_score").cast("double") / col("n").cast("double") - col("mn"))
+            / (col("mx") - col("mn")))
+        .withColumn("pos_raw", col("n_pos").cast("double") / col("n").cast("double"))
+      val t = c.crossJoin(broadcast(tot))
+        .withColumn("term", round(col("n").cast("double") / col("nn").cast("double")
+          * abs(col("pos_raw") - col("conf_raw")), 15).cast(DecimalType(38, 15)))
+      val e = t.agg(round(sum(col("term")).cast("double"), 12).as("ece"))
+      t.crossJoin(broadcast(e))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("conf_raw"), 12).as("mean_conf"),
+          round(col("pos_raw"), 12).as("pos_rate"),
+          round(abs(col("pos_raw") - col("conf_raw")), 12).as("gap"),
+          col("ece"))
+        .orderBy("bin")
+    },
+    Some("""WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS mn,
+                               CAST(max(n_chars) AS DOUBLE) AS mx FROM documents),
+            b AS (SELECT least(9, CAST(floor((CAST(n_chars AS DOUBLE) - mn)
+                           / (mx - mn) * 10.0) AS INT)) AS bin,
+                         n_chars,
+                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+                  FROM documents CROSS JOIN mm),
+            g AS (SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+                         CAST(sum(n_chars) AS BIGINT) AS sum_score
+                  FROM b GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g),
+            c AS (SELECT bin, n, n_pos,
+                         (CAST(sum_score AS DOUBLE) / CAST(n AS DOUBLE) - mn)
+                           / (mx - mn) AS conf_raw,
+                         CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_raw
+                  FROM g CROSS JOIN mm),
+            t AS (SELECT *, CAST(round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+                           * abs(pos_raw - conf_raw), 15) AS DECIMAL(38,15)) AS term
+                  FROM c CROSS JOIN tot),
+            e AS (SELECT round(CAST(sum(term) AS DOUBLE), 12) AS ece FROM t)
+            SELECT bin, n, n_pos, round(conf_raw, 12) AS mean_conf,
+                   round(pos_raw, 12) AS pos_rate,
+                   round(abs(pos_raw - conf_raw), 12) AS gap, ece
+            FROM t CROSS JOIN e ORDER BY bin"""))
+
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
       q90, q92, q94, q96, q120, q124, q170, q180, q198, q199, q200, q206,
-      q224)
+      q224, q235)
 }

@@ -999,7 +999,66 @@ object DedupQueries {
           FROM ($perT) ORDER BY threshold"""
     })
 
+  /** MinHash estimator-error census: for every verified q20 pair, the
+    * signature-estimated Jaccard vs the exact one, with the binomial
+    * 3σ acceptance band (σ = √(j(1−j)/k), k = 64 permutations) — the
+    * measurement that justifies trusting the sketch as a candidate
+    * generator at scale. The landed-pair gate (q21/q35 scheme): the
+    * xxhash-seeded signature has no SQL twin, so the emitted
+    * (pair, est) list lands to parquet and DuckDB recomputes the exact
+    * Jaccard and the band verdict for exactly those pairs — the error
+    * math is hash-gated even though the estimator itself is
+    * engine-specific.
+    */
+  private def q233 = GraftQuery(
+    "q233_minhash_error_census",
+    (s, dir) => {
+      val path = Landed.land("q233_minhash_error_census", dir)
+      NearDup.minhashLshPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
+        .repartition(1) // see q21: empty-safe single part file
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est_jaccard"), 12).as("est_jaccard"),
+          col("jaccard"),
+          round(abs(col("est_jaccard") - col("jaccard")), 12).as("abs_err"),
+          (abs(col("est_jaccard") - col("jaccard")) <=
+            lit(3.0) * sqrt(col("jaccard") * (lit(1.0) - col("jaccard"))
+              / lit(64.0))).as("within_3sigma"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH lp AS (
+              SELECT doc_a, doc_b, est_jaccard
+              FROM read_parquet('${Landed.oraclePath("q233_minhash_error_census")}/*.parquet')),
+            norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS s
+              FROM norm WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            cc AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            ex AS (
+              SELECT lp.doc_a, lp.doc_b, lp.est_jaccard,
+                     CAST(cc.c AS DOUBLE) / (sa.n + sb.n - cc.c) AS jaccard
+              FROM lp
+              JOIN cc ON cc.da = lp.doc_a AND cc.db = lp.doc_b
+              JOIN sizes sa ON lp.doc_a = sa.doc_id
+              JOIN sizes sb ON lp.doc_b = sb.doc_id)
+            SELECT doc_a, doc_b, round(est_jaccard, 12) AS est_jaccard, jaccard,
+                   round(abs(est_jaccard - jaccard), 12) AS abs_err,
+                   abs(est_jaccard - jaccard)
+                     <= 3.0 * sqrt(jaccard * (1.0 - jaccard) / 64.0)
+                     AS within_3sigma
+            FROM ex ORDER BY doc_a, doc_b"""))
+
   def all: Seq[GraftQuery] =
     Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146, q181,
-      q186, q201, q205, q218, q219, q220)
+      q186, q201, q205, q218, q219, q220, q233)
 }

@@ -1009,7 +1009,147 @@ object StatsQueries {
                    expected_share, chi2
             FROM terms CROSS JOIN chi ORDER BY digit"""))
 
+  /** Sequential-pattern mining, PrefixSpan support semantics over
+    * sessions: every contiguous event-type 2-gram and 3-gram, counted by
+    * SESSION SUPPORT (distinct sessions containing the pattern — not
+    * occurrences, which is q106's transition census). Entirely
+    * array-side after the q134 sessionization: n-grams come out of a
+    * `transform` over each session's path array, deduped per session
+    * before the support aggregate, so the shuffle carries (pattern,
+    * session) rows bounded by sessions × pattern slots. Support ≥ 5
+    * keeps the output the frequent-pattern head.
+    */
+  private val q234 = GraftQuery(
+    "q234_session_ngram_patterns",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val paths = Tables.events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("ts").cast("long") - col("prev").cast("long") >= 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x("event_type")).as("path"))
+      def grams(len: Int) = paths
+        .filter(size(col("path")) >= len)
+        .select(explode(array_distinct(transform(
+          sequence(lit(1), size(col("path")) - lit(len) + lit(1)),
+          i => array_join(slice(col("path"), i, lit(len)), ",")))).as("pattern"))
+        .groupBy("pattern").agg(count(lit(1)).as("support"))
+        .select(lit(len).as("length"), col("pattern"), col("support"))
+      grams(2).unionByName(grams(3))
+        .filter(col("support") >= 5)
+        .orderBy(col("length").asc, col("support").desc, col("pattern").asc)
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                     lag(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT *, sum(CASE WHEN prev IS NULL
+                                   OR ts - prev >= INTERVAL '30 minutes'
+                                 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+              FROM e),
+            p AS (
+              SELECT user_id, sess,
+                     list(event_type ORDER BY ts, event_id) AS path
+              FROM s GROUP BY 1, 2),
+            g2 AS (
+              SELECT 2 AS length, unnest(list_distinct(
+                       [path[i] || ',' || path[i+1]
+                        for i in generate_series(1, len(path)-1)])) AS pattern
+              FROM p WHERE len(path) >= 2),
+            g3 AS (
+              SELECT 3 AS length, unnest(list_distinct(
+                       [path[i] || ',' || path[i+1] || ',' || path[i+2]
+                        for i in generate_series(1, len(path)-2)])) AS pattern
+              FROM p WHERE len(path) >= 3),
+            u AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+            SELECT CAST(length AS INT) AS length, pattern, count(*) AS support
+            FROM u GROUP BY 1, 2
+            HAVING count(*) >= 5
+            ORDER BY length ASC, support DESC, pattern ASC"""))
+
+  /** Hampel filter — rolling-median outlier detection AND repair on the
+    * daily event-count series (the robust alternative to q147's seasonal
+    * z-score: median/MAD shrug off the very outliers a mean/σ window
+    * absorbs). Centered 7-row window; everything after the one
+    * `collect_list` window is ARRAY-SIDE per row (sort, exact median,
+    * deviations, exact MAD), so both engines replay identical
+    * arithmetic — no engine median() whose interpolation semantics
+    * differ. Outlier: |n − med| > 3·1.4826·MAD (the Gaussian-consistent
+    * scale, shared literal 4.4478); repaired series substitutes the
+    * rolling median.
+    */
+  private val q236 = GraftQuery(
+    "q236_hampel_repair",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      def medOf(arr: Column, l: Column): Column =
+        when(l % 2 === 1,
+          element_at(arr, floor((l + lit(1)) / lit(2.0)).cast("int")).cast("double"))
+          .otherwise((element_at(arr, floor(l / lit(2.0)).cast("int")).cast("double")
+            + element_at(arr, (floor(l / lit(2.0)) + lit(1)).cast("int")).cast("double"))
+            / lit(2.0))
+      val withWin = daily
+        .withColumn("win", sort_array(collect_list(col("n")).over(w)))
+        .withColumn("l", size(col("win")))
+        .withColumn("med", medOf(col("win"), col("l")))
+      val withMad = withWin
+        .withColumn("dv", sort_array(transform(col("win"),
+          v => abs(v.cast("double") - col("med")))))
+        .withColumn("mad", medOf(col("dv"), col("l")))
+        .withColumn("is_outlier",
+          abs(col("n").cast("double") - col("med")) > lit(4.4478) * col("mad"))
+      withMad.select(col("day"), col("n"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("is_outlier"),
+          round(when(col("is_outlier"), col("med"))
+            .otherwise(col("n").cast("double")), 6).as("repaired"))
+        .orderBy("day")
+    },
+    Some("""WITH d AS (
+              SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY 1),
+            w AS (
+              SELECT day, n,
+                     list(n) OVER (ORDER BY day
+                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win
+              FROM d),
+            m AS (SELECT day, n, list_sort(win) AS sw, len(win) AS l FROM w),
+            m2 AS (
+              SELECT day, n, sw, l,
+                     CASE WHEN l % 2 = 1 THEN CAST(sw[(l+1)//2] AS DOUBLE)
+                          ELSE (CAST(sw[l//2] AS DOUBLE)
+                                + CAST(sw[l//2+1] AS DOUBLE)) / 2.0 END AS med
+              FROM m),
+            m3 AS (
+              SELECT day, n, med, l,
+                     list_sort([abs(CAST(x AS DOUBLE) - med) for x in sw]) AS dv
+              FROM m2),
+            m4 AS (
+              SELECT day, n, med,
+                     CASE WHEN l % 2 = 1 THEN dv[(l+1)//2]
+                          ELSE (dv[l//2] + dv[l//2+1]) / 2.0 END AS mad
+              FROM m3)
+            SELECT day, n, round(med, 6) AS med, round(mad, 6) AS mad,
+                   abs(CAST(n AS DOUBLE) - med) > 4.4478 * mad AS is_outlier,
+                   round(CASE WHEN abs(CAST(n AS DOUBLE) - med) > 4.4478 * mad
+                         THEN med ELSE CAST(n AS DOUBLE) END, 6) AS repaired
+            FROM m4 ORDER BY day"""))
+
   def all: Seq[GraftQuery] =
     Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185, q215, q216,
-      q217, q231)
+      q217, q231, q234, q236)
 }

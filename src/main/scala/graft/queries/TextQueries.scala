@@ -1720,8 +1720,66 @@ object TextQueries {
                          - 15.59, 6) END AS fk_grade
             FROM base ORDER BY doc_id"""))
 
+  /** Vocabulary coverage curve — how many distinct words (by rank) cover
+    * 50/90/99% of all token occurrences. The tokenizer-budget planning
+    * number (vocab-size selection reads exactly this curve) and the
+    * corpus-concentration complement to q116's Zipf slope / q121's Gini.
+    * One corpus scan to the vocab-sized frequency table; the rank window
+    * sorts VOCAB rows, never the corpus. Coverage shares are exact
+    * BIGINT-cumsum / BIGINT-total divisions — identical IEEE doubles in
+    * both engines, no rounding needed before the threshold compare.
+    */
+  private val q232 = GraftQuery(
+    "q232_vocab_coverage",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("word").asc)
+      val ranked = freq
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum(col("cnt"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = freq.agg(sum(col("cnt")).as("total_tokens"),
+        count(lit(1)).as("vocab"))
+      val th = Seq(0.5, 0.9, 0.99).toDF("threshold")
+      ranked.crossJoin(broadcast(tot))
+        .join(broadcast(th),
+          col("cum").cast("double") / col("total_tokens").cast("double")
+            >= col("threshold"))
+        .groupBy("threshold")
+        .agg(min(col("rank")).cast("long").as("words_needed"),
+          max(col("vocab")).as("vocab"),
+          max(col("total_tokens")).as("total_tokens"))
+        .orderBy("threshold")
+    },
+    Some("""WITH occ AS (
+              SELECT word FROM (
+                SELECT unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+                FROM documents)
+              WHERE length(word) > 0),
+            freq AS (SELECT word, count(*) AS cnt FROM occ GROUP BY 1),
+            ranked AS (
+              SELECT word, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank,
+                     sum(cnt) OVER (ORDER BY cnt DESC, word ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM freq),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+                           count(*) AS vocab FROM freq),
+            th AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(threshold))
+            SELECT threshold, CAST(min(rank) AS BIGINT) AS words_needed,
+                   max(vocab) AS vocab, max(total_tokens) AS total_tokens
+            FROM ranked CROSS JOIN tot
+            JOIN th ON CAST(cum AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                         >= threshold
+            GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
       q115, q116, q121, q125, q129, q139, q145, q151, q164, q169, q196, q197,
-      q203, q222, q229)
+      q203, q222, q229, q232)
 }

@@ -115,7 +115,14 @@ class PlanShapeSpec extends SparkSpec {
       // Brandes loop at build time — audited by LayoutSpec/
       // GraphExtrasSpec; these three are pure declarative plans)
       "q201_crossdoc_substring_dedup", "q203_naive_bayes_langid",
-      "q205_incremental_jaccard_pairs")
+      "q205_incremental_jaccard_pairs",
+      // round-10 declarative additions (q224/q227 run component/LPA loops
+      // and q225/q233 drive bounded selection loops or landings at
+      // plan-build time — audited by their operator specs; q226's
+      // cross-join of three 1-row aggregate scalars is intentional)
+      "q229_readability_fk", "q230_fd_violations", "q231_benford_digits",
+      "q232_vocab_coverage", "q234_session_ngram_patterns",
+      "q235_calibration_bins", "q236_hampel_repair")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
@@ -146,6 +153,14 @@ class PlanShapeSpec extends SparkSpec {
   test("q195 NOT IN plans as a broadcast null-aware anti join") {
     val p = plan("q195_part_supplier_diversity")
     assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("q184 EWMA smoothing self-join stays an equi join") {
+    val p = plan("q184_ewma_daily")
+    // the day-lag pairing must ride an equi join on the day key, never a
+    // nested-loop over the daily frame
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      p.take(1500))
   }
 
   test("q189 attribution joins purchases to touches on the user key") {
