@@ -16,12 +16,19 @@ import org.apache.spark.sql.SparkSession
   *    shuffle STARTS wide enough that a ×100 fact join's reduce side fits
   *    in executor memory without spill (512 × ~64 MB advisory ≈ 32 GB of
   *    shuffle data per stage before any spill pressure).
-  *  - AQE partition coalescing (`parallelismFirst` default) then merges
-  *    the tiny post-shuffle partitions of SMALL stages back down to
-  *    ~`defaultParallelism`, so sf0.1-scale queries pay no extra task
-  *    overhead — the runtime picks the partition count per stage from the
-  *    OBSERVED shuffle bytes, which is the size-derived behavior the
-  *    deployment knob was approximating by hand.
+  *  - AQE partition coalescing with `parallelismFirst = false` and the
+  *    stock 64 MB advisory target then sizes every stage from its
+  *    OBSERVED shuffle bytes: small stages collapse to a handful of
+  *    tasks, big stages keep their width — the size-derived behavior the
+  *    deployment knob was approximating by hand. `parallelismFirst` must
+  *    be OFF: its default targets totalBytes/defaultParallelism per
+  *    partition, which re-coalesces every big stage back to the core
+  *    count and reintroduces the exact spill the width was bought to
+  *    avoid (measured on the ×100 fact joins: coalesced 512 → 32 with it
+  *    on, 1.1–2× over the round-9 spill numbers; with it off, 1.4–8×
+  *    UNDER them). The advisory stays at Spark's default — a smaller
+  *    value (4 MB probe) fragmented multi-stage write pipelines (q44:
+  *    159 s vs 52 s) for no reliable join win.
   *  - AQE skew-join splitting stays on (default) as the runtime
   *    complement to the explicit salting operator ([[operators.SkewJoin]],
   *    q34): oversized partitions of a sort-merge join are split at
@@ -42,11 +49,16 @@ object GraftSession {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         InitialShufflePartitions.toString)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

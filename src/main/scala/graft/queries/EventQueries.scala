@@ -1359,8 +1359,46 @@ object EventQueries {
 
   // def, not val: q29/q66/q67 land estimate parquet and their oracle SQL
   // must embed the path recorded at dump time (the q21/q76 pattern)
+  /** Dormancy/re-engagement anomaly stream: every consecutive same-user
+    * event pair at least an hour apart, emitted from a running stream via
+    * `flatMapGroupsWithState` ([[graft.streaming.StreamOps.userGapAnomalies]])
+    * — the multi-row stateful API the rest of the streaming family
+    * doesn't exercise (q81/q66 use the one-row mapGroupsWithState). The
+    * pair spans micro-batches through one carried last-event-time long
+    * per user — O(users) state forever. Single-file drain contract as
+    * q81: cross-batch chaining needs batches in event order, which
+    * AvailableNow guarantees only within one file.
+    */
+  private def q237 = GraftQuery(
+    "q237_stream_gap_anomalies",
+    (s, dir) => {
+      import graft.streaming.StreamOps
+      val src = new java.io.File(s"$dir/events.parquet")
+      val nFiles =
+        if (src.isDirectory) src.listFiles.count(_.getName.endsWith(".parquet")) else 1
+      require(nFiles == 1,
+        s"q237 needs a single-file events table (ordered micro-batches), got $nFiles files")
+      StreamOps.runAvailableNow(
+        s,
+        s2 => StreamOps.userGapAnomalies(s2, StreamOps.eventsStream(s2, dir)).toDF(),
+        "q237_sink", org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = 8)
+        .orderBy("user_id", "ts")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                     lag(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events)
+            SELECT user_id, prev_ts, ts,
+                   (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS gap_seconds
+            FROM e
+            WHERE prev_ts IS NOT NULL
+              AND (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 >= 3600
+            ORDER BY user_id, ts"""))
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
       q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152, q160,
-      q166, q183, q189)
+      q166, q183, q189, q237)
 }

@@ -228,6 +228,55 @@ object StreamOps {
       .select(col("user_id"), col("last.n_events").as("n_events"),
         col("last.sum_value").as("sum_value"))
 
+  final case class GapAnomaly(
+      user_id: Long, prev_ts: java.sql.Timestamp, ts: java.sql.Timestamp,
+      gap_seconds: Long)
+
+  /** Per-user event-gap anomaly stream via `flatMapGroupsWithState` — the
+    * MULTI-ROW stateful emission API ([[userRunningTotals]]'s
+    * one-row-per-group sibling): each micro-batch sorts the group's new
+    * events into event order (ts, then event_id — the q134 tie contract),
+    * chains them onto the carried last-event-time state, and emits one
+    * row per consecutive pair whose gap is at least `minGapSeconds` — the
+    * dormancy/re-engagement detector a window aggregate can't express as
+    * a stream (the pair spans micro-batches). Gap arithmetic runs in
+    * epoch MICROseconds (the column's physical unit) with truncating
+    * integer division, replayed exactly by the oracle's lag window.
+    */
+  def userGapAnomalies(
+      spark: SparkSession, events: DataFrame,
+      minGapSeconds: Long = 3600L): Dataset[GapAnomaly] = {
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp],
+        col("event_id").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, GapAnomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          val out = scala.collection.mutable.ListBuffer.empty[GapAnomaly]
+          var prevUs = state.getOption.getOrElse(Long.MinValue)
+          sorted.foreach { case (_, t, _) =>
+            val tUs = us(t)
+            if (prevUs != Long.MinValue) {
+              val gap = (tUs - prevUs) / 1000000L
+              if (gap >= minGapSeconds)
+                out += GapAnomaly(userId,
+                  java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                    prevUs / 1000000L, prevUs % 1000000L * 1000L)),
+                  t, gap)
+            }
+            prevUs = tUs
+          }
+          if (sorted.nonEmpty) state.update(prevUs)
+          out.iterator
+      }
+  }
+
   final case class TypeDistinct(event_type: String, est_distinct_users: Long)
 
   /** Streaming approximate distinct users per event type: the mergeable

@@ -131,6 +131,23 @@ class StreamingSpec extends SparkSpec {
         want.orderBy("user_id").collect().toSeq)
   }
 
+  test("flatMapGroupsWithState gap anomalies == batch lag window") {
+    val got = StreamOps.runAvailableNow(
+      spark,
+      s2 => StreamOps.userGapAnomalies(s2, StreamOps.eventsStream(s2, sf)).toDF(),
+      "s_gap_anomalies", OutputMode.Append())
+      .orderBy("user_id", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val gap = expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000")
+    val want = Tables.events(spark, sf)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull && gap >= 3600L)
+      .select(col("user_id"), col("prev_ts"), col("ts"), gap.as("gap_seconds"))
+      .orderBy("user_id", "ts")
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
   test("StreamingCdcLoad: per-batch upserts, replay skipped, stream drain") {
     import spark.implicits._
     val root = tmpDir("graft-cdc-root")
