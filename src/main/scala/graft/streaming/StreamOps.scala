@@ -37,26 +37,49 @@ object StreamOps {
         .schema(graft.Tables.EventsSchemaMicros)
         .parquet(streamDir(sfDir))
 
-  /** The parquet file source requires a directory; the harness ships one
-    * file per table, so stage a directory containing a symlink to it (a
-    * production deployment points at the landing directory directly).
+  /** The parquet file source requires a directory of leaf FILES; the
+    * harness ships one file per table, while ScaleUp probe dirs carry a
+    * Spark-written DIRECTORY (part files + _SUCCESS). Stage a directory
+    * of symlinks to the actual part files either way — linking the
+    * directory itself (the pre-round-10 behavior) made the file source
+    * list ZERO files and every scale-probe streaming drain silently
+    * processed an empty stream. (A production deployment points the
+    * source at the landing directory directly.)
     */
   private def streamDir(sfDir: String): String = {
-    import java.nio.file.{Files, LinkOption, Paths}
+    import java.nio.file.{Files, LinkOption, Paths, Path}
+    import scala.jdk.CollectionConverters._
     val src = Paths.get(s"$sfDir/events.parquet")
+    val parts: Seq[(String, Path)] =
+      if (Files.isDirectory(src)) {
+        val listing = Files.list(src)
+        try listing.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+          .zipWithIndex
+          .map { case (p, i) => (s"events_$i.parquet", p) }
+        finally listing.close()
+      } else Seq(("events_0.parquet", src))
+    require(parts.nonEmpty, s"no parquet files under $src")
     // keyed by the sanitized full path (a 32-bit hash could collide and
     // silently serve another directory's data)
     val dir = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft-stream-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
     Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS)) {
-      // recreate dangling or mistargeted links
-      if (!Files.isSymbolicLink(link) || Files.readSymbolicLink(link) != src) {
-        Files.delete(link)
-        Files.createSymbolicLink(link, src)
-      }
-    } else Files.createSymbolicLink(link, src)
+    // drop links from an earlier shape of the source (incl. the legacy
+    // directory-target "events.parquet" link), then (re)link each part
+    val existing = Files.list(dir)
+    try existing.iterator().asScala.toSeq.foreach { l =>
+      if (!parts.exists { case (n, p) =>
+            n == l.getFileName.toString &&
+              Files.isSymbolicLink(l) && Files.readSymbolicLink(l) == p })
+        Files.delete(l)
+    } finally existing.close()
+    parts.foreach { case (n, p) =>
+      val link = dir.resolve(n)
+      if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+        Files.createSymbolicLink(link, p)
+    }
     dir.toString
   }
 
