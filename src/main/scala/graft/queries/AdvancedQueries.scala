@@ -1944,9 +1944,44 @@ object AdvancedQueries {
                    n_violating_keys = 0 AS holds
             FROM u ORDER BY fd"""))
 
+  /** Revenue-change forecast (TPC-H Q6 shape) — the last of the 22 TPC-H
+    * query shapes, completing the suite (Q1=q172 … Q22=q178). A pure
+    * scan-filter-aggregate: one year of shipments, a narrow discount band,
+    * small quantities. The optimizer test is that ALL three conjuncts reach
+    * the parquet scan as PushedFilters (timestamp range + two doubles) and
+    * the scan reads exactly the four referenced columns — no join, no
+    * shuffle beyond the single-row partial-agg exchange. Revenue rides the
+    * exact decimal sum; the discount band compares the stored doubles
+    * against the same parsed literals on both engines (0.05/0.07 parse to
+    * identical IEEE doubles in Spark and DuckDB).
+    */
+  private val q238 = GraftQuery(
+    "q238_forecast_revenue",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07) &&
+            col("l_quantity") < lit(24.0))
+        .agg(
+          sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(30, 6)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24"""))
+
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
       q105, q140, q141, q149, q150, q161, q167, q171, q172, q173, q174, q175,
       q176, q177, q178, q179, q190, q191, q192, q193, q194, q195, q202,
-      q208, q209, q210, q211, q212, q223, q226, q230)
+      q208, q209, q210, q211, q212, q223, q226, q230, q238)
 }

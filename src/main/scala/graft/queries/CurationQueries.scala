@@ -1397,8 +1397,108 @@ object CurationQueries {
                    round(abs(pos_raw - conf_raw), 12) AS gap, ece
             FROM t CROSS JOIN e ORDER BY bin"""))
 
+  /** Neyman-allocation stratified sampling (Neyman 1934) — the
+    * variance-optimal budget split q50's fixed-rate stratification can't
+    * give: a 100-doc budget is allocated across sources ∝ Nₕ·σₕ (stratum
+    * size × stratum stddev of n_chars), so high-variance sources get
+    * proportionally more sample — the survey-sampling optimum for
+    * estimating the corpus mean under a fixed labeling/inspection budget.
+    *
+    * Determinism: σₕ comes from exact integer moment sums (Σx, Σx² in
+    * DECIMAL(38,0) — the q217 contract); the weights Nₕσₕ round onto a
+    * 6 dp decimal grid BEFORE the cross-stratum total (order-free sum),
+    * and the allocation floor runs on a 9 dp-rounded share so both
+    * engines floor the same value (the q216 round-before-argmax
+    * contract). The realized sample is the allocation-smallest portable
+    * md5(doc_id) per stratum — one window per stratum partition, never a
+    * global sort; the hash order is engine-portable so DuckDB replays
+    * the exact same document choice.
+    */
+  private val NeymanBudget = 100
+  private val q246 = GraftQuery(
+    "q246_neyman_allocation",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec0 = DecimalType(38, 0)
+      val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"), col("n_chars"))
+      val mom = docs.groupBy("source").agg(
+        count(lit(1)).as("n_h"),
+        sum(col("n_chars").cast(dec0)).as("sx"),
+        sum((col("n_chars").cast(dec0) * col("n_chars").cast(dec0)).cast(dec0)).as("sxx"))
+      val sigma = mom.withColumn("sigma_h",
+        sqrt((col("n_h").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          / (col("n_h").cast("double") * (col("n_h").cast("double") - 1.0))))
+      val weighted = sigma.withColumn("w_h",
+        round(col("n_h").cast("double") * col("sigma_h"), 6).cast(DecimalType(38, 6)))
+      val tot = weighted.agg(sum(col("w_h")).as("w_tot"))
+      val alloc = weighted.crossJoin(broadcast(tot))
+        .withColumn("share", round(col("w_h").cast("double") / col("w_tot").cast("double"), 9))
+        .withColumn("alloc", floor(round(lit(NeymanBudget) * col("share"), 9)).cast("long"))
+      val ranked = docs.withColumn("rn",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      val sampled = ranked.join(alloc.select("source", "alloc"), "source")
+        .filter(col("rn") <= col("alloc"))
+      val sampleStats = sampled.groupBy("source").agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("n_chars").cast(dec0)).as("s_sx"))
+      alloc.join(sampleStats, Seq("source"), "left")
+        .select(col("source"), col("n_h").as("n_docs"),
+          round(col("sigma_h"), 6).as("sigma"),
+          col("alloc"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          when(col("n_sampled") > 0,
+            round(col("s_sx").cast("double") / col("n_sampled").cast("double"), 9))
+            .as("sample_mean_chars"))
+        .orderBy("source")
+    },
+    Some(s"""WITH mom AS (
+              SELECT source, count(*) AS n_h,
+                     sum(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+                     sum(CAST(CAST(n_chars AS DECIMAL(38,0))
+                         * CAST(n_chars AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS sxx
+              FROM documents GROUP BY 1),
+            sig AS (
+              SELECT *, sqrt((CAST(n_h AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0))) AS sigma_h
+              FROM mom),
+            wtd AS (
+              SELECT *, CAST(round(CAST(n_h AS DOUBLE) * sigma_h, 6) AS DECIMAL(38,6)) AS w_h
+              FROM sig),
+            tot AS (SELECT sum(w_h) AS w_tot FROM wtd),
+            alloc AS (
+              SELECT source, n_h, sigma_h, w_h,
+                     CAST(floor(round($NeymanBudget
+                       * round(CAST(w_h AS DOUBLE) / CAST(w_tot AS DOUBLE), 9), 9))
+                       AS BIGINT) AS alloc
+              FROM wtd CROSS JOIN tot),
+            ranked AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents),
+            sampled AS (
+              SELECT r.source, r.n_chars
+              FROM ranked r JOIN alloc a ON r.source = a.source
+              WHERE r.rn <= a.alloc),
+            ss AS (
+              SELECT source, count(*) AS n_sampled,
+                     sum(CAST(n_chars AS DECIMAL(38,0))) AS s_sx
+              FROM sampled GROUP BY 1)
+            SELECT a.source, a.n_h AS n_docs,
+                   round(a.sigma_h, 6) AS sigma,
+                   a.alloc,
+                   coalesce(ss.n_sampled, 0) AS n_sampled,
+                   CASE WHEN ss.n_sampled > 0
+                     THEN round(CAST(ss.s_sx AS DOUBLE) / CAST(ss.n_sampled AS DOUBLE), 9)
+                   END AS sample_mean_chars
+            FROM alloc a LEFT JOIN ss ON a.source = ss.source
+            ORDER BY a.source"""))
+
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
       q90, q92, q94, q96, q120, q124, q170, q180, q198, q199, q200, q206,
-      q224, q235)
+      q224, q235, q246)
 }

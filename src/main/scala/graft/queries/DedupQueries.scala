@@ -1058,7 +1058,98 @@ object DedupQueries {
                      AS within_3sigma
             FROM ex ORDER BY doc_a, doc_b"""))
 
+  /** Fellegi–Sunter probabilistic record linkage (JASA 1969) over the
+    * part catalog — the SCORED upgrade of q186's boolean fuzzy matching:
+    * each blocked candidate pair accumulates per-field log-likelihood
+    * weights log₂(m/u) on agreement and log₂((1−m)/(1−u)) on
+    * disagreement (m = P(agree | match), u = P(agree | non-match)), and
+    * the summed score classifies match / possible per the decision
+    * thresholds. The m/u parameters are fixed literals (in practice EM
+    * estimates); both engines inline the SAME double literals, so scores
+    * replay bit-for-bit.
+    *
+    * Blocking contract: candidates share (last name token, p_brand) — the
+    * q186 last-token block tightened by brand, so pairwise work is
+    * Σ|block|² over a (noun × brand)-partitioned catalog, never
+    * |parts|². Fields compared: name edit distance ≤ 1 (codegen'd
+    * levenshtein on both engines), type equality, size equality.
+    */
+  private val q243 = GraftQuery(
+    "q243_fellegi_sunter",
+    (s, dir) => {
+      // (m, u) per field; weights as exact double literals shared with the oracle
+      def w2(m: Double, u: Double) = (log2(m / u), log2((1 - m) / (1 - u)))
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      val (wNameA, wNameD) = w2(0.9, 0.02)
+      val (wTypeA, wTypeD) = w2(0.9, 0.2)
+      val (wSizeA, wSizeD) = w2(0.85, 0.02)
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size"),
+          element_at(split(col("p_name"), " "), -1).as("blk"))
+      val a = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+      val b = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+      val pairs = a.join(b,
+        col("a_blk") === col("b_blk") && col("a_p_brand") === col("b_p_brand") &&
+          col("a_p_partkey") < col("b_p_partkey"))
+      def fieldScore(agree: org.apache.spark.sql.Column, wA: Double, wD: Double) =
+        when(agree, lit(wA)).otherwise(lit(wD))
+      val scored = pairs
+        .withColumn("agree_name",
+          (levenshtein(col("a_p_name"), col("b_p_name")) <= 1).cast("int"))
+        .withColumn("agree_type", (col("a_p_type") === col("b_p_type")).cast("int"))
+        .withColumn("agree_size", (col("a_p_size") === col("b_p_size")).cast("int"))
+        .withColumn("score", round(
+          fieldScore(col("agree_name") === 1, wNameA, wNameD) +
+            fieldScore(col("agree_type") === 1, wTypeA, wTypeD) +
+            fieldScore(col("agree_size") === 1, wSizeA, wSizeD), 9))
+        .withColumn("verdict",
+          when(col("score") >= 7.0, lit("match")).otherwise(lit("possible")))
+      scored.filter(col("score") >= 0.0)
+        .select(col("a_p_partkey").as("key_a"), col("b_p_partkey").as("key_b"),
+          col("a_p_name").as("name_a"), col("b_p_name").as("name_b"),
+          col("agree_name"), col("agree_type"), col("agree_size"),
+          col("score"), col("verdict"))
+        .orderBy(col("score").desc, col("key_a"), col("key_b"))
+        .limit(50)
+    },
+    Some {
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      def w2(m: Double, u: Double) = (log2(m / u), log2((1 - m) / (1 - u)))
+      val (wNameA, wNameD) = w2(0.9, 0.02)
+      val (wTypeA, wTypeD) = w2(0.9, 0.2)
+      val (wSizeA, wSizeD) = w2(0.85, 0.02)
+      s"""WITH p AS (
+            SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                   list_extract(string_split(p_name, ' '), -1) AS blk
+            FROM part),
+          pairs AS (
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) <= 1 AS INT) AS agree_name,
+                   CAST(a.p_type = b.p_type AS INT) AS agree_type,
+                   CAST(a.p_size = b.p_size AS INT) AS agree_size
+            FROM p a JOIN p b
+              ON a.blk = b.blk AND a.p_brand = b.p_brand
+             AND a.p_partkey < b.p_partkey),
+          scored AS (
+            SELECT *,
+                   round(
+                     (CASE WHEN agree_name = 1 THEN $wNameA ELSE $wNameD END)
+                     + (CASE WHEN agree_type = 1 THEN $wTypeA ELSE $wTypeD END)
+                     + (CASE WHEN agree_size = 1 THEN $wSizeA ELSE $wSizeD END), 9)
+                     AS score
+            FROM pairs)
+          SELECT key_a, key_b, name_a, name_b,
+                 agree_name, agree_type, agree_size, score,
+                 CASE WHEN score >= 7.0 THEN 'match' ELSE 'possible' END AS verdict
+          FROM scored
+          WHERE score >= 0.0
+          ORDER BY score DESC, key_a, key_b
+          LIMIT 50"""
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146, q181,
-      q186, q201, q205, q218, q219, q220, q233)
+      q186, q201, q205, q218, q219, q220, q233, q243)
 }

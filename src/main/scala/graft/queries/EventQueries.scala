@@ -1397,8 +1397,201 @@ object EventQueries {
               AND (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 >= 3600
             ORDER BY user_id, ts"""))
 
+  /** CUSUM control chart (Page 1954) over the per-type daily count series
+    * — the sequential drift detector next to q152's single-split mean
+    * shift: upper/lower one-sided cumulative sums with allowance k = μ/20
+    * and decision threshold h = μ/4.
+    *
+    * The recurrence S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (cᵢ − μ − k)) is not a windowed
+    * sum, but it has the classic prefix closed form
+    * S⁺ᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) over the deviation prefix sums P —
+    * so the whole chart is ONE running-sum window plus ONE running-min
+    * window per side, O(days) per type, no per-row recursion on either
+    * engine. Exactness: everything rides an integer grid — deviations
+    * scale by 20·n_days so μ = T/n and k = μ/20 clear their denominators
+    * (Eᵢ = 20·n·cᵢ − 21·T exactly, threshold 5·T), summed as
+    * DECIMAL(38,0); doubles appear only in the final display division.
+    */
+  def cusumChart(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum(col("c").cast(dec)).as("t_tot"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val scored = daily.join(broadcast(tot), "event_type")
+      .withColumn("e_up",
+        (col("c").cast(dec) * col("n_days") * lit(20) - col("t_tot") * lit(21)).cast(dec))
+      .withColumn("e_dn",
+        (col("t_tot") * lit(19) - col("c").cast(dec) * col("n_days") * lit(20)).cast(dec))
+      .withColumn("p_up", sum(col("e_up")).over(w))
+      .withColumn("p_dn", sum(col("e_dn")).over(w))
+      .withColumn("s_up", col("p_up") - least(lit(0).cast(dec), min(col("p_up")).over(w)))
+      .withColumn("s_dn", col("p_dn") - least(lit(0).cast(dec), min(col("p_dn")).over(w)))
+      .withColumn("h", col("t_tot") * lit(5))
+    scored.groupBy(col("event_type"), col("n_days"), col("t_tot"))
+      .agg(
+        max(col("s_up")).as("max_up_raw"),
+        sum(when(col("s_up") > col("h"), 1L).otherwise(0L)).as("up_alarm_days"),
+        min(when(col("s_up") > col("h"), col("day"))).as("first_up_raw"),
+        max(col("s_dn")).as("max_dn_raw"),
+        sum(when(col("s_dn") > col("h"), 1L).otherwise(0L)).as("dn_alarm_days"),
+        min(when(col("s_dn") > col("h"), col("day"))).as("first_dn_raw"))
+      .select(
+        col("event_type"),
+        round(col("max_up_raw").cast("double")
+          / (col("n_days").cast("double") * lit(20.0)), 9).as("max_cusum_up"),
+        col("up_alarm_days"),
+        // alarm days render as strings so the column's parquet type is
+        // stable whether or not any alarm fired (an all-null DATE column
+        // reads back as untyped)
+        coalesce(col("first_up_raw").cast("string"), lit("none")).as("first_up_alarm"),
+        round(col("max_dn_raw").cast("double")
+          / (col("n_days").cast("double") * lit(20.0)), 9).as("max_cusum_down"),
+        col("dn_alarm_days"),
+        coalesce(col("first_dn_raw").cast("string"), lit("none")).as("first_dn_alarm"))
+      .orderBy("event_type")
+  }
+
+  private val q240 = GraftQuery(
+    "q240_cusum_changepoint",
+    (s, dir) => cusumChart(Tables.events(s, dir)),
+    Some("""WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2),
+            tot AS (
+              SELECT event_type, sum(CAST(c AS DECIMAL(38,0))) AS t_tot,
+                     count(*) AS n_days
+              FROM daily GROUP BY 1),
+            dev AS (
+              SELECT d.event_type, d.day, t.n_days, t.t_tot,
+                     CAST(CAST(d.c AS DECIMAL(38,0)) * t.n_days * 20
+                          - t.t_tot * 21 AS DECIMAL(38,0)) AS e_up,
+                     CAST(t.t_tot * 19
+                          - CAST(d.c AS DECIMAL(38,0)) * t.n_days * 20 AS DECIMAL(38,0)) AS e_dn
+              FROM daily d JOIN tot t USING (event_type)),
+            pre AS (
+              SELECT *,
+                     sum(e_up) OVER (PARTITION BY event_type ORDER BY day) AS p_up,
+                     sum(e_dn) OVER (PARTITION BY event_type ORDER BY day) AS p_dn
+              FROM dev),
+            cus AS (
+              SELECT event_type, day, n_days, t_tot,
+                     p_up - least(CAST(0 AS DECIMAL(38,0)),
+                       min(p_up) OVER (PARTITION BY event_type ORDER BY day)) AS s_up,
+                     p_dn - least(CAST(0 AS DECIMAL(38,0)),
+                       min(p_dn) OVER (PARTITION BY event_type ORDER BY day)) AS s_dn,
+                     t_tot * 5 AS h
+              FROM pre)
+            SELECT event_type,
+                   round(CAST(max(s_up) AS DOUBLE)
+                     / (CAST(any_value(n_days) AS DOUBLE) * 20.0), 9) AS max_cusum_up,
+                   CAST(sum(CASE WHEN s_up > h THEN 1 ELSE 0 END) AS BIGINT) AS up_alarm_days,
+                   coalesce(CAST(min(CASE WHEN s_up > h THEN day END) AS VARCHAR), 'none')
+                     AS first_up_alarm,
+                   round(CAST(max(s_dn) AS DOUBLE)
+                     / (CAST(any_value(n_days) AS DOUBLE) * 20.0), 9) AS max_cusum_down,
+                   CAST(sum(CASE WHEN s_dn > h THEN 1 ELSE 0 END) AS BIGINT) AS dn_alarm_days,
+                   coalesce(CAST(min(CASE WHEN s_dn > h THEN day END) AS VARCHAR), 'none')
+                     AS first_dn_alarm
+            FROM cus
+            GROUP BY event_type
+            ORDER BY event_type"""))
+
+  /** Position-based (U-shaped, 40/20/40) multi-touch attribution — the
+    * industry-standard companion to q189's linear split: first and last
+    * touch take 40% of the conversion value each, the middle touches
+    * split the remaining 20% evenly (1-touch journeys take 100%, 2-touch
+    * 50/50, no-touch conversions stay "(direct)"). Same join frame as
+    * q189 — the 7-day range predicate lives IN the left-join condition so
+    * touch-less purchases survive as direct rows — plus one per-purchase
+    * position window (row_number over (ts, channel): bounded by the
+    * 7-day touch fan-out, never corpus-wide). Credits round at 15 dp and
+    * ride the fixed-point exact sum; both engines derive the weight from
+    * the same (position, k) closed form in IEEE doubles.
+    */
+  def uShapedAttribution(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select("event_id", "user_id", "ts", "event_type", "value")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts").as("t_ts"))
+    val joined = purchases.as("p").join(touches.as("t"),
+      col("p.user_id") === col("t.user_id")
+        && col("t.t_ts") < col("p.p_ts")
+        && col("t.t_ts") >= col("p.p_ts") - expr("INTERVAL 7 DAYS"),
+      "left")
+    val w = Window.partitionBy("purchase_id")
+    val pw = Window.partitionBy("purchase_id").orderBy(col("t_ts"), col("channel"))
+    val weight =
+      when(col("k") === 1, lit(1.0))
+        .when(col("k") === 2, lit(0.5))
+        .when(col("pos") === 1 || col("pos") === col("k"), lit(0.4))
+        .otherwise(lit(0.2) / (col("k") - 2).cast("double"))
+    val credited = joined
+      .withColumn("k", count(col("t_ts")).over(w))
+      .withColumn("pos", when(col("t_ts").isNotNull, row_number().over(pw)))
+      .select(
+        coalesce(col("channel"), lit("(direct)")).as("channel"),
+        col("purchase_id"),
+        when(col("k") > 0, round(col("value") * weight, 15))
+          .otherwise(col("value")).as("credit"))
+    credited.groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        round(Exact.sumFx(col("credit"), 15), 9).as("attributed_revenue"))
+      .orderBy("channel")
+  }
+
+  private val q247 = GraftQuery(
+    "q247_ushape_attribution",
+    (s, dir) => uShapedAttribution(Tables.events(s, dir)),
+    Some("""WITH e AS (
+              SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+              FROM events),
+            p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+                  FROM e WHERE event_type = 'purchase'),
+            t AS (SELECT user_id, event_type AS channel, ts AS t_ts
+                  FROM e WHERE event_type IN ('click', 'view')),
+            j AS (
+              SELECT p.purchase_id, p.value, t.channel, t.t_ts
+              FROM p LEFT JOIN t
+                ON p.user_id = t.user_id
+               AND t.t_ts < p.p_ts
+               AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+            pos AS (
+              SELECT *,
+                     count(t_ts) OVER (PARTITION BY purchase_id) AS k,
+                     CASE WHEN t_ts IS NOT NULL THEN
+                       row_number() OVER (PARTITION BY purchase_id
+                         ORDER BY t_ts, channel) END AS pos
+              FROM j),
+            credited AS (
+              SELECT coalesce(channel, '(direct)') AS channel, purchase_id,
+                     CASE WHEN k > 0 THEN round(value *
+                       CASE WHEN k = 1 THEN 1.0
+                            WHEN k = 2 THEN 0.5
+                            WHEN pos = 1 OR pos = k THEN 0.4
+                            ELSE 0.2 / CAST(k - 2 AS DOUBLE) END, 15)
+                       ELSE value END AS credit
+              FROM pos)
+            SELECT channel, count(*) AS n_touches,
+                   count(DISTINCT purchase_id) AS n_purchases,
+                   round(""" + Exact.sumFxSql("credit", 15) + """, 9)
+                     AS attributed_revenue
+            FROM credited GROUP BY channel ORDER BY channel"""))
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
       q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152, q160,
-      q166, q183, q189, q237)
+      q166, q183, q189, q237, q240, q247)
 }

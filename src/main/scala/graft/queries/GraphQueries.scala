@@ -1265,7 +1265,372 @@ object GraphQueries {
                 AS assortativity
        FROM agg"""))
 
+  /** Bipartite co-purchase projection: the order–part bipartite graph
+    * collapsed to a weighted part–part graph (edge weight = number of
+    * orders containing both parts), top-20 heaviest pairs — the
+    * market-basket/item-item-similarity primitive.
+    *
+    * Scale contract: the pair space is generated per BASKET (a self-join
+    * of the distinct (order, part) list on the order key — both sides
+    * shuffle once on the same key, so the join is co-partitioned), which
+    * makes the work Σ|basket|², never |parts|². A hub-basket cap
+    * (maxBasket = 50) bounds the quadratic term the same way q143 caps
+    * document frequency — the cap census is one extra aggregate on the
+    * already-shuffled key. The final top-20 compiles to
+    * TakeOrderedAndProject (per-partition bounded heaps), not a global
+    * sort.
+    */
+  private val CoPurchaseMaxBasket = 50
+  private val q244 = GraftQuery(
+    "q244_copurchase_pairs",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val sized = li
+        .join(
+          li.groupBy("ok").agg(count(lit(1)).as("basket")),
+          Seq("ok"))
+        .filter(col("basket") <= CoPurchaseMaxBasket)
+        .select("ok", "pk")
+      val a = sized.select(col("ok"), col("pk").as("part_a"))
+      val b = sized.select(col("ok"), col("pk").as("part_b"))
+      a.join(b, Seq("ok"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    },
+    Some(s"""WITH op AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            sized AS (
+              SELECT op.ok, op.pk
+              FROM op JOIN (SELECT ok, count(*) AS basket FROM op GROUP BY 1) s
+                USING (ok)
+              WHERE s.basket <= $CoPurchaseMaxBasket)
+            SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+            FROM sized a JOIN sized b
+              ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, part_a, part_b
+            LIMIT 20"""))
+
+  /** 1-dimensional Weisfeiler–Lehman color refinement (2 rounds) over the
+    * symmetrized embedding knn graph — the canonical structural-role
+    * fingerprint (two nodes share a final color iff their 2-hop
+    * neighborhood trees agree), used for graph isomorphism screening and
+    * as the feature map of WL graph kernels (Shervashidze et al., JMLR
+    * 2011). Output is the color-class census: how much structural
+    * diversity survives each refinement.
+    *
+    * Determinism/portability: colors are md5 hex strings; each round
+    * hashes `own_color || '|' || sorted neighbor colors` — the sorted
+    * multiset concat is the canonical WL label, and md5 renders
+    * identically in Spark and DuckDB (the repo-wide portable-hash
+    * contract). Per-node state is one string; the sort is bounded by the
+    * symmetrized knn degree (≤ 2k), never corpus-sized. On a
+    * hub-unbounded graph the sorted concat would cap or switch to a
+    * commutative hash-sum; the knn graph's degree bound makes the exact
+    * multiset affordable. Rounds are Spark joins against the previous
+    * color map (co-partitioned on the node key); the oracle replays them
+    * as chained CTEs over the identical edge derivation.
+    */
+  private val WlRounds = 2
+  private val q242 = GraftQuery(
+    "q242_wl_refinement",
+    (s, dir) => {
+      val e = knnEdges(s, dir)
+      val und = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      var colors = und.groupBy("src")
+        .agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"),
+          md5(concat(lit("d:"), col("deg").cast("string"))).as("color"))
+      for (_ <- 1 to WlRounds) {
+        val nbr = und
+          .join(colors.select(col("node").as("nb"), col("color").as("nc")),
+            col("dst") === col("nb"))
+          .select(col("src"), col("nc"))
+        val agg = nbr.groupBy("src")
+          .agg(concat_ws(",", sort_array(collect_list(col("nc")))).as("ns"))
+        colors = colors.join(agg, colors("node") === agg("src"))
+          .select(col("node"), md5(concat(col("color"), lit("|"), col("ns"))).as("color"))
+      }
+      colors.groupBy("color").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("color")
+    },
+    Some {
+      val rounds = (1 to WlRounds).map { r =>
+        val prev = s"c${r - 1}"
+        s"""n$r AS (
+              SELECT u.s AS node, string_agg(c.color, ',' ORDER BY c.color) AS ns
+              FROM und u JOIN $prev c ON u.d = c.node GROUP BY 1),
+            c$r AS (
+              SELECT p.node, md5(p.color || '|' || n.ns) AS color
+              FROM $prev p JOIN n$r n USING (node))"""
+      }.mkString(",\n            ")
+      s"""WITH ${knnEdgesSql},
+            und AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+            c0 AS (
+              SELECT s AS node, md5('d:' || CAST(count(*) AS VARCHAR)) AS color
+              FROM und GROUP BY 1),
+            $rounds
+          SELECT color, count(*) AS n_nodes
+          FROM c$WlRounds GROUP BY 1 ORDER BY color"""
+    })
+
+  /** Seeded (semi-supervised) label propagation over the knn graph — the
+    * weak-supervision primitive: 20% of nodes keep their true label
+    * (vec_id % 5 = 0, the clamped seeds), the rest take the majority
+    * label among their labeled neighbors for 3 synchronous rounds
+    * (ties → smallest label; no labeled neighbor → still unlabeled).
+    * Unlike q136's unsupervised LPA communities, the seeds anchor real
+    * classes, so the output is an ACCURACY audit against the held-out
+    * true labels — the measurement that decides whether propagated
+    * labels are good enough to train on (Zhu & Ghahramani 2002).
+    *
+    * Scale: each round is one co-partitioned edge⋈label join plus a
+    * per-node majority (window over ≤degree label-count rows — knn
+    * degree-bounded). Non-seed labels are RECOMPUTED from scratch each
+    * round (no oscillating accumulation), seeds never move. The oracle
+    * replays all 3 rounds as chained CTEs with the identical
+    * (count DESC, label ASC) tie-break.
+    */
+  private val LpRounds = 3
+  private val q245 = GraftQuery(
+    "q245_seeded_label_prop",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = knnEdges(s, dir)
+      val und = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("node"), col("label"))
+      val seeds = emb.filter(col("node") % 5 === 0)
+        .select(col("node"), col("label").as("slabel"))
+      var lab = seeds.select(col("node"), col("slabel").as("clabel"))
+      for (_ <- 1 to LpRounds) {
+        val nbr = und
+          .join(lab.select(col("node").as("nb"), col("clabel").as("nl")),
+            col("dst") === col("nb"))
+          .select(col("src"), col("nl"))
+        val cnt = nbr.groupBy("src", "nl").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("src").orderBy(col("c").desc, col("nl").asc)
+        val prop = cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("src").as("node"), col("nl").as("plabel"))
+        lab = emb.select(col("node"))
+          .join(seeds, Seq("node"), "left")
+          .join(prop, Seq("node"), "left")
+          .select(col("node"), coalesce(col("slabel"), col("plabel")).as("clabel"))
+          .filter(col("clabel").isNotNull)
+      }
+      val eval = emb.filter(col("node") % 5 =!= 0)
+        .join(lab, Seq("node"), "left")
+      eval.groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_eval"),
+          sum(when(col("clabel").isNotNull, 1L).otherwise(0L)).as("n_predicted"),
+          sum(when(col("clabel") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("label"), col("n_eval"), col("n_predicted"), col("n_correct"),
+          when(col("n_predicted") > 0,
+            round(col("n_correct").cast("double") / col("n_predicted").cast("double"), 12))
+            .as("accuracy"))
+        .orderBy("label")
+    },
+    Some {
+      val rounds = (1 to LpRounds).map { r =>
+        val prev = s"l${r - 1}"
+        s"""cnt$r AS (
+              SELECT u.s AS node, c.clabel AS nl, count(*) AS c
+              FROM und u JOIN $prev c ON u.d = c.node GROUP BY 1, 2),
+            prop$r AS (
+              SELECT node, nl AS plabel FROM (
+                SELECT node, nl, row_number() OVER (PARTITION BY node
+                  ORDER BY c DESC, nl ASC) AS rn
+                FROM cnt$r) WHERE rn = 1),
+            l$r AS (
+              SELECT n.node, coalesce(s.slabel, p.plabel) AS clabel
+              FROM nodes n
+              LEFT JOIN seeds s ON n.node = s.node
+              LEFT JOIN prop$r p ON n.node = p.node
+              WHERE coalesce(s.slabel, p.plabel) IS NOT NULL)"""
+      }.mkString(",\n            ")
+      s"""WITH ${knnEdgesSql},
+            und AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+            nodes AS (SELECT vec_id AS node FROM embeddings),
+            seeds AS (SELECT vec_id AS node, label AS slabel
+                      FROM embeddings WHERE vec_id % 5 = 0),
+            l0 AS (SELECT node, slabel AS clabel FROM seeds),
+            $rounds
+          SELECT e.label, count(*) AS n_eval,
+                 CAST(sum(CASE WHEN f.clabel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_predicted,
+                 CAST(sum(CASE WHEN f.clabel = e.label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_correct,
+                 CASE WHEN sum(CASE WHEN f.clabel IS NOT NULL THEN 1 ELSE 0 END) > 0
+                   THEN round(CAST(sum(CASE WHEN f.clabel = e.label THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CASE WHEN f.clabel IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 12)
+                 END AS accuracy
+          FROM embeddings e
+          LEFT JOIN l$LpRounds f ON e.vec_id = f.node
+          WHERE e.vec_id % 5 <> 0
+          GROUP BY e.label
+          ORDER BY e.label"""
+    })
+
+  /** Borůvka minimum-spanning-forest rounds over the weighted knn graph
+    * ([[graft.operators.Boruvka]]) — the parallel-MST primitive behind
+    * single-linkage clustering. Output is the per-round census (edges
+    * selected, round weight, components remaining); the oracle replays
+    * every round's min-edge selection and fixed-depth contraction as
+    * chained CTEs — possible precisely because the operator fixes both
+    * budgets instead of looping to convergence.
+    */
+  private val BvkRounds = 5
+  private val BvkJumps = 4
+  private val q248 = GraftQuery(
+    "q248_boruvka_forest",
+    (s, dir) => {
+      val ew = knnEdgesW(s, dir)
+      val canon = ew.select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"),
+          col("w"))
+        .groupBy("a", "b").agg(min(col("w")).as("w"))
+      graft.operators.Boruvka.forestCensus(canon, BvkRounds, BvkJumps)
+    },
+    Some {
+      val sb = new StringBuilder(s"WITH $knnEdgesWSql")
+      sb.append(""",
+       ec AS MATERIALIZED (
+         SELECT least(s, d) AS a, greatest(s, d) AS b, min(w) AS w
+         FROM e0w GROUP BY 1, 2),
+       bnodes AS (SELECT a AS node FROM ec UNION SELECT b FROM ec),
+       comp0 AS MATERIALIZED (SELECT node, node AS comp FROM bnodes)""")
+      for (r <- 1 to BvkRounds) {
+        val p = s"comp${r - 1}"
+        sb.append(s""",
+       cross$r AS (
+         SELECT e.w, e.a, e.b, pa.comp AS eca, pb.comp AS ecb
+         FROM ec e
+         JOIN $p pa ON e.a = pa.node
+         JOIN $p pb ON e.b = pb.node
+         WHERE pa.comp <> pb.comp),
+       cand$r AS (
+         SELECT eca AS c, w, a, b, eca, ecb FROM cross$r
+         UNION ALL
+         SELECT ecb AS c, w, a, b, eca, ecb FROM cross$r),
+       sel$r AS MATERIALIZED (
+         SELECT DISTINCT w, a, b, eca, ecb FROM (
+           SELECT *, row_number() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+           FROM cand$r) WHERE rn = 1),
+       cg$r AS (SELECT eca AS x, ecb AS y FROM sel$r
+                UNION SELECT ecb, eca FROM sel$r),
+       l${r}_0 AS (SELECT DISTINCT comp AS c, comp AS lab FROM $p)""")
+        for (j <- 1 to BvkJumps) {
+          sb.append(s""",
+       l${r}_$j AS (
+         SELECT l.c, least(l.lab, coalesce(m.mn, l.lab)) AS lab
+         FROM l${r}_${j - 1} l
+         LEFT JOIN (SELECT g.x AS c, min(n.lab) AS mn
+                    FROM cg$r g JOIN l${r}_${j - 1} n ON g.y = n.c
+                    GROUP BY 1) m ON l.c = m.c)""")
+        }
+        sb.append(s""",
+       comp$r AS MATERIALIZED (
+         SELECT p.node, l.lab AS comp
+         FROM $p p JOIN l${r}_$BvkJumps l ON p.comp = l.c),
+       cen$r AS (
+         SELECT $r AS round,
+                (SELECT count(*) FROM sel$r) AS n_selected,
+                (SELECT round(CAST(coalesce(sum(CAST(w AS DECIMAL(38,6))), 0)
+                   AS DOUBLE), 6) FROM sel$r) AS round_weight,
+                (SELECT count(DISTINCT comp) FROM comp$r) AS n_components)""")
+      }
+      sb.append("\n       " +
+        (1 to BvkRounds).map(r => s"SELECT * FROM cen$r").mkString("\n       UNION ALL ") +
+        "\n       ORDER BY round")
+      sb.toString
+    })
+
+  /** Item-item collaborative filtering (Sarwar et al. 2001): q244's
+    * co-purchase counts cosine-normalized into similarity scores,
+    * sim(a,b) = co(a,b) / √(n(a)·n(b)), and each item's top-3 neighbors
+    * — the classic "customers who bought X also bought" primitive. Same
+    * Σ|basket|² candidate bound and hub-basket cap as q244; the per-item
+    * top-3 is a window over each item's CANDIDATE list (bounded by its
+    * co-purchase fan-out, never the catalog). Similarities round at
+    * 12 dp before ranking (the q216 round-before-argmax contract) so
+    * both engines pick identical neighbors under ties.
+    */
+  private val q250 = GraftQuery(
+    "q250_itemcf_neighbors",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val sized = li
+        .join(li.groupBy("ok").agg(count(lit(1)).as("basket")), Seq("ok"))
+        .filter(col("basket") <= 50)
+        .select("ok", "pk")
+      val nOrd = sized.groupBy("pk").agg(count(lit(1)).as("n_ord"))
+      val a = sized.select(col("ok"), col("pk").as("pa"))
+      val b = sized.select(col("ok"), col("pk").as("pb"))
+      val co = a.join(b, Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("co"))
+      val directed = co.select(col("pa").as("item"), col("pb").as("nbr"), col("co"))
+        .union(co.select(col("pb").as("item"), col("pa").as("nbr"), col("co")))
+      val sim = directed
+        .join(nOrd.select(col("pk").as("item"), col("n_ord").as("n_i")), "item")
+        .join(nOrd.select(col("pk").as("nbr"), col("n_ord").as("n_n")), "nbr")
+        .select(col("item"), col("nbr"),
+          round(col("co").cast("double")
+            / sqrt(col("n_i").cast("double") * col("n_n").cast("double")), 12)
+            .as("sim"))
+      sim.withColumn("rank", row_number().over(
+          Window.partitionBy("item").orderBy(col("sim").desc, col("nbr"))))
+        .filter(col("rank") <= 3)
+        .select(col("item"), col("rank").cast("int").as("rank"), col("nbr"), col("sim"))
+        .orderBy("item", "rank")
+    },
+    Some("""WITH op AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            sized AS (
+              SELECT op.ok, op.pk
+              FROM op JOIN (SELECT ok, count(*) AS basket FROM op GROUP BY 1) s
+                USING (ok)
+              WHERE s.basket <= 50),
+            n_ord AS (SELECT pk, count(*) AS n_ord FROM sized GROUP BY 1),
+            co AS (
+              SELECT a.pk AS pa, b.pk AS pb, count(*) AS co
+              FROM sized a JOIN sized b ON a.ok = b.ok AND a.pk < b.pk
+              GROUP BY 1, 2),
+            directed AS (
+              SELECT pa AS item, pb AS nbr, co FROM co
+              UNION ALL SELECT pb, pa, co FROM co),
+            sim AS (
+              SELECT d.item, d.nbr,
+                     round(CAST(d.co AS DOUBLE)
+                       / sqrt(CAST(ni.n_ord AS DOUBLE) * CAST(nn.n_ord AS DOUBLE)), 12)
+                       AS sim
+              FROM directed d
+              JOIN n_ord ni ON d.item = ni.pk
+              JOIN n_ord nn ON d.nbr = nn.pk)
+            SELECT item, CAST(rank AS INT) AS rank, nbr, sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY item
+                ORDER BY sim DESC, nbr) AS rank
+              FROM sim)
+            WHERE rank <= 3
+            ORDER BY item, rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156, q157, q158,
-      q165, q168, q188, q204, q221, q227, q228)
+      q165, q168, q188, q204, q221, q227, q228, q242, q244, q245, q248, q250)
 }

@@ -1149,7 +1149,220 @@ object StatsQueries {
                          THEN med ELSE CAST(n AS DOUBLE) END, 6) AS repaired
             FROM m4 ORDER BY day"""))
 
+  // ---------------------------------------------------------------- q239
+
+  /** Holt linear-trend (double exponential) smoothing of the per-type
+    * daily count series, α = β = ½ — the trend-aware upgrade of q184's
+    * EWMA (EWMA lags a trending series by a constant; Holt's trend state
+    * closes that gap and yields a one-step forecast = level + trend).
+    *
+    * The recurrence (lₜ = αyₜ + (1−α)(lₜ₋₁+bₜ₋₁);
+    * bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁) is linear, so the state is an exact
+    * weighted sum of past observations: xₜ = Σⱼ Mʲ·c·yₜ₋ⱼ with
+    * M = [[½,½],[−¼,¾]], c = [½,¼]. We truncate at horizon 15 (the q184
+    * truncation contract — |Mʲ| decays geometrically) and compute the 15
+    * weight pairs ONCE, exactly, as dyadic BigDecimals on the driver:
+    * denominators are 4ʲ⁺¹ ≤ 2³², numerators < 2⁵², so every weight is
+    * exactly representable as a double AND as a plain decimal literal —
+    * the oracle gets the same 15 literals inlined in a VALUES table, so
+    * both engines multiply bit-identical IEEE doubles. Missing days drop
+    * their term on both sides (join on the day index, q184 semantics).
+    *
+    * Plan shape: one daily rollup shuffle, a calendar-bounded self-join
+    * (≤ horizon rows per output day), one broadcast 15-row weight join —
+    * corpus volume touched once, all downstream frames calendar-sized.
+    */
+  private val HoltHorizon = 15
+
+  /** (lag, levelWeight, trendWeight), exact dyadic values. */
+  private def holtWeights: Seq[(Int, BigDecimal, BigDecimal)] = {
+    val half = BigDecimal("0.5"); val quarter = BigDecimal("0.25")
+    val threeQ = BigDecimal("0.75")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, BigDecimal, BigDecimal)]
+    var wl = half; var wb = quarter
+    for (j <- 0 until HoltHorizon) {
+      buf += ((j, wl, wb))
+      val nl = half * wl + half * wb
+      val nb = threeQ * wb - quarter * wl
+      wl = nl; wb = nb
+    }
+    buf.toSeq
+  }
+
+  def holtDaily(s: org.apache.spark.sql.SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .select(col("event_type"), col("day"),
+        datediff(col("day"), col("d0")).cast("long").as("i"), col("c"))
+    val wdf = holtWeights
+      .map { case (j, wl, wb) => (j.toLong, wl.toDouble, wb.toDouble) }
+      .toDF("lag", "w_l", "w_b")
+    val hist = idx.select(col("event_type"), col("i").as("j"), col("c").as("cj"))
+    val level = graft.functions.Exact.sumFx(col("cj").cast("double") * col("w_l"), 15)
+    val trend = graft.functions.Exact.sumFx(col("cj").cast("double") * col("w_b"), 15)
+    idx.join(hist, Seq("event_type"))
+      .filter(col("j") <= col("i") && col("j") > col("i") - HoltHorizon)
+      .join(broadcast(wdf), col("i") - col("j") === col("lag"))
+      .groupBy(col("event_type"), col("day"), col("c"))
+      .agg(level.as("level_raw"), trend.as("trend_raw"))
+      .select(col("event_type"), col("day"), col("c"),
+        round(col("level_raw"), 9).as("level"),
+        round(col("trend_raw"), 9).as("trend"),
+        round(col("level_raw") + col("trend_raw"), 9).as("forecast_next"))
+      .orderBy("event_type", "day")
+  }
+
+  private def holtOracle: String = {
+    val values = holtWeights
+      .map { case (j, wl, wb) => s"($j, ${wl.toDouble}, ${wb.toDouble})" }
+      .mkString(", ")
+    s"""WITH daily AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2),
+        d0 AS (SELECT min(day) AS d0 FROM daily),
+        idx AS (
+          SELECT event_type, day, CAST(datediff('day', d0, day) AS BIGINT) AS i, c
+          FROM daily CROSS JOIN d0),
+        w(lag, w_l, w_b) AS (VALUES $values),
+        pair AS (
+          SELECT a.event_type, a.day, a.c, b.c AS cj, w.w_l, w.w_b
+          FROM idx a
+          JOIN idx b ON a.event_type = b.event_type
+          JOIN w ON a.i - b.i = w.lag
+          WHERE b.i <= a.i AND b.i > a.i - $HoltHorizon),
+        agg AS (
+          SELECT event_type, day, c,
+                 ${graft.functions.Exact.sumFxSql("CAST(cj AS DOUBLE) * w_l", 15)} AS level_raw,
+                 ${graft.functions.Exact.sumFxSql("CAST(cj AS DOUBLE) * w_b", 15)} AS trend_raw
+          FROM pair GROUP BY event_type, day, c)
+        SELECT event_type, day, c,
+               round(level_raw, 9) AS level,
+               round(trend_raw, 9) AS trend,
+               round(level_raw + trend_raw, 9) AS forecast_next
+        FROM agg
+        ORDER BY event_type, day"""
+  }
+
+  private val q239 = GraftQuery(
+    "q239_holt_trend",
+    (s, dir) => holtDaily(s, Tables.events(s, dir)),
+    Some(holtOracle))
+
+  // ---------------------------------------------------------------- q241
+
+  /** Spearman rank correlation over the domain-bounded lineitem columns —
+    * the monotone-association twin of q131's Pearson matrix (robust to the
+    * price columns' heavy tails, which is why rank correlation is the DQ
+    * screen of choice for skewed warehouse measures).
+    *
+    * Tie-corrected via AVERAGE ranks, on an exact integer grid: the rank
+    * table per column is one hash aggregate over DISTINCT values plus a
+    * running sum over the ordered value domain (the q215 trick — windows
+    * over ≤51-value domains, never over rows), and doubling the average
+    * rank clears the ½-tie fraction: r2 = 2·cum − cnt + 1 is a BIGINT,
+    * and Pearson on 2r equals Pearson on r by affine invariance. Rank maps
+    * broadcast back to the fact (each is ≤ domain-sized), moments ride
+    * DECIMAL(38,0) exact sums, and only the final closed form runs in
+    * doubles — both engines replay it bit-for-bit.
+    *
+    * Scale: no row-level window, no sort of the fact table; the only
+    * shuffles are the per-column distinct-value aggregates. At 100 TB the
+    * bounded domains keep the rank tables broadcast-sized; a continuous
+    * column would need the q215 distinct-value window, which is the
+    * irreducible kernel of any exact global rank.
+    */
+  private val SpearmanCols = Seq("l_discount", "l_quantity", "l_tax")
+
+  private def spearmanRho(df: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // per column: value -> doubled average rank (exact integer)
+    def rank2(c: String): DataFrame = {
+      val w = Window.orderBy("v")
+      df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .select(col("v").as(s"v_$c"),
+          (col("cum") * 2 - col("cnt") + 1).as(s"r2_$c"))
+    }
+    val ranked = SpearmanCols.foldLeft(df.select(SpearmanCols.map(col): _*)) {
+      (acc, c) => acc.join(broadcast(rank2(c)), acc(c) === col(s"v_$c")).drop(s"v_$c")
+    }
+    val pairs = for {
+      i <- SpearmanCols.indices; j <- (i + 1) until SpearmanCols.size
+    } yield (SpearmanCols(i), SpearmanCols(j))
+    val moments = ranked.agg(
+      count(lit(1)).as("n"),
+      SpearmanCols.map(c => sum(col(s"r2_$c").cast(dec)).as(s"s_$c")) ++
+        SpearmanCols.map(c =>
+          // cast BEFORE the product: Long ranks square past 2^63 at ~10^10 rows
+          sum((col(s"r2_$c").cast(dec) * col(s"r2_$c").cast(dec)).cast(dec)).as(s"ss_$c")) ++
+        pairs.map { case (a, b) =>
+          sum((col(s"r2_$a").cast(dec) * col(s"r2_$b").cast(dec)).cast(dec)).as(s"sp_${a}__$b")
+        }: _*)
+    val rows = pairs.map { case (a, b) =>
+      moments.select(
+        lit(a).as("x_col"), lit(b).as("y_col"),
+        round(
+          (col("n").cast("double") * col(s"sp_${a}__$b").cast("double")
+            - col(s"s_$a").cast("double") * col(s"s_$b").cast("double"))
+            / sqrt(
+              (col("n").cast("double") * col(s"ss_$a").cast("double")
+                - col(s"s_$a").cast("double") * col(s"s_$a").cast("double"))
+                * (col("n").cast("double") * col(s"ss_$b").cast("double")
+                  - col(s"s_$b").cast("double") * col(s"s_$b").cast("double"))),
+          9).as("rho"))
+    }
+    rows.reduce(_.union(_)).orderBy("x_col", "y_col")
+  }
+
+  private def spearmanOracle: String = {
+    val rankCtes = SpearmanCols.map { c =>
+      s"""rk_$c AS (
+            SELECT v AS v_$c, 2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS r2_$c
+            FROM (SELECT $c AS v, count(*) AS cnt FROM lineitem GROUP BY 1))"""
+    }.mkString(",\n          ")
+    val joins = SpearmanCols.map(c => s"JOIN rk_$c ON l.$c = v_$c").mkString("\n          ")
+    val pairs = for {
+      i <- SpearmanCols.indices; j <- (i + 1) until SpearmanCols.size
+    } yield (SpearmanCols(i), SpearmanCols(j))
+    val momSel =
+      (Seq("count(*) AS n") ++
+        SpearmanCols.map(c => s"sum(CAST(r2_$c AS DECIMAL(38,0))) AS s_$c") ++
+        SpearmanCols.map(c => s"sum(CAST(r2_$c * r2_$c AS DECIMAL(38,0))) AS ss_$c") ++
+        pairs.map { case (a, b) =>
+          s"sum(CAST(r2_$a * r2_$b AS DECIMAL(38,0))) AS sp_${a}__$b"
+        }).mkString(",\n                 ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS x_col, '$b' AS y_col,
+            round((CAST(n AS DOUBLE) * CAST(sp_${a}__$b AS DOUBLE)
+                - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+                  - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+                  - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 9) AS rho
+          FROM m"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH $rankCtes,
+          m AS (
+            SELECT $momSel
+            FROM lineitem l
+          $joins)
+        SELECT x_col, y_col, rho FROM (
+          $rows)
+        ORDER BY x_col, y_col"""
+  }
+
+  private val q241 = GraftQuery(
+    "q241_spearman_corr",
+    (s, dir) => spearmanRho(Tables.lineitem(s, dir)),
+    Some(spearmanOracle))
+
   def all: Seq[GraftQuery] =
     Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185, q215, q216,
-      q217, q231, q234, q236)
+      q217, q231, q234, q236, q239, q241)
 }

@@ -1778,8 +1778,124 @@ object TextQueries {
                          >= threshold
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Held-out bigram-LM perplexity quality filter (the CCNet scheme,
+    * Wenzek et al. 2020): an add-½-smoothed bigram model TRAINS on the
+    * even-doc_id half of the corpus (vocabulary = train words with
+    * count ≥ 2, everything else → `<unk>`) and SCORES the odd half;
+    * documents whose mean cross-entropy exceeds 7 nats are flagged as
+    * low-quality. Differs from q109's in-corpus surprisal exactly where
+    * a production filter must: the model is held-out (no self-scoring),
+    * smoothing handles unseen bigrams AND unseen contexts (c_ctx = 0 →
+    * P = 1/V), and OOV is an explicit vocabulary decision.
+    *
+    * Plan shape: one token explode feeds both halves; UNK mapping is a
+    * vocab left join on the token key; bigrams come from a per-doc lag
+    * window (doc-bounded partitions); scoring is two left joins against
+    * the count tables on (w1, w2)/(w1). Determinism: the q103 contract —
+    * per-bigram ln of an exact count ratio rounds at 15 dp onto the
+    * DECIMAL(38,15) grid, per-doc CE rounds at 12 dp before the 7-nat
+    * compare, the per-source mean divides exact decimal sums at the end.
+    */
+  def perplexityFilter(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+    val train = tok.filter(col("doc_id") % 2 === 0)
+    val vocab = graft.operators.Components.cut(
+      train.groupBy("word").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("word"), None)
+    val vSize = vocab.agg((count(lit(1)) + 1).as("v"))
+    val mapped = tok
+      .join(vocab.withColumn("in_v", lit(1)), Seq("word"), "left")
+      .select(col("doc_id"), col("source"), col("pos"),
+        when(col("in_v").isNotNull, col("word")).otherwise(lit("<unk>")).as("mw"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = mapped
+      .withColumn("w1", lag(col("mw"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("source"), col("w1"), col("mw").as("w2"))
+    val cB = graft.operators.Components.cut(
+      bg.filter(col("doc_id") % 2 === 0)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_b")), None)
+    val cCtx = cB.groupBy("w1").agg(sum(col("c_b")).as("c_ctx"))
+    val scored = bg.filter(col("doc_id") % 2 === 1)
+      .join(cB, Seq("w1", "w2"), "left")
+      .join(cCtx, Seq("w1"), "left")
+      .crossJoin(broadcast(vSize))
+      .select(col("doc_id"), col("source"),
+        round(log(
+          (coalesce(col("c_ctx"), lit(0L)).cast("double")
+            + lit(0.5) * col("v").cast("double"))
+            / (coalesce(col("c_b"), lit(0L)).cast("double") + lit(0.5))), 15)
+          .cast(DecimalType(38, 15)).as("surp"))
+    val perDoc = scored.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bg"), sum(col("surp")).as("s_surp"))
+      .withColumn("ce",
+        round(col("s_surp").cast("double") / col("n_bg").cast("double"), 12))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bg")).as("n_bigrams"),
+        round(sum(col("s_surp")).cast("double")
+          / sum(col("n_bg")).cast("double"), 9).as("mean_ce"),
+        sum(when(col("ce") > 7.0, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("source")
+  }
+
+  private val q249 = GraftQuery(
+    "q249_perplexity_filter",
+    (s, dir) => perplexityFilter(Tables.documents(s, dir)),
+    Some("""WITH norm AS (
+              SELECT doc_id, source,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            tok AS (
+              SELECT doc_id, source, unnest(t) AS word,
+                     unnest(range(1, len(t) + 1)) AS pos
+              FROM norm),
+            vocab AS (
+              SELECT word FROM tok WHERE doc_id % 2 = 0
+              GROUP BY 1 HAVING count(*) >= 2),
+            vs AS (SELECT count(*) + 1 AS v FROM vocab),
+            mapped AS (
+              SELECT t.doc_id, t.source, t.pos,
+                     CASE WHEN v.word IS NOT NULL THEN t.word ELSE '<unk>' END AS mw
+              FROM tok t LEFT JOIN vocab v ON t.word = v.word),
+            bg AS (
+              SELECT doc_id, source,
+                     lag(mw) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                     mw AS w2
+              FROM mapped),
+            tb AS (SELECT w1, w2 FROM bg WHERE w1 IS NOT NULL AND doc_id % 2 = 0),
+            cb AS (SELECT w1, w2, count(*) AS c_b FROM tb GROUP BY 1, 2),
+            cctx AS (SELECT w1, sum(c_b) AS c_ctx FROM cb GROUP BY 1),
+            scored AS (
+              SELECT e.doc_id, e.source,
+                     CAST(round(ln(
+                       (CAST(coalesce(x.c_ctx, 0) AS DOUBLE)
+                          + 0.5 * CAST(v.v AS DOUBLE))
+                       / (CAST(coalesce(b.c_b, 0) AS DOUBLE) + 0.5)), 15)
+                       AS DECIMAL(38,15)) AS surp
+              FROM bg e
+              LEFT JOIN cb b ON e.w1 = b.w1 AND e.w2 = b.w2
+              LEFT JOIN cctx x ON e.w1 = x.w1
+              CROSS JOIN vs v
+              WHERE e.w1 IS NOT NULL AND e.doc_id % 2 = 1),
+            pd AS (
+              SELECT doc_id, source, count(*) AS n_bg, sum(surp) AS s_surp
+              FROM scored GROUP BY 1, 2)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+                   round(CAST(sum(s_surp) AS DOUBLE)
+                     / CAST(sum(n_bg) AS DOUBLE), 9) AS mean_ce,
+                   CAST(sum(CASE WHEN round(CAST(s_surp AS DOUBLE)
+                       / CAST(n_bg AS DOUBLE), 12) > 7.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+            FROM pd GROUP BY source ORDER BY source"""))
+
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
       q115, q116, q121, q125, q129, q139, q145, q151, q164, q169, q196, q197,
-      q203, q222, q229, q232)
+      q203, q222, q229, q232, q249)
 }

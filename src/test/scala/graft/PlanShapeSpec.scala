@@ -122,7 +122,16 @@ class PlanShapeSpec extends SparkSpec {
       // cross-join of three 1-row aggregate scalars is intentional)
       "q229_readability_fk", "q230_fd_violations", "q231_benford_digits",
       "q232_vocab_coverage", "q234_session_ngram_patterns",
-      "q235_calibration_bins", "q236_hampel_repair")
+      "q235_calibration_bins", "q236_hampel_repair",
+      // round-10 second wave (q239's single-row crossJoin(broadcast(d0))
+      // is the q226 scalar-fold contract — BNLJ, never CartesianProduct;
+      // q242's WL rounds are declarative joins, built lazily)
+      "q238_forecast_revenue", "q239_holt_trend", "q240_cusum_changepoint",
+      "q241_spearman_corr", "q242_wl_refinement", "q243_fellegi_sunter",
+      "q244_copurchase_pairs", "q245_seeded_label_prop",
+      "q246_neyman_allocation", "q247_ushape_attribution",
+      "q248_boruvka_forest", "q249_perplexity_filter",
+      "q250_itemcf_neighbors")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
@@ -157,10 +166,26 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q184 EWMA smoothing self-join stays an equi join") {
     val p = plan("q184_ewma_daily")
-    // the day-lag pairing must ride an equi join on the day key, never a
-    // nested-loop over the daily frame
-    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
-      p.take(1500))
+    // the day-lag pairing must ride an equi join on the type key, never a
+    // nested-loop over the daily frame; the two BroadcastNestedLoopJoins
+    // in this plan are the intentional single-row crossJoin(broadcast(d0))
+    // scalar folds (the q226 contract), so the assert pins the equi join's
+    // presence and bans only the unbounded cartesian
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "day-lag pairing lost its equi join:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q238 Q6 pushes the whole predicate to the parquet scan") {
+    val p = plan("q238_forecast_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1996-01-01")
+      && p.contains("GreaterThanOrEqual(l_discount,0.05")
+      && p.contains("LessThan(l_quantity,24.0)"),
+      "Q6 conjuncts must reach PushedFilters:\n" + p.take(1500))
+  }
+
+  test("q244 co-purchase top-20 plans as TakeOrdered, not a global sort") {
+    assert(plan("q244_copurchase_pairs").contains("TakeOrderedAndProject"))
   }
 
   test("q189 attribution joins purchases to touches on the user key") {
