@@ -41,12 +41,16 @@ object Boruvka {
     */
   def forestCensus(edges: DataFrame, rounds: Int, jumps: Int): DataFrame = {
     val dec6 = DecimalType(38, 6)
-    val nodes = edges.select(col("a").as("node"))
-      .union(edges.select(col("b").as("node"))).distinct()
+    // one materialization of the edge list: every round's cross-edge join,
+    // and nothing else, re-reads it (without the cut, each of the ~6
+    // consumers per round would replay the caller's edge derivation)
+    val e = Components.cut(edges.select("a", "b", "w"), None)
+    val nodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
     var comp = nodes.select(col("node"), col("node").as("comp"))
     val censuses = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
-      val cross = edges
+      val cross = e
         .join(comp.select(col("node").as("a"), col("comp").as("ca")), Seq("a"))
         .join(comp.select(col("node").as("b"), col("comp").as("cb")), Seq("b"))
         .filter(col("ca") =!= col("cb"))
@@ -54,12 +58,15 @@ object Boruvka {
           col("ca"), col("cb"))
         .union(cross.select(col("cb").as("c"), col("w"), col("a"), col("b"),
           col("ca"), col("cb")))
-      val sel = cand
+      // materialized per round: the selection feeds the contraction's
+      // `jumps` label joins AND the census aggregate — uncut, each consumer
+      // replays the cross join + window
+      val sel = Components.cut(cand
         .withColumn("rn", row_number().over(
           Window.partitionBy("c").orderBy(col("w"), col("a"), col("b"))))
         .filter(col("rn") === 1)
         .select("w", "a", "b", "ca", "cb")
-        .distinct()
+        .distinct(), None)
       // contract along the selected forest: min-label propagation, exactly
       // `jumps` hops (partial contraction is allowed — see scaladoc)
       val cg = sel.select(col("ca").as("x"), col("cb").as("y"))

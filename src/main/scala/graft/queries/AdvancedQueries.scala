@@ -1979,9 +1979,49 @@ object AdvancedQueries {
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24"""))
 
+  /** 2-D skyline (Pareto front; Börzsönyi et al., ICDE 2001): the parts
+    * no other part dominates on (lower retail price, smaller size) — the
+    * multi-criteria shortlist operator ("cheapest for its size class").
+    * The 2-D case needs no pairwise dominance join: over DISTINCT
+    * (price, size) points sorted lexicographically, a point is on the
+    * front iff its size is strictly below the running minimum of all
+    * preceding points (a preceding point has smaller-or-equal price, so
+    * size ≤ ours ⇒ dominance; equal-point duplicates collapse into one
+    * row first, so they can't evict each other). One hash aggregate to
+    * the distinct-point set, one ordered window over it — the window
+    * sorts POINTS, not parts; a corpus whose distinct-pair set outgrows
+    * one task would range-partition by price and carry per-partition
+    * boundary minima.
+    */
+  private val q254 = GraftQuery(
+    "q254_skyline_parts",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.part(s, dir)
+        .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+        .agg(count(lit(1)).as("n_parts"))
+      val w = Window.orderBy("price", "size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("prev_min", min(col("size")).over(w))
+        .filter(col("prev_min").isNull || col("size") < col("prev_min"))
+        .select("price", "size", "n_parts")
+        .orderBy("price", "size")
+    },
+    Some("""WITH pts AS (
+              SELECT p_retailprice AS price, p_size AS size, count(*) AS n_parts
+              FROM part GROUP BY 1, 2),
+            sky AS (
+              SELECT *, min(size) OVER (ORDER BY price, size
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+              FROM pts)
+            SELECT price, size, n_parts
+            FROM sky
+            WHERE prev_min IS NULL OR size < prev_min
+            ORDER BY price, size"""))
+
   val all: Seq[GraftQuery] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q43, q60, q61, q68, q82, q91, q99,
       q105, q140, q141, q149, q150, q161, q167, q171, q172, q173, q174, q175,
       q176, q177, q178, q179, q190, q191, q192, q193, q194, q195, q202,
-      q208, q209, q210, q211, q212, q223, q226, q230, q238)
+      q208, q209, q210, q211, q212, q223, q226, q230, q238, q254)
 }

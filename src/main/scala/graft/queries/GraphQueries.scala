@@ -1287,6 +1287,8 @@ object GraphQueries {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+      // no cut: AQE reuses the exchange for both sides of the self-join
+      // (measured — a localCheckpoint here costs more than it saves)
       val sized = li
         .join(
           li.groupBy("ok").agg(count(lit(1)).as("basket")),
@@ -1574,6 +1576,9 @@ object GraphQueries {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+      // no cuts: exchange reuse covers the self-join sides AND the two
+      // reads of the co-count aggregate (measured — localCheckpoints here
+      // only added materialization cost)
       val sized = li
         .join(li.groupBy("ok").agg(count(lit(1)).as("basket")), Seq("ok"))
         .filter(col("basket") <= 50)
@@ -1630,7 +1635,106 @@ object GraphQueries {
             WHERE rank <= 3
             ORDER BY item, rank"""))
 
+  /** Graph-navigating ANN search (the HNSW layer-0 / NSW pattern,
+    * Malkov & Yashunin 2018): greedy BEAM search over the knn graph —
+    * start every query at a fixed entry node, repeatedly expand the beam
+    * along out-edges, score candidates by cosine to the query, keep the
+    * best `BeamWidth`; after `BeamHops` hops emit each query's top-3.
+    * This is the family's scale path beyond bucketing (q24/q32/q70):
+    * search cost is hops × beam × degree PER QUERY, independent of
+    * corpus size once the graph exists.
+    *
+    * Determinism: both budgets are fixed (unrolled joins — the q248
+    * contract), candidate ranking uses the 12 dp-ROUNDED cosine with a
+    * node-id tie-break (q216 round-before-argmax: a 1-ulp sqrt
+    * divergence cannot flip beam membership), and the entry node is the
+    * computed min vec_id. The query node itself is excluded, matching
+    * q22's knn semantics, so beam results are comparable to the exact
+    * baseline.
+    */
+  private val BeamWidth = 4
+  private val BeamHops = 6
+  private val q253 = GraftQuery(
+    "q253_beam_ann_search",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val e = knnEdges(s, dir)
+      val queries = broadcast(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+      val corpus = emb.select(col("vec_id").as("node"), col("embedding").as("ne"))
+      val entry = emb.agg(min(col("vec_id")).as("node"))
+      // the query's OWN node may ride the beam (it routes the search into
+      // its knn neighborhood — for q_id = entry it IS the start); only the
+      // final output excludes it, matching q22's knn semantics
+      def score(cand: org.apache.spark.sql.DataFrame) = cand
+        .join(queries, "q_id")
+        .join(corpus, "node")
+        .select(col("q_id"), col("node"),
+          round(graft.functions.Similarity.cosine(col("qe"), col("ne")), 12).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("node"))
+      def top(scored: org.apache.spark.sql.DataFrame, k: Int) = scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("q_id", "node", "cos")
+      // cut per hop: the beam is ≤ queries × width rows, but uncut its
+      // lineage nests every previous hop's joins and windows — hop 6
+      // would optimize and execute a 6-deep plan re-scanning the corpus
+      var beam = graft.operators.Components.cut(top(score(
+        queries.select("q_id").crossJoin(broadcast(entry))), BeamWidth), None)
+      for (_ <- 1 to BeamHops) {
+        val expand = beam.select("q_id", "node")
+          .union(
+            beam.join(e, col("node") === col("src"))
+              .select(col("q_id"), col("dst").as("node")))
+          .distinct()
+        beam = graft.operators.Components.cut(top(score(expand), BeamWidth), None)
+      }
+      beam.filter(col("node") =!= col("q_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank").cast("int").as("rank"),
+          col("node").as("n_id"), col("cos"))
+        .orderBy("q_id", "rank")
+    },
+    Some {
+      val cos = SimilarityQueries.cosSql("q.qe", "emb.embedding")
+      val sb = new StringBuilder(s"""WITH ${knnEdgesSql},
+       qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       ent AS (SELECT min(vec_id) AS node FROM embeddings),
+       sc0 AS (SELECT q.q_id, e.node, round($cos, 12) AS cos
+               FROM qs q CROSS JOIN ent e JOIN embeddings emb ON emb.vec_id = e.node),
+       b0 AS (SELECT q_id, node, cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, node) AS rn FROM sc0)
+              WHERE rn <= $BeamWidth)""")
+      for (h <- 1 to BeamHops) {
+        val p = s"b${h - 1}"
+        sb.append(s""",
+       ex$h AS (SELECT q_id, node FROM $p
+                UNION
+                SELECT b.q_id, e0.d FROM $p b JOIN e0 ON b.node = e0.s),
+       sc$h AS (SELECT c.q_id, c.node, round($cos, 12) AS cos
+                FROM ex$h c
+                JOIN qs q ON c.q_id = q.q_id
+                JOIN embeddings emb ON emb.vec_id = c.node),
+       b$h AS (SELECT q_id, node, cos FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, node) AS rn FROM sc$h)
+               WHERE rn <= $BeamWidth)""")
+      }
+      sb.append(s"""
+       SELECT q_id, CAST(rn AS INT) AS rank, node AS n_id, cos FROM (
+         SELECT *, row_number() OVER (PARTITION BY q_id
+           ORDER BY cos DESC, node) AS rn
+         FROM b$BeamHops WHERE node <> q_id)
+       WHERE rn <= 3 ORDER BY q_id, rank""")
+      sb.toString
+    })
+
   val all: Seq[GraftQuery] =
     Seq(q108, q112, q126, q127, q135, q136, q144, q148, q153, q156, q157, q158,
-      q165, q168, q188, q204, q221, q227, q228, q242, q244, q245, q248, q250)
+      q165, q168, q188, q204, q221, q227, q228, q242, q244, q245, q248, q250,
+      q253)
 }

@@ -1279,7 +1279,7 @@ object StatsQueries {
     */
   private val SpearmanCols = Seq("l_discount", "l_quantity", "l_tax")
 
-  private def spearmanRho(df: DataFrame): DataFrame = {
+  def spearmanRho(df: DataFrame, cols: Seq[String] = SpearmanCols): DataFrame = {
     val dec = DecimalType(38, 0)
     // per column: value -> doubled average rank (exact integer)
     def rank2(c: String): DataFrame = {
@@ -1289,16 +1289,16 @@ object StatsQueries {
         .select(col("v").as(s"v_$c"),
           (col("cum") * 2 - col("cnt") + 1).as(s"r2_$c"))
     }
-    val ranked = SpearmanCols.foldLeft(df.select(SpearmanCols.map(col): _*)) {
+    val ranked = cols.foldLeft(df.select(cols.map(col): _*)) {
       (acc, c) => acc.join(broadcast(rank2(c)), acc(c) === col(s"v_$c")).drop(s"v_$c")
     }
     val pairs = for {
-      i <- SpearmanCols.indices; j <- (i + 1) until SpearmanCols.size
-    } yield (SpearmanCols(i), SpearmanCols(j))
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
     val moments = ranked.agg(
       count(lit(1)).as("n"),
-      SpearmanCols.map(c => sum(col(s"r2_$c").cast(dec)).as(s"s_$c")) ++
-        SpearmanCols.map(c =>
+      cols.map(c => sum(col(s"r2_$c").cast(dec)).as(s"s_$c")) ++
+        cols.map(c =>
           // cast BEFORE the product: Long ranks square past 2^63 at ~10^10 rows
           sum((col(s"r2_$c").cast(dec) * col(s"r2_$c").cast(dec)).cast(dec)).as(s"ss_$c")) ++
         pairs.map { case (a, b) =>

@@ -1894,8 +1894,184 @@ object TextQueries {
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
             FROM pd GROUP BY source ORDER BY source"""))
 
+  /** Graded-relevance retrieval evaluation: nDCG@10 (Järvelin &
+    * Kekäläinen 2002) of 3-gram-overlap retrieval, one row per query doc
+    * — the ranking-quality metric next to q120's AUC and q235's
+    * calibration. Queries are the first 20 documents; candidates rank by
+    * distinct word-3-gram overlap (df-capped inverted index, the
+    * q104/q143 hub bound — 3-grams because this corpus's 31-word
+    * vocabulary makes single-token overlap non-discriminative: every
+    * word's df is ~80% of the corpus, while the 3-gram df median is 1);
+    * graded relevance is 2 for same source + same lang, 1 for
+    * same source, 0 otherwise. DCG weights 1/log₂(pos+1) are TEN driver-
+    * computed double literals shared with the oracle (no engine log in
+    * the hot path); IDCG comes closed-form from the query's (n_rel2,
+    * n_rel1) census joined to the same weight table — the ideal ranking
+    * is a counting argument, never a second sort. Gain terms round onto
+    * the 15 dp grid before the order-free sum; nDCG rounds at 12.
+    */
+  private val NdcgK = 10
+  private val NdcgDfCap = 100
+  private def ndcgWeights: Seq[(Int, Double)] =
+    (1 to NdcgK).map(p => (p, 1.0 / (math.log(p + 1.0) / math.log(2.0))))
+
+  private val q251 = GraftQuery(
+    "q251_ndcg_retrieval",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val occ = docs
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 2), i -> t[i-1] || ' ' || t[i] || ' ' || t[i+1])"))
+          .as("word"))
+        .distinct()
+      val df = occ.groupBy("word").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= NdcgDfCap)
+      val occF = occ.join(df.select("word"), "word")
+      val qocc = occF.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("q_id"), col("word"))
+      val overlap = qocc
+        .join(occF.select(col("doc_id").as("d_id"), col("word")), "word")
+        .filter(col("d_id") =!= col("q_id"))
+        .groupBy("q_id", "d_id")
+        .agg(count(lit(1)).as("overlap"))
+      val meta = docs.select(col("doc_id"), col("source"), col("lang"))
+      val qmeta = meta.select(col("doc_id").as("q_id"),
+        col("source").as("q_src"), col("lang").as("q_lang"))
+      val dmeta = meta.select(col("doc_id").as("d_id"),
+        col("source").as("d_src"), col("lang").as("d_lang"))
+      val wdf = broadcast(ndcgWeights.toDF("pos", "wt"))
+      val ranked = overlap
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("overlap").desc, col("d_id"))))
+        .filter(col("pos") <= NdcgK)
+        .join(broadcast(qmeta.filter(col("q_id") < 20)), "q_id").join(dmeta, "d_id")
+        .withColumn("rel",
+          when(col("d_src") === col("q_src") && col("d_lang") === col("q_lang"), 2)
+            .when(col("d_src") === col("q_src"), 1).otherwise(0))
+        .join(wdf, "pos")
+      val dcg = ranked.groupBy("q_id")
+        .agg(graft.functions.Exact.sumFx(
+          (pow(lit(2.0), col("rel").cast("double")) - 1.0) * col("wt"), 15).as("dcg"))
+      // ideal ranking by counting: rel-2 docs fill the head, rel-1 next
+      // (query side filtered BEFORE the relevance cross pairing — 20 rows
+      // broadcast against the corpus, never docs × docs)
+      val relCensus = broadcast(qmeta.filter(col("q_id") < 20))
+        .join(dmeta, col("d_id") =!= col("q_id"))
+        .select(col("q_id"),
+          when(col("d_src") === col("q_src") && col("d_lang") === col("q_lang"), 2)
+            .when(col("d_src") === col("q_src"), 1).otherwise(0).as("rel"))
+        .groupBy("q_id")
+        .agg(
+          sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n1"))
+      val idcg = relCensus.crossJoin(wdf)
+        .withColumn("irel",
+          when(col("pos") <= col("n2"), 2)
+            .when(col("pos") <= col("n2") + col("n1"), 1).otherwise(0))
+        .groupBy("q_id")
+        .agg(graft.functions.Exact.sumFx(
+          (pow(lit(2.0), col("irel").cast("double")) - 1.0) * col("wt"), 15).as("idcg"))
+      dcg.join(idcg, "q_id")
+        .select(col("q_id").as("doc_id"),
+          round(col("dcg"), 9).as("dcg"),
+          round(col("idcg"), 9).as("idcg"),
+          when(col("idcg") > 0.0, round(col("dcg") / col("idcg"), 12)).as("ndcg"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val wvals = ndcgWeights.map { case (p, w) => s"($p, $w)" }.mkString(", ")
+      s"""WITH norm AS (
+            SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS t
+            FROM documents),
+          occ AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS word
+            FROM norm, unnest(range(1, len(t) - 1)) AS u(i)),
+          df AS (SELECT word FROM occ GROUP BY 1 HAVING count(*) <= $NdcgDfCap),
+          occf AS (SELECT o.doc_id, o.word FROM occ o JOIN df USING (word)),
+          ovl AS (
+            SELECT q.doc_id AS q_id, d.doc_id AS d_id, count(*) AS overlap
+            FROM occf q JOIN occf d ON q.word = d.word AND d.doc_id <> q.doc_id
+            WHERE q.doc_id < 20 GROUP BY 1, 2),
+          w(pos, wt) AS (VALUES $wvals),
+          ranked AS (
+            SELECT o.q_id, o.d_id, o.pos, w.wt,
+                   CASE WHEN dd.source = qd.source AND dd.lang = qd.lang THEN 2
+                        WHEN dd.source = qd.source THEN 1 ELSE 0 END AS rel
+            FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY overlap DESC, d_id) AS pos FROM ovl) o
+            JOIN w ON o.pos = w.pos
+            JOIN documents qd ON qd.doc_id = o.q_id
+            JOIN documents dd ON dd.doc_id = o.d_id
+            WHERE o.pos <= $NdcgK),
+          dcg AS (
+            SELECT q_id,
+                   ${graft.functions.Exact.sumFxSql("(pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * wt", 15)} AS dcg
+            FROM ranked GROUP BY 1),
+          cen AS (
+            SELECT qd.doc_id AS q_id,
+                   CAST(sum(CASE WHEN dd.source = qd.source AND dd.lang = qd.lang
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(sum(CASE WHEN dd.source = qd.source AND dd.lang <> qd.lang
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n1
+            FROM documents qd JOIN documents dd ON dd.doc_id <> qd.doc_id
+            WHERE qd.doc_id < 20 GROUP BY 1),
+          idcg AS (
+            SELECT q_id,
+                   ${graft.functions.Exact.sumFxSql(
+                     "(pow(2.0, CAST(CASE WHEN pos <= n2 THEN 2 WHEN pos <= n2 + n1 THEN 1 ELSE 0 END AS DOUBLE)) - 1.0) * wt",
+                     15)}
+                     AS idcg
+            FROM cen CROSS JOIN w GROUP BY 1)
+          SELECT d.q_id AS doc_id,
+                 round(d.dcg, 9) AS dcg, round(i.idcg, 9) AS idcg,
+                 CASE WHEN i.idcg > 0.0 THEN round(d.dcg / i.idcg, 12) END AS ndcg
+          FROM dcg d JOIN idcg i USING (q_id)
+          ORDER BY doc_id"""
+    })
+
+  /** Positional phrase search — exact-phrase retrieval ("table hash")
+    * from positional postings: the two words' posting lists join on
+    * (doc, adjacent position), so the work is bounded by the PHRASE
+    * WORDS' document frequencies, never the corpus (the standard
+    * positional-inverted-index argument; a 100 TB run shuffles only the
+    * queried terms' postings). Positions are 1-based on both engines.
+    */
+  private val q252 = GraftQuery(
+    "q252_phrase_search",
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "word")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("word"))
+      val a = tok.filter(col("word") === "table").select(col("doc_id"), col("pos"))
+      val b = tok.filter(col("word") === "hash")
+        .select(col("doc_id"), col("pos").as("pos2"))
+      a.join(b, a("doc_id") === b("doc_id") && col("pos2") === col("pos") + 1)
+        .select(a("doc_id"), col("pos"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(t) AS word, unnest(range(1, len(t) + 1)) AS pos
+              FROM norm),
+            a AS (SELECT doc_id, pos FROM tok WHERE word = 'table'),
+            b AS (SELECT doc_id, pos FROM tok WHERE word = 'hash')
+            SELECT a.doc_id, count(*) AS n_matches,
+                   CAST(min(a.pos) AS BIGINT) AS first_pos
+            FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
       q115, q116, q121, q125, q129, q139, q145, q151, q164, q169, q196, q197,
-      q203, q222, q229, q232, q249)
+      q203, q222, q229, q232, q249, q251, q252)
 }

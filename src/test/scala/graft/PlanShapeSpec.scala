@@ -131,7 +131,8 @@ class PlanShapeSpec extends SparkSpec {
       "q244_copurchase_pairs", "q245_seeded_label_prop",
       "q246_neyman_allocation", "q247_ushape_attribution",
       "q248_boruvka_forest", "q249_perplexity_filter",
-      "q250_itemcf_neighbors")
+      "q250_itemcf_neighbors", "q251_ndcg_retrieval", "q252_phrase_search",
+      "q253_beam_ann_search", "q254_skyline_parts")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
