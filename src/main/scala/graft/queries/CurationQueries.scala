@@ -1497,8 +1497,79 @@ object CurationQueries {
             FROM alloc a LEFT JOIN ss ON a.source = ss.source
             ORDER BY a.source"""))
 
+  /** Isotonic calibration (pool-adjacent-violators fit) of q235's
+    * reliability table — the monotone-regression step a production
+    * calibrator runs after measuring the bins: the isotonic fit is the
+    * L2-optimal non-decreasing curve through the per-bin positive rates
+    * (Zadrozny & Elkan 2002). With 10 bins the PAV solution comes from
+    * its minimax CLOSED FORM — ŷᵢ = max_{j≤i} min_{k≥i} wavg(rate,
+    * bins j..k) — so no sequential pooling loop exists on either engine:
+    * the 55 (j,k) interval means are one triple join over the 10-row bin
+    * frame (every side broadcast — bounded by the bin count, the q226
+    * scalar-fold contract), then two bounded aggregates take the
+    * min-over-k and max-over-j. Interval means round at 12 dp BEFORE the
+    * min/max (q216 contract). Output: each bin's raw vs isotonic rate.
+    */
+  private val q255 = GraftQuery(
+    "q255_isotonic_calibration",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mm = docs.agg(min(col("n_chars")).cast("double").as("mn"),
+        max(col("n_chars")).cast("double").as("mx"))
+      val g = docs.crossJoin(broadcast(mm))
+        .select(
+          least(lit(9), floor((col("n_chars").cast("double") - col("mn"))
+            / (col("mx") - col("mn")) * lit(10.0)).cast("int")).as("bin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val jj = g.select(col("bin").as("j"))
+      val kk = g.select(col("bin").as("k"))
+      val mBins = g.select(col("bin").as("m"), col("n").as("nm"), col("n_pos").as("pm"))
+      val ivals = jj
+        .join(broadcast(kk), col("j") <= col("k"))
+        .join(broadcast(mBins), col("m") >= col("j") && col("m") <= col("k"))
+        .groupBy("j", "k")
+        .agg(sum(col("nm")).as("w"), sum(col("pm")).as("p"))
+        .select(col("j"), col("k"),
+          round(col("p").cast("double") / col("w").cast("double"), 12).as("a"))
+      val m1 = g.select(col("bin").as("i"))
+        .join(broadcast(ivals), col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("i", "j")
+        .agg(min(col("a")).as("mn"))
+      val iso = m1.groupBy("i").agg(max(col("mn")).as("iso_rate"))
+      g.join(iso, g("bin") === iso("i"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 12).as("raw_rate"),
+          col("iso_rate"))
+        .orderBy("bin")
+    },
+    Some("""WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS mn,
+                               CAST(max(n_chars) AS DOUBLE) AS mx FROM documents),
+            g AS (SELECT least(9, CAST(floor((CAST(n_chars AS DOUBLE) - mn)
+                           / (mx - mn) * 10.0) AS INT)) AS bin,
+                         count(*) AS n,
+                         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_pos
+                  FROM documents CROSS JOIN mm GROUP BY 1),
+            iv AS (SELECT j.bin AS j, k.bin AS k,
+                          round(CAST(sum(m.n_pos) AS DOUBLE)
+                            / CAST(sum(m.n) AS DOUBLE), 12) AS a
+                   FROM g j JOIN g k ON j.bin <= k.bin
+                   JOIN g m ON m.bin BETWEEN j.bin AND k.bin
+                   GROUP BY 1, 2),
+            m1 AS (SELECT i.bin AS i, iv.j, min(iv.a) AS mn
+                   FROM g i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+                   GROUP BY 1, 2),
+            iso AS (SELECT i, max(mn) AS iso_rate FROM m1 GROUP BY 1)
+            SELECT g.bin, g.n, g.n_pos,
+                   round(CAST(g.n_pos AS DOUBLE) / CAST(g.n AS DOUBLE), 12) AS raw_rate,
+                   iso.iso_rate
+            FROM g JOIN iso ON g.bin = iso.i
+            ORDER BY g.bin"""))
+
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
       q90, q92, q94, q96, q120, q124, q170, q180, q198, q199, q200, q206,
-      q224, q235, q246)
+      q224, q235, q246, q255)
 }

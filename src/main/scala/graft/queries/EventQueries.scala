@@ -1590,8 +1590,201 @@ object EventQueries {
                      AS attributed_revenue
             FROM credited GROUP BY channel ORDER BY channel"""))
 
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * data-driven counterpart to q189's linear and q247's positional
+    * heuristics: journeys become a first-order Markov chain over channel
+    * states (start → {click, view}* → conv|null, one journey per
+    * user-day, touches strictly before the day's first purchase), and a
+    * channel's credit is its REMOVAL EFFECT — how much the chain's
+    * start→conv absorption probability drops when the channel's state is
+    * deleted (its inbound edges redirect to null).
+    *
+    * Scale/determinism split: the corpus-sized work (journey windows →
+    * transition counts) is distributed; the chain itself is a ≤4×4
+    * matrix — a BOUNDED artifact collected to the driver (the
+    * Pca/centroid contract) and solved by 20 fixed-point iterations of
+    * pᵗ⁺¹(s) = Σ_d prob(s,d)·value(d), each term rounded at 15 dp onto
+    * the decimal grid and each iterate at 12 dp — the exact recurrence
+    * the oracle replays as chained CTEs (probabilities round at 12 dp
+    * from exact counts first, the q108 PageRank scheme). Three chains
+    * run (base + one per removed channel); shares normalize on the
+    * decimal grid.
+    */
+  private val MarkovIters = 20
+  private val MarkovChannels = Seq("click", "view")
+
+  /** Distributed derivation of (src, dst, cnt) journey transitions. */
+  def markovTransitions(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("user_id"), to_date(col("ts")).as("day"),
+      col("ts"), col("event_id"), col("event_type"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "day").agg(min(col("ts")).as("fts"))
+    val tt = ev.filter(col("event_type").isin(MarkovChannels: _*))
+      .join(fp, Seq("user_id", "day"), "left")
+      .filter(col("fts").isNull || col("ts") < col("fts"))
+      .withColumnRenamed("event_type", "ch")
+    val w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    val cw = Window.partitionBy("user_id", "day")
+    val sq = tt
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", lag(col("ch"), 1).over(w))
+      .withColumn("mx", count(lit(1)).over(cw))
+    val starts = sq.filter(col("rn") === 1)
+      .select(lit("start").as("src"), col("ch").as("dst"))
+    val chains = sq.filter(col("prev").isNotNull)
+      .select(col("prev").as("src"), col("ch").as("dst"))
+    val ends = sq.filter(col("rn") === col("mx"))
+      .select(col("ch").as("src"),
+        when(col("fts").isNotNull, lit("conv")).otherwise(lit("null")).as("dst"))
+    val direct = fp.join(tt.select("user_id", "day").distinct(),
+        Seq("user_id", "day"), "left_anti")
+      .select(lit("start").as("src"), lit("conv").as("dst"))
+    starts.union(chains).union(ends).union(direct)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+  }
+
+  private val q257 = GraftQuery(
+    "q257_markov_attribution",
+    (s, dir) => {
+      import s.implicits._
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def r(x: Double, sc: Int): JBD = JBD.valueOf(x).setScale(sc, RoundingMode.HALF_UP)
+      // BOUNDED collect: <= (channels + start)^2 + absorbers transition cells
+      val trans = markovTransitions(Tables.events(s, dir)).collect()
+        .map(row => (row.getString(0), row.getString(1)) -> row.getLong(2)).toMap
+      def convProb(removed: Option[String]): Double = {
+        val adj = trans.toSeq
+          .filterNot { case ((src, _), _) => removed.contains(src) }
+          .map { case ((src, dst), c) =>
+            (src, if (removed.contains(dst)) "null" else dst) -> c
+          }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        // transient states = DISTINCT sources actually present (the
+        // oracle's p_0 CTE); a state reachable but source-less
+        // contributes p = 0 via the coalesce below, exactly as the SQL's
+        // left join does
+        val srcs = adj.keys.map(_._1).toSeq.distinct.sorted
+        val rowsum = srcs.map(sr =>
+          sr -> adj.collect { case ((`sr`, _), c) => c }.sum).toMap
+        def prob(sr: String, d: String): Double =
+          r(adj.getOrElse((sr, d), 0L).toDouble / rowsum(sr).toDouble, 12).doubleValue
+        var p = srcs.map(_ -> 0.0).toMap
+        for (_ <- 1 to MarkovIters) {
+          p = srcs.map { sr =>
+            val terms = adj.keys.toSeq.filter(_._1 == sr).sortBy(_._2).map { case (_, d) =>
+              val v = d match {
+                case "conv" => 1.0
+                case "null" => 0.0
+                case t => p.getOrElse(t, 0.0)
+              }
+              r(prob(sr, d) * v, 15)
+            }
+            val sum = terms.foldLeft(JBD.ZERO)(_.add(_))
+            sr -> r(sum.doubleValue, 12).doubleValue
+          }.toMap
+        }
+        p("start")
+      }
+      val base = convProb(None)
+      val effects = MarkovChannels.map { c =>
+        val rp = convProb(Some(c))
+        (c, rp, r((base - rp) / base, 12).doubleValue)
+      }
+      val totRe = effects.map(e => r(e._3, 12)).foldLeft(JBD.ZERO)(_.add(_)).doubleValue
+      val rows = effects.map { case (c, rp, re) =>
+        (c, base, rp, re, r(re / totRe, 12).doubleValue)
+      }
+      rows.toDF("channel", "base_conv_prob", "removal_conv_prob",
+        "removal_effect", "attribution_share").orderBy("channel")
+    },
+    Some {
+      def chainCtes(tag: String, removed: Option[String]): String = {
+        // MATERIALIZED throughout: each of the 20 iteration CTEs references
+        // the probability table — left to inline, DuckDB would replay the
+        // journey-window pipeline 60+ times (the q108 PageRank lesson)
+        val trCte = removed match {
+          case None => s"tr_$tag AS MATERIALIZED (SELECT src, dst, cnt FROM tr)"
+          case Some(c) =>
+            s"""tr_$tag AS MATERIALIZED (
+                 SELECT src, CASE WHEN dst = '$c' THEN 'null' ELSE dst END AS dst,
+                        sum(cnt) AS cnt
+                 FROM tr WHERE src <> '$c' GROUP BY 1, 2)"""
+        }
+        val sb = new StringBuilder(s"""$trCte,
+             pr_$tag AS MATERIALIZED (
+               SELECT src, dst,
+                      round(CAST(cnt AS DOUBLE)
+                        / CAST(sum(cnt) OVER (PARTITION BY src) AS DOUBLE), 12) AS prob
+               FROM tr_$tag),
+             p${tag}_0 AS MATERIALIZED (
+               SELECT DISTINCT src AS state, CAST(0 AS DOUBLE) AS p FROM tr_$tag)""")
+        for (i <- 1 to MarkovIters) {
+          sb.append(s""",
+             p${tag}_$i AS MATERIALIZED (
+               SELECT t.src AS state,
+                      round(CAST(sum(CAST(round(t.prob
+                          * CASE WHEN t.dst = 'conv' THEN 1.0
+                                 WHEN t.dst = 'null' THEN 0.0
+                                 ELSE coalesce(pv.p, 0.0) END, 15)
+                        AS DECIMAL(38,15))) AS DOUBLE), 12) AS p
+               FROM pr_$tag t
+               LEFT JOIN p${tag}_${i - 1} pv ON t.dst = pv.state
+               GROUP BY 1)""")
+        }
+        sb.toString
+      }
+      val chains = Seq(("b", None)) ++
+        MarkovChannels.map(c => (s"rm_$c", Some(c)))
+      s"""WITH ev AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                   CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+            FROM events),
+          fp AS (SELECT user_id, day, min(ts) AS fts
+                 FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+          tt AS (SELECT e.user_id, e.day, e.ts, e.event_id, e.event_type AS ch, f.fts
+                 FROM ev e LEFT JOIN fp f USING (user_id, day)
+                 WHERE e.event_type IN (${MarkovChannels.map("'" + _ + "'").mkString(", ")})
+                   AND (f.fts IS NULL OR e.ts < f.fts)),
+          sq AS (SELECT *,
+                        row_number() OVER (PARTITION BY user_id, day
+                          ORDER BY ts, event_id) AS rn,
+                        lag(ch) OVER (PARTITION BY user_id, day
+                          ORDER BY ts, event_id) AS prev,
+                        count(*) OVER (PARTITION BY user_id, day) AS mx
+                 FROM tt),
+          tr0 AS (
+            SELECT 'start' AS src, ch AS dst FROM sq WHERE rn = 1
+            UNION ALL SELECT prev, ch FROM sq WHERE prev IS NOT NULL
+            UNION ALL SELECT ch, CASE WHEN fts IS NOT NULL THEN 'conv' ELSE 'null' END
+                      FROM sq WHERE rn = mx
+            UNION ALL SELECT 'start', 'conv'
+                      FROM fp LEFT JOIN (SELECT DISTINCT user_id, day FROM tt) td
+                        USING (user_id, day)
+                      WHERE td.user_id IS NULL),
+          tr AS MATERIALIZED (SELECT src, dst, count(*) AS cnt FROM tr0 GROUP BY 1, 2),
+          ${chains.map { case (tag, rm) => chainCtes(tag, rm) }.mkString(",\n          ")},
+          res AS (
+            ${MarkovChannels.map { c =>
+              s"""SELECT '$c' AS channel,
+                    (SELECT p FROM pb_$MarkovIters WHERE state = 'start') AS base_conv_prob,
+                    (SELECT p FROM prm_${c}_$MarkovIters WHERE state = 'start') AS removal_conv_prob"""
+            }.mkString("\n            UNION ALL ")}),
+          re AS (SELECT channel, base_conv_prob, removal_conv_prob,
+                        round((base_conv_prob - removal_conv_prob) / base_conv_prob, 12)
+                          AS removal_effect
+                 FROM res),
+          tot AS (SELECT CAST(sum(CAST(removal_effect AS DECIMAL(38,12))) AS DOUBLE) AS t
+                  FROM re)
+          SELECT channel, base_conv_prob, removal_conv_prob, removal_effect,
+                 round(removal_effect / t, 12) AS attribution_share
+          FROM re CROSS JOIN tot
+          ORDER BY channel"""
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
       q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152, q160,
-      q166, q183, q189, q237, q240, q247)
+      q166, q183, q189, q237, q240, q247, q257)
 }

@@ -1362,7 +1362,59 @@ object StatsQueries {
     (s, dir) => spearmanRho(Tables.lineitem(s, dir)),
     Some(spearmanOracle))
 
+  // ---------------------------------------------------------------- q256
+
+  /** Wilson score lower-bound ranking (Wilson 1927; the "how not to sort
+    * by average rating" correction): sources ranked by the 95% lower
+    * confidence bound of their English-rate, not the raw proportion — a
+    * small sample's perfect rate must not outrank a large sample's
+    * near-perfect one. Pure per-group closed form over exact integer
+    * (n, pos) counts: one hash aggregate, the z = 1.96 literal shared by
+    * both engines, every IEEE step identical, bound rounds at 12 dp
+    * BEFORE the rank window (q216 contract). The rank window runs over
+    * the SOURCE census (≤ |sources| rows), never the corpus.
+    */
+  private val q256 = GraftQuery(
+    "q256_wilson_ranking",
+    (s, dir) => {
+      val z = 1.96
+      val g = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"))
+      val nD = col("n").cast("double")
+      val p = col("pos").cast("double") / nD
+      val lb = (p + lit(z * z) / (lit(2.0) * nD)
+        - lit(z) * sqrt(p * (lit(1.0) - p) / nD
+          + lit(z * z) / (lit(4.0) * nD * nD))) / (lit(1.0) + lit(z * z) / nD)
+      val scored = g.select(col("source"), col("n"), col("pos"),
+        round(p, 12).as("raw_rate"), round(lb, 12).as("wilson_lb"))
+      scored.withColumn("rank", row_number().over(
+          Window.orderBy(col("wilson_lb").desc, col("source"))).cast("int"))
+        .orderBy("rank")
+    },
+    Some("""WITH g AS (
+              SELECT source, count(*) AS n,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+              FROM documents GROUP BY 1),
+            sc AS (
+              SELECT source, n, pos,
+                     round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 12) AS raw_rate,
+                     round(((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                         + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                         - 1.96 * sqrt((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                             / CAST(n AS DOUBLE)
+                           + (1.96 * 1.96)
+                             / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                       / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 12) AS wilson_lb
+              FROM g)
+            SELECT source, n, pos, raw_rate, wilson_lb,
+                   CAST(row_number() OVER (ORDER BY wilson_lb DESC, source) AS INT)
+                     AS rank
+            FROM sc ORDER BY rank"""))
+
   def all: Seq[GraftQuery] =
     Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185, q215, q216,
-      q217, q231, q234, q236, q239, q241)
+      q217, q231, q234, q236, q239, q241, q256)
 }

@@ -132,7 +132,11 @@ class PlanShapeSpec extends SparkSpec {
       "q246_neyman_allocation", "q247_ushape_attribution",
       "q248_boruvka_forest", "q249_perplexity_filter",
       "q250_itemcf_neighbors", "q251_ndcg_retrieval", "q252_phrase_search",
-      "q253_beam_ann_search", "q254_skyline_parts")
+      "q253_beam_ann_search", "q254_skyline_parts",
+      // q255's bounded bin-interval joins broadcast (the q226 scalar-fold
+      // contract); q257's chain solve is a bounded driver-local artifact
+      "q255_isotonic_calibration", "q256_wilson_ranking",
+      "q257_markov_attribution")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
