@@ -1071,9 +1071,16 @@ object DedupQueries {
     * Blocking contract: candidates share (last name token, p_brand) — the
     * q186 last-token block tightened by brand, so pairwise work is
     * Σ|block|² over a (noun × brand)-partitioned catalog, never
-    * |parts|². Fields compared: name edit distance ≤ 1 (codegen'd
-    * levenshtein on both engines), type equality, size equality.
+    * |parts|². Σ|block|² still grows quadratically when blocks scale
+    * with the corpus (the ×10 probe measured 29× for 10× rows), so a
+    * hub-block cap (the q143 maxDocFreq discipline) bounds it: blocks
+    * larger than 200 records are excluded from pairing — at production
+    * scale an oversized block means the blocking key is too coarse and
+    * needs another field, not more compute. Fields compared: name edit
+    * distance ≤ 1 (codegen'd levenshtein on both engines), type
+    * equality, size equality.
     */
+  private val FsMaxBlock = 200
   private val q243 = GraftQuery(
     "q243_fellegi_sunter",
     (s, dir) => {
@@ -1083,10 +1090,15 @@ object DedupQueries {
       val (wNameA, wNameD) = w2(0.9, 0.02)
       val (wTypeA, wTypeD) = w2(0.9, 0.2)
       val (wSizeA, wSizeD) = w2(0.85, 0.02)
-      val p = Tables.part(s, dir)
+      val p0 = Tables.part(s, dir)
         .select(col("p_partkey"), col("p_name"), col("p_brand"),
           col("p_type"), col("p_size"),
           element_at(split(col("p_name"), " "), -1).as("blk"))
+      val p = p0.join(
+        p0.groupBy("blk", "p_brand").agg(count(lit(1)).as("bsz")),
+        Seq("blk", "p_brand"))
+        .filter(col("bsz") <= FsMaxBlock)
+        .drop("bsz")
       val a = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"a_$c"))
       val b = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"b_$c"))
       val pairs = a.join(b,
@@ -1119,10 +1131,16 @@ object DedupQueries {
       val (wNameA, wNameD) = w2(0.9, 0.02)
       val (wTypeA, wTypeD) = w2(0.9, 0.2)
       val (wSizeA, wSizeD) = w2(0.85, 0.02)
-      s"""WITH p AS (
+      s"""WITH p0 AS (
             SELECT p_partkey, p_name, p_brand, p_type, p_size,
                    list_extract(string_split(p_name, ' '), -1) AS blk
             FROM part),
+          p AS (
+            SELECT p0.* FROM p0
+            JOIN (SELECT blk, p_brand, count(*) AS bsz
+                  FROM p0 GROUP BY 1, 2) s
+              USING (blk, p_brand)
+            WHERE s.bsz <= $FsMaxBlock),
           pairs AS (
             SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
                    a.p_name AS name_a, b.p_name AS name_b,

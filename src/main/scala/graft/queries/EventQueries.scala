@@ -1783,8 +1783,76 @@ object EventQueries {
           ORDER BY channel"""
     })
 
+  /** KMV (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002) —
+    * the third cardinality estimator next to q66's HLL and q29's
+    * approx_count_distinct, and the one whose estimate REPLAYS exactly:
+    * the k-th smallest of the portable 60-bit md5 hashes determines
+    * est = (k−1)/u₍ₖ₎, so DuckDB recomputes the identical hashes, ranks
+    * them, and reproduces the estimate bit-for-bit — no error-bound
+    * booleans needed, the values themselves match. Rank rides the raw
+    * INTEGER hash (u = h/2⁶⁰ is monotonic in h), so no double-rounding
+    * tie can disagree. Per-type distinct-hash frames carry the rank
+    * window here; the bounded-heap TopKAgg is the drop-in at corpus
+    * scale (the q36 contract). Types with < k distinct users report the
+    * exact count (the KMV small-set rule).
+    */
+  private val KmvK = 64
+  private val q258 = GraftQuery(
+    "q258_kmv_distinct",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pow60 = math.pow(2.0, 60.0)
+      val h = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)")
+            .cast("long").as("h"))
+        .distinct()
+      val n = h.groupBy("event_type").agg(count(lit(1)).as("n_distinct"))
+      val kth = h
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy("h")))
+        .filter(col("rk") === KmvK)
+        .select(col("event_type"), col("h").as("hk"))
+      n.join(kth, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_distinct"),
+          when(col("hk").isNotNull,
+            round(col("hk").cast("double") / lit(pow60), 12)).as("kth_u"),
+          when(col("hk").isNotNull,
+            round(lit((KmvK - 1).toDouble)
+              / (col("hk").cast("double") / lit(pow60)), 6))
+            .otherwise(col("n_distinct").cast("double")).as("est_distinct"))
+        .withColumn("rel_err",
+          round(abs(col("est_distinct") - col("n_distinct").cast("double"))
+            / col("n_distinct").cast("double"), 12))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM events),
+            n AS (SELECT event_type, count(*) AS n_distinct FROM h GROUP BY 1),
+            kth AS (
+              SELECT event_type, h AS hk FROM (
+                SELECT event_type, h, row_number() OVER (PARTITION BY event_type
+                  ORDER BY h) AS rk FROM h)
+              WHERE rk = $KmvK),
+            j AS (
+              SELECT n.event_type, n.n_distinct,
+                     CASE WHEN kth.hk IS NOT NULL
+                       THEN round(CAST(kth.hk AS DOUBLE) / ${math.pow(2.0, 60.0)}, 12)
+                     END AS kth_u,
+                     CASE WHEN kth.hk IS NOT NULL
+                       THEN round(${(KmvK - 1).toDouble}
+                         / (CAST(kth.hk AS DOUBLE) / ${math.pow(2.0, 60.0)}), 6)
+                       ELSE CAST(n.n_distinct AS DOUBLE) END AS est_distinct
+              FROM n LEFT JOIN kth ON n.event_type = kth.event_type)
+            SELECT event_type, n_distinct, kth_u, est_distinct,
+                   round(abs(est_distinct - CAST(n_distinct AS DOUBLE))
+                     / CAST(n_distinct AS DOUBLE), 12) AS rel_err
+            FROM j ORDER BY event_type"""))
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
       q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152, q160,
-      q166, q183, q189, q237, q240, q247, q257)
+      q166, q183, q189, q237, q240, q247, q257, q258)
 }

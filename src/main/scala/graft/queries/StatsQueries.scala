@@ -1216,11 +1216,15 @@ object StatsQueries {
       .orderBy("event_type", "day")
   }
 
-  private def holtOracle: String = {
+  /** The Holt recurrence's oracle CTE prefix up to `agg` (event_type, day,
+    * c, level_raw, trend_raw) — shared by q239's smoothing output and
+    * q260's rolling-origin backtest.
+    */
+  private def holtOracleCtes: String = {
     val values = holtWeights
       .map { case (j, wl, wb) => s"($j, ${wl.toDouble}, ${wb.toDouble})" }
       .mkString(", ")
-    s"""WITH daily AS (
+    s"""daily AS MATERIALIZED (
           SELECT event_type,
                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
                  count(*) AS c
@@ -1240,14 +1244,17 @@ object StatsQueries {
           SELECT event_type, day, c,
                  ${graft.functions.Exact.sumFxSql("CAST(cj AS DOUBLE) * w_l", 15)} AS level_raw,
                  ${graft.functions.Exact.sumFxSql("CAST(cj AS DOUBLE) * w_b", 15)} AS trend_raw
-          FROM pair GROUP BY event_type, day, c)
+          FROM pair GROUP BY event_type, day, c)"""
+  }
+
+  private def holtOracle: String =
+    s"""WITH $holtOracleCtes
         SELECT event_type, day, c,
                round(level_raw, 9) AS level,
                round(trend_raw, 9) AS trend,
                round(level_raw + trend_raw, 9) AS forecast_next
         FROM agg
         ORDER BY event_type, day"""
-  }
 
   private val q239 = GraftQuery(
     "q239_holt_trend",
@@ -1414,7 +1421,181 @@ object StatsQueries {
                      AS rank
             FROM sc ORDER BY rank"""))
 
+  // ---------------------------------------------------------------- q259
+
+  /** Poisson-bootstrap confidence interval for the per-source mean
+    * document length (Chamandy et al. 2012, Google's streaming
+    * bootstrap): instead of materializing B resamples, every (doc,
+    * replica) pair draws a Poisson(1) weight — the with-replacement
+    * resample's occupancy distribution — from a DETERMINISTIC uniform
+    * (portable md5 of doc_id/replica), so one corpus scan with a B-way
+    * explode yields all replica means and both engines replay every
+    * draw. The inverse-CDF thresholds are 8 shared cumulative-e⁻¹
+    * literals (weights cap at 7: P(w>7) < 10⁻⁵). Replica means are
+    * exact-integer ratios (Σw·x / Σw); the 2.5/97.5% CI bounds are exact
+    * order statistics of the B=50 means — rank windows over B rows per
+    * source, never over the corpus.
+    */
+  private val BootReplicas = 50
+
+  /** Cumulative Poisson(1) CDF thresholds for weights 0..6 (weight 7 is
+    * the cap bucket); exact double literals shared with the oracle.
+    */
+  private def poissonCdf: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    val pmf = Iterator.iterate((e1, 0)) { case (p, k) => (p / (k + 1), k + 1) }
+      .map(_._1).take(7).toSeq
+    pmf.scanLeft(0.0)(_ + _).drop(1)
+  }
+
+  private val q259 = GraftQuery(
+    "q259_poisson_bootstrap_ci",
+    (s, dir) => {
+      val cdf = poissonCdf
+      val weightExpr = {
+        val cases = cdf.zipWithIndex
+          .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+        s"CASE $cases ELSE 7 END"
+      }
+      val dec0 = DecimalType(38, 0)
+      val docs = Tables.documents(s, dir).select("source", "doc_id", "n_chars")
+      val rep = docs
+        .withColumn("r", explode(sequence(lit(0), lit(BootReplicas - 1))))
+        .withColumn("u",
+          expr("conv(substring(md5(concat(cast(doc_id as string), '/', cast(r as string))), 1, 15), 16, 10)")
+            .cast("long").cast("double") / lit(math.pow(2.0, 60.0)))
+        .withColumn("w", expr(weightExpr))
+      val means = rep.groupBy("source", "r")
+        .agg(
+          sum(col("w").cast(dec0)).as("sw"),
+          sum((col("w") * col("n_chars")).cast(dec0)).as("swx"))
+        .select(col("source"), col("r"),
+          when(col("sw") > 0,
+            round(col("swx").cast("double") / col("sw").cast("double"), 12))
+            .as("rep_mean"))
+      // the all-weights-zero replica (P ≈ e^-25·per source) yields a null
+      // mean; drop it on BOTH engines before ranking — Spark sorts nulls
+      // first, DuckDB last, so a surviving null would shift the ranks
+      val w = Window.partitionBy("source").orderBy(col("rep_mean"), col("r"))
+      val ranked = means.filter(col("rep_mean").isNotNull)
+        .withColumn("rk", row_number().over(w))
+      val lo = ranked.filter(col("rk") === 2)
+        .select(col("source"), col("rep_mean").as("ci_low"))
+      val hi = ranked.filter(col("rk") === BootReplicas - 1)
+        .select(col("source"), col("rep_mean").as("ci_high"))
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars").cast(dec0)).cast("double")
+          / count(lit(1)).cast("double"), 12).as("mean_chars"))
+      base.join(lo, "source").join(hi, "source")
+        .select("source", "n_docs", "mean_chars", "ci_low", "ci_high")
+        .orderBy("source")
+    },
+    Some {
+      val cdf = poissonCdf
+      val cases = cdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      s"""WITH rep AS (
+            SELECT source, doc_id, n_chars, r,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/'
+                       || CAST(r AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+                     / ${math.pow(2.0, 60.0)} AS u
+            FROM documents CROSS JOIN (SELECT unnest(range(0, $BootReplicas)) AS r)),
+          wt AS (SELECT source, r, n_chars, CASE $cases ELSE 7 END AS w FROM rep),
+          means AS (
+            SELECT source, r,
+                   CASE WHEN sum(CAST(w AS DECIMAL(38,0))) > 0 THEN
+                     round(CAST(sum(CAST(w * n_chars AS DECIMAL(38,0))) AS DOUBLE)
+                       / CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE), 12)
+                   END AS rep_mean
+            FROM wt GROUP BY 1, 2),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY rep_mean, r) AS rk
+            FROM means WHERE rep_mean IS NOT NULL),
+          base AS (
+            SELECT source, count(*) AS n_docs,
+                   round(CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 12) AS mean_chars
+            FROM documents GROUP BY 1)
+          SELECT b.source, b.n_docs, b.mean_chars,
+                 lo.rep_mean AS ci_low, hi.rep_mean AS ci_high
+          FROM base b
+          JOIN (SELECT source, rep_mean FROM ranked WHERE rk = 2) lo
+            ON b.source = lo.source
+          JOIN (SELECT source, rep_mean FROM ranked
+                WHERE rk = ${BootReplicas - 1}) hi
+            ON b.source = hi.source
+          ORDER BY b.source"""
+    })
+
+  // ---------------------------------------------------------------- q260
+
+  /** Rolling-origin forecast backtest (Tashman 2000's evaluation
+    * standard) of the q239 Holt smoother: at each of the last 5 cutoff
+    * days per event type, the one-step forecast (level + trend at the
+    * cutoff) is scored against the NEXT day's actual count — MAPE over
+    * the cutoffs plus the worst/best absolute percentage error. Because
+    * the truncated-Holt state at every day already falls out of q239's
+    * calendar-bounded join, the backtest is ONE extra self-join of the
+    * smoothed frame against the next day's actual (join on the day key —
+    * missing next-days drop the cutoff on both engines) and a per-type
+    * rank window over ≤ |days| rows. APEs round at 12 dp onto the
+    * decimal grid before the order-free MAPE mean.
+    */
+  private val BacktestCutoffs = 5
+  private val q260 = GraftQuery(
+    "q260_holt_backtest",
+    (s, dir) => {
+      val hd = holtDaily(s, Tables.events(s, dir))
+        .select(col("event_type"), col("day"),
+          (col("level") + col("trend")).as("forecast"))
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("nday"))
+        .agg(count(lit(1)).as("actual"))
+      val scored = hd.join(daily,
+          hd("event_type") === daily("event_type")
+            && col("nday") === date_add(col("day"), 1))
+        .select(hd("event_type"), col("day"), col("forecast"), col("actual"))
+        .withColumn("ape",
+          round(abs(col("forecast") - col("actual").cast("double"))
+            / col("actual").cast("double"), 12))
+      val w = Window.partitionBy("event_type").orderBy(col("day").desc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= BacktestCutoffs)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_cutoffs"),
+          round(sum(col("ape").cast(DecimalType(38, 12))).cast("double")
+            / count(lit(1)).cast("double"), 9).as("mape"),
+          round(min(col("ape")), 12).as("best_ape"),
+          round(max(col("ape")), 12).as("worst_ape"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH $holtOracleCtes,
+          hd AS (
+            SELECT event_type, day,
+                   round(level_raw, 9) + round(trend_raw, 9) AS forecast
+            FROM agg),
+          scored AS (
+            SELECT hd.event_type, hd.day, hd.forecast, d.c AS actual,
+                   round(abs(hd.forecast - CAST(d.c AS DOUBLE))
+                     / CAST(d.c AS DOUBLE), 12) AS ape
+            FROM hd JOIN daily d
+              ON hd.event_type = d.event_type AND d.day = hd.day + 1),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY day DESC) AS rk
+            FROM scored)
+          SELECT event_type, count(*) AS n_cutoffs,
+                 round(CAST(sum(CAST(ape AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 9) AS mape,
+                 round(min(ape), 12) AS best_ape,
+                 round(max(ape), 12) AS worst_ape
+          FROM ranked WHERE rk <= $BacktestCutoffs
+          GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[GraftQuery] =
     Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185, q215, q216,
-      q217, q231, q234, q236, q239, q241, q256)
+      q217, q231, q234, q236, q239, q241, q256, q259, q260)
 }

@@ -136,7 +136,8 @@ class PlanShapeSpec extends SparkSpec {
       // q255's bounded bin-interval joins broadcast (the q226 scalar-fold
       // contract); q257's chain solve is a bounded driver-local artifact
       "q255_isotonic_calibration", "q256_wilson_ranking",
-      "q257_markov_attribution")
+      "q257_markov_attribution", "q258_kmv_distinct",
+      "q259_poisson_bootstrap_ci", "q260_holt_backtest")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
