@@ -1851,8 +1851,99 @@ object EventQueries {
                      / CAST(n_distinct AS DOUBLE), 12) AS rel_err
             FROM j ORDER BY event_type"""))
 
+  /** Two-proportion z-test per event type (the categorical member of the
+    * q215/q216/q217 two-sample family): does the share of active users
+    * emitting each event type differ between the observation window's
+    * first 15 days and the rest? Proportions come from exact
+    * distinct-user counts per half (one hash aggregate each), the pooled
+    * z closed form is a shared IEEE sequence over those integers, z
+    * rounds at 12 dp before the |z| > 1.96 verdict. The day split
+    * anchors on the globally minimal day (q184's broadcast-scalar
+    * contract), so both engines cut the identical boundary.
+    */
+  private val q263 = GraftQuery(
+    "q263_two_proportion_z",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      val d0 = ev.agg(min(col("day")).as("d0"))
+      val withHalf = ev.crossJoin(broadcast(d0))
+        .withColumn("half", when(datediff(col("day"), col("d0")) < 15, 1).otherwise(2))
+      val active = withHalf.select("half", "user_id").distinct()
+        .groupBy("half").agg(count(lit(1)).as("n"))
+      val typed = withHalf.select("half", "event_type", "user_id").distinct()
+        .groupBy("half", "event_type").agg(count(lit(1)).as("x"))
+      val wide = typed
+        .join(broadcast(active), "half")
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("half") === 1, col("x"))).as("x1"),
+          sum(when(col("half") === 1, col("n"))).as("n1"),
+          sum(when(col("half") === 2, col("x"))).as("x2"),
+          sum(when(col("half") === 2, col("n"))).as("n2"))
+      val p1 = col("x1").cast("double") / col("n1").cast("double")
+      val p2 = col("x2").cast("double") / col("n2").cast("double")
+      val pp = (col("x1") + col("x2")).cast("double") /
+        (col("n1") + col("n2")).cast("double")
+      val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp)
+        * (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")))
+      // degenerate pooled proportion (everyone or no one converted in both
+      // halves) has zero variance — z is undefined, not infinite
+      val zGuarded = when(
+        col("x1") + col("x2") > 0 && col("x1") + col("x2") < col("n1") + col("n2"),
+        round(z, 12))
+      wide.select(col("event_type"), col("x1"), col("n1"), col("x2"), col("n2"),
+          round(p1, 12).as("rate1"), round(p2, 12).as("rate2"),
+          zGuarded.as("z"))
+        .withColumn("verdict",
+          when(col("z").isNull, lit("undefined"))
+            .when(abs(col("z")) > 1.96, lit("significant"))
+            .otherwise(lit("ns")))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_type,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+              FROM events),
+            d0 AS (SELECT min(day) AS d0 FROM ev),
+            wh AS (SELECT user_id, event_type,
+                          CASE WHEN datediff('day', d0, day) < 15 THEN 1 ELSE 2 END
+                            AS half
+                   FROM ev CROSS JOIN d0),
+            active AS (
+              SELECT half, count(*) AS n FROM (
+                SELECT DISTINCT half, user_id FROM wh) GROUP BY 1),
+            typed AS (
+              SELECT half, event_type, count(*) AS x FROM (
+                SELECT DISTINCT half, event_type, user_id FROM wh) GROUP BY 1, 2),
+            wide AS (
+              SELECT t.event_type,
+                     CAST(sum(CASE WHEN t.half = 1 THEN t.x END) AS BIGINT) AS x1,
+                     CAST(sum(CASE WHEN t.half = 1 THEN a.n END) AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN t.half = 2 THEN t.x END) AS BIGINT) AS x2,
+                     CAST(sum(CASE WHEN t.half = 2 THEN a.n END) AS BIGINT) AS n2
+              FROM typed t JOIN active a USING (half)
+              GROUP BY 1),
+            zed AS (
+              SELECT event_type, x1, n1, x2, n2,
+                     round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 12) AS rate1,
+                     round(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 12) AS rate2,
+                     CASE WHEN x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN
+                       round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                           - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                         / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                           * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                           * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 12)
+                     END AS z
+              FROM wide)
+            SELECT event_type, x1, n1, x2, n2, rate1, rate2, z,
+                   CASE WHEN z IS NULL THEN 'undefined'
+                        WHEN abs(z) > 1.96 THEN 'significant'
+                        ELSE 'ns' END AS verdict
+            FROM zed ORDER BY event_type"""))
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
       q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152, q160,
-      q166, q183, q189, q237, q240, q247, q257, q258)
+      q166, q183, q189, q237, q240, q247, q257, q258, q263)
 }

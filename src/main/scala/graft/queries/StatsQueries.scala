@@ -1595,7 +1595,73 @@ object StatsQueries {
           FROM ranked WHERE rk <= $BacktestCutoffs
           GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q262
+
+  /** Kendall τ-b ranking agreement (Kendall 1938, tie-corrected) between
+    * two per-source quality metrics — total characters vs English-doc
+    * count: do the two signals rank sources the same way? The
+    * rank-concordance complement to q241's Spearman (τ counts pairwise
+    * inversions; ρ correlates ranks). Work is one source census plus a
+    * pair self-join over the CENSUS (≤ |sources|² pairs — never rows);
+    * concordant/discordant/tie counts are exact integers and the τ-b
+    * closed form is one shared IEEE sequence, rounded at 12 dp.
+    */
+  private val q262 = GraftQuery(
+    "q262_kendall_tau",
+    (s, dir) => {
+      val dec0 = DecimalType(38, 0)
+      val cen = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(col("n_chars").cast(dec0)).as("x"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("y"))
+      val a = cen.select(col("source").as("sa"), col("x").as("xa"), col("y").as("ya"))
+      val b = cen.select(col("source").as("sb"), col("x").as("xb"), col("y").as("yb"))
+      val pairs = a.join(broadcast(b), col("sa") < col("sb"))
+        .select(
+          signum((col("xa") - col("xb")).cast("double")).as("cx"),
+          signum((col("ya") - col("yb")).cast("double")).as("cy"))
+      val m = pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("cx") * col("cy") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("cx") * col("cy") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("cx") === 0 && col("cy") =!= 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("cy") === 0 && col("cx") =!= 0, 1L).otherwise(0L)).as("ties_y"))
+      m.select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        round((col("concordant") - col("discordant")).cast("double")
+          / sqrt(
+            (col("concordant") + col("discordant") + col("ties_x")).cast("double")
+              * (col("concordant") + col("discordant") + col("ties_y")).cast("double")),
+          12).as("tau_b"))
+    },
+    Some("""WITH cen AS (
+              SELECT source,
+                     sum(CAST(n_chars AS DECIMAL(38,0))) AS x,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS y
+              FROM documents GROUP BY 1),
+            pairs AS (
+              SELECT sign(CAST(a.x - b.x AS DOUBLE)) AS cx,
+                     sign(CAST(a.y - b.y AS DOUBLE)) AS cy
+              FROM cen a JOIN cen b ON a.source < b.source),
+            m AS (
+              SELECT count(*) AS n_pairs,
+                     CAST(sum(CASE WHEN cx * cy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS concordant,
+                     CAST(sum(CASE WHEN cx * cy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS discordant,
+                     CAST(sum(CASE WHEN cx = 0 AND cy <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ties_x,
+                     CAST(sum(CASE WHEN cy = 0 AND cx <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ties_y
+              FROM pairs)
+            SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+                   round(CAST(concordant - discordant AS DOUBLE)
+                     / sqrt(CAST(concordant + discordant + ties_x AS DOUBLE)
+                       * CAST(concordant + discordant + ties_y AS DOUBLE)), 12)
+                     AS tau_b
+            FROM m"""))
+
   def all: Seq[GraftQuery] =
     Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185, q215, q216,
-      q217, q231, q234, q236, q239, q241, q256, q259, q260)
+      q217, q231, q234, q236, q239, q241, q256, q259, q260, q262)
 }

@@ -137,7 +137,10 @@ class PlanShapeSpec extends SparkSpec {
       // contract); q257's chain solve is a bounded driver-local artifact
       "q255_isotonic_calibration", "q256_wilson_ranking",
       "q257_markov_attribution", "q258_kmv_distinct",
-      "q259_poisson_bootstrap_ci", "q260_holt_backtest")
+      "q259_poisson_bootstrap_ci", "q260_holt_backtest",
+      // q261's ring lookups are broadcast bounded-fan BNLJs (ring-sized)
+      "q261_consistent_hash_reshard", "q262_kendall_tau",
+      "q263_two_proportion_z")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
