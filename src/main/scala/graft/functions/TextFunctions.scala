@@ -25,6 +25,16 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     lower(trim(regexp_replace(c, s"[$Ws]+", " ")))
 
+  /** Jaro–Winkler similarity (native codegen'd expression,
+    * DuckDB-`jaro_winkler_similarity`-pinned semantics — see
+    * [[graft.expressions.StringSimExprs.JaroWinkler]]).
+    */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.StringSimExprs.JaroWinkler(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Whitespace tokens of the normalized text (no empty tokens). */
   def tokens(c: Column): Column =
     split(normalizeText(c), " ")

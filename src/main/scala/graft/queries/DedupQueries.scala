@@ -1167,7 +1167,52 @@ object DedupQueries {
           LIMIT 50"""
     })
 
+  /** Jaro–Winkler name linkage — the continuous-score companion to q186's
+    * boolean levenshtein matching and q243's discrete Fellegi–Sunter
+    * weights, powered by the native codegen'd
+    * [[graft.expressions.StringSimExprs.JaroWinkler]] expression (Spark
+    * has no built-in JW; DuckDB does, and the expression's semantics are
+    * pinned to it, so the oracle grades every score value-for-value —
+    * the strongest possible check a custom expression can get).
+    * Candidates pair DISTINCT names within last-token blocks (vocabulary-
+    * bounded, the q186 contract); scores round at 12 dp BEFORE the ≥ 0.87
+    * gate and the rank (q216 round-before-argmax).
+    */
+  private val q264 = GraftQuery(
+    "q264_jaro_winkler_linkage",
+    (s, dir) => {
+      val names = Tables.part(s, dir)
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      val a = names.select(col("p_name").as("name_a"), col("n_parts").as("parts_a"),
+        col("blk"))
+      val b = names.select(col("p_name").as("name_b"), col("n_parts").as("parts_b"),
+        col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("jw", round(
+          graft.functions.TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 12))
+        .filter(col("jw") >= 0.87)
+        .select("name_a", "name_b", "parts_a", "parts_b", "jw")
+        .orderBy(col("jw").desc, col("name_a"), col("name_b"))
+        .limit(50)
+    },
+    Some("""WITH names AS (
+              SELECT p_name, count(*) AS n_parts,
+                     list_extract(string_split(p_name, ' '), -1) AS blk
+              FROM part GROUP BY 1),
+            pairs AS (
+              SELECT a.p_name AS name_a, b.p_name AS name_b,
+                     a.n_parts AS parts_a, b.n_parts AS parts_b,
+                     round(jaro_winkler_similarity(a.p_name, b.p_name), 12) AS jw
+              FROM names a JOIN names b
+                ON a.blk = b.blk AND a.p_name < b.p_name)
+            SELECT name_a, name_b, parts_a, parts_b, jw
+            FROM pairs WHERE jw >= 0.87
+            ORDER BY jw DESC, name_a, name_b
+            LIMIT 50"""))
+
   def all: Seq[GraftQuery] =
     Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146, q181,
-      q186, q201, q205, q218, q219, q220, q233, q243)
+      q186, q201, q205, q218, q219, q220, q233, q243, q264)
 }

@@ -140,6 +140,33 @@ class CodegenSpec extends SparkSpec {
     assert(exact.subsetOf(genB.toSet), "bloom prefilter dropped a true match")
   }
 
+  test("JaroWinkler: kernel call codegen'd, codegen == interpreted, known values") {
+    // plain projection: a non-equi self-join would plan as BNLJ, which has
+    // no whole-stage-codegen subtree to inspect
+    def df = Tables.part(spark, "/root/testdata/sf0.001").limit(60)
+      .select(col("p_partkey"),
+        graft.functions.TextFunctions.jaroWinkler(
+          col("p_name"), reverse(col("p_name"))).as("jw"),
+        graft.functions.TextFunctions.jaroWinkler(
+          col("p_name"), col("p_type")).as("jw2"))
+    val cg = codegenOf(df)
+    assert(cg.contains("graft.expressions.StringSimExprs.jaroWinklerKernel"),
+      s"generated code lacks the JW kernel:\n${cg.take(2000)}")
+    val (gen, interp) = bothPaths(df)
+    assert(gen === interp)
+    // DuckDB-pinned boundary values (probed, not assumed — see the
+    // expression scaladoc)
+    import graft.expressions.StringSimExprs.jaroWinklerKernel
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(jaroWinklerKernel(u("martha"), u("marhta")) === 0.9611111111111111)
+    assert(jaroWinklerKernel(u("dixon"), u("dicksonx")) === 0.8133333333333332)
+    assert(jaroWinklerKernel(u("abcvwxyz"), u("cabvwxyz")) === 0.9583333333333334)
+    assert(jaroWinklerKernel(u("abcdex"), u("abcdey")) === 0.9333333333333333)
+    assert(jaroWinklerKernel(u("ab"), u("ba")) === 0.0)
+    assert(jaroWinklerKernel(u(""), u("")) === 0.0)
+    assert(jaroWinklerKernel(u("ab"), u("az")) === 0.6666666666666666)
+  }
+
   test("HilbertIndex: loop generated inline, codegen == interpreted, 12-bit analyzes") {
     def df = spark.range(256).select(
       col("id"),

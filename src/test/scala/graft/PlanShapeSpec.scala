@@ -140,7 +140,7 @@ class PlanShapeSpec extends SparkSpec {
       "q259_poisson_bootstrap_ci", "q260_holt_backtest",
       // q261's ring lookups are broadcast bounded-fan BNLJs (ring-sized)
       "q261_consistent_hash_reshard", "q262_kendall_tau",
-      "q263_two_proportion_z")
+      "q263_two_proportion_z", "q264_jaro_winkler_linkage")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
