@@ -1212,7 +1212,61 @@ object DedupQueries {
             ORDER BY jw DESC, name_a, name_b
             LIMIT 50"""))
 
+  /** MinHash-LSH parameter planning as a QUERY: for a 64-permutation
+    * budget and target threshold 0.5, score every (bands, rows) split by
+    * the S-curve's integrated deviation from the ideal step —
+    * ∫|1−(1−sʳ)ᵇ − 1[s ≥ t]| ds on a 101-point grid — and mark the
+    * argmin. This is `TuneLsh`'s planning math exposed through the
+    * registry so the choice q20/q205 run with is itself oracle-audited:
+    * both engines evaluate the same 7×101 closed-form grid (terms round
+    * at 12 dp onto the decimal grid before the order-free mean — pow is
+    * libm on both sides, the q103 rounding contract), and the argmin
+    * rides (error, bands) — total order.
+    */
+  private val q267 = GraftQuery(
+    "q267_lsh_tuning_curve",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+      val splits = Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1))
+        .toDF("bands", "rows")
+      val grid = (0 to 100).map(_.toLong).toDF("i")
+        .select((col("i").cast("double") / 100.0).as("sx"))
+      val scored = splits.crossJoin(broadcast(grid))
+        .withColumn("p",
+          lit(1.0) - pow(lit(1.0) - pow(col("sx"), col("rows").cast("double")),
+            col("bands").cast("double")))
+        .withColumn("ideal", when(col("sx") >= 0.5, 1.0).otherwise(0.0))
+        .withColumn("term", round(abs(col("p") - col("ideal")), 12).cast(dec))
+        .groupBy("bands", "rows")
+        .agg(round(sum(col("term")).cast("double") / lit(101.0), 9).as("est_error"))
+      scored.withColumn("rk", row_number().over(
+          Window.orderBy(col("est_error"), col("bands"))))
+        .select(col("bands"), col("rows"), col("est_error"),
+          when(col("rk") === 1, lit("selected")).otherwise(lit("-")).as("choice"))
+        .orderBy("bands")
+    },
+    Some("""WITH splits(bands, rows) AS (
+              VALUES (1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1)),
+            grid AS (SELECT CAST(unnest(range(0, 101)) AS DOUBLE) / 100.0 AS sx),
+            scored AS (
+              SELECT bands, rows,
+                     round(CAST(sum(CAST(round(abs(
+                         (1.0 - pow(1.0 - pow(sx, CAST(rows AS DOUBLE)),
+                            CAST(bands AS DOUBLE)))
+                         - (CASE WHEN sx >= 0.5 THEN 1.0 ELSE 0.0 END)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) / 101.0, 9) AS est_error
+              FROM splits CROSS JOIN grid
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, row_number() OVER (ORDER BY est_error, bands) AS rk
+              FROM scored)
+            SELECT bands, rows, est_error,
+                   CASE WHEN rk = 1 THEN 'selected' ELSE '-' END AS choice
+            FROM ranked ORDER BY bands"""))
+
   def all: Seq[GraftQuery] =
     Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146, q181,
-      q186, q201, q205, q218, q219, q220, q233, q243, q264)
+      q186, q201, q205, q218, q219, q220, q233, q243, q264, q267)
 }

@@ -2070,8 +2070,131 @@ object TextQueries {
             FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Chao1 unseen-vocabulary estimate (Chao 1984, bias-corrected form) —
+    * per source: how many word types the sample has NOT yet seen, from
+    * the frequency-of-frequencies census (V observed types, F1
+    * singletons, F2 doubletons → V̂ = V + F1(F1−1)/(2(F2+1)), defined
+    * even when F2 = 0). The "is more data worth crawling" number a
+    * corpus-collection pipeline reads next to q232's coverage curve.
+    * Two hash aggregates (word counts → frequency census), exact
+    * integers end-to-end, one closed form at 9 dp.
+    */
+  private val q265 = GraftQuery(
+    "q265_chao1_vocab",
+    (s, dir) => {
+      val wc = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      wc.groupBy("source")
+        .agg(
+          count(lit(1)).as("v_obs"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("source"), col("v_obs"), col("f1"), col("f2"),
+          round(col("v_obs").cast("double")
+            + col("f1").cast("double") * (col("f1") - 1).cast("double")
+            / (lit(2.0) * (col("f2") + 1).cast("double")), 9).as("chao1"))
+        .orderBy("source")
+    },
+    Some("""WITH wc AS (
+              SELECT source,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            cnt AS (SELECT source, word, count(*) AS c FROM wc GROUP BY 1, 2)
+            SELECT source, count(*) AS v_obs,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                   round(CAST(count(*) AS DOUBLE)
+                     + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       * CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1 AS DOUBLE)
+                       / (2.0 * CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1 AS DOUBLE)),
+                     9) AS chao1
+            FROM cnt GROUP BY source ORDER BY source"""))
+
+  /** Heaps'-law exponent fit (Heaps 1978): V = K·Nᵝ estimated by OLS on
+    * the per-source (ln N, ln V) points — the vocabulary-growth constant
+    * that, with q116's Zipf slope, characterizes the corpus's lexical
+    * statistics. The regression runs over the SOURCE census (one point
+    * per source); per-point logs round at 15 dp onto the decimal grid
+    * (the q103 ln contract) so the moment sums replay exactly, and the
+    * closed-form slope/intercept/R² are one shared IEEE sequence at 9 dp.
+    */
+  private val q266 = GraftQuery(
+    "q266_heaps_law_fit",
+    (s, dir) => {
+      val dec = DecimalType(38, 15)
+      val cen = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("word"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("v_types"))
+      val pts = cen.select(
+        round(log(col("n_tokens").cast("double")), 15).cast(dec).as("x"),
+        round(log(col("v_types").cast("double")), 15).cast(dec).as("y"))
+      // products as 15dp-rounded DOUBLE products, not decimal×decimal —
+      // a (38,15)×(38,15) multiply overflows precision 38 and Spark's
+      // precision-loss adjustment silently truncates the scale to 6
+      def prod(a: String, b: String) =
+        round(col(a).cast("double") * col(b).cast("double"), 15).cast(dec)
+      val m = pts.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(prod("x", "x")).as("sxx"),
+        sum(prod("x", "y")).as("sxy"),
+        sum(prod("y", "y")).as("syy"))
+      val n = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val beta = (n * d("sxy") - d("sx") * d("sy")) / (n * d("sxx") - d("sx") * d("sx"))
+      val alpha = (d("sy") - beta * d("sx")) / n
+      val r2num = (n * d("sxy") - d("sx") * d("sy"))
+      val r2 = r2num * r2num /
+        ((n * d("sxx") - d("sx") * d("sx")) * (n * d("syy") - d("sy") * d("sy")))
+      m.select(col("n").as("n_sources"),
+        round(beta, 9).as("heaps_beta"),
+        round(alpha, 9).as("heaps_ln_k"),
+        round(r2, 9).as("r_squared"))
+    },
+    Some("""WITH wc AS (
+              SELECT source,
+                     unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+              FROM documents),
+            cen AS (SELECT source, count(*) AS n_tokens,
+                           count(DISTINCT word) AS v_types
+                    FROM wc GROUP BY 1),
+            pts AS (SELECT CAST(round(ln(CAST(n_tokens AS DOUBLE)), 15) AS DECIMAL(38,15)) AS x,
+                           CAST(round(ln(CAST(v_types AS DOUBLE)), 15) AS DECIMAL(38,15)) AS y
+                    FROM cen),
+            m AS (SELECT count(*) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 15)
+                           AS DECIMAL(38,15))) AS sxx,
+                         sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 15)
+                           AS DECIMAL(38,15))) AS sxy,
+                         sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 15)
+                           AS DECIMAL(38,15))) AS syy
+                  FROM pts)
+            SELECT n AS n_sources,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS heaps_beta,
+                   round(((CAST(sy AS DOUBLE)
+                       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)), 9) AS heaps_ln_k,
+                   round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS r_squared
+            FROM m"""))
+
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
       q115, q116, q121, q125, q129, q139, q145, q151, q164, q169, q196, q197,
-      q203, q222, q229, q232, q249, q251, q252)
+      q203, q222, q229, q232, q249, q251, q252, q265, q266)
 }

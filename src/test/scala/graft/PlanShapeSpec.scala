@@ -140,7 +140,8 @@ class PlanShapeSpec extends SparkSpec {
       "q259_poisson_bootstrap_ci", "q260_holt_backtest",
       // q261's ring lookups are broadcast bounded-fan BNLJs (ring-sized)
       "q261_consistent_hash_reshard", "q262_kendall_tau",
-      "q263_two_proportion_z", "q264_jaro_winkler_linkage")
+      "q263_two_proportion_z", "q264_jaro_winkler_linkage",
+      "q265_chao1_vocab", "q266_heaps_law_fit", "q267_lsh_tuning_curve")
       .foreach { n =>
         assert(!plan(n).contains("CartesianProduct"), s"cartesian in $n")
       }
