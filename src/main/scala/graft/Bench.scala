@@ -151,8 +151,37 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)},"loadavg_1m":$loads,"overhead_sec":$overheads,"overhead_total":${f"$totalOverhead%.1f"},$policy}"""
   }
 
+  /** Artifact-cache discipline (round-10 verdict: the committed total
+    * swung 227.9↔247.3 s purely on whether /tmp/graft_artifacts was warm,
+    * and the JSON recorded neither state). The gate number is now
+    * ALWAYS-COLD by default — the dir is wiped before timing, so two runs
+    * of the same commit start from the same state; builds then land once
+    * inside the run and later queries reuse them, deterministically.
+    * SPARK_GRAFT_BENCH_CACHE=keep preserves the cache for probes that
+    * intentionally measure warm reuse (the ×100 graph family). Either
+    * way the JSON records the policy and the preexisting/built counts,
+    * so a recorded total is interpretable from the file alone.
+    */
+  private val ArtifactRoot = java.nio.file.Paths.get("/tmp/graft_artifacts")
+
+  private def listArtifacts(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(ArtifactRoot)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(ArtifactRoot)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.contains(".build.")).toVector.sorted
+      finally s.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cachePolicy = sys.env.getOrElse("SPARK_GRAFT_BENCH_CACHE", "cold")
+    if (cachePolicy == "cold")
+      listArtifacts().foreach(n =>
+        graft.queries.Scratch.deleteRecursively(ArtifactRoot.resolve(n)))
+    val preexisting = listArtifacts()
     val spark = GraftSession.build("graft-bench")
     // untimed warmup: JVM/codegen/parquet-footer costs shouldn't land on
     // whichever query happens to run first
@@ -184,8 +213,11 @@ object Bench {
       case _ => ""
     }
     val totalOverhead = results.flatMap(_.overheadSecs).sum
+    val builtDuringRun = listArtifacts().diff(preexisting)
+    val cacheJson =
+      s""""artifact_cache":{"policy":"$cachePolicy","preexisting":${preexisting.size},"built_during_run":${builtDuringRun.size},"built":${builtDuringRun.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"failed_count":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)},"overhead_total":${f"$totalOverhead%.1f"}$loadSpan,$policy}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"failed_count":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)},"overhead_total":${f"$totalOverhead%.1f"}$loadSpan,$cacheJson,$policy}"""
     // Files.write throws on any I/O failure (a PrintWriter only sets a
     // silent error flag — a truncated summary would defeat the point);
     // relative path = the sbt working dir, overridable for other layouts

@@ -808,18 +808,21 @@ object AdvancedQueries {
     "q161_csv_quarantine_ingest",
     (s, dir) => {
       val path = csvLanded.computeIfAbsent(dir, _ => {
-        val p = Scratch.tempDir("graft_csv") + "/orders.csv"
-        val rows = Tables.orders(s, dir)
+        // distributed fixture write — a text-sink job, never a driver
+        // collect (data-proportional at scale: |orders|/8 rows). Line
+        // order is irrelevant: the query aggregates lanes order-free,
+        // and double→string→double round-trips exactly either way.
+        val p = Scratch.tempDir("graft_csv") + "/orders_csv"
+        val base = Tables.orders(s, dir)
           .filter(col("o_orderkey") % 8 === 0)
-          .select("o_orderkey", "o_custkey", "o_totalprice")
-          .orderBy("o_orderkey")
-          .collect()
-        val w = new java.io.PrintWriter(p, "UTF-8")
-        try rows.foreach { r =>
-          val k = r.getLong(0)
-          w.println(s"$k,${r.getLong(1)},${r.getDouble(2)}")
-          if (k % 96 == 0) w.println(s"corrupt_marker_$k,not-a-key,oops")
-        } finally w.close()
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val good = base.select(concat_ws(",",
+          col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("string")).as("value"))
+        val bad = base.filter(col("o_orderkey") % 96 === 0)
+          .select(concat(lit("corrupt_marker_"), col("o_orderkey"),
+            lit(",not-a-key,oops")).as("value"))
+        good.unionAll(bad).write.mode("overwrite").text(p)
         p
       })
       val raw = s.read

@@ -1425,10 +1425,15 @@ object CurationQueries {
         count(lit(1)).as("n_h"),
         sum(col("n_chars").cast(dec0)).as("sx"),
         sum((col("n_chars").cast(dec0) * col("n_chars").cast(dec0)).cast(dec0)).as("sxx"))
+      // n_h = 1 makes the closed form 0/0; define single-document strata
+      // as sigma 0 so w_h stays well-typed on both engines (DuckDB's
+      // DECIMAL cast of NaN raises where Spark would yield NULL).
       val sigma = mom.withColumn("sigma_h",
-        sqrt((col("n_h").cast("double") * col("sxx").cast("double")
-          - col("sx").cast("double") * col("sx").cast("double"))
-          / (col("n_h").cast("double") * (col("n_h").cast("double") - 1.0))))
+        when(col("n_h") > 1,
+          sqrt((col("n_h").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("n_h").cast("double") * (col("n_h").cast("double") - 1.0))))
+          .otherwise(lit(0.0)))
       val weighted = sigma.withColumn("w_h",
         round(col("n_h").cast("double") * col("sigma_h"), 6).cast(DecimalType(38, 6)))
       val tot = weighted.agg(sum(col("w_h")).as("w_tot"))
@@ -1460,9 +1465,11 @@ object CurationQueries {
                          * CAST(n_chars AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS sxx
               FROM documents GROUP BY 1),
             sig AS (
-              SELECT *, sqrt((CAST(n_h AS DOUBLE) * CAST(sxx AS DOUBLE)
+              SELECT *, CASE WHEN n_h > 1 THEN
+                       sqrt((CAST(n_h AS DOUBLE) * CAST(sxx AS DOUBLE)
                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                       / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0))) AS sigma_h
+                       / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0)))
+                       ELSE 0.0 END AS sigma_h
               FROM mom),
             wtd AS (
               SELECT *, CAST(round(CAST(n_h AS DOUBLE) * sigma_h, 6) AS DECIMAL(38,6)) AS w_h

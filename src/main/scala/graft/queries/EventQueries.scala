@@ -1687,13 +1687,18 @@ object EventQueries {
         p("start")
       }
       val base = convProb(None)
+      // degenerate-data guards (q263 zero-variance contract): base = 0
+      // (no conversions) NULLs every removal_effect; a zero/absent total
+      // NULLs the shares — never NaN/Infinity on either engine
       val effects = MarkovChannels.map { c =>
         val rp = convProb(Some(c))
-        (c, rp, r((base - rp) / base, 12).doubleValue)
+        val re = if (base > 0.0) Some(r((base - rp) / base, 12).doubleValue) else None
+        (c, rp, re)
       }
-      val totRe = effects.map(e => r(e._3, 12)).foldLeft(JBD.ZERO)(_.add(_)).doubleValue
+      val totRe = effects.flatMap(_._3).map(r(_, 12)).foldLeft(JBD.ZERO)(_.add(_)).doubleValue
       val rows = effects.map { case (c, rp, re) =>
-        (c, base, rp, re, r(re / totRe, 12).doubleValue)
+        (c, base, rp, re,
+          re.flatMap(x => if (totRe > 0.0) Some(r(x / totRe, 12).doubleValue) else None))
       }
       rows.toDF("channel", "base_conv_prob", "removal_conv_prob",
         "removal_effect", "attribution_share").orderBy("channel")
@@ -1772,13 +1777,15 @@ object EventQueries {
                     (SELECT p FROM prm_${c}_$MarkovIters WHERE state = 'start') AS removal_conv_prob"""
             }.mkString("\n            UNION ALL ")}),
           re AS (SELECT channel, base_conv_prob, removal_conv_prob,
-                        round((base_conv_prob - removal_conv_prob) / base_conv_prob, 12)
-                          AS removal_effect
+                        CASE WHEN base_conv_prob > 0.0 THEN
+                          round((base_conv_prob - removal_conv_prob) / base_conv_prob, 12)
+                        END AS removal_effect
                  FROM res),
           tot AS (SELECT CAST(sum(CAST(removal_effect AS DECIMAL(38,12))) AS DOUBLE) AS t
                   FROM re)
           SELECT channel, base_conv_prob, removal_conv_prob, removal_effect,
-                 round(removal_effect / t, 12) AS attribution_share
+                 CASE WHEN t > 0.0 THEN round(removal_effect / t, 12) END
+                   AS attribution_share
           FROM re CROSS JOIN tot
           ORDER BY channel"""
     })

@@ -148,7 +148,7 @@ object Scratch {
     p.toString
   }
 
-  private[queries] def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       val children = Files.list(p)
       try children.forEach(deleteRecursively) finally children.close()

@@ -1340,9 +1340,10 @@ object StatsQueries {
     val momSel =
       (Seq("count(*) AS n") ++
         SpearmanCols.map(c => s"sum(CAST(r2_$c AS DECIMAL(38,0))) AS s_$c") ++
-        SpearmanCols.map(c => s"sum(CAST(r2_$c * r2_$c AS DECIMAL(38,0))) AS ss_$c") ++
+        SpearmanCols.map(c =>
+          s"sum(CAST(r2_$c AS DECIMAL(38,0)) * CAST(r2_$c AS DECIMAL(38,0))) AS ss_$c") ++
         pairs.map { case (a, b) =>
-          s"sum(CAST(r2_$a * r2_$b AS DECIMAL(38,0))) AS sp_${a}__$b"
+          s"sum(CAST(r2_$a AS DECIMAL(38,0)) * CAST(r2_$b AS DECIMAL(38,0))) AS sp_${a}__$b"
         }).mkString(",\n                 ")
     val rows = pairs.map { case (a, b) =>
       s"""SELECT '$a' AS x_col, '$b' AS y_col,

@@ -2016,8 +2016,8 @@ object TextQueries {
             SELECT qd.doc_id AS q_id,
                    CAST(sum(CASE WHEN dd.source = qd.source AND dd.lang = qd.lang
                      THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-                   CAST(sum(CASE WHEN dd.source = qd.source AND dd.lang <> qd.lang
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n1
+                   CAST(sum(CASE WHEN dd.source = qd.source AND dd.lang = qd.lang
+                     THEN 0 WHEN dd.source = qd.source THEN 1 ELSE 0 END) AS BIGINT) AS n1
             FROM documents qd JOIN documents dd ON dd.doc_id <> qd.doc_id
             WHERE qd.doc_id < 20 GROUP BY 1),
           idcg AS (
