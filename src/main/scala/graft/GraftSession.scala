@@ -60,6 +60,19 @@ object GraftSession {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ObjectHashAggregate (every TypedImperativeAggregate: TopKAgg, HLL,
+      // DDSketch, CountMin) falls back to SORT-based aggregation after
+      // only 128 distinct keys per task by default — the bounded-heap
+      // top-k then pays a full sort plus buffer (de)serialization per
+      // spill row, erasing exactly the O(k)-per-group advantage it was
+      // built for (measured: q250's per-item top-3 at ×10/local[32] ran
+      // 157 s under the fallback). Our object buffers are small and
+      // FIXED-size (k ≤ 64 heap entries, sketch registers), so the hash
+      // map's per-key cost is bounded: 1M keys ≈ 250 MB per task, which
+      // the probe heap sizes absorb and sf-scale data never reaches per
+      // AQE-bounded partitions.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJAGG_FALLBACK", (1 << 20).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
