@@ -143,6 +143,74 @@ object NearDup {
     * [[ngramJaccardPairs]]. Caller contract: corpus and batch doc_ids are
     * disjoint.
     */
+  /** Exact DIRECTED n-gram containment pairs: C(a→b) = |S_a ∩ S_b| / |S_a|
+    * ≥ threshold, a ≠ b — the asymmetric twin of [[ngramJaccardPairs]]
+    * (Broder 1997 distinguishes resemblance from containment). Jaccard
+    * misses the training-corpus case that matters most: a short document
+    * fully quoted INSIDE a much longer one scores near-zero Jaccard
+    * (union is large) but containment 1.0. Same inverted-index bound
+    * (Σdf² via the optional `maxDocFreq` cap), same clone
+    * canonicalization — identical shingle sets join once as a
+    * representative and expand back exactly, with DIRECTION preserved
+    * (the denominator follows the source side's set size; intra-group
+    * pairs are 1.0 both ways by identity).
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame, n: Int, threshold: Double, maxDocFreq: Long = 0L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sets = materialized(
+      shingleSets(docs, n)
+        .withColumn("__ck", xxhash64(concat_ws("\u0001", col("shingles")))),
+      checkpointDir)
+    val groups = sets.select("doc_id", "__ck")
+    val repIds = groups.groupBy("__ck").agg(min(col("doc_id")).as("doc_id"))
+    val repSets = sets.join(repIds, Seq("__ck", "doc_id"))
+    val sizes = repSets.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+    val inv0 = repSets.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val inv =
+      if (maxDocFreq <= 0) inv0
+      else {
+        val rare = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("s")
+        inv0.join(rare, "s")
+      }
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("ra"), col("n_shingles").as("na")), "ra")
+      .join(sizes.select(col("doc_id").as("rb"), col("n_shingles").as("nb")), "rb")
+    // directed rep pairs: denominator = the SOURCE side's set size
+    val repDir = common
+      .select(col("ra"), col("rb"), col("na").as("n_a"), col("n_common"),
+        (col("n_common").cast("double") / col("na").cast("double")).as("containment"))
+      .unionByName(common
+        .select(col("rb").as("ra"), col("ra").as("rb"), col("nb").as("n_a"),
+          col("n_common"),
+          (col("n_common").cast("double") / col("nb").cast("double")).as("containment")))
+      .filter(col("containment") >= threshold)
+    val ckOfRep = repIds.select(col("doc_id").as("__rep"), col("__ck"))
+    // expansion keeps direction: source members come from the SOURCE
+    // rep's group, destination members from the destination's
+    val expanded = repDir
+      .join(ckOfRep.select(col("__rep").as("ra"), col("__ck").as("cka")), "ra")
+      .join(ckOfRep.select(col("__rep").as("rb"), col("__ck").as("ckb")), "rb")
+      .join(groups.select(col("__ck").as("cka"), col("doc_id").as("doc_a")), "cka")
+      .join(groups.select(col("__ck").as("ckb"), col("doc_id").as("doc_b")), "ckb")
+      .select("doc_a", "doc_b", "n_a", "n_common", "containment")
+    val grpSize = sets.select(col("__ck"), size(col("shingles")).as("n_a"))
+      .dropDuplicates("__ck")
+    val intra = groups.as("x").join(groups.as("y"),
+        col("x.__ck") === col("y.__ck") && col("x.doc_id") =!= col("y.doc_id"))
+      .join(grpSize.withColumnRenamed("__ck", "ck2"),
+        col("x.__ck") === col("ck2"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("n_a"), col("n_a").cast("long").as("n_common"),
+        lit(1.0).as("containment"))
+    expanded.unionByName(intra)
+  }
+
   def ngramJaccardPairsIncremental(
       corpus: DataFrame, batch: DataFrame, n: Int, threshold: Double,
       maxDocFreq: Long = 0L,

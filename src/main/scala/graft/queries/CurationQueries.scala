@@ -1575,8 +1575,86 @@ object CurationQueries {
             FROM g JOIN iso ON g.bin = iso.i
             ORDER BY g.bin"""))
 
+  /** Cohen's kappa (Cohen 1960) between two independent keep/drop
+    * labelers — the inter-annotator-agreement operator a curation
+    * pipeline runs before trusting any single quality gate: raw
+    * agreement alone flatters gates that both say "keep" to everything,
+    * kappa subtracts the agreement expected from the marginals alone.
+    * Labeler A is the length gate (n_chars ≥ 300), labeler B the token
+    * gate (whitespace tokens ≥ 60) — deterministic heuristics over the
+    * same construct ("is this document substantial"), so their kappa is
+    * a meaningful calibration diagnostic, not noise.
+    *
+    * Scale: ONE hash aggregate builds the per-source 2×2 census (four
+    * conditional counts — no shuffle beyond the groupBy); everything
+    * after is closed-form arithmetic on the census row. Determinism:
+    * counts are integers, po/pe are correctly-rounded IEEE divisions
+    * written in the same association order on both engines, and kappa
+    * computes from the 12 dp-ROUNDED po/pe (round-before-derive, the
+    * q216 contract) with a pe = 1 degenerate guard (single-cell census
+    * ⇒ kappa undefined ⇒ NULL, never 0/0).
+    */
+  private val q269 = GraftQuery(
+    "q269_cohens_kappa",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lab = docs.select(
+        col("source"),
+        (col("n_chars") >= 300).as("ka"),
+        (TextFunctions.tokenCount(col("text")) >= 60).as("kb"))
+      val cen = lab.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ka") && !col("kb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("d"))
+      val nD = col("n").cast("double")
+      val po = round((col("a") + col("d")).cast("double") / nD, 12)
+      val pe = round(
+        ((col("a") + col("b")).cast("double") / nD)
+          * ((col("a") + col("c")).cast("double") / nD)
+          + ((col("c") + col("d")).cast("double") / nD)
+          * ((col("b") + col("d")).cast("double") / nD), 12)
+      cen.select(col("source"), col("n"),
+          col("a").as("both_keep"), col("b").as("only_a"),
+          col("c").as("only_b"), col("d").as("both_drop"),
+          po.as("po"), pe.as("pe"))
+        .withColumn("kappa",
+          when(col("pe") < 1.0,
+            round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 12)))
+        .orderBy("source")
+    },
+    Some("""WITH lab AS (
+              SELECT source,
+                     n_chars >= 300 AS ka,
+                     CASE WHEN length(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))) = 0
+                          THEN 0
+                          ELSE len(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' '))
+                     END >= 60 AS kb
+              FROM documents),
+            cen AS (
+              SELECT source, count(*) AS n,
+                     sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS a,
+                     sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS b,
+                     sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS c,
+                     sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS d
+              FROM lab GROUP BY 1),
+            m AS (
+              SELECT source, CAST(n AS BIGINT) AS n,
+                     CAST(a AS BIGINT) AS both_keep, CAST(b AS BIGINT) AS only_a,
+                     CAST(c AS BIGINT) AS only_b, CAST(d AS BIGINT) AS both_drop,
+                     round(CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE), 12) AS po,
+                     round((CAST(a + b AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(a + c AS DOUBLE) / CAST(n AS DOUBLE))
+                         + (CAST(c + d AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(b + d AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS pe
+              FROM cen)
+            SELECT source, n, both_keep, only_a, only_b, both_drop, po, pe,
+                   CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 12) END AS kappa
+            FROM m ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
       q90, q92, q94, q96, q120, q124, q170, q180, q198, q199, q200, q206,
-      q224, q235, q246, q255)
+      q224, q235, q246, q255, q269)
 }

@@ -1266,7 +1266,53 @@ object DedupQueries {
                    CASE WHEN rk = 1 THEN 'selected' ELSE '-' END AS choice
             FROM ranked ORDER BY bands"""))
 
+  /** Directed 5-gram containment pairs at τ = 0.6
+    * ([[NearDup.ngramContainmentPairs]]) — the asymmetric dedup measure
+    * q19's Jaccard cannot express: a short document quoted verbatim
+    * INSIDE a long one has near-zero Jaccard (the union is the long
+    * doc) but containment 1.0 from the short side, and quote-inclusion
+    * is exactly the duplication mode license-sensitive corpus curation
+    * must catch. Same Σdf² inverted-index bound and clone
+    * canonicalization as q19, with direction preserved through the
+    * representative expansion. Containment values are exact integer
+    * divisions (identical cross-engine, no rounding needed — the q19
+    * contract); the oracle replays from first principles with no
+    * representative logic.
+    */
+  private val q273 = GraftQuery(
+    "q273_containment_pairs",
+    (s, dir) =>
+      NearDup.ngramContainmentPairs(Tables.documents(s, dir), n = 5, threshold = 0.6)
+        .orderBy("doc_a", "doc_b"),
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                        for i in generate_series(1, len(t)-4)])) AS s
+              FROM norm WHERE len(t) >= 5),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            directed AS (
+              SELECT da AS doc_a, db AS doc_b, sa.n AS n_a, c AS n_common,
+                     CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+              FROM common JOIN sizes sa ON da = sa.doc_id
+              UNION ALL
+              SELECT db, da, sb.n, c,
+                     CAST(c AS DOUBLE) / CAST(sb.n AS DOUBLE)
+              FROM common JOIN sizes sb ON db = sb.doc_id)
+            SELECT doc_a, doc_b, CAST(n_a AS INTEGER) AS n_a,
+                   CAST(n_common AS BIGINT) AS n_common, containment
+            FROM directed
+            WHERE containment >= 0.6
+            ORDER BY doc_a, doc_b"""))
+
   def all: Seq[GraftQuery] =
     Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146, q181,
-      q186, q201, q205, q218, q219, q220, q233, q243, q264, q267)
+      q186, q201, q205, q218, q219, q220, q233, q243, q264, q267, q273)
 }

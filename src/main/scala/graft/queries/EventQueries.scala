@@ -1949,8 +1949,203 @@ object EventQueries {
                         ELSE 'ns' END AS verdict
             FROM zed ORDER BY event_type"""))
 
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) — the
+    * time-to-event operator the cohort family (q69 funnel, q247/q257
+    * attribution) was missing: time from a user's first `signup` to their
+    * first subsequent `purchase`, right-censored at the corpus's last
+    * observed instant for users who never convert. Per distinct duration
+    * day t: n_risk (standard convention — deaths at t precede censoring
+    * at t), d events, c censored, and S(t) = Π_{s≤t}(1 − d_s/n_s).
+    *
+    * Plan shape: two event-type-filtered aggregates (signup min, first
+    * qualifying purchase min) join per user — one shuffle each, filters
+    * pushed to the scan — then EVERYTHING downstream operates on the
+    * duration CENSUS, which is bounded by the observation window in days
+    * (≤ |calendar|), never the user count: the at-risk ledger and the
+    * survival product are windows over that tiny frame. At 100 TB the
+    * censored/event counts are the only thing that grows.
+    *
+    * Determinism: d/n is an exact-integer double division (correctly
+    * rounded, identical cross-engine); the product runs in log space with
+    * each ln(1 − d/n) ROUNDED AT 12 onto a DECIMAL(38,12) grid before the
+    * exact window sum (the q251 round-before-sum contract, since ln may
+    * differ by 1 ulp between engines), and exp rounds at 9 on display. A
+    * step where d = n_risk zeroes survival from that day on (ln(0) guard).
+    */
+  private val q268 = GraftQuery(
+    "q268_kaplan_meier",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t0"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+        .join(su, "user_id").filter(col("ts") >= col("t0"))
+        .groupBy("user_id").agg(min(col("ts")).as("tp"))
+      val mx = ev.agg(max(col("ts")).as("tmax"))
+      val obs = su.join(fp, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          when(col("tp").isNotNull,
+            datediff(to_date(col("tp")), to_date(col("t0"))))
+            .otherwise(datediff(to_date(col("tmax")), to_date(col("t0"))))
+            .cast("long").as("dur"),
+          col("tp").isNotNull.as("event"))
+      val cen = obs.groupBy("dur").agg(
+        sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("event"), 0L).otherwise(1L)).as("c"))
+      val wAll = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wPrev = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wUpto = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = cen.withColumn("n_risk",
+        sum(col("d") + col("c")).over(wAll)
+          - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      val lf = risk
+        .withColumn("lfac",
+          when(col("d") > 0 && col("d") < col("n_risk"),
+            round(log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")), 12))
+            .otherwise(lit(0.0)).cast(DecimalType(38, 12)))
+        .withColumn("zeroed", when(col("d") >= col("n_risk"), 1).otherwise(0))
+      lf.select(
+          col("dur").as("duration_days"),
+          col("n_risk"), col("d").as("n_events"), col("c").as("n_censored"),
+          when(max(col("zeroed")).over(wUpto) === 1, lit(0.0))
+            .otherwise(round(exp(sum(col("lfac")).over(wUpto).cast("double")), 9))
+            .as("survival"))
+        .orderBy("duration_days")
+    },
+    Some("""WITH su AS (
+              SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+              FROM events WHERE event_type = 'signup' GROUP BY 1),
+            fp AS (
+              SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS tp
+              FROM events e JOIN su ON e.user_id = su.user_id
+              WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= su.t0
+              GROUP BY 1),
+            mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS tmax FROM events),
+            obs AS (
+              SELECT CASE WHEN fp.tp IS NOT NULL
+                       THEN date_diff('day', CAST(su.t0 AS DATE), CAST(fp.tp AS DATE))
+                       ELSE date_diff('day', CAST(su.t0 AS DATE), CAST(mx.tmax AS DATE)) END AS dur,
+                     fp.tp IS NOT NULL AS event
+              FROM su LEFT JOIN fp ON su.user_id = fp.user_id CROSS JOIN mx),
+            cen AS (
+              SELECT dur, sum(CASE WHEN event THEN 1 ELSE 0 END) AS d,
+                          sum(CASE WHEN event THEN 0 ELSE 1 END) AS c
+              FROM obs GROUP BY 1),
+            w AS (
+              SELECT dur, d, c,
+                     sum(d + c) OVER () - coalesce(sum(d + c) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+              FROM cen),
+            lf AS (
+              SELECT dur, d, c, n_risk,
+                     CAST(CASE WHEN d > 0 AND d < n_risk
+                       THEN round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 12)
+                       ELSE 0.0 END AS DECIMAL(38,12)) AS lfac,
+                     CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS zeroed
+              FROM w)
+            SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+                   CASE WHEN max(zeroed) OVER (ORDER BY dur) = 1 THEN 0.0
+                        ELSE round(exp(CAST(sum(lfac) OVER (ORDER BY dur
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 9)
+                   END AS survival
+            FROM lf ORDER BY duration_days"""))
+
+  /** Markov-chain entropy profile of the q257 journey transitions — the
+    * information-theoretic "how predictable is the next step" diagnostic
+    * next to q257's removal-effect attribution: per state, the Shannon
+    * entropy H(next | state) = −Σ_j p_ij·log₂(p_ij) over the state's
+    * outgoing transition distribution, its empirical visit weight, and
+    * the weighted contribution to the plug-in entropy-RATE estimate
+    * (visit-frequency-weighted, the standard empirical estimator — no
+    * stationary-distribution solve; the weights ARE the observed visits).
+    *
+    * Scale: the transition derivation is q257's one shuffle over journey
+    * windows; everything after operates on the (states × states) census
+    * — ≤ (channels+1)² + absorber cells, corpus-size-independent. Per-row
+    * entropy terms round at 15 before the order-free exact sum (sumFx);
+    * probabilities are exact-integer double divisions.
+    */
+  private val q272 = GraftQuery(
+    "q272_markov_entropy",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tr = markovTransitions(Tables.events(s, dir))
+      val wSrc = Window.partitionBy("src")
+      val wAll = Window.partitionBy()
+      val p = tr
+        .withColumn("rowsum", sum(col("cnt")).over(wSrc))
+        .withColumn("tot", sum(col("cnt")).over(wAll))
+        .withColumn("pij", col("cnt").cast("double") / col("rowsum").cast("double"))
+      val h = p.groupBy(col("src"), col("rowsum"), col("tot"))
+        .agg(Exact.sumFx(
+          when(col("pij") > 0.0, -col("pij") * log2(col("pij"))).otherwise(lit(0.0)),
+          15).as("h_bits"))
+      h.select(
+          col("src").as("state"),
+          col("rowsum").as("n_visits"),
+          round(col("rowsum").cast("double") / col("tot").cast("double"), 12).as("visit_share"),
+          round(col("h_bits"), 9).as("h_bits"),
+          round((col("rowsum").cast("double") / col("tot").cast("double"))
+            * col("h_bits"), 9).as("rate_contribution"))
+        .orderBy("state")
+    },
+    Some {
+      val term = Exact.sumFxSql(
+        "CASE WHEN pij > 0.0 THEN -pij * log2(pij) ELSE 0.0 END", 15)
+      s"""WITH ev AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                   CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+            FROM events),
+          fp AS (SELECT user_id, day, min(ts) AS fts
+                 FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+          tt AS (SELECT e.user_id, e.day, e.ts, e.event_id, e.event_type AS ch, f.fts
+                 FROM ev e LEFT JOIN fp f USING (user_id, day)
+                 WHERE e.event_type IN (${MarkovChannels.map("'" + _ + "'").mkString(", ")})
+                   AND (f.fts IS NULL OR e.ts < f.fts)),
+          sq AS (SELECT *,
+                        row_number() OVER (PARTITION BY user_id, day
+                          ORDER BY ts, event_id) AS rn,
+                        lag(ch) OVER (PARTITION BY user_id, day
+                          ORDER BY ts, event_id) AS prev,
+                        count(*) OVER (PARTITION BY user_id, day) AS mx
+                 FROM tt),
+          tr0 AS (
+            SELECT 'start' AS src, ch AS dst FROM sq WHERE rn = 1
+            UNION ALL SELECT prev, ch FROM sq WHERE prev IS NOT NULL
+            UNION ALL SELECT ch, CASE WHEN fts IS NOT NULL THEN 'conv' ELSE 'null' END
+                      FROM sq WHERE rn = mx
+            UNION ALL SELECT 'start', 'conv'
+                      FROM fp LEFT JOIN (SELECT DISTINCT user_id, day FROM tt) td
+                        USING (user_id, day)
+                      WHERE td.user_id IS NULL),
+          tr AS (SELECT src, dst, count(*) AS cnt FROM tr0 GROUP BY 1, 2),
+          p AS (
+            SELECT src, dst, cnt,
+                   sum(cnt) OVER (PARTITION BY src) AS rowsum,
+                   sum(cnt) OVER () AS tot,
+                   CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY src) AS DOUBLE) AS pij
+            FROM tr),
+          h AS (
+            SELECT src, rowsum, tot, $term AS h_bits
+            FROM p GROUP BY 1, 2, 3)
+          SELECT src AS state, CAST(rowsum AS BIGINT) AS n_visits,
+                 round(CAST(rowsum AS DOUBLE) / CAST(tot AS DOUBLE), 12) AS visit_share,
+                 round(h_bits, 9) AS h_bits,
+                 round((CAST(rowsum AS DOUBLE) / CAST(tot AS DOUBLE)) * h_bits, 9)
+                   AS rate_contribution
+          FROM h ORDER BY state"""
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q27, q28, q29, q46, q56, q62, q66, q67, q69, q81, q83, q88,
       q97, q101, q106, q107, q110, q111, q114, q122, q123, q147, q152, q160,
-      q166, q183, q189, q237, q240, q247, q257, q258, q263)
+      q166, q183, q189, q237, q240, q247, q257, q258, q263, q268, q272)
 }

@@ -1662,7 +1662,70 @@ object StatsQueries {
                      AS tau_b
             FROM m"""))
 
+  /** Count overdispersion per event type: daily event counts against the
+    * Poisson null — Fano factor F = s²/m (variance-to-mean; 1 under
+    * Poisson) and the method-of-moments negative-binomial size
+    * k = m²/(s² − m) when overdispersed (Cameron & Trivedi 1998). The
+    * dispersion diagnostic behind rate modeling: a pipeline that alerts
+    * on "3σ above mean daily volume" needs to know whether σ comes from
+    * Poisson noise or burst clustering.
+    *
+    * Scale: one (type, day) hash aggregate over the stream, then moments
+    * over the CALENDAR-bounded daily census (≤ |days| rows per type) —
+    * identical shape to q184's EWMA input. Determinism: counts are
+    * integers; Σx/Σx² ride exact DECIMAL(38,0) sums; the closed forms
+    * are one shared IEEE sequence rounded at 12; s² ≤ m (no
+    * overdispersion) yields NULL nb_size rather than a negative or
+    * infinite estimate.
+    */
+  private val q271 = GraftQuery(
+    "q271_overdispersion",
+    (s, dir) => {
+      val dec0 = DecimalType(38, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val mom = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x").cast(dec0)).as("sx"),
+        sum((col("x").cast(dec0) * col("x").cast(dec0)).cast(dec0)).as("sxx"))
+      val nD = col("n_days").cast("double")
+      val m = col("sx").cast("double") / nD
+      val v = (col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double") / nD) / (nD - 1.0)
+      mom.filter(col("n_days") > 1)
+        .select(col("event_type"), col("n_days"),
+          round(m, 12).as("mean_daily"),
+          round(v, 12).as("var_daily"),
+          round(v / m, 12).as("fano"),
+          when(v > m, round(m * m / (v - m), 12)).as("nb_size"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                     count(*) AS x
+              FROM events GROUP BY 1, 2),
+            mom AS (
+              SELECT event_type, count(*) AS n_days,
+                     sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                     sum(CAST(CAST(x AS DECIMAL(38,0))
+                       * CAST(x AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS sxx
+              FROM daily GROUP BY 1),
+            m AS (
+              SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                     CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+                     (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                        / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0) AS v
+              FROM mom WHERE n_days > 1)
+            SELECT event_type, n_days,
+                   round(mu, 12) AS mean_daily,
+                   round(v, 12) AS var_daily,
+                   round(v / mu, 12) AS fano,
+                   CASE WHEN v > mu THEN round(mu * mu / (v - mu), 12) END AS nb_size
+            FROM m ORDER BY event_type"""))
+
   def all: Seq[GraftQuery] =
     Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185, q215, q216,
-      q217, q231, q234, q236, q239, q241, q256, q259, q260, q262)
+      q217, q231, q234, q236, q239, q241, q256, q259, q260, q262, q271)
 }

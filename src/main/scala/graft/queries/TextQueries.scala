@@ -2193,8 +2193,210 @@ object TextQueries {
                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS r_squared
             FROM m"""))
 
+  /** Good–Turing frequency smoothing (Good 1953) — the missing-mass
+    * estimator beside q265's Chao1 (how many word TYPES are unseen) and
+    * q249's bigram LM (which would consume these smoothed counts): for
+    * each low count r, the adjusted count r* = (r+1)·N_{r+1}/N_r, the
+    * unseen-probability mass P₀ = N₁/N, and each count class's smoothed
+    * share of the distribution — the quantities an n-gram LM or
+    * coverage model needs before trusting raw counts.
+    *
+    * Scale: ONE token-count shuffle over the corpus (the q265 pass),
+    * then a freq-of-frequencies aggregate whose output is bounded by
+    * the distinct COUNT VALUES ≤ 6 kept here — the r-table join and all
+    * arithmetic are census-sized. Determinism: every input is an
+    * integer census cell; divisions are correctly-rounded IEEE doubles
+    * in the same association order, r* rounds at 12 and the smoothed
+    * mass derives from the ROUNDED r* (round-before-derive, q216).
+    */
+  private val q270 = GraftQuery(
+    "q270_good_turing",
+    (s, dir) => {
+      import s.implicits._
+      val wc = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val ff = wc.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+      val tot = wc.agg(
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"))
+      val rows = (0 to 5).map(_.toLong).toDF("r")
+        .join(ff, Seq("r"), "left")
+        .join(ff.select((col("r") - 1).as("r"), col("n_r").as("n_next")),
+          Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+      val nD = col("n_tokens").cast("double")
+      val rStar = when(col("r") > 0 && coalesce(col("n_r"), lit(0L)) > 0,
+        round((col("r") + 1).cast("double")
+          * coalesce(col("n_next"), lit(0L)).cast("double")
+          / col("n_r").cast("double"), 12))
+      rows.select(
+          col("r"),
+          coalesce(col("n_r"), lit(0L)).as("n_r"),
+          coalesce(col("n_next"), lit(0L)).as("n_next"),
+          rStar.as("r_star"),
+          when(col("r") === 0, round(col("f1").cast("double") / nD, 12))
+            .otherwise(when(rStar.isNotNull,
+              round(coalesce(col("n_r"), lit(0L)).cast("double") * rStar / nD, 12)))
+            .as("gt_mass"))
+        .orderBy("r")
+    },
+    Some("""WITH wc AS (
+              SELECT word, count(*) AS c FROM (
+                SELECT unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ')) AS word
+                FROM documents)
+              GROUP BY 1),
+            ff AS (SELECT c AS r, count(*) AS n_r FROM wc GROUP BY 1),
+            tot AS (SELECT sum(c) AS n_tokens,
+                           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1
+                    FROM wc),
+            rt(r) AS (VALUES (0), (1), (2), (3), (4), (5)),
+            m AS (
+              SELECT CAST(rt.r AS BIGINT) AS r,
+                     coalesce(f.n_r, 0) AS n_r,
+                     coalesce(fn.n_r, 0) AS n_next,
+                     t.n_tokens, t.f1
+              FROM rt
+              LEFT JOIN ff f ON f.r = rt.r
+              LEFT JOIN ff fn ON fn.r = rt.r + 1
+              CROSS JOIN tot t),
+            st AS (
+              SELECT r, CAST(n_r AS BIGINT) AS n_r, CAST(n_next AS BIGINT) AS n_next,
+                     CASE WHEN r > 0 AND n_r > 0
+                       THEN round(CAST(r + 1 AS DOUBLE) * CAST(n_next AS DOUBLE)
+                         / CAST(n_r AS DOUBLE), 12) END AS r_star,
+                     n_tokens, f1
+              FROM m)
+            SELECT r, n_r, n_next, r_star,
+                   CASE WHEN r = 0
+                        THEN round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 12)
+                        WHEN r_star IS NOT NULL
+                        THEN round(CAST(n_r AS DOUBLE) * r_star
+                          / CAST(n_tokens AS DOUBLE), 12)
+                   END AS gt_mass
+            FROM st ORDER BY r"""))
+
+  /** Classifier evaluation of the q17 language-ID heuristic against the
+    * labeled `lang` column — per-class precision/recall/F1 plus the
+    * macro average: the eval harness a pipeline runs before trusting a
+    * cheap classifier to route 100 TB (q17 emits predictions; nothing
+    * graded them until now). Zero-denominator classes score 0.0 (the
+    * standard zero-division=0 macro-F1 convention), so a class the
+    * predictor never emits still drags the macro down instead of
+    * vanishing.
+    *
+    * Scale: ONE (labeled, predicted) census aggregate over the corpus;
+    * per-class tp/fp/fn unfold from the census's row/column marginals
+    * (class-count-sized FULL join), never a second corpus pass.
+    * Determinism: integer census cells; precision/recall round at 12,
+    * F1 derives from the ROUNDED p/r, the macro rides an exact decimal
+    * sum of the 12 dp F1 grid (q216 round-before-derive throughout).
+    */
+  private val q274 = GraftQuery(
+    "q274_langid_eval",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val preds = Tables.documents(s, dir).select(
+        col("lang").as("lab"),
+        graft.functions.TextFunctions.languageId(col("text")).as("pred"))
+      val byPair = preds.groupBy("lab", "pred").agg(count(lit(1)).as("cnt"))
+      val predAgg = byPair.groupBy(col("pred").as("cls")).agg(
+        sum(col("cnt")).as("n_pred"),
+        sum(when(col("lab") === col("pred"), col("cnt")).otherwise(0L)).as("tp_p"))
+      val labAgg = byPair.groupBy(col("lab").as("cls")).agg(
+        sum(col("cnt")).as("n_lab"))
+      val cls = predAgg.join(labAgg, Seq("cls"), "full_outer")
+        .select(col("cls"),
+          coalesce(col("tp_p"), lit(0L)).as("tp"),
+          (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp_p"), lit(0L))).as("fp"),
+          (coalesce(col("n_lab"), lit(0L)) - coalesce(col("tp_p"), lit(0L))).as("fn"))
+      val p = when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"), 12))
+        .otherwise(lit(0.0))
+      val r = when(col("tp") + col("fn") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"), 12))
+        .otherwise(lit(0.0))
+      val scored = cls.select(col("cls"), col("tp"), col("fp"), col("fn"),
+          p.as("precision"), r.as("recall"))
+        .withColumn("f1",
+          when(col("precision") + col("recall") > 0,
+            round(lit(2.0) * col("precision") * col("recall")
+              / (col("precision") + col("recall")), 12)).otherwise(lit(0.0)))
+      val macroRow = scored.agg(
+          sum(col("tp")).as("tp"), sum(col("fp")).as("fp"), sum(col("fn")).as("fn"),
+          round(sum(col("precision").cast(DecimalType(38, 12))).cast("double")
+            / count(lit(1)), 12).as("precision"),
+          round(sum(col("recall").cast(DecimalType(38, 12))).cast("double")
+            / count(lit(1)), 12).as("recall"),
+          round(sum(col("f1").cast(DecimalType(38, 12))).cast("double")
+            / count(lit(1)), 12).as("f1"))
+        .select(lit("__macro__").as("cls"), col("tp"), col("fp"), col("fn"),
+          col("precision"), col("recall"), col("f1"))
+      scored.unionByName(macroRow).orderBy("cls")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, lang AS lab, text,
+                     string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS toks
+              FROM documents),
+            s AS (
+              SELECT *,
+                len(list_filter(toks, x -> list_contains(
+                  ['the','a','of','and','in','is','to','it','that','for'], x))) AS s_en,
+                len(list_filter(toks, x -> list_contains(
+                  ['der','die','das','und','ist','nicht','ein','eine','mit','zu'], x))) AS s_de,
+                len(list_filter(toks, x -> list_contains(
+                  ['le','la','les','et','est','une','un','des','que','pas'], x))) AS s_fr,
+                len(list_filter(toks, x -> list_contains(
+                  ['el','los','y','es','una','un','las','que','por','con'], x))) AS s_es
+              FROM t),
+            preds AS (
+              SELECT lab,
+                   CASE WHEN text IS NULL THEN 'und'
+                        WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                        WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS pred
+              FROM s),
+            bp AS (SELECT lab, pred, count(*) AS cnt FROM preds GROUP BY 1, 2),
+            pa AS (SELECT pred AS cls, sum(cnt) AS n_pred,
+                          sum(CASE WHEN lab = pred THEN cnt ELSE 0 END) AS tp_p
+                   FROM bp GROUP BY 1),
+            la AS (SELECT lab AS cls, sum(cnt) AS n_lab FROM bp GROUP BY 1),
+            cls AS (
+              SELECT coalesce(pa.cls, la.cls) AS cls,
+                     CAST(coalesce(tp_p, 0) AS BIGINT) AS tp,
+                     CAST(coalesce(n_pred, 0) - coalesce(tp_p, 0) AS BIGINT) AS fp,
+                     CAST(coalesce(n_lab, 0) - coalesce(tp_p, 0) AS BIGINT) AS fn
+              FROM pa FULL JOIN la ON pa.cls = la.cls),
+            pr AS (
+              SELECT cls, tp, fp, fn,
+                     CASE WHEN tp + fp > 0
+                       THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 12)
+                       ELSE 0.0 END AS precision,
+                     CASE WHEN tp + fn > 0
+                       THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 12)
+                       ELSE 0.0 END AS recall
+              FROM cls),
+            f AS (
+              SELECT *, CASE WHEN precision + recall > 0
+                          THEN round(2.0 * precision * recall / (precision + recall), 12)
+                          ELSE 0.0 END AS f1
+              FROM pr)
+            SELECT * FROM (
+              SELECT cls, tp, fp, fn, precision, recall, f1 FROM f
+              UNION ALL
+              SELECT '__macro__' AS cls,
+                     CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT), CAST(sum(fn) AS BIGINT),
+                     round(CAST(sum(CAST(precision AS DECIMAL(38,12))) AS DOUBLE) / count(*), 12),
+                     round(CAST(sum(CAST(recall AS DECIMAL(38,12))) AS DOUBLE) / count(*), 12),
+                     round(CAST(sum(CAST(f1 AS DECIMAL(38,12))) AS DOUBLE) / count(*), 12)
+              FROM f)
+            ORDER BY cls"""))
+
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
       q115, q116, q121, q125, q129, q139, q145, q151, q164, q169, q196, q197,
-      q203, q222, q229, q232, q249, q251, q252, q265, q266)
+      q203, q222, q229, q232, q249, q251, q252, q265, q266, q270, q274)
 }
