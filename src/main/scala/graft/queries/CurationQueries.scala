@@ -1653,8 +1653,81 @@ object CurationQueries {
                    CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 12) END AS kappa
             FROM m ORDER BY source"""))
 
+  /** Average precision (area under the uninterpolated PR curve) per
+    * source — the PR-side twin of q120's AUC-ROC, on the identical
+    * score/label frame (score = n_chars, positive = lang 'en'): AP =
+    * (1/P) Σ_{positives at pos k} precision@k under a DETERMINISTIC
+    * ranking (score DESC, doc_id ASC — ties must break identically on
+    * both engines or precision@k itself is ambiguous). AUC-ROC is
+    * prevalence-blind; AP is the metric that moves when the positive
+    * class is rare — the curation-filter planning number when "keep"
+    * is the minority outcome.
+    *
+    * Scale: one per-source window sort (q120's exact shape) and one
+    * aggregate — no pairwise work. Determinism: ranks and cumulative
+    * positive counts are integers; each precision@k is one integer
+    * divide; the per-source sum of precision terms rides the order-free
+    * fixed-point sum at 15; sources with zero positives report NULL ap.
+    */
+  private val q279 = GraftQuery(
+    "q279_average_precision",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lab = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val ranked = lab
+        .withColumn("k", row_number().over(w))
+        .withColumn("cum_pos", sum(col("pos")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val prec = when(col("pos") === 1L,
+        col("cum_pos").cast("double") / col("k").cast("double"))
+        .otherwise(lit(0.0))
+      ranked
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("pos")).as("n_pos"),
+          graft.functions.Exact.sumFx(prec, 15).as("sum_prec"))
+        .select(col("source"), col("n"), col("n_pos"),
+          when(col("n_pos") > 0,
+            round(col("sum_prec") / col("n_pos").cast("double"), 12)).as("ap"))
+        .orderBy("source")
+    },
+    Some(s"""WITH lab AS (
+              SELECT source, doc_id, n_chars AS score,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM documents),
+            ranked AS (
+              SELECT source, pos,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY score DESC, doc_id) AS k,
+                     sum(pos) OVER (PARTITION BY source
+                       ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_pos
+              FROM lab),
+            terms AS (
+              SELECT source,
+                     CASE WHEN pos = 1
+                       THEN CAST(cum_pos AS DOUBLE) / CAST(k AS DOUBLE)
+                       ELSE 0.0 END AS prec,
+                     pos
+              FROM ranked),
+            agg AS (
+              SELECT source, count(*) AS n,
+                     CAST(sum(pos) AS BIGINT) AS n_pos,
+                     ${graft.functions.Exact.sumFxSql("prec", 15)} AS sum_prec
+              FROM terms GROUP BY 1)
+            SELECT source, n, n_pos,
+                   CASE WHEN n_pos > 0
+                     THEN round(sum_prec / CAST(n_pos AS DOUBLE), 12) END AS ap
+            FROM agg ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(q50, q51, q52, q53, q55, q58, q64, q71, q72, q73, q74, q85, q86,
       q90, q92, q94, q96, q120, q124, q170, q180, q198, q199, q200, q206,
-      q224, q235, q246, q255, q269)
+      q224, q235, q246, q255, q269, q279)
 }

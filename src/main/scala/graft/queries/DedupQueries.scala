@@ -1312,7 +1312,231 @@ object DedupQueries {
             WHERE containment >= 0.6
             ORDER BY doc_a, doc_b"""))
 
+  private val KmvSetK = 64
+
+  /** KMV set-operation estimates between per-source 3-gram shingle sets:
+    * each source keeps only its K = 64 smallest shingle hashes (a
+    * Bar-Yossef/Beyer KMV sketch — MERGEABLE: the union sketch is the K
+    * smallest of the concatenation, so cross-source and cross-partition
+    * estimates need only K-sized arrays), and every source pair reports
+    * estimated union cardinality plus estimated Jaccard (the fraction of
+    * the union's K minima present in both sides) next to the EXACT union
+    * and Jaccard — the estimator-error census, q233's MinHash twin for
+    * set OPERATIONS (KMV gives |A∪B| where MinHash only gives J).
+    *
+    * Scale: one distinct (source, shingle-hash) shuffle; the K-minimum
+    * selection is vocab-bounded per source; all pair arithmetic runs on
+    * K-sized arrays (|sources|²/2 pairs regardless of corpus size). The
+    * exact columns are the census's ground truth — at production scale
+    * they are the expensive audit lane you run on a sample, while the
+    * sketch lane is the one that ships. Determinism: the portable-md5
+    * 60-bit hash is identical on both engines; a merged set smaller than
+    * K degrades to the exact count (the KMV small-set rule); zero-union
+    * pairs report NULL Jaccard.
+    */
+  private val q278 = GraftQuery(
+    "q278_kmv_setops",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pow60 = math.pow(2.0, 60.0)
+      val sh = Tables.documents(s, dir)
+        .select(col("source"), TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(t) - 2), i -> t[i-1] || ' ' || t[i] || ' ' || t[i+1])"))
+          .as("sg"))
+        .distinct()
+      val hs = sh.select(col("source"),
+        expr("conv(substring(md5(sg), 1, 15), 16, 10)").cast("long").as("h"))
+        .distinct()
+      val sizes = hs.groupBy("source").agg(count(lit(1)).as("nv"))
+      val kmv = hs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy("h")))
+        .filter(col("rk") <= KmvSetK)
+        .groupBy("source").agg(sort_array(collect_list(col("h"))).as("ks"))
+        .join(sizes, "source")
+      val a = kmv.select(col("source").as("sa"), col("ks").as("ka"),
+        col("nv").as("na"))
+      val b = kmv.select(col("source").as("sb"), col("ks").as("kb"),
+        col("nv").as("nb"))
+      val common = hs.as("x").join(hs.as("y"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+        .agg(count(lit(1)).as("c"))
+      a.join(broadcast(b), col("sa") < col("sb"))
+        .join(common, Seq("sa", "sb"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("mg", array_sort(array_union(col("ka"), col("kb"))))
+        .withColumn("m", size(col("mg")).cast("long"))
+        .withColumn("topu",
+          when(col("m") >= KmvSetK, slice(col("mg"), 1, KmvSetK))
+            .otherwise(col("mg")))
+        .withColumn("inter", size(array_intersect(col("topu"),
+          array_intersect(col("ka"), col("kb")))).cast("long"))
+        .withColumn("est_union",
+          when(col("m") >= KmvSetK,
+            round(lit((KmvSetK - 1).toDouble)
+              / (element_at(col("mg"), KmvSetK).cast("double") / lit(pow60)), 6))
+            .otherwise(col("m").cast("double")))
+        .withColumn("est_jaccard",
+          round(col("inter").cast("double")
+            / least(col("m"), lit(KmvSetK.toLong)).cast("double"), 12))
+        .withColumn("exact_union", col("na") + col("nb") - col("c"))
+        .withColumn("exact_jaccard",
+          when(col("exact_union") > 0,
+            round(col("c").cast("double") / col("exact_union").cast("double"),
+              12)))
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          col("exact_union"), col("exact_jaccard"),
+          col("est_union"), col("est_jaccard"),
+          when(col("exact_jaccard").isNotNull,
+            round(abs(col("est_jaccard") - col("exact_jaccard")), 12))
+            .as("jaccard_abs_err"))
+        .orderBy("sa", "sb")
+    },
+    Some(s"""WITH norm AS (
+              SELECT source,
+                     string_split(lower(trim(regexp_replace(text,
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sg
+              FROM norm, unnest(range(1, len(t) - 1)) AS u(i)),
+            hs AS (
+              SELECT DISTINCT source,
+                     ('0x' || substr(md5(sg), 1, 15))::BIGINT AS h
+              FROM sh),
+            sizes AS (SELECT source, count(*) AS nv FROM hs GROUP BY 1),
+            kmv AS (
+              SELECT source, list(h ORDER BY h) AS ks FROM (
+                SELECT source, h, row_number() OVER (PARTITION BY source
+                  ORDER BY h) AS rk FROM hs)
+              WHERE rk <= $KmvSetK GROUP BY 1),
+            common AS (
+              SELECT x.source AS sa, y.source AS sb, count(*) AS c
+              FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+              GROUP BY 1, 2),
+            p AS (
+              SELECT a.source AS sa, b.source AS sb, a.ks AS ka, b.ks AS kb,
+                     za.nv AS na, zb.nv AS nb, COALESCE(c.c, 0) AS c,
+                     list_sort(list_distinct(a.ks || b.ks)) AS mg
+              FROM kmv a JOIN kmv b ON a.source < b.source
+              JOIN sizes za ON za.source = a.source
+              JOIN sizes zb ON zb.source = b.source
+              LEFT JOIN common c ON c.sa = a.source AND c.sb = b.source),
+            e AS (
+              SELECT sa, sb, na, nb, c, ka, kb, mg, len(mg) AS m,
+                     CASE WHEN len(mg) >= $KmvSetK THEN mg[1:$KmvSetK]
+                          ELSE mg END AS topu
+              FROM p),
+            r AS (
+              SELECT sa, sb, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+                     CAST(na + nb - c AS BIGINT) AS exact_union,
+                     CASE WHEN na + nb - c > 0 THEN
+                       round(CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE), 12)
+                     END AS exact_jaccard,
+                     CASE WHEN m >= $KmvSetK THEN
+                       round(${(KmvSetK - 1).toDouble}
+                         / (CAST(mg[$KmvSetK] AS DOUBLE) / ${math.pow(2.0, 60.0)}), 6)
+                       ELSE CAST(m AS DOUBLE) END AS est_union,
+                     round(CAST(len(list_intersect(topu,
+                         list_intersect(ka, kb))) AS DOUBLE)
+                       / CAST(least(m, $KmvSetK) AS DOUBLE), 12) AS est_jaccard
+              FROM e)
+            SELECT sa, sb, na, nb, exact_union, exact_jaccard,
+                   est_union, est_jaccard,
+                   CASE WHEN exact_jaccard IS NOT NULL THEN
+                     round(abs(est_jaccard - exact_jaccard), 12)
+                   END AS jaccard_abs_err
+            FROM r ORDER BY sa, sb"""))
+
+  /** SoftDeDup cluster reweighting: instead of DROPPING near-duplicate
+    * documents (q33's survivor flag), every member of a near-dup cluster
+    * keeps weight 1/|cluster| so the cluster contributes ONE document's
+    * worth of training mass however many times it was crawled (the soft
+    * variant of dedup used when hard removal loses rare-domain coverage;
+    * cf. SlimPajama-DC's reweighting discussion). Per source: raw count,
+    * clustered count, effective size Σ weights, and the keep ratio.
+    *
+    * Scale: rides q33's bucketed pair machinery + component closure
+    * verbatim (no new quadratic); the reweighting itself is one join
+    * against cluster sizes and one per-source aggregate. Determinism:
+    * weights are exact reciprocals of small integers; the per-source sum
+    * rides the order-free fixed-point sum at 15; singletons (docs in no
+    * pair) take weight 1 via the left join.
+    */
+  private val q281 = GraftQuery(
+    "q281_softdedup_weights",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = graft.operators.Components.neardupClusters(
+        NearDup.ngramJaccardPairs(docs, n = 3, threshold = 0.3))
+      val csize = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cs"))
+      val w = clusters.join(csize, "cluster_id").select(col("doc_id"), col("cs"))
+      docs.select(col("doc_id"), col("source"))
+        .join(w, Seq("doc_id"), "left")
+        .withColumn("cs", coalesce(col("cs"), lit(1L)))
+        .withColumn("weight", lit(1.0) / col("cs").cast("double"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("cs") > 1, 1L).otherwise(0L)).as("n_clustered"),
+          round(graft.functions.Exact.sumFx(col("weight"), 15), 12)
+            .as("eff_size"))
+        .withColumn("keep_ratio",
+          round(col("eff_size") / col("n_docs").cast("double"), 12))
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE norm AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)])) AS s
+              FROM norm WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM common
+              JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            cl AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src),
+            cs AS (SELECT cluster_id, count(*) AS cs FROM cl GROUP BY 1),
+            wt AS (
+              SELECT d.doc_id, d.source,
+                     COALESCE(cs.cs, 1) AS cs,
+                     1.0::DOUBLE / CAST(COALESCE(cs.cs, 1) AS DOUBLE) AS weight
+              FROM documents d
+              LEFT JOIN cl ON d.doc_id = cl.doc_id
+              LEFT JOIN cs ON cl.cluster_id = cs.cluster_id)
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN cs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_clustered,
+                   round(${graft.functions.Exact.sumFxSql("weight", 15)}, 12)
+                     AS eff_size,
+                   round(round(${graft.functions.Exact.sumFxSql("weight", 15)}, 12)
+                     / CAST(count(*) AS DOUBLE), 12) AS keep_ratio
+            FROM wt GROUP BY source ORDER BY source"""))
+
   def all: Seq[GraftQuery] =
     Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146, q181,
-      q186, q201, q205, q218, q219, q220, q233, q243, q264, q267, q273)
+      q186, q201, q205, q218, q219, q220, q233, q243, q264, q267, q273,
+      q278, q281)
 }

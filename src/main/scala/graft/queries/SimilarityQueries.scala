@@ -1281,7 +1281,92 @@ object SimilarityQueries {
           ORDER BY sel_round"""
     })
 
+  /** Sign-quantized Hamming retrieval recall census: each 64-dim float
+    * vector compresses to a 64-bit sign signature (1 bit per dimension —
+    * a 32× storage cut), candidates rank by Hamming distance between
+    * signatures, and the census scores recall@10 of that bit-level
+    * ranking against the exact cosine top-10 (q22's baseline). The
+    * sign-random-projection identity (Charikar 2002, applied to the
+    * identity basis) makes Hamming a monotone proxy for angle — this
+    * query MEASURES how much ranking fidelity one bit per dimension
+    * keeps, the planning number behind shipping bit signatures as the
+    * first-pass filter at 100 TB (XOR+popcount over packed longs instead
+    * of a 64-float dot per candidate).
+    *
+    * Scale: the signature pass is one projection-free scan; scoring is
+    * 2 XOR+popcounts per (query, candidate) with the 10 query
+    * signatures broadcast; the per-query top-10 rides the bounded
+    * [[graft.functions.TopKAgg]] (map-side ≤ k rows per query per
+    * partition — no corpus-sized sort). Determinism: signatures and
+    * Hamming distances are integers; ties break on vec_id ascending on
+    * both engines; recall is a 10-denominator ratio rounded at 12. The
+    * oracle replays the signature semantically (sign-disagreement count
+    * per dimension) rather than via bit packing — same total order by
+    * construction.
+    */
+  private def q277 = GraftQuery(
+    "q277_sign_hamming_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      def half(lo: Int, hi: Int) = expr(
+        s"aggregate(sequence($lo, $hi), 0L, (acc, i) -> acc * 2L" +
+          " + IF(element_at(embedding, i) >= CAST(0.0 AS FLOAT), 1L, 0L))")
+      val sig = emb.select(col("vec_id"),
+        half(1, 32).as("h1"), half(33, 64).as("h2"))
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("h1").as("q1"), col("h2").as("q2"))
+      val scored = sig.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (expr("bit_count(q1 ^ h1)") + expr("bit_count(q2 ^ h2)")).as("ham"))
+      val hamTop = scored.groupBy("q_id")
+        .agg(graft.functions.TopKAgg.topK(10)(
+          -col("ham").cast("double"), col("n_id")).as("tk"))
+        .select(col("q_id"), explode(col("tk")).as("e"))
+        .select(col("q_id"), col("e.id").as("n_id"))
+      val exact = NearDup.knnBruteForce(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .select(col("q_id"), col("n_id"))
+      val hits = hamTop.join(exact, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      q.select("q_id")
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / 10.0, 12)
+            .as("recall_at_10"))
+        .orderBy("q_id")
+    },
+    Some(s"""WITH scored AS (
+              SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                     len(list_filter(range(1, 65),
+                       i -> (q.embedding[i] >= 0) <> (c.embedding[i] >= 0))) AS ham
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+            htop AS (
+              SELECT q_id, n_id FROM (
+                SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY ham, n_id) AS rk
+                FROM scored) WHERE rk <= 10),
+            exact AS (
+              SELECT q_id, n_id FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+                                  c.vec_id) AS rk
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) WHERE rk <= 10),
+            hits AS (
+              SELECT h.q_id, count(*) AS hits
+              FROM htop h JOIN exact e ON h.q_id = e.q_id AND h.n_id = e.n_id
+              GROUP BY 1)
+            SELECT q.vec_id AS q_id,
+                   CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
+                   round(CAST(COALESCE(hits.hits, 0) AS DOUBLE) / 10.0, 12)
+                     AS recall_at_10
+            FROM embeddings q LEFT JOIN hits ON q.vec_id = hits.q_id
+            WHERE q.vec_id < 10 ORDER BY q_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q22, q23, q24, q32, q57, q70, q78, q79, q93, q117, q128, q130, q137,
-      q138, q142, q159, q163, q187, q213, q214, q225)
+      q138, q142, q159, q163, q187, q213, q214, q225, q277)
 }

@@ -1725,7 +1725,176 @@ object StatsQueries {
                    CASE WHEN v > mu THEN round(mu * mu / (v - mu), 12) END AS nb_size
             FROM m ORDER BY event_type"""))
 
+  /** Mann–Kendall trend test per event type (Mann 1945, Kendall 1975):
+    * the nonparametric monotone-trend twin of q155's Theil–Sen SLOPE —
+    * Theil–Sen answers "how steep", Mann–Kendall answers "is there a
+    * trend at all" without assuming linearity or normality. S sums
+    * sign(x_j − x_i) over all day pairs i < j; the tie-corrected normal
+    * approximation Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18
+    * with the ±1 continuity correction gives z.
+    *
+    * Scale: one (type, day) hash aggregate over the stream, then an
+    * all-pairs join over the CALENDAR-bounded daily census (≤ |days|²/2
+    * pairs per type regardless of corpus size — the q262 argument).
+    * Determinism: S, n and the tie term are exact integers; the closed
+    * form is one shared IEEE sequence rounded at 12; a type with every
+    * day tied (Var = 0) reports NULL z / "undefined" rather than ±Inf.
+    */
+  private val q275 = GraftQuery(
+    "q275_mann_kendall",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val b = daily.select(col("event_type").as("et_b"),
+        col("day").as("db"), col("x").as("xb"))
+      val sAgg = daily
+        .join(b, col("event_type") === col("et_b") && col("day") < col("db"))
+        .groupBy("event_type")
+        .agg(sum(when(col("xb") > col("x"), 1L)
+          .when(col("xb") < col("x"), -1L).otherwise(0L)).as("s_stat"))
+      val nAgg = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy("event_type", "x").agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("tie_term"))
+      val n = col("n_days")
+      val varS = (n * (n - 1L) * (lit(2L) * n + 5L) - col("tie_term"))
+        .cast("double") / 18.0
+      val den = sqrt(varS)
+      val z = when(col("s_stat") > 0, (col("s_stat").cast("double") - 1.0) / den)
+        .when(col("s_stat") < 0, (col("s_stat").cast("double") + 1.0) / den)
+        .otherwise(lit(0.0))
+      nAgg
+        .join(sAgg, Seq("event_type"), "left")
+        .join(ties, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"),
+          coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+          round(varS, 12).as("var_s"),
+          when(varS > 0.0, round(z, 12)).as("z"))
+        .withColumn("trend",
+          when(col("z").isNull, lit("undefined"))
+            .when(col("z") > 1.96, lit("increasing"))
+            .when(col("z") < -1.96, lit("decreasing"))
+            .otherwise(lit("none")))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                     count(*) AS x
+              FROM events GROUP BY 1, 2),
+            s AS (
+              SELECT a.event_type,
+                     CAST(sum(CASE WHEN b.x > a.x THEN 1
+                                   WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                       AS s_stat
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.day < b.day
+              GROUP BY 1),
+            n AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+            tg AS (SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2),
+            ties AS (
+              SELECT event_type,
+                     CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+              FROM tg GROUP BY 1),
+            m AS (
+              SELECT n.event_type, CAST(n.n_days AS BIGINT) AS n_days,
+                     COALESCE(s.s_stat, 0) AS s_stat,
+                     CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                       - ties.tie_term AS DOUBLE) / 18.0 AS var_s
+              FROM n LEFT JOIN s ON n.event_type = s.event_type
+                     LEFT JOIN ties ON n.event_type = ties.event_type),
+            zc AS (
+              SELECT event_type, n_days, s_stat, round(var_s, 12) AS var_s,
+                     CASE WHEN var_s > 0.0 THEN round(
+                       CASE WHEN s_stat > 0
+                              THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                            WHEN s_stat < 0
+                              THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                            ELSE 0.0 END, 12) END AS z
+              FROM m)
+            SELECT event_type, n_days, s_stat, var_s, z,
+                   CASE WHEN z IS NULL THEN 'undefined'
+                        WHEN z > 1.96 THEN 'increasing'
+                        WHEN z < -1.96 THEN 'decreasing'
+                        ELSE 'none' END AS trend
+            FROM zc ORDER BY event_type"""))
+
+  /** One-way ANOVA F across document sources on length (n_chars): does
+    * mean document length differ by source beyond within-source noise —
+    * the k-group generalization of q217's two-sample Welch t (classic
+    * equal-variance decomposition SS_total = SS_between + SS_within).
+    * The corpus-QA use: a source whose length distribution drifts from
+    * the pool shifts F long before a per-source mean eyeball does.
+    *
+    * Scale: one hash aggregate to the per-source (n, Σx, Σx²) census,
+    * then closed forms on the ≤ |sources| rows. Determinism: the sums
+    * ride exact DECIMAL(38,0); the cross-source Σ s_g²/n_g rides the
+    * order-free fixed-point sum at 6 dp (the group terms are IEEE
+    * doubles; their SUM must not depend on partition order); F rounds
+    * at 12. Degenerate designs (k ≤ 1, N ≤ k, or SSW = 0) report NULL
+    * F rather than ±Inf/NaN.
+    */
+  private val q276 = GraftQuery(
+    "q276_anova_f",
+    (s, dir) => {
+      val dec0 = DecimalType(38, 0)
+      val g = Tables.documents(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("ng"),
+          sum(col("n_chars").cast(dec0)).as("sg"),
+          sum((col("n_chars").cast(dec0) * col("n_chars").cast(dec0)).cast(dec0))
+            .as("ssg"))
+      val term = col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double")
+      val tot = g.agg(
+        count(lit(1)).as("k"),
+        sum(col("ng")).as("n"),
+        sum(col("sg")).as("grand"),
+        sum(col("ssg")).as("grandsq"),
+        graft.functions.Exact.sumFx(term, 6).as("sum_term"))
+      val nD = col("n").cast("double")
+      val kD = col("k").cast("double")
+      val ssb = col("sum_term") -
+        col("grand").cast("double") * col("grand").cast("double") / nD
+      val ssw = col("grandsq").cast("double") - col("sum_term")
+      val f = (ssb / (kD - 1.0)) / (ssw / (nD - kD))
+      tot.select(col("k"), col("n"),
+        round(ssb, 6).as("ss_between"),
+        round(ssw, 6).as("ss_within"),
+        when(col("k") > 1 && col("n") > col("k") && ssw > 0.0, round(f, 12))
+          .as("f_stat"))
+    },
+    Some(s"""WITH g AS (
+              SELECT source, count(*) AS ng,
+                     sum(CAST(n_chars AS DECIMAL(38,0))) AS sg,
+                     sum(CAST(CAST(n_chars AS DECIMAL(38,0))
+                       * CAST(n_chars AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS ssg
+              FROM documents GROUP BY 1),
+            tot AS (
+              SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                     CAST(sum(sg) AS DECIMAL(38,0)) AS grand,
+                     CAST(sum(ssg) AS DECIMAL(38,0)) AS grandsq,
+                     ${graft.functions.Exact.sumFxSql(
+      "CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)", 6)}
+                       AS sum_term
+              FROM g)
+            SELECT CAST(k AS BIGINT) AS k, n,
+                   round(sum_term - CAST(grand AS DOUBLE) * CAST(grand AS DOUBLE)
+                     / CAST(n AS DOUBLE), 6) AS ss_between,
+                   round(CAST(grandsq AS DOUBLE) - sum_term, 6) AS ss_within,
+                   CASE WHEN k > 1 AND n > k
+                         AND CAST(grandsq AS DOUBLE) - sum_term > 0.0
+                     THEN round(
+                       ((sum_term - CAST(grand AS DOUBLE) * CAST(grand AS DOUBLE)
+                           / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+                       / ((CAST(grandsq AS DOUBLE) - sum_term)
+                           / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 12)
+                   END AS f_stat
+            FROM tot"""))
+
   def all: Seq[GraftQuery] =
     Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185, q215, q216,
-      q217, q231, q234, q236, q239, q241, q256, q259, q260, q262, q271)
+      q217, q231, q234, q236, q239, q241, q256, q259, q260, q262, q271,
+      q275, q276)
 }

@@ -2395,8 +2395,71 @@ object TextQueries {
               FROM f)
             ORDER BY cls"""))
 
+  /** Token↔source mutual information (top tokens): how much knowing a
+    * token tells you about which source emitted it — I(w) = Σ_s p(w,s) ·
+    * ln[p(w,s)/(p(w)p(s))], the information-gain ranking behind
+    * feature selection for source/domain classifiers (and the additive
+    * sibling of q132's χ² association test: χ² asks "is the deviation
+    * significant", MI asks "how many nats does the feature carry").
+    * Reported in nats, top 20 tokens by contribution.
+    *
+    * Scale: one token-count shuffle to the (w, source) census, then all
+    * arithmetic on census rows (vocab × |sources|) with the source
+    * marginals broadcast; the top-20 cut is a vocab-bounded sort.
+    * Determinism: counts are exact integers; each ln ratio rounds at 12
+    * dp (libm envelope) before the p-weighted product; the per-token sum
+    * across sources rides the order-free fixed-point sum at 15; the cut
+    * orders by the ROUNDED mi then token (round-before-argmax).
+    */
+  private val q280 = GraftQuery(
+    "q280_token_source_mi",
+    (s, dir) => {
+      val occ = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      val ws = occ.groupBy("w", "source").agg(count(lit(1)).as("n_ws"))
+      val wTot = occ.groupBy("w").agg(count(lit(1)).as("n_w"))
+      val sTot = occ.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val nTot = occ.agg(count(lit(1)).as("n"))
+      val term = (col("n_ws").cast("double") / col("n").cast("double")) *
+        round(log(col("n_ws").cast("double") * col("n").cast("double") /
+          (col("n_w").cast("double") * col("n_s").cast("double"))), 12)
+      ws.join(wTot, "w").join(broadcast(sTot), "source")
+        .crossJoin(broadcast(nTot))
+        .select(col("w"), col("n_w"), term.as("term"))
+        .groupBy("w", "n_w")
+        .agg(graft.functions.Exact.sumFx(col("term"), 15).as("mi0"))
+        .select(col("w"), col("n_w"), round(col("mi0"), 12).as("mi_nats"))
+        .orderBy(col("mi_nats").desc, col("w"))
+        .limit(20)
+    },
+    Some(s"""WITH occ AS (
+              SELECT source,
+                     unnest(string_split(lower(trim(regexp_replace(text,
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')) AS w
+              FROM documents),
+            occf AS (SELECT source, w FROM occ WHERE w <> ''),
+            ws AS (SELECT w, source, count(*) AS n_ws FROM occf GROUP BY 1, 2),
+            wt AS (SELECT w, count(*) AS n_w FROM occf GROUP BY 1),
+            st AS (SELECT source, count(*) AS n_s FROM occf GROUP BY 1),
+            nt AS (SELECT count(*) AS n FROM occf),
+            terms AS (
+              SELECT ws.w, CAST(wt.n_w AS BIGINT) AS n_w,
+                     (CAST(n_ws AS DOUBLE) / CAST(n AS DOUBLE))
+                       * round(ln(CAST(n_ws AS DOUBLE) * CAST(n AS DOUBLE)
+                           / (CAST(wt.n_w AS DOUBLE) * CAST(n_s AS DOUBLE))), 12)
+                       AS term
+              FROM ws JOIN wt USING (w) JOIN st USING (source) CROSS JOIN nt),
+            mi AS (
+              SELECT w, n_w,
+                     round(${graft.functions.Exact.sumFxSql("term", 15)}, 12)
+                       AS mi_nats
+              FROM terms GROUP BY 1, 2)
+            SELECT w, n_w, mi_nats FROM mi
+            ORDER BY mi_nats DESC, w LIMIT 20"""))
+
   def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q16, q17, q54, q95, q98, q102, q103, q104, q109, q113,
       q115, q116, q121, q125, q129, q139, q145, q151, q164, q169, q196, q197,
-      q203, q222, q229, q232, q249, q251, q252, q265, q266, q270, q274)
+      q203, q222, q229, q232, q249, q251, q252, q265, q266, q270, q274, q280)
 }
