@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** Floor experiment for the routed ×100 embedding near-dup build (q23,
+  * round-11 verdict item 7: "probe a contraction-first variant, target
+  * < 500 s at ×100; a measured negative result confirms the floor").
+  *
+  * The shipped build ([[operators.NearDup.embeddingNearDupLsh]]) already
+  * generates candidates contraction-first — the full-signature cell
+  * canonicalization makes the per-table bucket join run over cell
+  * representatives only, so a further "contract before the bucket join"
+  * variant has no candidate-side quadratic left to remove. What a
+  * cheaper build COULD in principle avoid is everything except the
+  * inherent tail: expanding and exactly verifying the emitted pair set
+  * itself (a heavily-cloned corpus makes that set Σ|cluster|²/2-sized by
+  * construction — the pairs genuinely exist and the operator's contract
+  * is to emit each one with its decimal-exact cosine).
+  *
+  * This main measures that tail in isolation: it takes the landed pair
+  * list (built once by the bench, rebuilt here if absent), strips the
+  * scores, and re-runs ONLY the verification arithmetic — the two
+  * embedding joins, the double prefilter, and the decimal-exact cosine —
+  * with all signature/bucket/candidate work removed. The wall time of
+  * this pass is a hard lower bound for ANY build that emits the same
+  * pairs through the same exact-scoring contract; the gap to the full
+  * build's recorded time is the most a candidate-side redesign could
+  * ever recover.
+  *
+  * Usage: runMain graft.ProbeNearDupFloor [sfDir] [threshold]
+  */
+object ProbeNearDupFloor {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/tmp/graft_sfx100")
+    val threshold = args.lift(1).map(_.toDouble).getOrElse(0.4)
+    val spark = GraftSession.build("graft-probe-neardup-floor", defaultCpus = "32")
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      val nVec = emb.count()
+      // same artifact key as q23's routedPairsShared — warm after a bench,
+      // built here (at the full routed cost) if the cache is cold
+      val t0 = System.nanoTime()
+      val path = queries.Artifacts.cached(
+        "routed-pairs", "t0.4-v1", Seq(s"$sfDir/embeddings.parquet")) { p =>
+        operators.NearDup.embeddingNearDupPairsAuto(emb, threshold = 0.4)
+          .write.mode("overwrite").parquet(p)
+      }
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val pairs = spark.read
+        .schema("vec_a LONG, vec_b LONG, cos DOUBLE").parquet(path)
+        .select("vec_a", "vec_b")
+      val nPairs = pairs.count()
+
+      // the inherent tail, in isolation: two embedding joins + double
+      // prefilter + decimal-exact cosine over exactly the emitted pairs
+      // (the same arithmetic the real build runs per surviving candidate)
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Similarity.normExact(col("embedding")).as("nrm"))
+      val t1 = System.nanoTime()
+      val verified = pairs
+        .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("nrm").as("na")), "vec_a")
+        .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("nrm").as("nb")), "vec_b")
+        .filter(Similarity.cosineFromParts(
+          Similarity.dotFast(col("ea"), col("eb")), col("na"), col("nb"))
+          >= threshold - 1e-6)
+        .withColumn("cos", Similarity.cosineFromParts(
+          Similarity.dotExact(col("ea"), col("eb")), col("na"), col("nb")))
+        .filter(col("cos") >= threshold)
+        .count()
+      val tVerify = (System.nanoTime() - t1) / 1e9
+      println(f"""{"metric":"neardup_floor","sf":"$sfDir","n_vectors":$nVec,""" +
+        f""""n_pairs":$nPairs,"verified":$verified,""" +
+        f""""artifact_build_sec":$tBuild%.1f,"verify_only_sec":$tVerify%.1f}""")
+
+      // ---- phase decomposition of the shipped build (same code path as
+      // embeddingNearDupLsh, re-run stage by stage with cumulative
+      // count() forcing — differencing adjacent numbers isolates each
+      // stage's marginal cost; persist() would change what is measured)
+      val (bits, tables) =
+        operators.NearDup.scaledPairLshKnobs(nVec, threshold, 10000L)
+      println(s"[floor] knobs: bits=$bits tables=$tables")
+      def timed[A](label: String)(f: => A): A = {
+        val t = System.nanoTime()
+        val r = f
+        println(f"[floor] $label: ${(System.nanoTime() - t) / 1e9}%.1f s ($r)")
+        r
+      }
+      val allBuckets = operators.NearDup.hyperplaneBuckets(emb, bits, 64, tables)
+      timed("A buckets (cumulative)")(allBuckets.count())
+      val groups = allBuckets.groupBy("vec_id")
+        .agg(xxhash64(sort_array(collect_list(col("bkt")))).as("__ck"))
+      timed("B signature groups (cumulative)")(
+        groups.select(countDistinct(col("__ck"))).head().getLong(0))
+      val repIds = groups.groupBy("__ck").agg(min(col("vec_id")).as("vec_id"))
+      val repBuckets = allBuckets.join(repIds, Seq("vec_id"))
+      val repCand = repBuckets.as("a").join(repBuckets.as("b"),
+          col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("ra"), col("b.vec_id").as("rb"))
+        .dropDuplicates("ra", "rb")
+      timed("C rep candidate pairs (cumulative)")(repCand.count())
+      val ckOfRep = repIds.select(col("vec_id").as("__rep"), col("__ck"))
+      val cross = repCand
+        .join(ckOfRep.select(col("__rep").as("ra"), col("__ck").as("cka")), "ra")
+        .join(ckOfRep.select(col("__rep").as("rb"), col("__ck").as("ckb")), "rb")
+        .join(groups.select(col("__ck").as("cka"), col("vec_id").as("ma")), "cka")
+        .join(groups.select(col("__ck").as("ckb"), col("vec_id").as("mb")), "ckb")
+        .select(least(col("ma"), col("mb")).as("vec_a"),
+          greatest(col("ma"), col("mb")).as("vec_b"))
+      val intra = groups.as("x").join(groups.as("y"),
+          col("x.__ck") === col("y.__ck") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      timed("D expanded member candidates (cumulative)")(
+        cross.unionByName(intra).count())
+    } finally spark.stop()
+  }
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Sketches, Similarity, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over text and embeddings (driver north star
@@ -569,7 +569,7 @@ object NearDup {
     hyperplaneBuckets(emb, bits, dim, tables = 1)
       .select(col("vec_id"), col("bkt.bucket").as("cluster"))
 
-  private def hyperplaneBuckets(
+  private[graft] def hyperplaneBuckets(
       emb: DataFrame, bits: Int, dim: Int, tables: Int): DataFrame = {
     val planes: Seq[Seq[Float]] = (0 until tables * bits).map { p =>
       (0 until dim).map { d =>
@@ -620,9 +620,48 @@ object NearDup {
       checkpointDir)
     val repIds = groups.groupBy("__ck").agg(min(col("vec_id")).as("vec_id"))
     val repBuckets = allBuckets.join(repIds, Seq("vec_id"))
+    // Ball-cover pruning of the rep candidate join (round-11 ×100
+    // decomposition: 93 M rep bucket pairs expanded to 352 M member
+    // candidates of which only 11.2 M verified — 31× bloat, all of it
+    // spent on exact cosines that fail). Each cell carries its angular
+    // RADIUS (max member↔rep angle); by the triangle inequality a member
+    // pair's angle is at least angle(reps) − radius_a − radius_b, so a
+    // rep pair with acos(cos(reps)) > acos(threshold) + radius_a +
+    // radius_b + ε cannot produce ANY member pair at or above the
+    // threshold — dropping it BEFORE expansion changes nothing in the
+    // emitted set (the bound is sound; ε = 1e-5 rad dominates the
+    // ≲1e-7 rad double-dot error, and NULL geometry keeps the pair).
+    // Rep geometry (vector, norm, radius) is a cell-level table —
+    // occupancy-bounded in the design regime — broadcast under the
+    // same small-side rule as every other dimension join here.
+    val repVec = repIds.join(v0, "vec_id")
+      .select(col("__ck"), col("embedding").as("re"), col("nrm").as("rn"))
+    val clampCos = (c: Column) => least(greatest(c, lit(-1.0)), lit(1.0))
+    val radius = groups.join(v0, "vec_id").join(repVec, "__ck")
+      .select(col("__ck"),
+        acos(clampCos(Similarity.cosineFromParts(
+          Similarity.dotFast(col("embedding"), col("re")),
+          col("nrm"), col("rn")))).as("ang"))
+      .groupBy("__ck").agg(max(col("ang")).as("radius"))
+    val repGeo = materialized(
+      repIds.join(v0, "vec_id").join(radius, "__ck")
+        .select(col("vec_id").as("rid"), col("embedding").as("rv"),
+          col("nrm").as("rnrm"), col("radius")),
+      checkpointDir)
+    val geoSide = (suffix: String) => broadcast(repGeo.select(
+      col("rid").as(s"r$suffix"), col("rv").as(s"rv$suffix"),
+      col("rnrm").as(s"rn$suffix"), col("radius").as(s"rad$suffix")))
+    val acosT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     val repCand = repBuckets.as("a").join(repBuckets.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ra"), col("b.vec_id").as("rb"))
+      .join(geoSide("a"), "ra").join(geoSide("b"), "rb")
+      .filter(coalesce(
+        acos(clampCos(Similarity.cosineFromParts(
+          Similarity.dotFast(col("rva"), col("rvb")), col("rna"), col("rnb"))))
+          <= lit(acosT) + col("rada") + col("radb") + lit(1e-5),
+        lit(true)))
+      .select(col("ra"), col("rb"))
       .dropDuplicates("ra", "rb")
     val ckOfRep = repIds.select(col("vec_id").as("__rep"), col("__ck"))
     // cells are disjoint, so an expanded member pair arises from exactly
