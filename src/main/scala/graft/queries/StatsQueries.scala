@@ -1893,8 +1893,136 @@ object StatsQueries {
                    END AS f_stat
             FROM tot"""))
 
+  /** Ljung–Box portmanteau test per event type: are the first 10 daily
+    * autocorrelations JOINTLY zero — the significance closer for q185's
+    * per-lag ACF (one large ρ_k is eyeballable; Q = n(n+2)·Σ ρ_k²/m_k
+    * against χ²₀.₉₅(10) = 18.307 is the test a forecasting pipeline
+    * actually gates residuals on). ρ_k is the plug-in estimate around
+    * the GLOBAL mean; on a gapped calendar each lag uses its available
+    * pair count m_k (= n−k when gapless), and the verdict is only
+    * issued when all 10 lags have pairs (else "insufficient").
+    *
+    * Scale: one (type, day) hash aggregate, then lag joins over the
+    * CALENDAR-bounded census (≤ 10·|days| pair rows per type at any
+    * corpus size). Determinism: all census sums ride DECIMAL(38,0);
+    * μ/den/num are one shared IEEE sequence; ρ_k rounds at 12 BEFORE
+    * squaring; the 10-term sum rides the order-free fixed-point sum at
+    * 15; Q rounds at 9; a constant series (den ≤ 0) reports NULL Q /
+    * "undefined".
+    */
+  private val q282 = GraftQuery(
+    "q282_ljung_box",
+    (s, dir) => {
+      val dec0 = DecimalType(38, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val d0 = daily.agg(min(col("day")).as("d0"))
+      val idx = daily.crossJoin(broadcast(d0))
+        .select(col("event_type"),
+          datediff(col("day"), col("d0")).cast("long").as("i"), col("c"))
+      val mom = idx.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("c").cast(dec0)).as("sx"),
+        sum((col("c").cast(dec0) * col("c").cast(dec0)).cast(dec0)).as("sxx"))
+      val lagDf = s.range(1, 11).select(col("id").cast("int").as("lag"))
+      val pairs = idx.as("a").crossJoin(broadcast(lagDf))
+        .join(idx.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.i") === col("a.i") - col("lag"))
+        .groupBy(col("a.event_type").as("event_type"), col("lag"))
+        .agg(count(lit(1)).as("npairs"),
+          sum((col("a.c").cast(dec0) * col("b.c").cast(dec0)).cast(dec0)).as("p"),
+          sum(col("a.c").cast(dec0)).as("sh"),
+          sum(col("b.c").cast(dec0)).as("st"))
+      val nD = col("n").cast("double")
+      val mu = col("sx").cast("double") / nD
+      val den = col("sxx").cast("double") - nD * mu * mu
+      val num = col("p").cast("double") - mu * col("st").cast("double") -
+        mu * col("sh").cast("double") + col("npairs").cast("double") * mu * mu
+      val rho = round(num / den, 12)
+      val terms = pairs.join(mom, "event_type")
+        .select(col("event_type"), col("n"),
+          when(den > 0.0, rho * rho / col("npairs").cast("double")).as("term"))
+      val agg = terms.groupBy("event_type", "n").agg(
+        count(col("term")).as("lags_used"),
+        graft.functions.Exact.sumFx(col("term"), 15).as("sterm"))
+      val qstat = when(col("sterm").isNotNull,
+        round(col("n").cast("double") * (col("n").cast("double") + 2.0)
+          * col("sterm"), 9))
+      agg
+        .select(col("event_type"), col("n").as("n_days"),
+          col("lags_used"), qstat.as("q_stat"))
+        .withColumn("verdict",
+          when(col("q_stat").isNull, lit("undefined"))
+            .when(col("lags_used") < 10, lit("insufficient"))
+            .when(col("q_stat") > 18.307038053275146, lit("autocorrelated"))
+            .otherwise(lit("white")))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2),
+            d0 AS (SELECT min(day) AS d0 FROM daily),
+            idx AS (
+              SELECT event_type, CAST(datediff('day', d0, day) AS BIGINT) AS i, c
+              FROM daily CROSS JOIN d0),
+            mom AS (
+              SELECT event_type, count(*) AS n,
+                     sum(CAST(c AS DECIMAL(38,0))) AS sx,
+                     sum(CAST(CAST(c AS DECIMAL(38,0))
+                       * CAST(c AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS sxx
+              FROM idx GROUP BY 1),
+            momd AS (
+              SELECT event_type, n,
+                     CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                     CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE)
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS den
+              FROM mom),
+            pairs AS (
+              SELECT a.event_type, l.lag, count(*) AS npairs,
+                     sum(CAST(CAST(a.c AS DECIMAL(38,0))
+                       * CAST(b.c AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS p,
+                     sum(CAST(a.c AS DECIMAL(38,0))) AS sh,
+                     sum(CAST(b.c AS DECIMAL(38,0))) AS st
+              FROM idx a CROSS JOIN (SELECT unnest(range(1, 11)) AS lag) l
+              JOIN idx b ON a.event_type = b.event_type AND b.i = a.i - l.lag
+              GROUP BY 1, 2),
+            rhos AS (
+              SELECT p.event_type, m.n, p.npairs,
+                     CASE WHEN m.den > 0.0 THEN
+                       round((CAST(p.p AS DOUBLE) - m.mu * CAST(p.st AS DOUBLE)
+                         - m.mu * CAST(p.sh AS DOUBLE)
+                         + CAST(p.npairs AS DOUBLE) * m.mu * m.mu) / m.den, 12)
+                     END AS rho
+              FROM pairs p JOIN momd m ON p.event_type = m.event_type),
+            terms AS (
+              SELECT event_type, n,
+                     rho * rho / CAST(npairs AS DOUBLE) AS term
+              FROM rhos),
+            agg AS (
+              SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                     count(term) AS lags_used,
+                     ${graft.functions.Exact.sumFxSql("term", 15)} AS sterm
+              FROM terms GROUP BY 1, 2)
+            SELECT event_type, n_days, lags_used,
+                   CASE WHEN sterm IS NOT NULL THEN
+                     round(CAST(n_days AS DOUBLE)
+                       * (CAST(n_days AS DOUBLE) + 2.0) * sterm, 9)
+                   END AS q_stat,
+                   CASE WHEN sterm IS NULL THEN 'undefined'
+                        WHEN lags_used < 10 THEN 'insufficient'
+                        WHEN round(CAST(n_days AS DOUBLE)
+                          * (CAST(n_days AS DOUBLE) + 2.0) * sterm, 9)
+                          > 18.307038053275146 THEN 'autocorrelated'
+                        ELSE 'white' END AS verdict
+            FROM agg ORDER BY event_type"""))
+
   def all: Seq[GraftQuery] =
     Seq(q131, q132, q133, q134, q154, q155, q182, q184, q185, q215, q216,
       q217, q231, q234, q236, q239, q241, q256, q259, q260, q262, q271,
-      q275, q276)
+      q275, q276, q282)
 }

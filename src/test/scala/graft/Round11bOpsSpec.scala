@@ -127,6 +127,25 @@ class Round11bOpsSpec extends SparkSpec {
     }
   }
 
+  test("Ljung-Box: Q nonnegative, verdict follows the chi2 cut, lags bounded by 10") {
+    val rows = Registry.byName("q282_ljung_box").run(spark, sf)
+      .select("n_days", "lags_used", "q_stat", "verdict").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lags = r.getLong(1)
+      assert(lags >= 0 && lags <= 10)
+      if (r.isNullAt(2)) assert(r.getString(3) == "undefined")
+      else {
+        val q = r.getDouble(2)
+        assert(q >= -1e-9, s"Q is a sum of squares, got $q")
+        val v = r.getString(3)
+        if (lags < 10) assert(v == "insufficient")
+        else if (q > 18.307038053275146) assert(v == "autocorrelated")
+        else assert(v == "white")
+      }
+    }
+  }
+
   test("SoftDeDup: effective size bounded by raw count, equal when nothing clustered") {
     val rows = Registry.byName("q281_softdedup_weights").run(spark, sf)
       .select("n_docs", "n_clustered", "eff_size", "keep_ratio").collect()
