@@ -38,12 +38,15 @@ object ProbeNearDupFloor {
     try {
       val emb = Tables.embeddings(spark, sfDir)
       val nVec = emb.count()
-      // same artifact key as q23's routedPairsShared — warm after a bench,
-      // built here (at the full routed cost) if the cache is cold
+      // threshold-derived artifact key: at the default 0.4 this is the
+      // SAME key as q23's routedPairsShared (warm after a bench); any
+      // other threshold gets its own cache entry built at that threshold,
+      // so the verify tail below always measures a pair set that matches
+      // the threshold it filters at
       val t0 = System.nanoTime()
       val path = queries.Artifacts.cached(
-        "routed-pairs", "t0.4-v1", Seq(s"$sfDir/embeddings.parquet")) { p =>
-        operators.NearDup.embeddingNearDupPairsAuto(emb, threshold = 0.4)
+        "routed-pairs", s"t$threshold-v1", Seq(s"$sfDir/embeddings.parquet")) { p =>
+        operators.NearDup.embeddingNearDupPairsAuto(emb, threshold = threshold)
           .write.mode("overwrite").parquet(p)
       }
       val tBuild = (System.nanoTime() - t0) / 1e9

@@ -1900,15 +1900,20 @@ object StatsQueries {
     * actually gates residuals on). ρ_k is the plug-in estimate around
     * the GLOBAL mean; on a gapped calendar each lag uses its available
     * pair count m_k (= n−k when gapless), and the verdict is only
-    * issued when all 10 lags have pairs (else "insufficient").
+    * issued when all 10 lags have pairs (else "insufficient" —
+    * including the degenerate types with NO lag pairs at all: the join
+    * runs LEFT from the per-type moments, so a single-day type still
+    * emits its row with lags_used = 0 instead of vanishing, the
+    * round-11 ADVICE edge). lags_used counts lags WITH PAIRS (data
+    * sufficiency), not non-null terms: a constant multi-day series has
+    * all 10 lags but den ≤ 0, and reports NULL Q / "undefined".
     *
     * Scale: one (type, day) hash aggregate, then lag joins over the
     * CALENDAR-bounded census (≤ 10·|days| pair rows per type at any
     * corpus size). Determinism: all census sums ride DECIMAL(38,0);
     * μ/den/num are one shared IEEE sequence; ρ_k rounds at 12 BEFORE
     * squaring; the 10-term sum rides the order-free fixed-point sum at
-    * 15; Q rounds at 9; a constant series (den ≤ 0) reports NULL Q /
-    * "undefined".
+    * 15; Q rounds at 9.
     */
   private val q282 = GraftQuery(
     "q282_ljung_box",
@@ -1941,11 +1946,11 @@ object StatsQueries {
       val num = col("p").cast("double") - mu * col("st").cast("double") -
         mu * col("sh").cast("double") + col("npairs").cast("double") * mu * mu
       val rho = round(num / den, 12)
-      val terms = pairs.join(mom, "event_type")
-        .select(col("event_type"), col("n"),
+      val terms = mom.join(pairs, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"), col("lag"),
           when(den > 0.0, rho * rho / col("npairs").cast("double")).as("term"))
       val agg = terms.groupBy("event_type", "n").agg(
-        count(col("term")).as("lags_used"),
+        count(col("lag")).as("lags_used"),
         graft.functions.Exact.sumFx(col("term"), 15).as("sterm"))
       val qstat = when(col("sterm").isNotNull,
         round(col("n").cast("double") * (col("n").cast("double") + 2.0)
@@ -1954,8 +1959,8 @@ object StatsQueries {
         .select(col("event_type"), col("n").as("n_days"),
           col("lags_used"), qstat.as("q_stat"))
         .withColumn("verdict",
-          when(col("q_stat").isNull, lit("undefined"))
-            .when(col("lags_used") < 10, lit("insufficient"))
+          when(col("lags_used") < 10, lit("insufficient"))
+            .when(col("q_stat").isNull, lit("undefined"))
             .when(col("q_stat") > 18.307038053275146, lit("autocorrelated"))
             .otherwise(lit("white")))
         .orderBy("event_type")
@@ -1992,20 +1997,20 @@ object StatsQueries {
               JOIN idx b ON a.event_type = b.event_type AND b.i = a.i - l.lag
               GROUP BY 1, 2),
             rhos AS (
-              SELECT p.event_type, m.n, p.npairs,
+              SELECT m.event_type, m.n, p.lag, p.npairs,
                      CASE WHEN m.den > 0.0 THEN
                        round((CAST(p.p AS DOUBLE) - m.mu * CAST(p.st AS DOUBLE)
                          - m.mu * CAST(p.sh AS DOUBLE)
                          + CAST(p.npairs AS DOUBLE) * m.mu * m.mu) / m.den, 12)
                      END AS rho
-              FROM pairs p JOIN momd m ON p.event_type = m.event_type),
+              FROM momd m LEFT JOIN pairs p ON p.event_type = m.event_type),
             terms AS (
-              SELECT event_type, n,
+              SELECT event_type, n, lag,
                      rho * rho / CAST(npairs AS DOUBLE) AS term
               FROM rhos),
             agg AS (
               SELECT event_type, CAST(n AS BIGINT) AS n_days,
-                     count(term) AS lags_used,
+                     count(lag) AS lags_used,
                      ${graft.functions.Exact.sumFxSql("term", 15)} AS sterm
               FROM terms GROUP BY 1, 2)
             SELECT event_type, n_days, lags_used,
@@ -2013,8 +2018,8 @@ object StatsQueries {
                      round(CAST(n_days AS DOUBLE)
                        * (CAST(n_days AS DOUBLE) + 2.0) * sterm, 9)
                    END AS q_stat,
-                   CASE WHEN sterm IS NULL THEN 'undefined'
-                        WHEN lags_used < 10 THEN 'insufficient'
+                   CASE WHEN lags_used < 10 THEN 'insufficient'
+                        WHEN sterm IS NULL THEN 'undefined'
                         WHEN round(CAST(n_days AS DOUBLE)
                           * (CAST(n_days AS DOUBLE) + 2.0) * sterm, 9)
                           > 18.307038053275146 THEN 'autocorrelated'

@@ -134,7 +134,8 @@ class Round11bOpsSpec extends SparkSpec {
     rows.foreach { r =>
       val lags = r.getLong(1)
       assert(lags >= 0 && lags <= 10)
-      if (r.isNullAt(2)) assert(r.getString(3) == "undefined")
+      if (r.isNullAt(2))
+        assert(r.getString(3) == (if (lags < 10) "insufficient" else "undefined"))
       else {
         val q = r.getDouble(2)
         assert(q >= -1e-9, s"Q is a sum of squares, got $q")
@@ -144,6 +145,31 @@ class Round11bOpsSpec extends SparkSpec {
         else assert(v == "white")
       }
     }
+  }
+
+  test("Ljung-Box degenerate types: one-day emits lags_used=0 insufficient; constant multi-day is undefined") {
+    // the round-11 ADVICE edge: an inner pairs join silently DROPPED
+    // types with no lag pairs at all; the left-from-moments join must
+    // emit them with lags_used = 0 and verdict 'insufficient'. A
+    // constant 12-day series has all 10 lags but den <= 0: 'undefined'.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import java.sql.Timestamp
+    val day0 = Timestamp.valueOf("2024-03-01 12:00:00")
+    def at(d: Int) = new Timestamp(day0.getTime + d * 86400000L)
+    val oneDay = Seq(("solo", at(0), 1L), ("solo", at(0), 2L))
+    val const = (0 until 12).map(d => ("flat", at(d), 100L + d))
+    val events = (oneDay ++ const)
+      .toDF("event_type", "ts", "user_id")
+      .withColumn("event_id", col("user_id"))
+      .withColumn("value", lit(1.0))
+    val dir = TestUtil.stageEventsDir(spark, events)
+    val out = Registry.byName("q282_ljung_box").run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.isNullAt(3), r.getString(4))).toMap
+    assert(out.keySet == Set("solo", "flat"), s"one-day type dropped: ${out.keySet}")
+    assert(out("solo") == ((1L, 0L, true, "insufficient")))
+    assert(out("flat") == ((12L, 10L, true, "undefined")))
   }
 
   test("SoftDeDup: effective size bounded by raw count, equal when nothing clustered") {
