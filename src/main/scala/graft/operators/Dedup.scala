@@ -93,23 +93,30 @@ object Dedup {
     * window starts (consecutive starts closer than `w` overlap), exact,
     * not w·|flags|.
     */
-  def crossDocRepeatProfile(docs: DataFrame, w: Int = 8): DataFrame = {
-    // ONE corpus scan: per-doc token count + the w-token window hashes,
-    // materialized together (Catalyst shares no subtrees — without the cut
-    // the dup aggregate, the flag join, and the final count projection
-    // each re-scan and re-tokenize the corpus: measured 3 scans in the
-    // uncut plan). The cut frame holds ~one long per corpus token — the
-    // deliberate trade of 1x-corpus block storage for 2 saved full
-    // tokenize passes.
+  /** ONE corpus scan shared by [[crossDocRepeatProfile]] and
+    * [[exactSubstringRemove]]: per-doc token count + the w-token window
+    * hashes, materialized together (Catalyst shares no subtrees — without
+    * the cut the dup aggregate, the flag join, and the final projection
+    * each re-scan and re-tokenize the corpus: measured 3 scans in the
+    * uncut plan). The cut frame holds ~one long per corpus token (plus
+    * the token arrays when `keepTokens`, for reconstruction) — the
+    * deliberate trade of 1x-corpus block storage for 2 saved full
+    * tokenize passes. Returns (per, flagged): per = (doc_id, n_tokens,
+    * hs[, t]); flagged = (doc_id, p), the 1-based starts of w-token
+    * windows whose hash occurs in >= 2 distinct documents.
+    */
+  private def repeatFlags(docs: DataFrame, w: Int,
+      keepTokens: Boolean): (DataFrame, DataFrame) = {
+    val keep = if (keepTokens) Seq(col("t")) else Nil
     val per = Components.cut(
       docs.select(col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")).as("t"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .select(col("doc_id"), col("n_tokens"),
+        .select(Seq(col("doc_id"), col("n_tokens")) ++ keep :+
           when(col("n_tokens") >= w,
             transform(sequence(lit(1), (col("n_tokens") - (w - 1)).cast("int")),
               i => xxhash64(concat_ws("\u0001", slice(col("t"), i, lit(w))))))
-            .otherwise(array().cast("array<bigint>")).as("hs")), None)
+            .otherwise(array().cast("array<bigint>")).as("hs"): _*), None)
     // (doc_id, p, h): window start p (1-based); empty hs ⇒ no rows
     val grams = per.select(col("doc_id"), posexplode(col("hs")))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
@@ -117,7 +124,11 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select("h")
-    val flagged = grams.join(dup, "h").select("doc_id", "p")
+    (per, grams.join(dup, "h").select("doc_id", "p"))
+  }
+
+  def crossDocRepeatProfile(docs: DataFrame, w: Int = 8): DataFrame = {
+    val (per, flagged) = repeatFlags(docs, w, keepTokens = false)
     val wnd = Window.partitionBy("doc_id").orderBy("p")
     val covered = flagged
       .withColumn("nxt", lead(col("p"), 1).over(wnd))
@@ -131,5 +142,53 @@ object Dedup {
       .withColumn("dup_frac",
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(round(col("dup_tokens").cast("double") / col("n_tokens"), 12)))
+  }
+
+  /** Exact-substring REMOVAL — phase 2 of Lee et al. 2021, completing
+    * [[crossDocRepeatProfile]]'s profile-only pass: every token covered
+    * by a ≥2-doc repeated `w`-token window is CUT, and the surviving
+    * tokens are reassembled (single-space joined) into the cleaned
+    * training text. Returns one row per document:
+    * (doc_id, n_tokens, dup_tokens, kept_tokens, clean_text) with
+    * kept_tokens = n_tokens − dup_tokens by construction.
+    *
+    * Scale contract: clone-LINEAR like the profile (no pair join — a
+    * span shared by g documents costs g flagged rows). The per-doc
+    * reconstruction is array-native: flagged starts collect per doc
+    * (bounded by the doc's own window count), fold into MERGED coverage
+    * intervals in one `aggregate` pass over the sorted starts, and the
+    * keep filter tests each token against the merged runs — so a
+    * boilerplate-saturated document (flags ≈ n_tokens) costs O(n·runs),
+    * runs ≈ 1, not O(n²). No driver collect anywhere; the only shuffles
+    * are the hash-keyed dup count, the flag join, and the per-doc
+    * collect_list.
+    */
+  def exactSubstringRemove(docs: DataFrame, w: Int = 8): DataFrame = {
+    val (per, flagged) = repeatFlags(docs, w, keepTokens = true)
+    val ps = flagged.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+    // merged half-open coverage intervals [s, e): a start overlapping or
+    // adjacent to the previous run (p <= e) extends it, else opens a new
+    // one — starts are sorted, so one fold pass merges exactly
+    val iv = expr(
+      s"""aggregate(ps, CAST(array() AS array<struct<s: int, e: int>>),
+         |  (acc, p) -> IF(size(acc) > 0 AND p <= element_at(acc, -1).e,
+         |    concat(slice(acc, 1, size(acc) - 1),
+         |      array(named_struct('s', element_at(acc, -1).s,
+         |                         'e', greatest(element_at(acc, -1).e, p + $w)))),
+         |    concat(acc, array(named_struct('s', p, 'e', p + $w)))))""".stripMargin)
+    per.join(ps, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), array().cast("array<int>")))
+      .withColumn("iv", iv)
+      // empty text: split('') is [''] while n_tokens is 0 — keep nothing
+      .withColumn("kept", when(col("n_tokens") === 0,
+          expr("CAST(array() AS array<struct<i: int, tok: string>>)"))
+        .otherwise(expr(
+          s"""filter(transform(t, (tok, i0) -> named_struct('i', i0 + 1, 'tok', tok)),
+             |  s -> NOT exists(iv, v -> s.i >= v.s AND s.i < v.e))""".stripMargin)))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("dup_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        expr("array_join(transform(kept, s -> s.tok), ' ')").as("clean_text"))
   }
 }

@@ -1248,9 +1248,8 @@ object CurationQueries {
   private val q224 = GraftQuery(
     "q224_leakage_free_split",
     (s, dir) => {
-      import graft.operators.NearDup
       val docs = Tables.documents(s, dir)
-      val pairs = NearDup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+      val pairs = DedupQueries.textPairsShared(s, dir)
         .select("doc_a", "doc_b")
       val clusters = graft.operators.Components.neardupClusters(pairs)
         .select(col("doc_id"), col("cluster_id"))

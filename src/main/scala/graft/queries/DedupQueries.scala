@@ -11,6 +11,32 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
+  /** The shared 3-gram Jaccard ≥ 0.3 pair set over the full documents
+    * table — built ONCE per (JVM, scale dir) AND cached across sessions
+    * as an [[Artifacts]] entry (the embedding twin is `routed-pairs`):
+    * seven registry queries consume this exact pair list (q19 orders it,
+    * q33/q77/q224/q281 close it into clusters, q218 drives ROUGE overlap
+    * from it, q220 sweeps thresholds over it), and before this landed
+    * each NEW session (Verify, Bench, every scale probe) re-ran the full
+    * Σ df(shingle)² inverted-index join per consumer chain. The build is
+    * exact and deterministic given the input parquet (no seeds, no
+    * sketches), so a cached artifact is indistinguishable from a rebuilt
+    * one. Read-back uses an explicit schema so a zero-pair corpus (only
+    * _SUCCESS in the dir) still reads as an empty frame.
+    */
+  private val textPairsLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val TextPairsSchema = "doc_a LONG, doc_b LONG, jaccard DOUBLE"
+
+  private[queries] def textPairsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val path = textPairsLanded.computeIfAbsent(dir, _ =>
+      Artifacts.cached("text-pairs", "n3-t0.3-v1", Seq(s"$dir/documents.parquet")) { p =>
+        NearDup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
+          .write.mode("overwrite").parquet(p)
+      })
+    s.read.schema(TextPairsSchema).parquet(path)
+  }
+
   /** Exact dedup: one survivor per normalized-text fingerprint (smallest
     * doc_id wins — deterministic). The LLM-pipeline "exact dedup" stage.
     */
@@ -35,9 +61,7 @@ object DedupQueries {
     */
   private val q19 = GraftQuery(
     "q19_ngram_jaccard_pairs",
-    (s, dir) =>
-      NearDup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)
-        .orderBy("doc_a", "doc_b"),
+    (s, dir) => textPairsShared(s, dir).orderBy("doc_a", "doc_b"),
     Some("""WITH norm AS (
               SELECT doc_id,
                      string_split(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' ') AS t
@@ -140,8 +164,7 @@ object DedupQueries {
   private val q33 = GraftQuery(
     "q33_neardup_clusters",
     (s, dir) =>
-      graft.operators.Components.neardupClusters(
-        NearDup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3))
+      graft.operators.Components.neardupClusters(textPairsShared(s, dir))
         .orderBy("doc_id"),
     Some("""WITH RECURSIVE norm AS (
               SELECT doc_id,
@@ -229,8 +252,7 @@ object DedupQueries {
     "q77_neardup_clusters_distributed",
     (s, dir) =>
       graft.operators.Components.neardupClusters(
-        NearDup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3),
-        driverEdgeThreshold = 0L)
+        textPairsShared(s, dir), driverEdgeThreshold = 0L)
         .orderBy("doc_id"),
     q33.oracle)
 
@@ -247,7 +269,7 @@ object DedupQueries {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
       val clusters = graft.operators.Components.neardupClusters(
-        NearDup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3))
+        textPairsShared(s, dir))
         .select("doc_id", "cluster_id")
       val assigned = docs.join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -685,6 +707,57 @@ object DedupQueries {
             FROM toks t LEFT JOIN cov USING (doc_id)
             ORDER BY t.doc_id"""))
 
+  /** Exact-substring REMOVAL (Lee et al. 2021 phase 2), completing q201's
+    * profile-only pass: tokens covered by a ≥2-doc repeated 8-token
+    * window are cut via [[Dedup.exactSubstringRemove]]'s merged-interval
+    * coverage, the survivors reassemble into the cleaned training text,
+    * and `clean_md5` hash-gates the RECONSTRUCTED stream (the q85
+    * contract) — so the oracle pins the actual emitted text, not just
+    * the counts. The DuckDB side rebuilds the identical windows as
+    * chr(1)-joined strings (q201's convention), expands flagged starts
+    * to covered positions, and anti-joins the token positions.
+    */
+  private val q284 = GraftQuery(
+    "q284_exact_substring_removal",
+    (s, dir) =>
+      Dedup.exactSubstringRemove(Tables.documents(s, dir), w = 8)
+        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+          col("kept_tokens"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id"),
+    Some("""WITH norm AS (
+              SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS nt
+              FROM documents),
+            toks AS (
+              SELECT doc_id, string_split(nt, ' ') AS t,
+                     CAST(CASE WHEN length(nt) = 0 THEN 0
+                          ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_tokens
+              FROM norm),
+            g AS (
+              SELECT doc_id, unnest([{'p': i, 'gr': array_to_string(t[i:i+7], chr(1))}
+                       for i in generate_series(1, len(t) - 7)], recursive := true)
+              FROM toks WHERE n_tokens >= 8),
+            d AS (SELECT gr FROM g GROUP BY gr HAVING count(DISTINCT doc_id) >= 2),
+            f AS (SELECT doc_id, p FROM g JOIN d USING (gr)),
+            covp AS (
+              SELECT DISTINCT doc_id, unnest(generate_series(p, p + 7)) AS i FROM f),
+            pos AS (
+              SELECT doc_id, u.i, t[u.i] AS tok
+              FROM toks, UNNEST(generate_series(1, CAST(n_tokens AS INT))) AS u(i)),
+            kept AS (
+              SELECT p.doc_id, p.i, p.tok
+              FROM pos p LEFT JOIN covp c ON p.doc_id = c.doc_id AND p.i = c.i
+              WHERE c.i IS NULL),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+                     md5(string_agg(tok, ' ' ORDER BY i)) AS clean_md5
+              FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, t.n_tokens,
+                   CAST(t.n_tokens - COALESCE(a.kept_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CAST(COALESCE(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+                   COALESCE(a.clean_md5, md5('')) AS clean_md5
+            FROM toks t LEFT JOIN agg a USING (doc_id)
+            ORDER BY t.doc_id"""))
+
   /** Incremental near-dup maintenance — q19's exact pairs restricted to
     * those touching a "new batch" (the synthetic daily crawl: doc_id % 10
     * = 7), computed by driving the inverted-index join from the batch's
@@ -772,9 +845,7 @@ object DedupQueries {
     "q218_rouge_pair_overlap",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = graft.operators.Components.cut(
-        NearDup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
-          .select("doc_a", "doc_b"), None)
+      val pairs = textPairsShared(s, dir).select("doc_a", "doc_b")
       val ids = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
       val toks = graft.operators.Components.cut(
@@ -961,10 +1032,9 @@ object DedupQueries {
     "q220_dedup_threshold_sweep",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val pairs = graft.operators.Components.cut(
-        NearDup.ngramJaccardPairs(Tables.documents(s, dir), n = 3,
-          threshold = SweepThresholds.min),
-        None)
+      // SweepThresholds.min == the artifact's 0.3 bar, so the sweep's one
+      // exact pair computation IS the shared landed set
+      val pairs = textPairsShared(s, dir)
       SweepThresholds.map { t =>
         val p = pairs.filter(col("jaccard") >= t)
         val nDocs = p.select(col("doc_a").as("d"))
@@ -1471,7 +1541,7 @@ object DedupQueries {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val clusters = graft.operators.Components.neardupClusters(
-        NearDup.ngramJaccardPairs(docs, n = 3, threshold = 0.3))
+        textPairsShared(s, dir))
       val csize = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cs"))
       val w = clusters.join(csize, "cluster_id").select(col("doc_id"), col("cs"))
       docs.select(col("doc_id"), col("source"))
@@ -1538,5 +1608,5 @@ object DedupQueries {
   def all: Seq[GraftQuery] =
     Seq(q18, q19, q20, q21, q33, q35, q65, q77, q118, q119, q143, q146, q181,
       q186, q201, q205, q218, q219, q220, q233, q243, q264, q267, q273,
-      q278, q281)
+      q278, q281, q284)
 }
