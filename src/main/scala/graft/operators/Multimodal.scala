@@ -185,6 +185,59 @@ object Multimodal {
       }
   }
 
+  final case class MediaPHash(media_id: Long, dhash: Long)
+
+  /** Perceptual image hash (dHash) per media item — the standard
+    * near-duplicate IMAGE dedup signature: decode, take frame 0,
+    * nearest-neighbor resize to a 9×8 luma grid (one extra column so each
+    * of the 64 output cells has a right-hand neighbor), then one bit per
+    * cell = sign of the horizontal gradient (left < right), packed
+    * row-major MSB-first into a single Long. Robust to re-encoding,
+    * uniform brightness shifts, and small resizes (the gradient ORDER
+    * survives them); a crop or recolor flips few bits, so near-copies
+    * land within a small Hamming radius while unrelated images sit near
+    * 32. The resize is the bit-deterministic integer arithmetic of
+    * [[sampleAndResize]], so the hash is reproducible on any
+    * partitioning and a landed hash table can be oracle-replayed.
+    *
+    * One decode per item inside `mapPartitions` — the hash is 8 bytes per
+    * image, so the 100 TB image corpus reduces to a hash table the
+    * Hamming pair join ([[NearDup.hammingPairs64]]) blocks on; no decoded
+    * pixels ever shuffle.
+    */
+  def dhashes(
+      spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder = FakeDecoder): Dataset[MediaPHash] = {
+    import spark.implicits._
+    media.select(col("media_id").as[Long], col("payload").as[Array[Byte]])
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val d = decoder.decode(bytes)
+          val f = d.frames(0)
+          val (tw, th) = (9, 8)
+          val grid = new Array[Float](tw * th)
+          var ty = 0
+          while (ty < th) {
+            val sy = ty * d.height / th
+            var tx = 0
+            while (tx < tw) {
+              grid(ty * tw + tx) = f(sy * d.width + tx * d.width / tw)
+              tx += 1
+            }
+            ty += 1
+          }
+          var h = 0L
+          var i = 0
+          while (i < 64) {
+            val (gy, gx) = (i / 8, i % 8)
+            h = (h << 1) | (if (grid(gy * tw + gx) < grid(gy * tw + gx + 1)) 1L else 0L)
+            i += 1
+          }
+          MediaPHash(id, h)
+        }
+      }
+  }
+
   /** The harness ships no binary table; derive one from `documents` (UTF-8
     * payloads) — the plumbing under test is byte-domain and agnostic to
     * what produced the bytes.

@@ -36,6 +36,18 @@ object NearDup {
     */
   private val CosGuard = 1e-6
 
+  /** Cell-count ceiling for broadcasting the ball-cover rep-geometry
+    * table in [[embeddingNearDupLsh]]: one row per LSH signature cell,
+    * each ~500 B (64-float vector + norm + radius + row overhead), so
+    * 100k cells ≈ 50 MB per broadcast side — comfortably inside a
+    * production executor/driver budget. Above the ceiling the geometry
+    * join runs as a shuffle instead (identical output, pinned in
+    * NearDupSpec). Overridable via `-Dgraft.neardup.bcMaxCells` so the
+    * spec can force the shuffle route on a small corpus.
+    */
+  private[graft] def ballCoverBroadcastMaxCells: Long =
+    sys.props.get("graft.neardup.bcMaxCells").map(_.toLong).getOrElse(100000L)
+
   /** Distinct (doc_id, shingle) pairs for an n-gram size. */
   private def shingleSets(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), Sketches.wordShingles(col("text"), n).as("shingles"))
@@ -412,31 +424,49 @@ object NearDup {
     * g costs g·pairs in the expansion instead of g²·4 block-join rows.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    hammingPairs64(
+      docs.select(col("doc_id"),
+        Sketches.simhash(TextFunctions.tokens(col("text"))).as("simhash")),
+      "doc_id", "simhash", maxHamming, checkpointDir)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+
+  /** Hamming ≤ `maxHamming` pairs over ANY (id, 64-bit hash) table —
+    * complete 4×16-bit band blocking (two hashes within Hamming 3 agree
+    * on at least one 16-bit block, pigeonhole), with identical-hash
+    * canonicalization: the block join runs over one REPRESENTATIVE per
+    * distinct hash and pairs expand back afterwards, so an exact-clone
+    * group costs g·pairs instead of g² candidate rows per block (the
+    * ngramJaccardPairs `__ck` discipline applied to the hash domain).
+    * Emits (id_a, id_b, hamming) with id_a < id_b. Shared by
+    * [[simhashPairs]] (text) and the perceptual-image dedup query
+    * (dHash over decoded media, q283).
+    */
+  def hammingPairs64(hashed0: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, checkpointDir: Option[String] = None): DataFrame = {
     require(maxHamming <= 3, "4x16-bit blocking is only complete for hamming <= 3")
     // referenced three ways (rep derivation + both expansion sides + intra):
-    // one simhash pass over the corpus, not five
-    val hashed = materialized(docs.select(col("doc_id"),
-      Sketches.simhash(TextFunctions.tokens(col("text"))).as("simhash")),
-      checkpointDir)
-    val repIds = hashed.groupBy("simhash").agg(min(col("doc_id")).as("doc_id"))
-    val blocks = repIds.select(col("doc_id"), col("simhash"),
-      explode(Sketches.simhashBlocks(col("simhash"))).as("blk"))
+    // one hash pass over the corpus, not five
+    val hashed = materialized(
+      hashed0.select(col(idCol).as("__id"), col(hashCol).as("__h")), checkpointDir)
+    val repIds = hashed.groupBy("__h").agg(min(col("__id")).as("__id"))
+    val blocks = repIds.select(col("__id"), col("__h"),
+      explode(Sketches.simhashBlocks(col("__h"))).as("blk"))
     val repPairs = blocks.as("a").join(blocks.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        col("a.blk") === col("b.blk") && col("a.__id") < col("b.__id"))
       .select(
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("sh_a", "sh_b")
+        col("a.__h").as("h_a"), col("b.__h").as("h_b"),
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).as("hamming"))
+      .dropDuplicates("h_a", "h_b")
       .filter(col("hamming") <= maxHamming)
     val expanded = repPairs
-      .join(hashed.select(col("simhash").as("sh_a"), col("doc_id").as("ma")), "sh_a")
-      .join(hashed.select(col("simhash").as("sh_b"), col("doc_id").as("mb")), "sh_b")
-      .select(least(col("ma"), col("mb")).as("doc_a"),
-        greatest(col("ma"), col("mb")).as("doc_b"), col("hamming"))
+      .join(hashed.select(col("__h").as("h_a"), col("__id").as("ma")), "h_a")
+      .join(hashed.select(col("__h").as("h_b"), col("__id").as("mb")), "h_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
     val intra = hashed.as("x").join(hashed.as("y"),
-        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.__h") === col("y.__h") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
         bit_count(lit(0L)).as("hamming"))
     expanded.unionByName(intra)
   }
@@ -632,8 +662,17 @@ object NearDup {
     // emitted set (the bound is sound; ε = 1e-5 rad dominates the
     // ≲1e-7 rad double-dot error, and NULL geometry keeps the pair).
     // Rep geometry (vector, norm, radius) is a cell-level table —
-    // occupancy-bounded in the design regime — broadcast under the
-    // same small-side rule as every other dimension join here.
+    // occupancy-bounded in the design regime, where it broadcasts under
+    // the same small-side rule as every other dimension join here. But
+    // "occupancy-bounded" is a property of the CORPUS, not the operator:
+    // on a low-duplication corpus above the routing cutoff the cell count
+    // approaches n, and a forced broadcast of ~n 64-float rows is a
+    // driver OOM, not a plan choice. So the hint is size-gated on the
+    // measured cell count (the q128/q187 hash-gate routing precedent):
+    // at or below [[ballCoverBroadcastMaxCells]] (~50 MB serialized at
+    // the 64-dim row width) the join broadcasts; above it the hint is
+    // dropped and the join degrades to a shuffle — same rows either way,
+    // pinned by NearDupSpec across both routes.
     val repVec = repIds.join(v0, "vec_id")
       .select(col("__ck"), col("embedding").as("re"), col("nrm").as("rn"))
     val clampCos = (c: Column) => least(greatest(c, lit(-1.0)), lit(1.0))
@@ -648,9 +687,14 @@ object NearDup {
         .select(col("vec_id").as("rid"), col("embedding").as("rv"),
           col("nrm").as("rnrm"), col("radius")),
       checkpointDir)
-    val geoSide = (suffix: String) => broadcast(repGeo.select(
-      col("rid").as(s"r$suffix"), col("rv").as(s"rv$suffix"),
-      col("rnrm").as(s"rn$suffix"), col("radius").as(s"rad$suffix")))
+    // cheap after materialization: a block-stat count, no recompute
+    val broadcastGeo = repGeo.count() <= ballCoverBroadcastMaxCells
+    val geoSide = (suffix: String) => {
+      val side = repGeo.select(
+        col("rid").as(s"r$suffix"), col("rv").as(s"rv$suffix"),
+        col("rnrm").as(s"rn$suffix"), col("radius").as(s"rad$suffix"))
+      if (broadcastGeo) broadcast(side) else side
+    }
     val acosT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     val repCand = repBuckets.as("a").join(repBuckets.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))

@@ -137,5 +137,49 @@ object MultimodalQueries {
              FROM read_parquet('${Landed.oraclePath("q207_multimodal_frame_resize")}/*.parquet')
              ORDER BY media_id, frame_idx"""))
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q207)
+  /** Perceptual image dedup — the near-duplicate-IMAGE capability class:
+    * dHash every media item ([[Multimodal.dhashes]]: real JvmDecoder
+    * decode → 9×8 integer nearest-neighbor luma grid → 64 horizontal
+    * gradient sign bits), then Hamming ≤ 3 pairs via the complete
+    * 4×16-bit band blocking ([[graft.operators.NearDup.hammingPairs64]])
+    * — never all-pairs: candidates come from block agreement, verified by
+    * XOR + popcount (the q277 idiom). Exact-duplicate documents produce
+    * byte-identical containers, so the corpus's clone structure surfaces
+    * as Hamming-0 pairs.
+    *
+    * Oracle (the q21/q233 landed-candidate replay contract): the hash
+    * table (media_id, dhash) lands as parquet — the decode is
+    * engine-specific, pinned separately by MultimodalSpec — and DuckDB
+    * recomputes the ENTIRE pair set from the landed hashes by brute
+    * force (xor + bit_count over all pairs, tractable at gate scale), so
+    * a blocking bug that drops a Hamming ≤ 3 pair fails the row count,
+    * and the popcount arithmetic is hash-gated bit-for-bit.
+    */
+  private def q283 = GraftQuery(
+    "q283_phash_pairs",
+    (s, dir) => {
+      val path = Landed.land("q283_phash_pairs", dir)
+      Multimodal.dhashes(
+          s, Multimodal.encodedMediaFromDocuments(s, Tables.documents(s, dir)),
+          decoder = graft.operators.Codecs.JvmDecoder)
+        .toDF()
+        .repartition(1) // see q24: empty-safe single part file
+        .write.mode("overwrite").parquet(path)
+      val hashes = s.read.schema("media_id LONG, dhash LONG").parquet(path)
+      graft.operators.NearDup.hammingPairs64(hashes, "media_id", "dhash",
+          maxHamming = 3)
+        .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("media_a", "media_b")
+    },
+    Some(s"""WITH h AS (
+              SELECT media_id, dhash
+              FROM read_parquet('${Landed.oraclePath("q283_phash_pairs")}/*.parquet'))
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+            FROM h a JOIN h b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+            ORDER BY media_a, media_b"""))
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q207, q283)
 }

@@ -154,4 +154,46 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(got(1).samples(0) === 200f) // frame 2's first pixel
   }
+
+  test("dhashes: known gradients hash exactly; near-copy within Hamming 3, reverse at 64") {
+    // 9x8 BMPs, so the 9x8 resize grid is the identity: luma strictly
+    // increasing left->right => every gradient bit 1 => dhash == -1L;
+    // strictly decreasing => 0L; near-copy flips exactly the bits whose
+    // grid cells the perturbed pixel touches
+    def gradBmp(asc: Boolean, perturbX: Int = -1): Array[Byte] = {
+      val rgb = Array.tabulate(9 * 8 * 3) { i =>
+        val x = (i / 3) % 9
+        val v = if (asc) x * 20 else (8 - x) * 20
+        val bump = if ((i / 3) % 9 == perturbX && i / 3 / 9 == 0) 185 else 0
+        ((v + bump) & 0xFF).toByte
+      }
+      Codecs.encodeBmp(9, 8, rgb)
+    }
+    val media = Seq(
+      (1L, gradBmp(asc = true)), (2L, gradBmp(asc = true)), // exact clone pair
+      (3L, gradBmp(asc = true, perturbX = 3)),              // near copy
+      (4L, gradBmp(asc = false))                            // reversed gradient
+    ).toDF("media_id", "payload")
+    val h = Multimodal.dhashes(spark, media, decoder = Codecs.JvmDecoder)
+      .collect().map(p => p.media_id -> p.dhash).toMap
+    assert(h(1L) === -1L, s"ascending gradient must set all 64 bits, got ${h(1L)}")
+    assert(h(4L) === 0L, s"descending gradient must clear all 64 bits, got ${h(4L)}")
+    assert(h(2L) === h(1L))
+    val hamNear = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(hamNear >= 1 && hamNear <= 3,
+      s"one perturbed pixel should flip 1-3 gradient bits, flipped $hamNear")
+    // determinism across runs/partitionings
+    val h2 = Multimodal.dhashes(spark, media.repartition(3), decoder = Codecs.JvmDecoder)
+      .collect().map(p => p.media_id -> p.dhash).toMap
+    assert(h2 === h)
+    // pair build over the hashes: clone pair at 0, near pair <= 3, the
+    // reversed image (Hamming 64 from everything) pairs with nothing
+    val pairs = graft.operators.NearDup.hammingPairs64(
+        Seq(1L -> h(1L), 2L -> h(2L), 3L -> h(3L), 4L -> h(4L))
+          .toDF("media_id", "dhash"), "media_id", "dhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(pairs((1L, 3L)) === hamNear && pairs((2L, 3L)) === hamNear)
+    assert(pairs.size === 3, s"reversed image must not pair: $pairs")
+  }
 }

@@ -127,6 +127,29 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("ball-cover geometry join: shuffle route emits identical pairs to broadcast route") {
+    // the broadcast of repGeo is a size gate, not a semantics choice —
+    // forcing every cell count over the ceiling (bcMaxCells=0) must
+    // reproduce the default (broadcast) route's pair set bit-for-bit,
+    // so an oversized low-duplication corpus degrades to a shuffle join
+    // instead of an OOM, with zero output drift
+    val emb = Tables.embeddings(spark, sf)
+    def pairMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaBroadcast = pairMap(NearDup.embeddingNearDupLsh(emb, 0.4))
+    val prev = sys.props.get("graft.neardup.bcMaxCells")
+    sys.props("graft.neardup.bcMaxCells") = "0"
+    try {
+      assert(NearDup.ballCoverBroadcastMaxCells === 0L)
+      val viaShuffle = pairMap(NearDup.embeddingNearDupLsh(emb, 0.4))
+      assert(viaShuffle === viaBroadcast)
+      assert(viaBroadcast.nonEmpty)
+    } finally prev match {
+      case Some(v) => sys.props("graft.neardup.bcMaxCells") = v
+      case None => sys.props -= "graft.neardup.bcMaxCells"
+    }
+  }
+
   test("embeddingNearDupPairsAuto routes exact below smallN, scaled LSH above") {
     val emb = Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame) =
@@ -239,5 +262,29 @@ class NearDupSpec extends SparkSpec {
       3L -> ((10L, 0L)),  // nothing cross-doc
       4L -> ((11L, 9L)),  // two overlapping windows merge to a 9-token span
       5L -> ((11L, 9L))))
+  }
+
+  test("exactSubstringRemove: flagged spans cut, survivors reassemble exactly") {
+    // same fixture as the profile test, so the coverage numbers must agree
+    // and the reconstructed text is checkable by hand
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z z a b c d e f g h q"),
+      (3L, "unique tokens only here nothing shared at all ok fine"),
+      (4L, "p q r s t u v w x extra one"),
+      (5L, "pre p q r s t u v w x post"),
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactSubstringRemove(docs, w = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got === Map(
+      1L -> ((10L, 8L, 2L, "i j")),
+      2L -> ((11L, 8L, 3L, "z z q")),
+      3L -> ((10L, 0L, 10L, "unique tokens only here nothing shared at all ok fine")),
+      4L -> ((11L, 9L, 2L, "extra one")),  // merged 9-token span removed
+      5L -> ((11L, 9L, 2L, "pre post")),
+      6L -> ((0L, 0L, 0L, ""))))
   }
 }
