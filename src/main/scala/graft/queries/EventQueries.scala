@@ -586,7 +586,7 @@ object EventQueries {
       import graft.streaming.StreamOps
       StreamOps.sessionAggAppend(
           s, graft.Tables.events(s, dir).select("user_id", "ts", "value"),
-          Scratch.tempDir("graft_append_sessions_"), statePartitions = 8)
+          Scratch.tempDir("graft_append_sessions_")) // state partitions: count-adaptive
         .orderBy("user_id", "session_start")
     },
     Some(sessionOracleSql))
@@ -1267,7 +1267,7 @@ object EventQueries {
           s,
           graft.Tables.events(s, dir)
             .select("event_id", "user_id", "event_type", "ts"),
-          Scratch.tempDir("graft_louter_join_"), statePartitions = 8)
+          Scratch.tempDir("graft_louter_join_")) // state partitions: count-adaptive
         .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
     },
     Some("""SELECT p.event_id AS purchase_id, p.user_id,

@@ -129,6 +129,16 @@ object StreamOps {
     * `events` is the BATCH frame (user_id, ts, value); max(ts) is read
     * from it to stamp the sentinel — a deployment draining a live topic
     * uses its known out-of-band end-of-stream marker instead.
+    *
+    * Scale (round 12): the data batch stages as ~1 part file per million
+    * rows, written in parallel and drained as ONE micro-batch
+    * (`maxFilesPerTrigger` = the written part count — identical watermark
+    * progression to the legacy single-file staging), and `statePartitions
+    * = 0` sizes the state store from the drained row count
+    * ([[statePartitionsFor]]) — together these closed q101's
+    * super-linear ×100 reading (327 s: a single coalesce(1) writer
+    * thread on 10 M rows plus an 8-partition state store on 32 cores).
+    * The row count rides the same scan as max(ts).
     */
   def sessionAggAppend(spark: SparkSession, events: DataFrame, scratchDir: String,
       sentinelUser: Long = Long.MinValue, statePartitions: Int = 0): DataFrame = {
@@ -136,25 +146,27 @@ object StreamOps {
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("timestamp").as("ts"),
       col("value").cast("double").as("value"))
-    val maxTs = data.agg(max(col("ts"))).head.getTimestamp(0)
-    require(maxTs != null,
+    val head = data.agg(max(col("ts")), count(lit(1))).head
+    require(!head.isNullAt(0),
       "sessionAggAppend: events frame is empty or ts is all-null — no max " +
         "event time to stamp the drain sentinel with")
+    val (maxTs, nRows) = (head.getTimestamp(0), head.getLong(1))
     // past max end (= max ts + 30 min gap) + 1 h watermark horizon
     val sentinelTs = new java.sql.Timestamp(
       maxTs.getTime + (90 + 10) * 60 * 1000L)
-    val staged = stageOrdered(scratchDir, Seq(
-      data -> "000_data",
-      data.sparkSession.createDataFrame(
+    val (staged, dataParts) = stageOrderedParts(scratchDir, Seq(
+      (data, "000_data", stagingParts(nRows)),
+      (data.sparkSession.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row(sentinelUser, sentinelTs, 0.0)),
-        data.schema) -> "001_sentinel"))
+        data.schema), "001_sentinel", 1)))
     runAvailableNow(
       spark,
       s2 => sessionAgg(s2.readStream
         .schema(data.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", dataParts.toString)
         .parquet(staged)),
-      "s_append_sessions", OutputMode.Append(), statePartitions)
+      "s_append_sessions", OutputMode.Append(),
+      if (statePartitions > 0) statePartitions else statePartitionsFor(nRows))
       .filter(col("user_id") =!= sentinelUser)
   }
 
@@ -166,27 +178,71 @@ object StreamOps {
     * batch). Returns the staged directory.
     */
   private def stageOrdered(scratchDir: String,
-      batches: Seq[(DataFrame, String)]): String = {
+      batches: Seq[(DataFrame, String)]): String =
+    stageOrderedParts(scratchDir, batches.map { case (df, n) => (df, n, 1) })._1
+
+  /** Part-file count for staging a drain's data batch: one per million
+    * rows, capped at 16 — the gate corpora (≤ 1 M events) keep the
+    * single-file legacy layout (and its bit-identical drain), while a
+    * ×100 probe corpus stages in parallel instead of through ONE
+    * coalesce(1) writer thread (round-12: 10 M rows single-threaded was
+    * a large share of q101's 327 s).
+    */
+  def stagingParts(nRows: Long): Int =
+    math.max(1L, math.min(16L, nRows / 1000000L)).toInt
+
+  /** State-store partition count from the drained row count: the fixed 8
+    * (right for the gate corpora's ≤ 1 M events over few keys — each
+    * store pays per-batch setup/commit I/O) starves a 10 M-event drain,
+    * which runs its whole stateful aggregation on 8 of 32 cores. Output
+    * is invariant to this knob (state partitioning is internal); only
+    * wall time moves.
+    */
+  def statePartitionsFor(nRows: Long): Int = if (nRows >= 2000000L) 32 else 8
+
+  /** [[stageOrdered]] generalized to multi-part frames: frame k lands as
+    * `parts_k` parquet files sharing one pinned modification time, 60 s
+    * after frame k−1's. A drain sets `maxFilesPerTrigger` to the FIRST
+    * frame's part count so the whole data frame is one micro-batch and
+    * each later (single-part) frame its own — which is why every frame
+    * after the first must stage as exactly one part unless everything is
+    * single-part: a wider trigger would otherwise merge two later frames
+    * into one batch. Returns (stagedDir, firstFrameParts).
+    */
+  private[graft] def stageOrderedParts(scratchDir: String,
+      batches: Seq[(DataFrame, String, Int)]): (String, Int) = {
+    require(batches.head._3 == 1 || batches.tail.forall(_._3 == 1),
+      "multi-part staging is only ordered for (data, sentinel...) shapes")
     import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     val staged = Paths.get(scratchDir, "staged")
     Files.createDirectories(staged)
     val t0 = System.currentTimeMillis()
-    batches.zipWithIndex.foreach { case ((df, name), i) =>
+    val actualParts = batches.zipWithIndex.map { case ((df, name, parts), i) =>
       val tmp = Paths.get(scratchDir, s"tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      (if (parts == 1) df.coalesce(1) else df.repartition(parts))
+        .write.mode("overwrite").parquet(tmp.toString)
       val listing = Files.list(tmp)
-      val part =
-        try listing.filter(_.toString.endsWith(".parquet"))
-          .findFirst.orElseThrow(() => new IllegalStateException(s"no parquet in $tmp"))
+      val found =
+        try listing.iterator().asScala.toSeq
+          .filter(_.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
         finally listing.close()
-      val target = staged.resolve(s"$name.parquet")
-      Files.move(part, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime.fromMillis(
-          t0 - (batches.size - 1 - i) * 60000L))
+      require(found.nonEmpty, s"no parquet in $tmp")
+      found.zipWithIndex.foreach { case (part, j) =>
+        val target = staged.resolve(f"${name}_$j%03d.parquet")
+        Files.move(part, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(
+            t0 - (batches.size - 1 - i) * 60000L))
+      }
+      found.size
     }
-    staged.toString
+    // the WRITTEN count can undershoot the requested parts (empty
+    // partitions emit no file) — the trigger width must match the files
+    // on disk or the first batch would swallow a later frame
+    (staged.toString, actualParts.head)
   }
 
   /** Per-user running totals via custom state — the escape hatch for
@@ -401,31 +457,34 @@ object StreamOps {
       col("user_id").cast("long").as("user_id"),
       col("event_type").cast("string").as("event_type"),
       col("ts").cast("timestamp").as("ts"))
-    val maxTs = data.agg(max(col("ts"))).head.getTimestamp(0)
-    require(maxTs != null,
+    val head = data.agg(max(col("ts")), count(lit(1))).head
+    require(!head.isNullAt(0),
       "clickPurchaseOuterDrain: events frame is empty or ts is all-null — " +
         "no max event time to stamp the drain sentinels with")
+    val (maxTs, nRows) = (head.getTimestamp(0), head.getLong(1))
     // past the 1 h join window + the 1 h watermark delay on both sides
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
-    val staged = stageOrdered(scratchDir, Seq(
-      data -> "000_data",
-      data.sparkSession.createDataFrame(
+    // parallel staging + count-sized state store: see sessionAggAppend
+    val (staged, dataParts) = stageOrderedParts(scratchDir, Seq(
+      (data, "000_data", stagingParts(nRows)),
+      (data.sparkSession.createDataFrame(
         java.util.List.of(
           org.apache.spark.sql.Row(-1L, sentinelUser, "click", sentinelTs),
           org.apache.spark.sql.Row(-2L, sentinelUser, "purchase", sentinelTs)),
-        data.schema) -> "001_sentinel"))
+        data.schema), "001_sentinel", 1)))
     runAvailableNow(
       spark,
       s2 => {
         val src = s2.readStream
           .schema(data.schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", dataParts.toString)
           .parquet(staged)
         clickPurchaseJoinOuter(
           src.filter(col("event_type") === "purchase"),
           src.filter(col("event_type") === "click"))
       },
-      "s_louter_join", OutputMode.Append(), statePartitions)
+      "s_louter_join", OutputMode.Append(),
+      if (statePartitions > 0) statePartitions else statePartitionsFor(nRows))
       .filter(col("user_id") =!= sentinelUser)
   }
 
