@@ -239,7 +239,10 @@ object StatsQueries {
       .withColumn("prev", lag(col("ts"), 1).over(w))
       .withColumn("new_s",
         when(col("prev").isNull ||
-          col("ts").cast("long") - col("prev").cast("long") >= 1800L, 1L)
+          // exact µs gap (cast-to-long truncates to SECONDS and diverges
+          // from the oracle's INTERVAL compare on fractional gaps near
+          // the boundary — surfaced by the sf0.1 oracle pass, r12)
+          unix_micros(col("ts")) - unix_micros(col("prev")) >= 1800L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("sess", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1027,7 +1030,10 @@ object StatsQueries {
         .withColumn("prev", lag(col("ts"), 1).over(w))
         .withColumn("new_s",
           when(col("prev").isNull ||
-            col("ts").cast("long") - col("prev").cast("long") >= 1800L, 1L)
+            // exact µs gap (cast-to-long truncates to SECONDS and diverges
+          // from the oracle's INTERVAL compare on fractional gaps near
+          // the boundary — surfaced by the sf0.1 oracle pass, r12)
+          unix_micros(col("ts")) - unix_micros(col("prev")) >= 1800L * 1000000L, 1L)
             .otherwise(0L))
         .withColumn("sess", sum(col("new_s")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
