@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a pair list — turns near-dup PAIRS (from
@@ -317,4 +317,57 @@ object Components {
         checkpointDir = checkpointDir)
       .select(col("id").as("doc_id"), col("cluster_id"),
         (col("id") === col("cluster_id")).as("is_survivor"))
+
+  /** [[neardupClusters]] with EXACT-CLONE CONTRACTION — the scale path
+    * for clone-heavy pair graphs. On a scraped corpus the dominant
+    * duplication mode is exact clones, and the exact pair list encodes
+    * each clone family as a jaccard = 1.0 CLIQUE (identical shingle sets
+    * pair at exactly 1.0 with each other and at identical values with
+    * everyone else; J = 1.0 is set equality, so it is transitive and the
+    * emitted expansion covers every member pair, including the family
+    * minimum against every member). The closure therefore never needs
+    * the clique edges: each node contracts to its family minimum (one
+    * aggregate over the 1.0 edges — the min 1.0-partner below, self when
+    * none), the J < 1 edges project to representative pairs and dedup
+    * (a g×g' cross-family expansion collapses back to ONE edge), and the
+    * component closure runs on the contracted graph — at a ×100
+    * clone-verbatim probe that is hundreds of edges instead of 25 M.
+    * Labels are unchanged: the contracted component minimum IS the
+    * member minimum (every family's rep is its min), singleton families
+    * keep their rep — output is row-identical to [[neardupClusters]] on
+    * any exact pair list (re-gated per consumer at sf0.01, pinned in
+    * OpsProps).
+    */
+  def neardupClustersContracted(
+      pairs: DataFrame, driverEdgeThreshold: Long = 1000000L,
+      checkpointDir: Option[String] = None,
+      clique: Column = col("jaccard") === 1.0): DataFrame = {
+    // read once: rep aggregate, node census, and cross projection all
+    // consume the pair list. `clique` marks the edges that are clique
+    // edges BY CONSTRUCTION (J = 1.0 set equality for text pairs,
+    // hamming = 0 hash equality for perceptual pairs) — any transitive
+    // equality whose expansion emits every member pair qualifies.
+    val p = cut(pairs.select(col("doc_a"), col("doc_b"), clique.as("__clique")),
+      checkpointDir)
+    val rep = p.filter(col("__clique"))
+      .groupBy(col("doc_b").as("doc_id")).agg(min(col("doc_a")).as("rep"))
+    val repOf = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id"))).distinct()
+      .join(rep, Seq("doc_id"), "left")
+      // the family min has no clique-partner below itself: rep = self
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+    val cross = p.filter(!col("__clique"))
+      .join(repOf.select(col("doc_id").as("doc_a"), col("rep").as("ra")), "doc_a")
+      .join(repOf.select(col("doc_id").as("doc_b"), col("rep").as("rb")), "doc_b")
+      .select(least(col("ra"), col("rb")).as("doc_a"),
+        greatest(col("ra"), col("rb")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val comp = connectedComponents(cross, "doc_a", "doc_b",
+      driverEdgeThreshold = driverEdgeThreshold, checkpointDir = checkpointDir)
+    repOf.join(comp.select(col("id").as("rep"), col("cluster_id")), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+  }
 }

@@ -1251,7 +1251,8 @@ object CurationQueries {
       val docs = Tables.documents(s, dir)
       val pairs = DedupQueries.textPairsShared(s, dir)
         .select("doc_a", "doc_b")
-      val clusters = graft.operators.Components.neardupClusters(pairs)
+      val clusters = graft.operators.Components.neardupClustersContracted(
+        DedupQueries.textPairsShared(s, dir))
         .select(col("doc_id"), col("cluster_id"))
       val withSplit = docs.join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"),

@@ -164,7 +164,7 @@ object DedupQueries {
   private val q33 = GraftQuery(
     "q33_neardup_clusters",
     (s, dir) =>
-      graft.operators.Components.neardupClusters(textPairsShared(s, dir))
+      graft.operators.Components.neardupClustersContracted(textPairsShared(s, dir))
         .orderBy("doc_id"),
     Some("""WITH RECURSIVE norm AS (
               SELECT doc_id,
@@ -251,7 +251,7 @@ object DedupQueries {
   private val q77 = GraftQuery(
     "q77_neardup_clusters_distributed",
     (s, dir) =>
-      graft.operators.Components.neardupClusters(
+      graft.operators.Components.neardupClustersContracted(
         textPairsShared(s, dir), driverEdgeThreshold = 0L)
         .orderBy("doc_id"),
     q33.oracle)
@@ -268,7 +268,7 @@ object DedupQueries {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
-      val clusters = graft.operators.Components.neardupClusters(
+      val clusters = graft.operators.Components.neardupClustersContracted(
         textPairsShared(s, dir))
         .select("doc_id", "cluster_id")
       val assigned = docs.join(clusters, Seq("doc_id"), "left")
@@ -1540,7 +1540,7 @@ object DedupQueries {
     "q281_softdedup_weights",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val clusters = graft.operators.Components.neardupClusters(
+      val clusters = graft.operators.Components.neardupClustersContracted(
         textPairsShared(s, dir))
       val csize = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cs"))
       val w = clusters.join(csize, "cluster_id").select(col("doc_id"), col("cs"))

@@ -181,5 +181,64 @@ object MultimodalQueries {
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
             ORDER BY media_a, media_b"""))
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q207, q283)
+  /** Image dedup DELETE list — q283's pairs closed into clusters with a
+    * canonical member per cluster (what q65 is for text): connected
+    * components over the Hamming ≤ 3 pair graph (min-label closure, so
+    * the canonical is the smallest media_id in each family), singletons
+    * their own canonical via the left join. `is_dup` marks the rows a
+    * training pipeline drops. Same landed-hash replay contract as q283:
+    * DuckDB rebuilds the pair graph by brute force from this run's
+    * landed hashes and closes it with a recursive CTE, so the
+    * distributed closure is gated against ground-truth transitivity.
+    */
+  private def q285 = GraftQuery(
+    "q285_image_dedup_clusters",
+    (s, dir) => {
+      val path = Landed.land("q285_image_dedup_clusters", dir)
+      Multimodal.dhashes(
+          s, Multimodal.encodedMediaFromDocuments(s, Tables.documents(s, dir)),
+          decoder = graft.operators.Codecs.JvmDecoder)
+        .toDF()
+        .repartition(1) // see q24: empty-safe single part file
+        .write.mode("overwrite").parquet(path)
+      val hashes = s.read.schema("media_id LONG, dhash LONG").parquet(path)
+      // identical-hash families are hamming = 0 cliques by construction —
+      // the contracted closure never materializes the clone quadratic
+      val clusters = graft.operators.Components.neardupClustersContracted(
+        graft.operators.NearDup.hammingPairs64(hashes, "media_id", "dhash",
+            maxHamming = 3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("hamming")),
+        clique = col("hamming") === 0)
+        .select(col("doc_id").as("media_id"), col("cluster_id"))
+      hashes.select("media_id")
+        .join(clusters, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("cluster_id"), col("media_id")).as("canonical_id"))
+        .withColumn("is_dup", col("media_id") =!= col("canonical_id"))
+        .orderBy("media_id")
+    },
+    Some(s"""WITH RECURSIVE h AS (
+              SELECT media_id, dhash
+              FROM read_parquet('${Landed.oraclePath("q285_image_dedup_clusters")}/*.parquet')),
+            p AS (
+              SELECT a.media_id AS ma, b.media_id AS mb
+              FROM h a JOIN h b ON a.media_id < b.media_id
+              WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+            edges AS (SELECT ma AS src, mb AS dst FROM p
+                      UNION SELECT mb, ma FROM p),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            cl AS (
+              SELECT src AS media_id, least(src, min(dst)) AS canonical_id
+              FROM reach GROUP BY src)
+            SELECT h.media_id,
+                   COALESCE(cl.canonical_id, h.media_id) AS canonical_id,
+                   COALESCE(cl.canonical_id, h.media_id) <> h.media_id AS is_dup
+            FROM h LEFT JOIN cl USING (media_id)
+            ORDER BY h.media_id"""))
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q207, q283, q285)
 }

@@ -188,12 +188,21 @@ class MultimodalSpec extends SparkSpec {
     assert(h2 === h)
     // pair build over the hashes: clone pair at 0, near pair <= 3, the
     // reversed image (Hamming 64 from everything) pairs with nothing
+    val hashFrame = Seq(1L -> h(1L), 2L -> h(2L), 3L -> h(3L), 4L -> h(4L))
+      .toDF("media_id", "dhash")
     val pairs = graft.operators.NearDup.hammingPairs64(
-        Seq(1L -> h(1L), 2L -> h(2L), 3L -> h(3L), 4L -> h(4L))
-          .toDF("media_id", "dhash"), "media_id", "dhash", maxHamming = 3)
+        hashFrame, "media_id", "dhash", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((1L, 2L)) === 0)
     assert(pairs((1L, 3L)) === hamNear && pairs((2L, 3L)) === hamNear)
     assert(pairs.size === 3, s"reversed image must not pair: $pairs")
+    // cluster closure (the q285 shape): {1,2,3} canonicalize to 1, the
+    // reversed image stays its own canonical
+    val clusters = graft.operators.Components.neardupClusters(
+        graft.operators.NearDup.hammingPairs64(
+            hashFrame, "media_id", "dhash", maxHamming = 3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 }

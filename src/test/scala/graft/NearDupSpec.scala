@@ -264,6 +264,31 @@ class NearDupSpec extends SparkSpec {
       5L -> ((11L, 9L))))
   }
 
+  test("neardupClustersContracted: row-identical to the plain closure") {
+    // real corpus: the two closures must agree row-for-row
+    val pairs = graft.operators.NearDup.ngramJaccardPairs(
+      Tables.documents(spark, sf), n = 3, threshold = 0.3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val plain = rows(graft.operators.Components.neardupClusters(pairs))
+    assert(rows(graft.operators.Components.neardupClustersContracted(pairs)) === plain)
+    assert(plain.nonEmpty)
+    // crafted: two clone families {1,2,3} and {10,11} bridged 3~10 at
+    // J<1, plus an isolated family {20,21} — contraction must keep the
+    // bridge's transitivity and label everything with the global min
+    val crafted = Seq(
+      (1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0),
+      (10L, 11L, 1.0),
+      (3L, 10L, 0.5),
+      (20L, 21L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val got = rows(graft.operators.Components.neardupClustersContracted(crafted))
+    assert(got === rows(graft.operators.Components.neardupClusters(crafted)))
+    assert(got === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 1L, false), (11L, 1L, false),
+      (20L, 20L, true), (21L, 20L, false)))
+  }
+
   test("exactSubstringRemove: flagged spans cut, survivors reassemble exactly") {
     // same fixture as the profile test, so the coverage numbers must agree
     // and the reconstructed text is checkable by hand
