@@ -238,6 +238,124 @@ object Multimodal {
       }
   }
 
+  final case class AudioSample(media_id: Long, idx: Int, sample: Int)
+
+  final case class AudioFrameFeatures(
+      media_id: Long, frame_idx: Int, frame_len: Int, zero_crossings: Int,
+      energy: Long)
+
+  /** Centered 16-bit PCM value recovered EXACTLY from the decoder's [0,1]
+    * float: the /65535 normalization is invertible in float32 for 16-bit
+    * inputs (|round(f·65535) − (s+32768)| < 2⁻⁷ by the two-rounding error
+    * bound), so downstream feature math runs on exact integers, not
+    * accumulated float error.
+    */
+  private def centeredPcm(f: Float): Int = math.round(f * 65535f) - 32768
+
+  /** Decoded PCM samples of every WAV payload, one row per sample — the
+    * ORACLE-FIXTURE lane for [[audioFrameFeatures]] (q288 lands these so
+    * DuckDB can recompute framing/ZCR/energy independently). Production
+    * never materializes per-sample rows; the feature pass below keeps the
+    * sample array inside one mapPartitions closure.
+    */
+  def audioSamples(
+      spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder = FakeDecoder): Dataset[AudioSample] = {
+    import spark.implicits._
+    media.select(col("media_id").as[Long], col("payload").as[Array[Byte]])
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (decoder.sniffFormat(bytes) != "wav") Iterator.empty
+          else {
+            val f = decoder.decode(bytes, "wav").frames(0)
+            Iterator.tabulate(f.length)(i => AudioSample(id, i, centeredPcm(f(i))))
+          }
+        }
+      }
+  }
+
+  /** Per-frame audio features over WAV payloads — the audio lane's
+    * featurizer (what [[dhashes]] is for images): one decode per item
+    * inside `mapPartitions`, then non-overlapping `frameLen`-sample frames
+    * (last frame partial), each emitting its length, zero-crossing count
+    * (sign changes between consecutive in-frame samples, zero counting as
+    * non-negative) and energy Σc² on exact centered ints. At 100 TB the
+    * shuffle carries only ~n/frameLen feature rows per item — decoded
+    * samples never leave the executor closure, and the integer feature
+    * math is deterministic on any partitioning.
+    */
+  def audioFrameFeatures(
+      spark: SparkSession, media: DataFrame, frameLen: Int = 32,
+      decoder: MediaDecoder = FakeDecoder): Dataset[AudioFrameFeatures] = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    import spark.implicits._
+    media.select(col("media_id").as[Long], col("payload").as[Array[Byte]])
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (decoder.sniffFormat(bytes) != "wav") Iterator.empty
+          else {
+            val f = decoder.decode(bytes, "wav").frames(0)
+            val n = f.length
+            Iterator.tabulate((n + frameLen - 1) / frameLen) { fi =>
+              val lo = fi * frameLen
+              val hi = math.min(lo + frameLen, n)
+              var zc = 0
+              var e = 0L
+              var prevNeg = false
+              var i = lo
+              while (i < hi) {
+                val c = centeredPcm(f(i))
+                val neg = c < 0
+                if (i > lo && neg != prevNeg) zc += 1
+                prevNeg = neg
+                e += c.toLong * c
+                i += 1
+              }
+              AudioFrameFeatures(id, fi, hi - lo, zc, e)
+            }
+          }
+        }
+      }
+  }
+
+  final case class AudioFingerprint(media_id: Long, sig: Long)
+
+  /** 64-bit perceptual audio fingerprint — [[dhashes]] for waveforms: the
+    * WAV's centered PCM samples are nearest-neighbor resampled to 65
+    * points (the 9×8-grid idiom in 1-D, one extra point so every output
+    * bit has a right-hand neighbor) and each bit is the sign of the step
+    * between consecutive resampled values, packed MSB-first into one
+    * Long. Duration changes are absorbed by the resample and level shifts
+    * by differencing, so re-encoded/padded near-copies land within a small
+    * Hamming radius; 8 bytes per item means the 100 TB audio corpus
+    * reduces to a signature table before anything shuffles — near-dup
+    * audio then rides the exact image-dedup path
+    * ([[NearDup.hammingPairs64]] blocking + XOR/popcount verify).
+    */
+  def audioFingerprints(
+      spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder = FakeDecoder): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    media.select(col("media_id").as[Long], col("payload").as[Array[Byte]])
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (decoder.sniffFormat(bytes) != "wav") Iterator.empty
+          else {
+            val f = decoder.decode(bytes, "wav").frames(0)
+            val n = f.length
+            val pts = Array.tabulate(65)(i => centeredPcm(f(i * n / 65)))
+            var h = 0L
+            var i = 0
+            while (i < 64) {
+              h = (h << 1) | (if (pts(i) < pts(i + 1)) 1L else 0L)
+              i += 1
+            }
+            Iterator.single(AudioFingerprint(id, h))
+          }
+        }
+      }
+  }
+
   /** The harness ships no binary table; derive one from `documents` (UTF-8
     * payloads) — the plumbing under test is byte-domain and agnostic to
     * what produced the bytes.

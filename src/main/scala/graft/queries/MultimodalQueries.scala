@@ -240,5 +240,127 @@ object MultimodalQueries {
             FROM h LEFT JOIN cl USING (media_id)
             ORDER BY h.media_id"""))
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q207, q283, q285)
+  /** Audio frame features — the audio lane's featurizer (ZCR + energy +
+    * RMS per 32-sample frame over the REAL WAV decodes), completing the
+    * multimodal family: images get dHash (q283), video gets frame
+    * sample/resize (q207), audio gets this. Feature math runs on EXACT
+    * centered 16-bit ints recovered from the decoder's floats
+    * ([[Multimodal.audioFrameFeatures]]), so framing, zero-crossing and
+    * energy are integer-deterministic; only the final rms/zcr are doubles,
+    * rounded on both engines (rms at 6 dp — it reaches ~3·10⁴ — zcr at 12).
+    *
+    * Oracle: the decoded samples land as parquet (media_id, idx, sample) —
+    * the decode itself is engine-specific, pinned by CodecsSpec/
+    * MultimodalSpec — and DuckDB re-derives frame assignment, in-frame
+    * lag crossings and Σc² from the raw samples, so the whole feature
+    * computation (not just its aggregation) is cross-checked hash-exactly.
+    */
+  private def q288 = GraftQuery(
+    "q288_audio_frame_features",
+    (s, dir) => {
+      val path = Landed.land("q288_audio_frame_features", dir)
+      val media = Multimodal.encodedMediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.audioSamples(s, media, decoder = graft.operators.Codecs.JvmDecoder)
+        .toDF()
+        .repartition(1) // see q24: empty-safe single part file
+        .write.mode("overwrite").parquet(path)
+      Multimodal.audioFrameFeatures(s, media, frameLen = 32,
+          decoder = graft.operators.Codecs.JvmDecoder)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("frame_len"),
+          col("zero_crossings"), col("energy"),
+          // 6 dp, not the usual 12: rms reaches ~3·10⁴, where 12
+          // fractional decimals exceed double precision and the two
+          // engines' round() disagree by 1 ulp
+          round(sqrt(col("energy").cast("double")
+            / col("frame_len").cast("double")), 6).as("rms"),
+          when(col("frame_len") > 1,
+            round(col("zero_crossings").cast("double")
+              / (col("frame_len").cast("double") - 1.0), 12)).as("zcr"))
+        .orderBy("media_id", "frame_idx")
+    },
+    Some(s"""WITH sm AS (
+              SELECT media_id, idx, sample,
+                     CAST(idx // 32 AS INT) AS frame_idx,
+                     idx % 32 AS off,
+                     lag(sample) OVER (PARTITION BY media_id ORDER BY idx) AS prev
+              FROM read_parquet('${Landed.oraclePath("q288_audio_frame_features")}/*.parquet')),
+            f AS (
+              SELECT media_id, frame_idx,
+                     CAST(count(*) AS INT) AS frame_len,
+                     CAST(sum(CASE WHEN off > 0 AND (sample < 0) <> (prev < 0)
+                              THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+                     CAST(sum(CAST(sample AS BIGINT) * CAST(sample AS BIGINT))
+                       AS BIGINT) AS energy
+              FROM sm GROUP BY 1, 2)
+            SELECT media_id, frame_idx, frame_len, zero_crossings, energy,
+                   round(sqrt(CAST(energy AS DOUBLE) / CAST(frame_len AS DOUBLE)), 6) AS rms,
+                   CASE WHEN frame_len > 1 THEN
+                     round(CAST(zero_crossings AS DOUBLE)
+                       / (CAST(frame_len AS DOUBLE) - 1.0), 12)
+                   END AS zcr
+            FROM f ORDER BY media_id, frame_idx"""))
+
+  /** Perceptual AUDIO dedup, end to end — the last cell of the
+    * dedup × modality matrix (text: q19-q21/q33; images: q283/q285;
+    * audio: this): 64-bit waveform fingerprints
+    * ([[Multimodal.audioFingerprints]] — resample-to-65 + step-sign bits,
+    * dHash in 1-D), Hamming ≤ 3 candidate pairs via the complete 4×16-bit
+    * band blocking, closed into a DELETE list by
+    * [[graft.operators.Components.neardupClustersContracted]] (identical
+    * fingerprints are Hamming-0 cliques by construction, so the clone
+    * quadratic contracts before the closure). Oracle: the landed
+    * signature table is replayed by brute force in DuckDB (xor +
+    * bit_count over all pairs) and closed with a recursive CTE — the
+    * q285 ground-truth-transitivity contract, so blocking, verify and
+    * closure are all gated.
+    */
+  private def q289 = GraftQuery(
+    "q289_audio_dedup_clusters",
+    (s, dir) => {
+      val path = Landed.land("q289_audio_dedup_clusters", dir)
+      Multimodal.audioFingerprints(
+          s, Multimodal.encodedMediaFromDocuments(s, Tables.documents(s, dir)),
+          decoder = graft.operators.Codecs.JvmDecoder)
+        .toDF()
+        .repartition(1) // see q24: empty-safe single part file
+        .write.mode("overwrite").parquet(path)
+      val sigs = s.read.schema("media_id LONG, sig LONG").parquet(path)
+      val clusters = graft.operators.Components.neardupClustersContracted(
+        graft.operators.NearDup.hammingPairs64(sigs, "media_id", "sig",
+            maxHamming = 3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("hamming")),
+        clique = col("hamming") === 0)
+        .select(col("doc_id").as("media_id"), col("cluster_id"))
+      sigs.select("media_id")
+        .join(clusters, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("cluster_id"), col("media_id")).as("canonical_id"))
+        .withColumn("is_dup", col("media_id") =!= col("canonical_id"))
+        .orderBy("media_id")
+    },
+    Some(s"""WITH RECURSIVE h AS (
+              SELECT media_id, sig
+              FROM read_parquet('${Landed.oraclePath("q289_audio_dedup_clusters")}/*.parquet')),
+            p AS (
+              SELECT a.media_id AS ma, b.media_id AS mb
+              FROM h a JOIN h b ON a.media_id < b.media_id
+              WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+            edges AS (SELECT ma AS src, mb AS dst FROM p
+                      UNION SELECT mb, ma FROM p),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            cl AS (
+              SELECT src AS media_id, least(src, min(dst)) AS canonical_id
+              FROM reach GROUP BY src)
+            SELECT h.media_id,
+                   COALESCE(cl.canonical_id, h.media_id) AS canonical_id,
+                   COALESCE(cl.canonical_id, h.media_id) <> h.media_id AS is_dup
+            FROM h LEFT JOIN cl USING (media_id)
+            ORDER BY h.media_id"""))
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q207, q283, q285, q288, q289)
 }

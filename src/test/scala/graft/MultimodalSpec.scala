@@ -205,4 +205,50 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("audio features: exact ZCR/energy per frame, partial tail, sample roundtrip, non-WAV skipped") {
+    val samples = Array[Short](100, -200, 300, -400, 500, 0, -1, 2)
+    val wav = Codecs.encodeWav(samples)
+    val bmp = Codecs.encodeBmp(4, 4, Array.fill(48)(7.toByte))
+    val mediaDf = Seq(1L -> wav, 2L -> bmp).toDF("media_id", "payload")
+    // the /65535 float normalization must invert exactly to the PCM shorts
+    val got = Multimodal.audioSamples(spark, mediaDf, decoder = Codecs.JvmDecoder)
+      .collect().sortBy(_.idx)
+    assert(got.map(_.media_id).distinct === Array(1L)) // BMP skipped
+    assert(got.map(_.sample) === samples.map(_.toInt))
+    // frames of 4: [100,-200,300,-400] -> 3 crossings, energy 300000;
+    //              [500,0,-1,2] -> signs +,+,-,+ -> 2 crossings, 250005
+    val ff = Multimodal.audioFrameFeatures(spark, mediaDf, frameLen = 4,
+        decoder = Codecs.JvmDecoder)
+      .collect().sortBy(_.frame_idx)
+      .map(f => (f.media_id, f.frame_idx, f.frame_len, f.zero_crossings, f.energy))
+    assert(ff.toSeq === Seq((1L, 0, 4, 3, 300000L), (1L, 1, 4, 2, 250005L)))
+    // 6 samples at frameLen 4: partial tail frame of 2, crossings per frame
+    val ff2 = Multimodal.audioFrameFeatures(spark,
+        Seq(9L -> Codecs.encodeWav(Array[Short](1, -1, 1, -1, 1, -1)))
+          .toDF("media_id", "payload"),
+        frameLen = 4, decoder = Codecs.JvmDecoder)
+      .collect().sortBy(_.frame_idx).map(f => (f.frame_len, f.zero_crossings))
+    assert(ff2.toSeq === Seq((4, 3), (2, 1)))
+  }
+
+  test("audioFingerprints: ramp hashes all-ones, duration-invariant, clones pair at Hamming 0") {
+    val ramp = Codecs.encodeWav(Array.tabulate(65)(i => (i * 10 - 320).toShort))
+    val rampLong = Codecs.encodeWav(
+      Array.tabulate(130)(i => (i * 5 - 320).toShort)) // same shape, 2x duration
+    val fall = Codecs.encodeWav(Array.tabulate(65)(i => (320 - i * 10).toShort))
+    val mediaDf = Seq(1L -> ramp, 2L -> ramp, 3L -> fall, 4L -> rampLong)
+      .toDF("media_id", "payload")
+    val sig = Multimodal.audioFingerprints(spark, mediaDf, decoder = Codecs.JvmDecoder)
+      .collect().map(f => f.media_id -> f.sig).toMap
+    assert(sig(1L) === -1L) // 64 rising steps -> 64 one-bits
+    assert(sig(3L) === 0L)  // falling -> all zeros
+    assert(sig(2L) === sig(1L))
+    assert(sig(4L) === sig(1L), "resample must absorb the duration change")
+    val pairs = graft.operators.NearDup.hammingPairs64(
+        Seq(1L -> sig(1L), 2L -> sig(2L), 3L -> sig(3L)).toDF("media_id", "sig"),
+        "media_id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs === Map((1L, 2L) -> 0))
+  }
 }
