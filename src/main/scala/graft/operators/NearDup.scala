@@ -471,6 +471,40 @@ object NearDup {
     expanded.unionByName(intra)
   }
 
+  /** Hamming-ball dedup CLUSTERS over a 64-bit hash table WITHOUT pair
+    * expansion — the closure twin of [[hammingPairs64]] for consumers that
+    * want the DELETE list, not the pairs. Identical-hash families are
+    * Hamming-0 cliques by construction, so the family needs no edges at
+    * all: one hash aggregate contracts every id to its family minimum,
+    * the band blocking runs over DISTINCT hashes only, the component
+    * closure runs on the rep pairs (cross-family edges), and members
+    * rejoin by hash. Output (doc_id, cluster_id, is_survivor) is
+    * row-identical to `Components.neardupClustersContracted(
+    * hammingPairs64(...), clique = hamming === 0)` — spec-pinned — but
+    * the clone quadratic (Σ family² emitted pair rows) never exists: at
+    * a ×100 clone-heavy probe the pair-expanded route spent ~10 minutes
+    * mostly emitting and re-aggregating ~10⁸ Hamming-0 rows this path
+    * never builds.
+    */
+  def hammingDedupClusters(hashed0: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, driverEdgeThreshold: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val hashed = materialized(
+      hashed0.select(col(idCol).as("__id"), col(hashCol).as("__h")), checkpointDir)
+    val fam = hashed.groupBy("__h").agg(min(col("__id")).as("rep"))
+    val repPairs = hammingPairs64(
+        fam.select(col("rep").as("id"), col("__h").as("h")), "id", "h",
+        maxHamming, checkpointDir)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val comp = Components.connectedComponents(repPairs, "doc_a", "doc_b",
+      driverEdgeThreshold = driverEdgeThreshold, checkpointDir = checkpointDir)
+    hashed.join(fam, "__h")
+      .join(comp.select(col("id").as("rep"), col("cluster_id")), Seq("rep"), "left")
+      .select(col("__id").as("doc_id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+  }
+
   /** Both shingle sets attached to a candidate pair list — the shingling
     * pass runs ONCE (materialized) even though it feeds both join sides,
     * and ONLY over docs that appear in a pair: the downstream joins are

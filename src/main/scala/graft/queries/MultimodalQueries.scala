@@ -181,11 +181,14 @@ object MultimodalQueries {
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
             ORDER BY media_a, media_b"""))
 
-  /** Image dedup DELETE list — q283's pairs closed into clusters with a
-    * canonical member per cluster (what q65 is for text): connected
-    * components over the Hamming ≤ 3 pair graph (min-label closure, so
-    * the canonical is the smallest media_id in each family), singletons
-    * their own canonical via the left join. `is_dup` marks the rows a
+  /** Image dedup DELETE list — q283's pair GRAPH closed into clusters
+    * with a canonical member per cluster (what q65 is for text), via
+    * [[graft.operators.NearDup.hammingDedupClusters]]: identical-hash
+    * families contract to their minimum BEFORE the band join, the
+    * component closure runs on cross-family rep edges only, and the
+    * canonical is the smallest media_id in each transitive family —
+    * the Hamming-0 clone quadratic q283 must emit (its output IS the
+    * pair set) never exists here. `is_dup` marks the rows a
     * training pipeline drops. Same landed-hash replay contract as q283:
     * DuckDB rebuilds the pair graph by brute force from this run's
     * landed hashes and closes it with a recursive CTE, so the
@@ -202,19 +205,12 @@ object MultimodalQueries {
         .repartition(1) // see q24: empty-safe single part file
         .write.mode("overwrite").parquet(path)
       val hashes = s.read.schema("media_id LONG, dhash LONG").parquet(path)
-      // identical-hash families are hamming = 0 cliques by construction —
-      // the contracted closure never materializes the clone quadratic
-      val clusters = graft.operators.Components.neardupClustersContracted(
-        graft.operators.NearDup.hammingPairs64(hashes, "media_id", "dhash",
-            maxHamming = 3)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-            col("hamming")),
-        clique = col("hamming") === 0)
-        .select(col("doc_id").as("media_id"), col("cluster_id"))
-      hashes.select("media_id")
-        .join(clusters, Seq("media_id"), "left")
-        .select(col("media_id"),
-          coalesce(col("cluster_id"), col("media_id")).as("canonical_id"))
+      // hash-family contraction BEFORE the band join: the clone quadratic
+      // (hamming-0 member pairs) is never emitted — see hammingDedupClusters
+      graft.operators.NearDup.hammingDedupClusters(hashes, "media_id", "dhash",
+          maxHamming = 3)
+        .select(col("doc_id").as("media_id"),
+          col("cluster_id").as("canonical_id"))
         .withColumn("is_dup", col("media_id") =!= col("canonical_id"))
         .orderBy("media_id")
     },
@@ -307,9 +303,10 @@ object MultimodalQueries {
     * ([[Multimodal.audioFingerprints]] — resample-to-65 + step-sign bits,
     * dHash in 1-D), Hamming ≤ 3 candidate pairs via the complete 4×16-bit
     * band blocking, closed into a DELETE list by
-    * [[graft.operators.Components.neardupClustersContracted]] (identical
-    * fingerprints are Hamming-0 cliques by construction, so the clone
-    * quadratic contracts before the closure). Oracle: the landed
+    * [[graft.operators.NearDup.hammingDedupClusters]] (identical
+    * fingerprints are Hamming-0 cliques by construction, so the family
+    * contracts BEFORE the band join and the clone quadratic is never
+    * emitted). Oracle: the landed
     * signature table is replayed by brute force in DuckDB (xor +
     * bit_count over all pairs) and closed with a recursive CTE — the
     * q285 ground-truth-transitivity contract, so blocking, verify and
@@ -326,17 +323,10 @@ object MultimodalQueries {
         .repartition(1) // see q24: empty-safe single part file
         .write.mode("overwrite").parquet(path)
       val sigs = s.read.schema("media_id LONG, sig LONG").parquet(path)
-      val clusters = graft.operators.Components.neardupClustersContracted(
-        graft.operators.NearDup.hammingPairs64(sigs, "media_id", "sig",
-            maxHamming = 3)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-            col("hamming")),
-        clique = col("hamming") === 0)
-        .select(col("doc_id").as("media_id"), col("cluster_id"))
-      sigs.select("media_id")
-        .join(clusters, Seq("media_id"), "left")
-        .select(col("media_id"),
-          coalesce(col("cluster_id"), col("media_id")).as("canonical_id"))
+      graft.operators.NearDup.hammingDedupClusters(sigs, "media_id", "sig",
+          maxHamming = 3)
+        .select(col("doc_id").as("media_id"),
+          col("cluster_id").as("canonical_id"))
         .withColumn("is_dup", col("media_id") =!= col("canonical_id"))
         .orderBy("media_id")
     },

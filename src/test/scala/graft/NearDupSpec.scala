@@ -289,6 +289,42 @@ class NearDupSpec extends SparkSpec {
       (20L, 20L, true), (21L, 20L, false)))
   }
 
+  test("hammingDedupClusters: row-identical to the pair-expanded contracted closure") {
+    // crafted: family A = ids 5,6,7 on hash 0, family B = id 2 on hash 3
+    // (hamming 2 from A — bridges), family C = id 9 far from both
+    val hashes = Seq(5L -> 0L, 6L -> 0L, 7L -> 0L, 2L -> 3L,
+      9L -> 0x0F0F0F0F0F0F0F0FL).toDF("media_id", "h")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val direct = rows(graft.operators.NearDup.hammingDedupClusters(
+      hashes, "media_id", "h", maxHamming = 3))
+    val viaPairs = rows(graft.operators.Components.neardupClustersContracted(
+      graft.operators.NearDup.hammingPairs64(hashes, "media_id", "h", maxHamming = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming")),
+      clique = col("hamming") === 0))
+    assert(direct === Set(
+      (2L, 2L, true), (5L, 2L, false), (6L, 2L, false), (7L, 2L, false),
+      (9L, 9L, true)))
+    // the pair route never sees the unpaired id 9; on the paired support
+    // the two routes must agree row-for-row
+    assert(viaPairs === direct.filter(_._1 != 9L))
+    // real corpus (simhash over sf0.01 documents): both routes agree and the
+    // direct route covers every input id, clone families included
+    val sims = Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.Sketches.simhash(
+        graft.functions.TextFunctions.tokens(col("text"))).as("h"))
+    val d2 = rows(graft.operators.NearDup.hammingDedupClusters(
+      sims, "doc_id", "h", maxHamming = 3))
+    val v2 = rows(graft.operators.Components.neardupClustersContracted(
+      graft.operators.NearDup.hammingPairs64(sims, "doc_id", "h", maxHamming = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming")),
+      clique = col("hamming") === 0))
+    // the pair route only emits PAIRED ids; the direct route emits all —
+    // compare on the paired support, and pin the full-coverage property
+    assert(d2.filter(t => v2.exists(_._1 == t._1)) === v2)
+    assert(d2.map(_._1) === sims.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("exactSubstringRemove: flagged spans cut, survivors reassemble exactly") {
     // same fixture as the profile test, so the coverage numbers must agree
     // and the reconstructed text is checkable by hand
