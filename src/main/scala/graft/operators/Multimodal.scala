@@ -205,6 +205,32 @@ object Multimodal {
     * Hamming pair join ([[NearDup.hammingPairs64]]) blocks on; no decoded
     * pixels ever shuffle.
     */
+  /** The 9×8-grid gradient-sign hash of one frame — shared by [[dhashes]]
+    * (frame 0 per item) and [[frameDhashes]] (every frame).
+    */
+  private def dhashFrame(f: Array[Float], width: Int, height: Int): Long = {
+    val (tw, th) = (9, 8)
+    val grid = new Array[Float](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * height / th
+      var tx = 0
+      while (tx < tw) {
+        grid(ty * tw + tx) = f(sy * width + tx * width / tw)
+        tx += 1
+      }
+      ty += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      val (gy, gx) = (i / 8, i % 8)
+      h = (h << 1) | (if (grid(gy * tw + gx) < grid(gy * tw + gx + 1)) 1L else 0L)
+      i += 1
+    }
+    h
+  }
+
   def dhashes(
       spark: SparkSession, media: DataFrame,
       decoder: MediaDecoder = FakeDecoder): Dataset[MediaPHash] = {
@@ -213,27 +239,31 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           val d = decoder.decode(bytes)
-          val f = d.frames(0)
-          val (tw, th) = (9, 8)
-          val grid = new Array[Float](tw * th)
-          var ty = 0
-          while (ty < th) {
-            val sy = ty * d.height / th
-            var tx = 0
-            while (tx < tw) {
-              grid(ty * tw + tx) = f(sy * d.width + tx * d.width / tw)
-              tx += 1
-            }
-            ty += 1
-          }
-          var h = 0L
-          var i = 0
-          while (i < 64) {
-            val (gy, gx) = (i / 8, i % 8)
-            h = (h << 1) | (if (grid(gy * tw + gx) < grid(gy * tw + gx + 1)) 1L else 0L)
-            i += 1
-          }
-          MediaPHash(id, h)
+          MediaPHash(id, dhashFrame(d.frames(0), d.width, d.height))
+        }
+      }
+  }
+
+  final case class FrameHash(media_id: Long, frame_idx: Int, dhash: Long)
+
+  /** [[dhashes]] over EVERY frame — the video lane's signature: a clip
+    * reduces to its per-frame dHash sequence (8 bytes per frame) in one
+    * decode inside mapPartitions; downstream, video near-dup is
+    * set-overlap on these hashes ([[NearDup.setOverlapDedupClusters]]),
+    * so re-ordered, trimmed or re-encoded cuts of the same material
+    * still share most of their frame-hash set. Non-multi-frame media
+    * pass through with their single frame (frame_idx 0).
+    */
+  def frameDhashes(
+      spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder = FakeDecoder): Dataset[FrameHash] = {
+    import spark.implicits._
+    media.select(col("media_id").as[Long], col("payload").as[Array[Byte]])
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val d = decoder.decode(bytes)
+          Iterator.tabulate(d.frames.length)(fi =>
+            FrameHash(id, fi, dhashFrame(d.frames(fi), d.width, d.height)))
         }
       }
   }

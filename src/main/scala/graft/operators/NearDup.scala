@@ -505,6 +505,52 @@ object NearDup {
       .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
   }
 
+  /** Dedup CLUSTERS by set overlap over ANY (id, element) table — the
+    * set-valued generalization of [[hammingDedupClusters]]'s family-first
+    * discipline: two ids are near-dups when they share at least half of
+    * the smaller one's distinct elements (the gate is the INTEGER
+    * comparison 2·shared ≥ min(|a|,|b|) — no float threshold), and
+    * clusters are the transitive closure. Identical element SETS form
+    * overlap-1 cliques, so each id first contracts to its set-signature
+    * family minimum (one collect_set + md5 aggregate), the inverted-index
+    * pair join runs over DISTINCT sets only (Σ per-element df² of
+    * distinct-set reps, never the clone quadratic), the component closure
+    * over qualifying rep pairs, and members rejoin by signature. Used by
+    * the video near-dup query (q290: elements = per-frame dHashes); the
+    * operator is domain-agnostic (any exact-match element works —
+    * shingle hashes, frame hashes, minhash bands).
+    */
+  def setOverlapDedupClusters(items: DataFrame, idCol: String, elemCol: String,
+      driverEdgeThreshold: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sets = items.select(col(idCol).as("__id"), col(elemCol).as("__e")).distinct()
+    val sigs = materialized(
+      sets.groupBy("__id")
+        .agg(sort_array(collect_set(col("__e"))).as("__hs"))
+        .withColumn("__sig", md5(to_json(col("__hs")))), checkpointDir)
+    val fam = materialized(
+      sigs.groupBy("__sig")
+        .agg(min(col("__id")).as("rep"), first(col("__hs")).as("__hs")),
+      checkpointDir)
+    val repElems = fam.select(col("rep"), size(col("__hs")).as("nf"),
+      explode(col("__hs")).as("__e"))
+    val shared = repElems.as("a").join(repElems.as("b"),
+        col("a.__e") === col("b.__e") && col("a.rep") < col("b.rep"))
+      .groupBy(col("a.rep").as("doc_a"), col("b.rep").as("doc_b"),
+        col("a.nf").as("na"), col("b.nf").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+    val repPairs = shared
+      .filter(col("shared") * 2 >= least(col("na"), col("nb")))
+      .select("doc_a", "doc_b")
+    val comp = Components.connectedComponents(repPairs, "doc_a", "doc_b",
+      driverEdgeThreshold = driverEdgeThreshold, checkpointDir = checkpointDir)
+    sigs.join(fam.select(col("__sig"), col("rep")), "__sig")
+      .join(comp.select(col("id").as("rep"), col("cluster_id")), Seq("rep"), "left")
+      .select(col("__id").as("doc_id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+  }
+
   /** Both shingle sets attached to a candidate pair list — the shingling
     * pass runs ONCE (materialized) even though it feeds both join sides,
     * and ONLY over docs that appear in a pair: the downstream joins are

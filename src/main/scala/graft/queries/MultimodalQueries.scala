@@ -352,5 +352,71 @@ object MultimodalQueries {
             FROM h LEFT JOIN cl USING (media_id)
             ORDER BY h.media_id"""))
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q207, q283, q285, q288, q289)
+  /** Video near-dup DELETE list — the final cell of the dedup × modality
+    * matrix (text q33, image q285, audio q289, video this): each PPM
+    * "clip" reduces to its per-frame dHash set
+    * ([[Multimodal.frameDhashes]], one decode per item), and two clips
+    * are near-dups when they share at least half of the smaller one's
+    * distinct frame hashes — an INTEGER gate (2·shared ≥ min), no float
+    * threshold — closed transitively by
+    * [[graft.operators.NearDup.setOverlapDedupClusters]]: identical
+    * frame-hash sets contract to their set-signature family minimum
+    * before the inverted-index pair join (the q285 family-first
+    * discipline lifted to set-valued signatures), so clone-heavy corpora
+    * never pay the clique quadratic. Oracle: landed (media_id,
+    * frame_idx, dhash) replayed in DuckDB — distinct sets, brute-force
+    * shared-count pair join, the same integer gate, recursive-CTE
+    * closure — gating blocking, overlap math and closure against
+    * ground-truth member-level transitivity.
+    */
+  private def q290 = GraftQuery(
+    "q290_video_dedup_clusters",
+    (s, dir) => {
+      val path = Landed.land("q290_video_dedup_clusters", dir)
+      Multimodal.frameDhashes(
+          s, Multimodal.encodedMediaFromDocuments(
+            // doc_id mod 3 == 2 is the PPM-stream ("video") lane by
+            // construction — only clips are decoded or landed
+            s, Tables.documents(s, dir).filter(col("doc_id") % 3 === 2)),
+          decoder = graft.operators.Codecs.JvmDecoder)
+        .toDF()
+        .repartition(1) // see q24: empty-safe single part file
+        .write.mode("overwrite").parquet(path)
+      val fh = s.read.schema("media_id LONG, frame_idx INT, dhash LONG")
+        .parquet(path)
+      graft.operators.NearDup.setOverlapDedupClusters(fh, "media_id", "dhash")
+        .select(col("doc_id").as("media_id"),
+          col("cluster_id").as("canonical_id"))
+        .withColumn("is_dup", col("media_id") =!= col("canonical_id"))
+        .orderBy("media_id")
+    },
+    Some(s"""WITH RECURSIVE h AS (
+              SELECT DISTINCT media_id, dhash
+              FROM read_parquet('${Landed.oraclePath("q290_video_dedup_clusters")}/*.parquet')),
+            n AS (SELECT media_id, count(*) AS nf FROM h GROUP BY 1),
+            sh AS (
+              SELECT a.media_id AS ma, b.media_id AS mb, count(*) AS shared
+              FROM h a JOIN h b ON a.dhash = b.dhash AND a.media_id < b.media_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT ma, mb FROM sh
+              JOIN n na ON na.media_id = sh.ma
+              JOIN n nb ON nb.media_id = sh.mb
+              WHERE shared * 2 >= least(na.nf, nb.nf)),
+            edges AS (SELECT ma AS src, mb AS dst FROM p
+                      UNION SELECT mb, ma FROM p),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            cl AS (
+              SELECT src AS media_id, least(src, min(dst)) AS canonical_id
+              FROM reach GROUP BY src)
+            SELECT m.media_id,
+                   COALESCE(cl.canonical_id, m.media_id) AS canonical_id,
+                   COALESCE(cl.canonical_id, m.media_id) <> m.media_id AS is_dup
+            FROM n m LEFT JOIN cl USING (media_id)
+            ORDER BY m.media_id"""))
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q207, q283, q285, q288, q289, q290)
 }

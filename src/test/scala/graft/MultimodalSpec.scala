@@ -206,6 +206,25 @@ class MultimodalSpec extends SparkSpec {
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("frameDhashes: one hash per frame, per-frame values match the single-frame dhash") {
+    // two-frame PPM: frame 0 a horizontal gradient, frame 1 its reverse
+    val w = 9; val h = 8
+    val grad = Array.tabulate(w * h * 3)(i => ((i / 3 % w) * 28).toByte)
+    val rev = Array.tabulate(w * h * 3)(i => (255 - (i / 3 % w) * 28).toByte)
+    val clip = Codecs.encodePpmStream(w, h, Seq(grad, rev))
+    val single0 = Codecs.encodePpmStream(w, h, Seq(grad))
+    val single1 = Codecs.encodePpmStream(w, h, Seq(rev))
+    val fh = Multimodal.frameDhashes(spark,
+        Seq(1L -> clip, 2L -> single0, 3L -> single1).toDF("media_id", "payload"),
+        decoder = Codecs.JvmDecoder)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f.dhash).toMap
+    assert(fh.size === 4)
+    // the clip's per-frame hashes equal the standalone frames' dhashes
+    assert(fh((1L, 0)) === fh((2L, 0)))
+    assert(fh((1L, 1)) === fh((3L, 0)))
+    assert(fh((1L, 0)) !== fh((1L, 1)))
+  }
+
   test("audio features: exact ZCR/energy per frame, partial tail, sample roundtrip, non-WAV skipped") {
     val samples = Array[Short](100, -200, 300, -400, 500, 0, -1, 2)
     val wav = Codecs.encodeWav(samples)

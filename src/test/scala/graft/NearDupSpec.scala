@@ -325,6 +325,34 @@ class NearDupSpec extends SparkSpec {
     assert(d2.map(_._1) === sims.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("setOverlapDedupClusters: integer half-overlap gate, clone contraction, transitive chain") {
+    // A=1 and B=2 share an identical set (clone family); C=3 overlaps A on
+    // 2 of min 4 (gate: 2*2 >= 4); D=4 overlaps C the same way but shares
+    // NOTHING with A — transitivity must still chain A-C-D; E=9 isolated;
+    // F=5 is a 2-element SUBSET of A (2*2 >= 2 — min-side gate admits it)
+    val items = Seq(
+      1L -> 10L, 1L -> 11L, 1L -> 12L, 1L -> 13L,
+      2L -> 10L, 2L -> 11L, 2L -> 12L, 2L -> 13L,
+      3L -> 10L, 3L -> 11L, 3L -> 20L, 3L -> 21L,
+      4L -> 20L, 4L -> 21L, 4L -> 22L, 4L -> 23L,
+      5L -> 12L, 5L -> 13L,
+      9L -> 99L).toDF("media_id", "dhash")
+    val got = graft.operators.NearDup.setOverlapDedupClusters(
+        items, "media_id", "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (5L, 1L, false), (9L, 9L, true)))
+    // below the gate: sharing 1 of min 4 (2*1 < 4) must NOT pair
+    val sparse = Seq(
+      1L -> 10L, 1L -> 11L, 1L -> 12L, 1L -> 13L,
+      7L -> 10L, 7L -> 70L, 7L -> 71L, 7L -> 72L).toDF("media_id", "dhash")
+    val got2 = graft.operators.NearDup.setOverlapDedupClusters(
+        sparse, "media_id", "dhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(1L -> 1L, 7L -> 7L))
+  }
+
   test("exactSubstringRemove: flagged spans cut, survivors reassemble exactly") {
     // same fixture as the profile test, so the coverage numbers must agree
     // and the reconstructed text is checkable by hand
