@@ -60,6 +60,18 @@ object GraftSession {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Cached/persisted plans keep their FINAL stage at the pre-coalesce
+      // shuffle width by default (the conservative default preserves cached
+      // output partitioning for downstream reuse): with the 512-wide
+      // initialPartitionNum above, every `.persist()` in the iterative
+      // operators (Scc's edge set, connectedComponents' pair probe, the
+      // propagate loop's mid frame) materialized 512 near-empty partitions
+      // and every downstream job relaunched 512+ tasks. Measured on q144
+      // (25-node SCC): three 513/1025-task jobs of 0.8-1.6 s each — pure
+      // scheduling tax at sf0.1, and millions of tiny shuffle blocks at
+      // 100 TB (guide §2.2). With the flag on, AQE sizes cached output from
+      // OBSERVED bytes like any other stage.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // ObjectHashAggregate (every TypedImperativeAggregate: TopKAgg, HLL,
       // DDSketch, CountMin) falls back to SORT-based aggregation after
       // only 128 distinct keys per task by default — the bounded-heap

@@ -35,16 +35,44 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Boruvka {
 
+  /** Observability for the adaptive routing (the [[Components]] /
+    * [[Scc]] probe-counter precedent): specs pin that a sub-threshold
+    * graph takes the driver replay and a forced run takes the rounds.
+    */
+  private[graft] val driverPathRuns = new java.util.concurrent.atomic.AtomicLong()
+
   /** Per-round census of the growing forest over canonical weighted edges
     * `(a, b, w)` with a < b. Returns one row per round:
     * (round, n_selected, round_weight, n_components).
+    *
+    * Adaptive (the [[Components.connectedComponents]] /
+    * [[Scc.run]] contract): the recurrence is a fixed number of
+    * driver-synchronous rounds, each ~25 shuffle stages (cross join,
+    * per-component window, `jumps` label joins, census aggregates) —
+    * measured 133 AQE-stage jobs ≈ 7.6 s at sf0.1 for a 10 k-edge knn
+    * graph, pure scheduling tax. Below `driverEdgeThreshold` edges
+    * (integral ids + double weights) the SAME recurrence replays on the
+    * driver: identical selection order (w, a, b), identical fixed-depth
+    * contraction, identical decimal(38,6) weight census — differential-
+    * pinned against the distributed rounds in Round10OpsSpec. Larger
+    * graphs take the distributed path unchanged (forced via
+    * `driverEdgeThreshold = 0`).
     */
-  def forestCensus(edges: DataFrame, rounds: Int, jumps: Int): DataFrame = {
+  def forestCensus(edges: DataFrame, rounds: Int, jumps: Int,
+      driverEdgeThreshold: Long = 200000L): DataFrame = {
     val dec6 = DecimalType(38, 6)
     // one materialization of the edge list: every round's cross-edge join,
     // and nothing else, re-reads it (without the cut, each of the ~6
-    // consumers per round would replay the caller's edge derivation)
-    val e = Components.cut(edges.select("a", "b", "w"), None)
+    // consumers per round would replay the caller's edge derivation).
+    // Its count doubles as the routing probe — no extra job.
+    val (e, nE) = Components.cutCounted(edges.select("a", "b", "w"), None)
+    val integralIds = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, DoubleType}
+      Seq("a", "b").forall(c => Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(e.schema(c).dataType)) && e.schema("w").dataType == DoubleType
+    }
+    if (driverEdgeThreshold > 0 && nE <= driverEdgeThreshold && integralIds)
+      return forestCensusDriver(e, rounds, jumps)
     val nodes = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node"))).distinct()
     var comp = nodes.select(col("node"), col("node").as("comp"))
@@ -98,5 +126,80 @@ object Boruvka {
           col("n_components"))
     }
     censuses.reduce(_.union(_)).orderBy("round")
+  }
+
+  /** Driver replay of the EXACT distributed recurrence over collected
+    * edges — same per-component min-edge order (w asc, a asc, b asc),
+    * same DISTINCT over selected (w, a, b, eca, ecb), same fixed `jumps`
+    * min-label hops (partial contraction preserved), same census
+    * arithmetic: each selected w cast to DECIMAL(38,6) (HALF_UP, exactly
+    * Spark's double→decimal cast) summed exactly, cast back to double and
+    * rounded at 6 (Spark's Round semantics). Input is the already-cut
+    * canonical edge frame; bound by the caller's threshold.
+    */
+  private def forestCensusDriver(e: DataFrame, rounds: Int, jumps: Int): DataFrame = {
+    driverPathRuns.incrementAndGet()
+    val spark = e.sparkSession
+    import spark.implicits._
+    val rows = e.select(col("a").cast("long"), col("b").cast("long"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // comp0: every endpoint its own component
+    val comp = new java.util.HashMap[Long, Long]()
+    rows.foreach { case (a, b, _) => comp.put(a, a); comp.put(b, b) }
+    // (w, a, b) ascending — java.lang.Double.compare matches Spark's sort
+    // order on the non-NaN weights a canonical edge list carries
+    def lt(x: (Double, Long, Long, Long, Long), y: (Double, Long, Long, Long, Long)): Boolean = {
+      val c = java.lang.Double.compare(x._1, y._1)
+      if (c != 0) c < 0
+      else if (x._2 != y._2) x._2 < y._2
+      else x._3 < y._3
+    }
+    val out = Vector.newBuilder[(Int, Long, Double, Long)]
+    for (r <- 1 to rounds) {
+      // min cross edge per component, considered from BOTH endpoints
+      val byC = new java.util.HashMap[Long, (Double, Long, Long, Long, Long)]()
+      rows.foreach { case (a, b, w) =>
+        val ca = comp.get(a); val cb = comp.get(b)
+        if (ca != cb) {
+          val t = (w, a, b, ca, cb)
+          val curA = byC.get(ca)
+          if (curA == null || lt(t, curA)) byC.put(ca, t)
+          val curB = byC.get(cb)
+          if (curB == null || lt(t, curB)) byC.put(cb, t)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val sel = byC.values.asScala.toSet // DISTINCT (w, a, b, eca, ecb)
+      // contraction graph on component labels, `jumps` min-label hops
+      val adj = new java.util.HashMap[Long, List[Long]]()
+      sel.foreach { case (_, _, _, x, y) =>
+        adj.merge(x, List(y), (o, n) => n ::: o)
+        adj.merge(y, List(x), (o, n) => n ::: o)
+      }
+      var lab: Map[Long, Long] =
+        comp.values().asScala.iterator.map(c => (c.toLong, c.toLong)).toMap
+      for (_ <- 1 to jumps) {
+        val prev = lab
+        lab = prev.map { case (c, l) =>
+          val ns = adj.get(c)
+          val nbrMin = if (ns == null) Long.MaxValue else ns.iterator.map(prev).min
+          c -> math.min(l, nbrMin)
+        }
+      }
+      val labF = lab
+      comp.replaceAll((_, c) => labF(c))
+      // census: decimal(38,6)-exact weight sum, then double round at 6
+      var wSum = java.math.BigDecimal.ZERO
+      sel.foreach { case (w, _, _, _, _) =>
+        wSum = wSum.add(java.math.BigDecimal.valueOf(w)
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+      }
+      val roundWeight = java.math.BigDecimal.valueOf(wSum.doubleValue)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val nComp = comp.values().asScala.toSet.size.toLong
+      out += ((r, sel.size.toLong, roundWeight, nComp))
+    }
+    out.result().toDF("round", "n_selected", "round_weight", "n_components")
+      .orderBy("round")
   }
 }

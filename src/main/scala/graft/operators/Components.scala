@@ -49,7 +49,20 @@ object Components {
     * materialization job itself — no second `isEmpty` job per round.
     */
   private[graft] def cutCounted(
-      df: DataFrame, checkpointDir: Option[String]): (DataFrame, Long) =
+      df: DataFrame, checkpointDir: Option[String]): (DataFrame, Long) = {
+    // Width control (round-12 measurement, guide §2.2/§2.4): a checkpoint
+    // materializes through `.toRdd`, and AQE never re-optimizes THAT final
+    // stage — the cut frame keeps the session's pre-coalesce shuffle width
+    // (initialPartitionNum = 512) no matter how small it is, and every
+    // downstream job over the checkpointed RDD relaunches 512+ tasks.
+    // Measured on q144 (25-node SCC): 513/1025-task jobs of 0.8-1.6 s each,
+    // pure task-scheduling tax. `coalesce` (narrow, no shuffle) caps the
+    // materialized width at the session's BASE shuffle partition count —
+    // the same width the AQE-disabled fallback would give every shuffle, so
+    // cluster deployments keep their configured parallelism; only the
+    // never-coalesced 512-wide tail is merged.
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    val narrowed = df.coalesce(width)
     checkpointDir match {
       case Some(dir) =>
         // set-dir + checkpoint REGISTRATION are serialized: check-then-act
@@ -64,13 +77,14 @@ object Components {
             sc.setCheckpointDir(dir)
             lastSetDir = dir
           }
-          df.checkpoint(eager = false)
+          narrowed.checkpoint(eager = false)
         }
         (cp, cp.count()) // materialize (the eager semantics), unlocked
       case None =>
-        val cp = df.localCheckpoint(eager = false)
+        val cp = narrowed.localCheckpoint(eager = false)
         (cp, cp.count()) // first action materializes the marked RDD
     }
+  }
 
   /** (id, cluster_id) for every node appearing in `pairs`, cluster_id =
     * min node id of the component.

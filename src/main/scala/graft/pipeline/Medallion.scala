@@ -101,9 +101,14 @@ final case class Medallion(root: String) {
         // (create_silver_layer.sql:1-19)
         col("date_retrieved").as("inserted_at"))
 
-    counterparties.write.mode(SaveMode.Overwrite).parquet(silverCounterparties)
-    merchants.write.mode(SaveMode.Overwrite).parquet(silverMerchants)
-    fact.write.mode(SaveMode.Overwrite).parquet(silverTx)
+    // three independent outputs of one bronze read: submit the writes
+    // concurrently (guide §2.6 — the scheduler back-fills each job's tail
+    // with the next job's tasks; sequential submission left the cluster
+    // idle across three write barriers)
+    Medallion.inParallel(Seq(
+      () => counterparties.write.mode(SaveMode.Overwrite).parquet(silverCounterparties),
+      () => merchants.write.mode(SaveMode.Overwrite).parquet(silverMerchants),
+      () => fact.write.mode(SaveMode.Overwrite).parquet(silverTx)))
   }
 
   /** G1 — gold monthly spending mart (spend = negative amounts, stored as
@@ -184,16 +189,19 @@ final case class Medallion(root: String) {
         Seq("id"), Seq(col("created").asc_nulls_last, col("id").asc))
       bronze = bronze.unionByName(fresh)
     }
-    bronze.write.mode(SaveMode.Overwrite).parquet(stage.bronzeTx)
-
     // L2/L3 snapshots: committed history ∪ this run's stamped snapshot
     def stageSnapshot(df: DataFrame, prev: Option[String], path: String): Unit = {
       val snap = df.withColumn("date_retrieved", snapClock)
       val hist = prev.map(spark.read.parquet).getOrElse(snap.limit(0))
       hist.unionByName(snap).write.mode(SaveMode.Overwrite).parquet(path)
     }
-    stageSnapshot(balance, curM.map(_.bronzeBalance), stage.bronzeBalance)
-    stageSnapshot(pots, curM.map(_.bronzePots), stage.bronzePots)
+    // bronze + the two snapshots touch disjoint staged paths and disjoint
+    // inputs — stage them concurrently (guide §2.6); silver then reads the
+    // landed bronze as before
+    Medallion.inParallel(Seq(
+      () => bronze.write.mode(SaveMode.Overwrite).parquet(stage.bronzeTx),
+      () => stageSnapshot(balance, curM.map(_.bronzeBalance), stage.bronzeBalance),
+      () => stageSnapshot(pots, curM.map(_.bronzePots), stage.bronzePots)))
 
     stage.transformSilver(spark)
     afterSilver() // crash-injection seam: silver staged, gold not yet
@@ -202,5 +210,30 @@ final case class Medallion(root: String) {
     Versions.markComplete(spark, root, next)
     Versions.publish(spark, root, next)
     next
+  }
+}
+
+object Medallion {
+  /** Run independent write jobs concurrently from a small pool (guide
+    * §2.6): Spark's FIFO scheduler lets a later job's tasks back-fill
+    * executors freed by an earlier job's straggler tail, so N independent
+    * layer writes cost ~max instead of ~sum. Rethrows the first failure
+    * after all tasks settle (no partially-abandoned staging writes).
+    */
+  private[pipeline] def inParallel(tasks: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs = tasks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = t() }))
+      var failure: Option[Throwable] = None
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (failure.isEmpty) failure = Some(e.getCause)
+        }
+      }
+      failure.foreach(throw _)
+    } finally pool.shutdown()
   }
 }

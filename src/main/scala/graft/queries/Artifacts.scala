@@ -93,6 +93,11 @@ object Artifacts {
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Scratch.deleteRecursively(staging) // lost the race — winner is equivalent
+      case _: java.nio.file.DirectoryNotEmptyException =>
+        // Linux rename(2) reports a populated existing target this way, not
+        // as FileAlreadyExists — observed when two sessions race the same
+        // key. Same resolution: the winner's copy is byte-equivalent.
+        Scratch.deleteRecursively(staging)
       case _: java.nio.file.AtomicMoveNotSupportedException =>
         // non-atomic /tmp: publish via plain move only if nobody beat us
         if (Files.exists(target.resolve("_SUCCESS"))) Scratch.deleteRecursively(staging)

@@ -761,9 +761,17 @@ object CurationQueries {
         Seq("fp"), Seq(col("doc_id").asc))
         .select("doc_id", "source", "text")
       val s1c = graft.operators.Components.cut(s1, None)
-      // 2. near-dup pairs over stage-1 survivors: drop each pair's larger id
-      val dupB = graft.operators.NearDup
-        .ngramJaccardPairs(s1c, n = 3, threshold = 0.3)
+      // 2. near-dup pairs over stage-1 survivors: drop each pair's larger
+      // id. 3-gram Jaccard is a PAIRWISE function — pairs(s1) is exactly
+      // pairs(docs) restricted to s1×s1 — so stage 2 reads the shared
+      // text-pairs artifact (one Σ df² build per corpus, the q19/q33
+      // precedent) and semi-joins both endpoints into the survivor set
+      // instead of re-running the inverted-index join per session
+      // (round 12; measured ~1.5 s of q170's 4.3 s).
+      val s1ids = s1c.select("doc_id")
+      val dupB = DedupQueries.textPairsShared(s, dir)
+        .join(s1ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(s1ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
         .select(col("doc_b").as("doc_id")).distinct()
       val s2 = graft.operators.Components.cut(
         s1c.join(dupB, Seq("doc_id"), "left_anti"), None)

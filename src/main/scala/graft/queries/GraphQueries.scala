@@ -1281,26 +1281,59 @@ object GraphQueries {
     * sort.
     */
   private val CoPurchaseMaxBasket = 50
+
+  /** Shared co-purchase counts over capped baskets — the Σ|basket|² pair
+    * aggregate q244 ranks and q250 cosine-normalizes. Round 12: landed as
+    * an [[Artifacts]] entry (the text-pairs / trade-edges precedent): the
+    * two consumers each re-ran the DISTINCT + basket-cap + self-join +
+    * pair aggregate per session (measured 3.8 + 5.0 s at sf0.1, the pair
+    * aggregate dominating both). The build is exact integer counting —
+    * deterministic given the input parquet — so the cached copy is
+    * indistinguishable from a rebuild. Artifact layout: `co/`
+    * (pa, pb, co) and `nord/` (pk, n_ord) parquet subdirs under one
+    * content-keyed dir; explicit read schemas keep a degenerate corpus
+    * (no qualifying pairs) readable.
+    */
+  private val coPurchaseLanded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def coPurchaseShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val path = coPurchaseLanded.computeIfAbsent(dir, _ =>
+      Artifacts.cached("copurchase", s"cap$CoPurchaseMaxBasket-v1",
+        Seq(s"$dir/lineitem.parquet")) { p =>
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        // no cut: AQE reuses the exchange for both sides of the self-join
+        // (measured — a localCheckpoint here costs more than it saves)
+        val sized = li
+          .join(li.groupBy("ok").agg(count(lit(1)).as("basket")), Seq("ok"))
+          .filter(col("basket") <= CoPurchaseMaxBasket)
+          .select("ok", "pk")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sized.groupBy("pk").agg(count(lit(1)).as("n_ord"))
+            .write.mode("overwrite").parquet(s"$p/nord")
+          val a = sized.select(col("ok"), col("pk").as("pa"))
+          val b = sized.select(col("ok"), col("pk").as("pb"))
+          a.join(b, Seq("ok"))
+            .filter(col("pa") < col("pb"))
+            .groupBy("pa", "pb")
+            .agg(count(lit(1)).as("co"))
+            .write.mode("overwrite").parquet(s"$p/co")
+        } finally sized.unpersist()
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+      })
+    (s.read.schema("pa LONG, pb LONG, co LONG").parquet(s"$path/co"),
+      s.read.schema("pk LONG, n_ord LONG").parquet(s"$path/nord"))
+  }
+
   private val q244 = GraftQuery(
     "q244_copurchase_pairs",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      // no cut: AQE reuses the exchange for both sides of the self-join
-      // (measured — a localCheckpoint here costs more than it saves)
-      val sized = li
-        .join(
-          li.groupBy("ok").agg(count(lit(1)).as("basket")),
-          Seq("ok"))
-        .filter(col("basket") <= CoPurchaseMaxBasket)
-        .select("ok", "pk")
-      val a = sized.select(col("ok"), col("pk").as("part_a"))
-      val b = sized.select(col("ok"), col("pk").as("part_b"))
-      a.join(b, Seq("ok"))
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("n_orders"))
+      val (co, _) = coPurchaseShared(s, dir)
+      co.select(col("pa").as("part_a"), col("pb").as("part_b"),
+          col("co").as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
         .limit(20)
     },
@@ -1572,23 +1605,9 @@ object GraphQueries {
   private val q250 = GraftQuery(
     "q250_itemcf_neighbors",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      // no cuts: exchange reuse covers the self-join sides AND the two
-      // reads of the co-count aggregate (measured — localCheckpoints here
-      // only added materialization cost)
-      val sized = li
-        .join(li.groupBy("ok").agg(count(lit(1)).as("basket")), Seq("ok"))
-        .filter(col("basket") <= 50)
-        .select("ok", "pk")
-      val nOrd = sized.groupBy("pk").agg(count(lit(1)).as("n_ord"))
-      val a = sized.select(col("ok"), col("pk").as("pa"))
-      val b = sized.select(col("ok"), col("pk").as("pb"))
-      val co = a.join(b, Seq("ok"))
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb")
-        .agg(count(lit(1)).as("co"))
+      // same capped-basket co-counts as q244 — shared artifact (one
+      // Σ|basket|² pair aggregate per (inputs, knobs), not one per query)
+      val (co, nOrd) = coPurchaseShared(s, dir)
       val directed = co.select(col("pa").as("item"), col("pb").as("nbr"), col("co"))
         .union(co.select(col("pb").as("item"), col("pa").as("nbr"), col("co")))
       val sim = directed

@@ -1230,25 +1230,34 @@ object SimilarityQueries {
       val seed = emb.orderBy("vec_id").limit(1)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].head()
-      var selected = List(seed)
       val picked = scala.collection.mutable.ListBuffer(
         (0, seed._1, Option.empty[Double]))
+      def dTo(v: Array[Float]) = {
+        val lv = typedLit(v)
+        round(lit(1.0) - Similarity.cosineFromParts(
+          Similarity.dotExact(col("embedding"), lv),
+          Similarity.normExact(col("embedding")),
+          Similarity.normExact(lv)), 12)
+      }
+      // incremental farthest-point state (round 12, guide §1.2): carry
+      // dist = min over centers so far and fold ONE new cosine per round —
+      // least() is exact floating min, so the fold equals the original
+      // j-term least-reduce over all selected centers bit-for-bit, while
+      // the per-round plan/codegen stays O(1) instead of O(j)
+      var selectedIds = List(seed._1)
+      var state = graft.operators.Components.cut(
+        emb.select(col("vec_id"), col("embedding"), dTo(seed._2).as("dist")), None)
       for (j <- 1 until KcRounds) {
-        val dists = selected.map { case (_, v) =>
-          val lv = typedLit(v)
-          round(lit(1.0) - Similarity.cosineFromParts(
-            Similarity.dotExact(col("embedding"), lv),
-            Similarity.normExact(col("embedding")),
-            Similarity.normExact(lv)), 12)
-        }
-        val next = emb
-          .filter(!col("vec_id").isin(selected.map(_._1): _*))
-          .select(col("vec_id"), col("embedding"),
-            dists.reduce(least(_, _)).as("dist"))
+        val next = state
+          .filter(!col("vec_id").isin(selectedIds: _*))
           .orderBy(col("dist").desc, col("vec_id").asc).limit(1)
           .as[(Long, Array[Float], Double)].head()
-        selected = (next._1, next._2) :: selected
+        selectedIds = next._1 :: selectedIds
         picked += ((j, next._1, Some(next._3)))
+        if (j < KcRounds - 1)
+          state = graft.operators.Components.cut(
+            state.select(col("vec_id"), col("embedding"),
+              least(col("dist"), dTo(next._2)).as("dist")), None)
       }
       picked.toSeq.toDF("sel_round", "vec_id", "dist")
         .orderBy("sel_round")

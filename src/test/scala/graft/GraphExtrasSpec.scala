@@ -148,6 +148,36 @@ class GraphExtrasSpec extends SparkSpec {
     assert(math.abs(sel(1).getAs[Double]("mmr") - 0.25) < 1e-9)
   }
 
+  test("MMR driver replay == distributed rounds on random shortlists") {
+    import spark.implicits._
+    // differential pin for the round-12 adaptive routing: same selections,
+    // steps and 12-dp scores from both paths, incl. ties, sparse sims
+    // (missing pairs → penalty 0) and short-shortlist early stops
+    val rnd = new scala.util.Random(77)
+    val short = (for {
+      q <- 0L until 6L
+      c <- 0L until (3 + rnd.nextInt(6)).toLong
+    } yield (q, 100 + c, math.rint(rnd.nextDouble() * 1e4) / 1e4))
+      .toDF("q_id", "n_id", "rel")
+    val sims = (for {
+      q <- 0L until 6L
+      a <- 100L until 109L; b <- 100L until 109L
+      if a != b && rnd.nextDouble() < 0.6 // sparse: exercises pen-0 rows
+    } yield (q, a, b, math.rint(rnd.nextDouble() * 1e4) / 1e4))
+      .toDF("q_id", "n_id", "m_id", "sim")
+    val before = graft.operators.Mmr.driverPathRuns.get()
+    val drv = graft.operators.Mmr.select(short, sims, lambda = 0.7, k = 5)
+      .orderBy("q_id", "step").collect().map(_.toSeq).toSeq
+    assert(graft.operators.Mmr.driverPathRuns.get() == before + 1,
+      "sub-threshold shortlists must take the driver replay")
+    val dist = graft.operators.Mmr.select(short, sims, lambda = 0.7, k = 5,
+        driverRowThreshold = 0L)
+      .orderBy("q_id", "step").collect().map(_.toSeq).toSeq
+    assert(graft.operators.Mmr.driverPathRuns.get() == before + 1,
+      "threshold 0 must never take the driver replay")
+    assert(drv == dist, s"driver $drv\nvs distributed $dist")
+  }
+
   test("clusteringCoefficient: triangle + pendant hand graph") {
     // K3 on {1,2,3} plus pendant edge 3-4 (fed with duplicate/reversed
     // edges to exercise normalization)

@@ -23,6 +23,38 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows(1) == ((2, 1L, 0.3, 1L)), s"round 2: ${rows(1)}")
     assert(rows(2) == ((3, 0L, 0.0, 1L)) && rows(3) == ((4, 0L, 0.0, 1L)),
       "fully contracted forest must select nothing further")
+    // routing: 5 edges < threshold → driver replay; forced rounds agree
+    val before = Boruvka.driverPathRuns.get()
+    val distributed = Boruvka.forestCensus(edges, rounds = 4, jumps = 3,
+        driverEdgeThreshold = 0L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(Boruvka.driverPathRuns.get() == before,
+      "threshold 0 must never take the driver replay")
+    assert(distributed.toSeq == rows.toSeq,
+      s"forced-distributed census must equal the driver replay: " +
+        s"${distributed.toSeq} vs ${rows.toSeq}")
+  }
+
+  test("Boruvka driver replay == distributed rounds on a random graph") {
+    // differential pin for the adaptive routing: same census row-for-row,
+    // including PARTIAL contraction (jumps = 1 on a chain keeps >1 label
+    // per round) and the decimal(38,6) weight arithmetic
+    val rnd = new scala.util.Random(421)
+    val n = 40
+    val edges = (0 until 120).map { _ =>
+      val a = rnd.nextInt(n).toLong
+      val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b), math.rint(rnd.nextDouble() * 1e6) / 1e6)
+    }.filter(t => t._1 != t._2).distinct
+      .groupBy(t => (t._1, t._2)).map(_._2.minBy(_._3)).toSeq
+      .toDF("a", "b", "w")
+    for (jumps <- Seq(1, 3)) {
+      val drv = Boruvka.forestCensus(edges, rounds = 5, jumps = jumps)
+        .collect().map(_.toSeq).toSeq
+      val dist = Boruvka.forestCensus(edges, rounds = 5, jumps = jumps,
+        driverEdgeThreshold = 0L).collect().map(_.toSeq).toSeq
+      assert(drv == dist, s"jumps=$jumps: driver $drv vs distributed $dist")
+    }
   }
 
   test("CUSUM fires on an injected level shift and stays quiet without one") {
