@@ -72,6 +72,14 @@ object GraftSession {
       // 100 TB (guide §2.2). With the flag on, AQE sizes cached output from
       // OBSERVED bytes like any other stage.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // preferSortMergeJoin stays at its DEFAULT (true): the guide-§3.1
+      // shuffled-hash experiment was run (round 12, 9-query TPC-H join
+      // subset, best-of-2 at sf0.1) and measured 8.91 s vs 8.66 s — no
+      // win (these joins are broadcast- or scheduling-bound, not
+      // sort-bound), so the flip isn't worth SHJ's no-spill build-side
+      // risk. Env override kept for future probes.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       // ObjectHashAggregate (every TypedImperativeAggregate: TopKAgg, HLL,
       // DDSketch, CountMin) falls back to SORT-based aggregation after
       // only 128 distinct keys per task by default — the bounded-heap

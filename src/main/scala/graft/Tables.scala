@@ -12,6 +12,23 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Conditional round-robin fan-out for COMPUTE-DENSE per-row stages
+    * (round 12, guide §2.5/§1.2): the harness tables are single small
+    * parquet files, so every scan is ONE task and a heavy per-row stage
+    * fused onto it (tokenization, language-id, trigram explode, z-order
+    * keys, Levenshtein) runs serially — measured 1.9-2.5 s single-task
+    * jobs behind q60/q82/q164/q243/q274. Widening costs one shuffle of
+    * the (projected!) input, orders of magnitude cheaper than the fused
+    * compute at these sites. CONDITIONAL so it is a local-layout fix,
+    * not a production tax: a scan that already has cluster-width
+    * parallelism (any real deployment) passes through untouched — the
+    * check reads the planned partition count, never runs a job.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.sessionState.conf.defaultNumShufflePartitions
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "customer")

@@ -60,8 +60,11 @@ object Components {
     // materialized width at the session's BASE shuffle partition count —
     // the same width the AQE-disabled fallback would give every shuffle, so
     // cluster deployments keep their configured parallelism; only the
-    // never-coalesced 512-wide tail is merged.
-    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    // never-coalesced 512-wide tail is merged. NOTE: must be
+    // defaultNumShufflePartitions — numShufflePartitions returns the AQE
+    // initialPartitionNum (512) when coalescing is enabled, which would
+    // make this cap a no-op.
+    val width = df.sparkSession.sessionState.conf.defaultNumShufflePartitions
     val narrowed = df.coalesce(width)
     checkpointDir match {
       case Some(dir) =>

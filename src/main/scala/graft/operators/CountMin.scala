@@ -40,7 +40,10 @@ object CountMin {
   def sketch(keys: DataFrame, keyCol: String, depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth >= 1 && depth <= As.size, s"depth must be in [1, ${As.size}]")
     val base = baseHash(col(keyCol))
-    keys
+    // fan out a 1-task small-file scan: the md5 base hash + depth-way cell
+    // explode fuse onto it (compute-dense; see Tables.widen). Measured
+    // behind q139 (1.15 s) and q226's two sketch builds (2.3 s).
+    graft.Tables.widen(keys.select(col(keyCol)))
       .select(explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"), cell(r, base, width).as("cell"))): _*)).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))

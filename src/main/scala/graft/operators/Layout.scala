@@ -73,7 +73,10 @@ object Layout {
       min(col(c).cast("double")).as(s"__lo_$c"),
       max(col(c).cast("double")).as(s"__hi_$c")))
     val agg = df.agg(aggExprs.head, aggExprs.tail: _*)
-    val z = df
+    // fan out the 1-task small-file scan before the per-row curve-key
+    // computation — the range partitioner's sampling pass and the final
+    // exchange's map side otherwise both run it serially (see Tables.widen)
+    val z = graft.Tables.widen(df)
       .crossJoin(broadcast(agg))
       .withColumn("__z", zValue(
         cols.map(c => bucketize(col(c), col(s"__lo_$c"), col(s"__hi_$c"), bits)), bits))
@@ -114,7 +117,8 @@ object Layout {
       max(col(c).cast("double")).as(s"__hi_$c")))
     val agg = df.agg(aggExprs.head, aggExprs.tail: _*)
     val buck = cols.map(c => bucketize(col(c), col(s"__lo_$c"), col(s"__hi_$c"), bits))
-    val h = df
+    // same fan-out rationale as writeZOrdered above
+    val h = graft.Tables.widen(df)
       .crossJoin(broadcast(agg))
       .withColumn("__h", hilbertValue(buck(0), buck(1), bits))
     h.repartitionByRange(files, col("__h"))

@@ -49,9 +49,21 @@ object NearDup {
     sys.props.get("graft.neardup.bcMaxCells").map(_.toLong).getOrElse(100000L)
 
   /** Distinct (doc_id, shingle) pairs for an n-gram size. */
-  private def shingleSets(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), Sketches.wordShingles(col("text"), n).as("shingles"))
+  /** `widen = true` (the CORPUS-scale pair builds: ngramJaccardPairs,
+    * minhashLshPairs, ngramContainmentPairs) fans a 1-task small-file
+    * scan out before the per-doc shingle pass — the compute-dense stage
+    * those builds funnel ~everything through (see Tables.widen). The
+    * verify paths (pairsWithShingles) and the incremental build keep
+    * `widen = false`: their doc sets are candidate-bounded, and the A/B
+    * measured the shuffle costing more than the serial shingling there
+    * (q21 1.25→1.73, q35 1.98→2.61, q205 1.66→2.02 with it on).
+    */
+  private def shingleSets(docs: DataFrame, n: Int, widen: Boolean = false): DataFrame = {
+    val in = docs.select(col("doc_id"), col("text"))
+    (if (widen) graft.Tables.widen(in) else in)
+      .select(col("doc_id"), Sketches.wordShingles(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
+  }
 
   /** Materialize a DataFrame that downstream plans reference several times,
     * without a cache leak. Default: `localCheckpoint(eager = true)` stores
@@ -92,7 +104,7 @@ object NearDup {
     // need two distinct shingle ARRAYS at the same xxhash64 —
     // P ≈ n_docs²/2⁶⁵, the same risk already accepted per shingle.)
     val sets = materialized(
-      shingleSets(docs, n)
+      shingleSets(docs, n, widen = true)
         .withColumn("__ck", xxhash64(concat_ws("\u0001", col("shingles")))),
       checkpointDir)
     val groups = sets.select("doc_id", "__ck")
@@ -171,7 +183,7 @@ object NearDup {
       docs: DataFrame, n: Int, threshold: Double, maxDocFreq: Long = 0L,
       checkpointDir: Option[String] = None): DataFrame = {
     val sets = materialized(
-      shingleSets(docs, n)
+      shingleSets(docs, n, widen = true)
         .withColumn("__ck", xxhash64(concat_ws("\u0001", col("shingles")))),
       checkpointDir)
     val groups = sets.select("doc_id", "__ck")
@@ -312,7 +324,7 @@ object NearDup {
     // exactly afterwards — a group of g clones costs g·pairs instead of
     // g²·bands candidate rows (measured ×9 over linear on a ×100
     // clone-heavy corpus without this).
-    val sets0 = materialized(shingleSets(docs, n)
+    val sets0 = materialized(shingleSets(docs, n, widen = true)
       .withColumn("__ck", xxhash64(concat_ws("\u0001", col("shingles")))),
       checkpointDir)
     val repIds = sets0.groupBy("__ck").agg(min(col("doc_id")).as("doc_id"))
@@ -380,6 +392,8 @@ object NearDup {
     // exactly (shared counts are set-determined), and intra-group pairs
     // share ALL fingerprints (winnow emits a distinct set, so
     // n_shared = |fps| bit-for-bit)
+    // no widen here: measured 1.59 → 1.99 s at sf0.1 — the winnow pass is
+    // cheaper than the text shuffle it would buy (contrast shingleSets)
     val fps0 = materialized(
       docs.select(col("doc_id"),
         graft.expressions.WinnowExpr.winnowFingerprints(
@@ -425,6 +439,8 @@ object NearDup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       checkpointDir: Option[String] = None): DataFrame =
+    // no widen here: measured 1.08 → 1.84 s at sf0.1 — the simhash pass is
+    // cheaper than the text shuffle it would buy (contrast shingleSets)
     hammingPairs64(
       docs.select(col("doc_id"),
         Sketches.simhash(TextFunctions.tokens(col("text"))).as("simhash")),
@@ -897,7 +913,10 @@ object NearDup {
   def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(withNorm(queries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")))
-    val c = withNorm(corpus)
+    // fan out the 1-task small-file corpus scan: the |corpus|×|queries|
+    // dot products fuse onto it and run serially otherwise (measured
+    // 1.3-1.4 s single-task jobs behind q22/q163/q214; see Tables.widen)
+    val c = withNorm(graft.Tables.widen(corpus))
       .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn"))
     val margin = 20
     val topkFn = graft.functions.TopKAgg.topK(k + margin)

@@ -73,17 +73,41 @@ object SetSimJoin {
       .join(dfreq, "s")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
+    // prefix postings carry (position in df-order, set size) so the join
+    // can apply the exact PPJoin filters (Xiao et al., WWW 2008) — round 12:
+    //  - LENGTH: J ≥ τ forces τ·max(|a|,|b|) ≤ min(|a|,|b|);
+    //  - POSITION: a true pair's FIRST shared prefix token satisfies
+    //    1 + min(|a|−pa, |b|−pb) ≥ τ/(1+τ)·(|a|+|b|) (elements ordered
+    //    before the first common token on both sides cannot be common), so
+    //    a pair EVERY shared token of which fails the bound cannot reach τ.
+    //    Filtering per token before the distinct keeps a pair if ANY token
+    //    passes — a superset of PPJoin's candidates, exactness untouched.
+    // Both comparisons take an ε slack so double rounding can only ADMIT a
+    // candidate (verified exactly below), never drop a true pair.
+    // Measured at sf0.1: 409 k → 125 k verified pairs (3.3×).
     val prefix = ordered
-      .select(col("doc_id"), col("ord"),
+      .select(col("doc_id"), col("ord"), size(col("ord")).as("m"),
         (size(col("ord")) - ceil(lit(threshold) * size(col("ord"))) + 1)
           .cast("int").as("p"))
-      .select(col("doc_id"), explode(slice(col("ord"), lit(1), col("p"))).as("t"))
-      .select(col("doc_id"), col("t.s").as("s"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("doc_id"), col("m"),
+        posexplode(slice(col("ord"), lit(1), col("p"))).as(Seq("pos0", "t")))
+      .select(col("doc_id"), col("t.s").as("s"),
+        (col("pos0") + 1).as("pos"), col("m"))
+    val eps = lit(1e-9)
+    val cand = Components.cut(prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.m"), col("b.m"))
+            >= lit(threshold) * greatest(col("a.m"), col("b.m")) - eps
+          && (least(col("a.m") - col("a.pos"), col("b.m") - col("b.pos")) + 1)
+            >= lit(threshold) * (col("a.m") + col("b.m")) / lit(1 + threshold) - eps)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val repPairs = cand
+      .dropDuplicates("doc_a", "doc_b"), checkpointDir)
+    // verify is compute-dense on slim-byte inputs (an array intersect per
+    // pair): AQE's byte-based coalescing lands it on 1-2 tasks — spread it
+    // at the session's base shuffle width instead (the doc_a exchange is
+    // the one join1 reuses)
+    val width = docs.sparkSession.sessionState.conf.defaultNumShufflePartitions
+    val repPairs = cand.repartition(width, col("doc_a"))
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),

@@ -263,7 +263,10 @@ object AdvancedQueries {
             else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
           s"'$c', n_rows - nn_$c, nd_$c, $mn, $mx"
         }
-        Tables.lineitem(s, dir)
+        // fan out the 1-task scan: the 6-way exact-NDV Expand multiplies
+        // 600 k rows ×13 in the map stage (compute-dense; see Tables.widen)
+        graft.Tables.widen(Tables.lineitem(s, dir)
+            .select((numeric ++ strings).map(col): _*))
           .agg(aggs.head, aggs.tail: _*)
           .selectExpr("n_rows",
             s"""stack(${profiled.size}, ${stackRows.mkString(", ")})

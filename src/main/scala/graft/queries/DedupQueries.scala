@@ -983,7 +983,8 @@ object DedupQueries {
     "q219_ngram_novelty",
     (s, dir) => {
       val sh = graft.operators.Components.cut(
-        Tables.documents(s, dir)
+        graft.Tables.widen(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")))
           .select(col("doc_id"),
             graft.functions.Sketches.wordShingles(col("text"), 8).as("shingles"))
           .filter(size(col("shingles")) > 0)
@@ -1169,8 +1170,16 @@ object DedupQueries {
         Seq("blk", "p_brand"))
         .filter(col("bsz") <= FsMaxBlock)
         .drop("bsz")
+      // the block join's per-pair Levenshtein is compute-dense on slim
+      // bytes — AQE's byte-based coalescing lands every pair on one task
+      // (measured: a 2.4 s single-task job). Pin both sides to the base
+      // shuffle width on the block keys (same key, same width → the join
+      // reuses these exchanges; the q118 verify-stage precedent).
+      val width = s.sessionState.conf.defaultNumShufflePartitions
       val a = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+        .repartition(width, col("a_blk"), col("a_p_brand"))
       val b = p.columns.foldLeft(p)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+        .repartition(width, col("b_blk"), col("b_p_brand"))
       val pairs = a.join(b,
         col("a_blk") === col("b_blk") && col("a_p_brand") === col("b_p_brand") &&
           col("a_p_partkey") < col("b_p_partkey"))
@@ -1409,7 +1418,8 @@ object DedupQueries {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val pow60 = math.pow(2.0, 60.0)
-      val sh = Tables.documents(s, dir)
+      val sh = graft.Tables.widen(
+          Tables.documents(s, dir).select(col("source"), col("text")))
         .select(col("source"), TextFunctions.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("source"), explode(expr(

@@ -72,6 +72,10 @@ object MedallionQueries {
     // materialize the orders⋈customer fixture once (an extra slice key
     // rides along so batch 1 can filter WITHOUT re-running the join);
     // eager localCheckpoint, so the two batch loads share the result
+    // (round 12: widening this fixture to the base shuffle width was
+    // measured WORSE — 4.1 → 5.3 s — the pipeline is bound by its many
+    // small-file write/read barriers, not by per-row compute; narrow
+    // stages keep each write a single buffered file)
     val base = fixtureBatch(s, dir, lit(true))
       .withColumn("__okey",
         substring(col("id"), 4, 9).cast("long")) // tx_%09d ⇒ o_orderkey

@@ -1208,7 +1208,10 @@ object TextQueries {
       val t = p.sliding(3).toSeq.distinct
       t.map(tg => (p, tg, t.size.toLong))
     }.toDF("pattern", "tg", "n_tg")
-    val norm = docs.select(col("doc_id"), normalizeText(col("text")).as("nt"))
+    // fan out the 1-task small-file scan before the per-char trigram
+    // explode (compute-dense; see Tables.widen)
+    val norm = graft.Tables.widen(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), normalizeText(col("text")).as("nt"))
     val post = norm.select(col("doc_id"), explode(array_distinct(expr(
       "CASE WHEN length(nt) >= 3 THEN transform(sequence(1, length(nt) - 2), i -> substring(nt, i, 3)) ELSE array() END")))
       .as("tg"))
@@ -2296,9 +2299,13 @@ object TextQueries {
     "q274_langid_eval",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val preds = Tables.documents(s, dir).select(
-        col("lang").as("lab"),
-        graft.functions.TextFunctions.languageId(col("text")).as("pred"))
+      // fan out the 1-task scan before the per-doc language-id expression
+      // (compute-dense; see Tables.widen)
+      val preds = graft.Tables
+        .widen(Tables.documents(s, dir).select(col("lang"), col("text")))
+        .select(
+          col("lang").as("lab"),
+          graft.functions.TextFunctions.languageId(col("text")).as("pred"))
       val byPair = preds.groupBy("lab", "pred").agg(count(lit(1)).as("cnt"))
       val predAgg = byPair.groupBy(col("pred").as("cls")).agg(
         sum(col("cnt")).as("n_pred"),
