@@ -16,7 +16,13 @@ object Bench {
     * perf verdicts honest about which share a change can actually move.
     */
   final case class QTime(name: String, secs: Option[Double], extra: Option[String],
-      load: Option[(Double, Double)] = None, overheadSecs: Option[Double] = None)
+      load: Option[(Double, Double)] = None, overheadSecs: Option[Double] = None,
+      /** run-1 wall seconds, recorded ONLY when run 1 landed a new artifact
+        * under /tmp/graft_artifacts: for those queries the min-of-N below
+        * reads the warm copy, so run 1 is the honest cold cost (round-12
+        * verdict) — the pair (secs, coldRun1) makes the estimator's blind
+        * spot visible per query instead of hiding the build. */
+      coldRun1: Option[Double] = None)
 
   /** Records the wall time of the FIRST job submitted after `reset()`.
     * The listener bus is async; `firstJobStartMs` polls briefly so a
@@ -71,6 +77,7 @@ object Bench {
     try queries.map { case (name, fn) =>
       val loadBefore = loadAvg()
       val overheads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val artifactsBefore = listArtifacts()
       def withLoad(q: QTime): QTime =
         q.copy(
           load = for (b <- loadBefore; a <- loadAvg()) yield (b, a),
@@ -98,7 +105,12 @@ object Bench {
         }
       }
       val base = (0 until runs).map(_ => once())
-      if (base.exists(_.isEmpty)) withLoad(QTime(name, None, None))
+      // run 1 built an artifact ⇒ later runs read it warm: keep run 1's
+      // cold seconds next to the min so the JSON carries both
+      val builtInRun1 = listArtifacts().diff(artifactsBefore).nonEmpty
+      def withCold(q: QTime): QTime =
+        if (builtInRun1) q.copy(coldRun1 = base.headOption.flatten) else q
+      if (base.exists(_.isEmpty)) withCold(withLoad(QTime(name, None, None)))
       else {
         val times = base.flatten
         // both triggers require runs > 1: an explicit single-run bench
@@ -112,8 +124,8 @@ object Bench {
           if (extra.isDefined)
             // a throw on the rerun is still a flaky query — report err, not
             // the min of the runs that happened to survive
-            withLoad(QTime(name, once().map(t => (times :+ t).min), extra))
-          else withLoad(QTime(name, Some(times.min), None))
+            withCold(withLoad(QTime(name, once().map(t => (times :+ t).min), extra)))
+          else withCold(withLoad(QTime(name, Some(times.min), None)))
         // progress line (stderr, never part of the JSON contract): lets a
         // long probe run be monitored and a hung query be identified
         System.err.println(f"[bench] $name ${res.secs.map(s => f"$s%.2f").getOrElse("err")}s")
@@ -135,20 +147,31 @@ object Bench {
     * and are listed in `failed`; only successful times enter the total.
     */
   def toJson(results: Seq[QTime], sfDir: String, runs: Int): String = {
-    val qs = results.map { case QTime(k, v, _, _, _) => "\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"") }
+    val qs = results.map { case QTime(k, v, _, _, _, _) => "\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case QTime(k, None, _, _, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val failed = results.collect { case QTime(k, None, _, _, _, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     // per-query (before, after) 1-min loadavg, 2dp — the contention record
-    val loads = results.collect { case QTime(k, _, _, Some((b, a)), _) =>
+    val loads = results.collect { case QTime(k, _, _, Some((b, a)), _, _) =>
       f"""\"$k\":[$b%.2f,$a%.2f]""" }.mkString("{", ",", "}")
     // per-query driver-side floor: min over runs of (first-job-start −
     // submit), 3dp — subtracting this column from `queries` isolates the
     // executor-side time a perf change can actually move
-    val overheads = results.collect { case QTime(k, _, _, _, Some(oh)) =>
+    val overheads = results.collect { case QTime(k, _, _, _, Some(oh), _) =>
       f"""\"$k\":$oh%.3f""" }.mkString("{", ",", "}")
     val total = results.flatMap(_.secs).sum
     val totalOverhead = results.flatMap(_.overheadSecs).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)},"loadavg_1m":$loads,"overhead_sec":$overheads,"overhead_total":${f"$totalOverhead%.1f"},$policy}"""
+    // additions-only (round 13): per-artifact build seconds and each
+    // artifact-building query's run-1 (cold) wall time — the min estimator
+    // reports the warm run for those queries, and these two maps carry the
+    // cost it excludes (round-12 verdict, "What's wrong" #1)
+    val builds = {
+      import scala.jdk.CollectionConverters._
+      graft.queries.Artifacts.buildSecs.asScala.toSeq.sortBy(_._1)
+        .map { case (n, s) => f"""\"$n\":$s%.3f""" }.mkString("{", ",", "}")
+    }
+    val cold = results.collect { case QTime(k, _, _, _, _, Some(c)) =>
+      f"""\"$k\":$c%.3f""" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)},"loadavg_1m":$loads,"overhead_sec":$overheads,"overhead_total":${f"$totalOverhead%.1f"},"artifact_build_sec":$builds,"artifact_consumer_run1_sec":$cold,$policy}"""
   }
 
   /** Artifact-cache discipline (round-10 verdict: the committed total
@@ -214,8 +237,19 @@ object Bench {
     }
     val totalOverhead = results.flatMap(_.overheadSecs).sum
     val builtDuringRun = listArtifacts().diff(preexisting)
+    // per-artifact build seconds (additions-only, round 13): the wall cost
+    // the min-of-N estimator excludes from artifact-consuming queries
+    val buildSecJson = {
+      import scala.jdk.CollectionConverters._
+      graft.queries.Artifacts.buildSecs.asScala.toSeq.sortBy(_._1)
+        .map { case (n, s) => f"""\"$n\":$s%.3f""" }.mkString("{", ",", "}")
+    }
+    val buildSecTotal = {
+      import scala.jdk.CollectionConverters._
+      graft.queries.Artifacts.buildSecs.asScala.values.sum
+    }
     val cacheJson =
-      s""""artifact_cache":{"policy":"$cachePolicy","preexisting":${preexisting.size},"built_during_run":${builtDuringRun.size},"built":${builtDuringRun.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s""""artifact_cache":{"policy":"$cachePolicy","preexisting":${preexisting.size},"built_during_run":${builtDuringRun.size},"built":${builtDuringRun.map("\"" + _ + "\"").mkString("[", ",", "]")},"build_sec":$buildSecJson,"build_sec_total":${f"$buildSecTotal%.3f"}}"""
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"failed_count":$failed,"sf":"$sfDir","runs_per_query":$runs,"estimator":"min","extra_runs":${extraCounts(results)},"overhead_total":${f"$totalOverhead%.1f"}$loadSpan,$cacheJson,$policy}"""
     // Files.write throws on any I/O failure (a PrintWriter only sets a

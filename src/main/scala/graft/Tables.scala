@@ -26,7 +26,31 @@ object Tables {
     */
   def widen(df: DataFrame): DataFrame = {
     val width = df.sparkSession.sessionState.conf.defaultNumShufflePartitions
-    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+    // The `df.rdd.getNumPartitions` probe is job-free ONLY for scan-shaped
+    // plans. When the plan contains exchanges, AQE materializes every
+    // upstream query stage to answer it (real jobs whose work the later
+    // full execution does NOT reuse — double execution). Gate on a
+    // narrow-only plan (bare relation under projections/filters); anything
+    // else passes through unwidened — widen is a small-file scan-layout
+    // fix, and a post-shuffle frame already has the width its bytes earned
+    // (round 13, ADVICE).
+    // Narrow = never plans an exchange, so `.rdd` materializes no AQE
+    // query stage. Everything else (joins, aggregates, sorts, windows,
+    // repartitions) is conservatively treated as probe-unsafe.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def narrowOnly(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case p: Project => narrowOnly(p.child)
+      case f: Filter => narrowOnly(f.child)
+      case g: Generate => narrowOnly(g.child)
+      case a: SubqueryAlias => narrowOnly(a.child)
+      case e: Expand => narrowOnly(e.child)
+      case u: Union => u.children.forall(narrowOnly)
+      case _ => false
+    }
+    if (narrowOnly(df.queryExecution.optimizedPlan) &&
+        df.rdd.getNumPartitions < width) df.repartition(width)
+    else df
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")

@@ -56,8 +56,14 @@ object Mmr {
         short.schema("rel").dataType == DoubleType &&
         sims.schema("sim").dataType == DoubleType
     }
+    // BOTH inputs are probed (round 13, ADVICE): `sims` is O(Σ per-query
+    // shortlist²) "both directions" — a shortlist under the row bound can
+    // still carry an unbounded sim table (1 k queries × 200 candidates ≈
+    // 40 M sim rows), and collecting it would OOM the driver where the
+    // distributed path handles it. Same limit+count probe shape as `short`.
     if (driverRowThreshold > 0 && integral &&
-        short.limit(driverRowThreshold.toInt + 1).count() <= driverRowThreshold)
+        short.limit(driverRowThreshold.toInt + 1).count() <= driverRowThreshold &&
+        sims.limit(driverRowThreshold.toInt + 1).count() <= driverRowThreshold)
       return selectDriver(short, sims, lambda, k, qCol, cCol, mCol)
     val wRel = Window.partitionBy(qCol).orderBy(col("rel").desc, col(cCol))
     var selected = short
@@ -107,10 +113,14 @@ object Mmr {
     val shortRows = short.select(col(qCol).cast("long"), col(cCol).cast("long"),
         col("rel")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // duplicate (q, c, m) sim rows merge with MAX — the distributed path
+    // aggregates max(sim) over ALL rows, and a plain toMap would keep the
+    // last row's value, diverging from the replay contract on inputs with
+    // duplicate sim entries (round 13, ADVICE)
     val simRows = sims.select(col(qCol).cast("long"), col(cCol).cast("long"),
         col(mCol).cast("long"), col("sim")).collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
-      .toMap
+      .groupMapReduce(_._1)(_._2)(math.max)
     val byQ = shortRows.groupBy(_._1)
     val out = Vector.newBuilder[(Long, Int, Long, Double, Double)]
     byQ.toSeq.foreach { case (q, cands) =>

@@ -93,7 +93,14 @@ object SetSimJoin {
         posexplode(slice(col("ord"), lit(1), col("p"))).as(Seq("pos0", "t")))
       .select(col("doc_id"), col("t.s").as("s"),
         (col("pos0") + 1).as("pos"), col("m"))
-    val eps = lit(1e-9)
+    // RELATIVE slack (round 13, ADVICE): a fixed 1e-9 is smaller than the
+    // double product's rounding error once set sizes reach ~1e7 (ulp of
+    // threshold·m at m ≈ 1e9 is ~1e-7), so at extreme document sizes a
+    // boundary true pair could be pruned before exact verification.
+    // 1e-12·(m_a+m_b) sits ~3 orders above the few-ulp error of these
+    // 2-3-op expressions at ANY magnitude while admitting at most
+    // integer-boundary candidates — the verify step keeps exactness.
+    val eps = lit(1e-9) + lit(1e-12) * (col("a.m") + col("b.m"))
     val cand = Components.cut(prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
           && least(col("a.m"), col("b.m"))

@@ -36,6 +36,16 @@ object Artifacts {
 
   private val Root = Paths.get("/tmp/graft_artifacts")
 
+  /** Wall seconds spent BUILDING each artifact in this JVM (key = the
+    * content-keyed dir name). Cache hits never enter; only actual builds.
+    * Bench reads this after the run so the recorded totals expose what
+    * the min-of-2 estimator hides: an artifact consumer's run 2 reads the
+    * warm copy, so its reported time excludes the build cost that run 1
+    * paid (round-12 verdict, "What's wrong" #1).
+    */
+  private[graft] val buildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
   /** Artifacts older than this are swept on first use per JVM — content
     * keys make reuse safe indefinitely; the bound only caps disk. */
   private val SweepAgeMs = 48L * 3600 * 1000
@@ -86,7 +96,10 @@ object Artifacts {
     val staging = Root.resolve(s"${name}__${version}__$fp.build.$pid")
     Files.createDirectories(Root)
     Scratch.deleteRecursively(staging) // a crashed earlier build of this pid
+    val t0 = System.nanoTime()
     build(staging.toString)
+    buildSecs.merge(target.getFileName.toString,
+      (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
     require(Files.exists(staging.resolve("_SUCCESS")),
       s"artifact builder for $name left no _SUCCESS at $staging")
     try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)

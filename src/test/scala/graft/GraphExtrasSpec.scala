@@ -178,6 +178,28 @@ class GraphExtrasSpec extends SparkSpec {
     assert(drv == dist, s"driver $drv\nvs distributed $dist")
   }
 
+  test("MMR duplicate sim rows merge with MAX on both paths") {
+    import spark.implicits._
+    // the distributed path aggregates max(sim) over duplicate (q, c, m)
+    // rows; the driver replay must do the same (round 13: a last-wins
+    // toMap diverged when the smaller sim arrived last). Duplicates below
+    // are ordered so last-wins picks 0.10 where max is 0.95 — with max,
+    // candidate 2 is heavily penalized at step 2 and candidate 3 wins.
+    val short = Seq((0L, 1L, 0.9), (0L, 2L, 0.85), (0L, 3L, 0.5))
+      .toDF("q_id", "n_id", "rel")
+    val sims = Seq(
+      (0L, 2L, 1L, 0.95), (0L, 2L, 1L, 0.10),
+      (0L, 3L, 1L, 0.20))
+      .toDF("q_id", "n_id", "m_id", "sim")
+    val drv = graft.operators.Mmr.select(short, sims, lambda = 0.5, k = 3)
+      .orderBy("step").collect().map(_.toSeq).toSeq
+    val dist = graft.operators.Mmr.select(short, sims, lambda = 0.5, k = 3,
+        driverRowThreshold = 0L)
+      .orderBy("step").collect().map(_.toSeq).toSeq
+    assert(drv == dist, s"driver $drv\nvs distributed $dist")
+    assert(drv.map(_(2)) == Seq(1L, 3L, 2L))
+  }
+
   test("clusteringCoefficient: triangle + pendant hand graph") {
     // K3 on {1,2,3} plus pendant edge 3-4 (fed with duplicate/reversed
     // edges to exercise normalization)
