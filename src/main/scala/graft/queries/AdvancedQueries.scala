@@ -671,8 +671,18 @@ object AdvancedQueries {
   private val q149 = GraftQuery(
     "q149_basket_rules",
     (s, dir) => {
+      // width pin (round 13, guide §2.5/§2.4): AQE's byte-based coalescing
+      // landed the basket build and the Σ|basket|² pair self-join on 1-4
+      // tasks (ProbeQueryJobs: 0.96 + 0.87 + 0.94 s jobs) — slim rows,
+      // dense compute. One hash exchange on l_orderkey at the base width:
+      // the brand dedup groups by (l_orderkey, p_brand) — a superset of
+      // the partition key, so no second exchange — and the checkpointed
+      // frame keeps that partitioning, so the self-join below reuses it
+      // on BOTH sides (zero join exchanges).
+      val width = s.sessionState.conf.defaultNumShufflePartitions
       val b = graft.operators.Components.cut(
         Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+          .repartition(width, col("l_orderkey"))
           .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey"), col("p_brand")).distinct(), None)

@@ -901,7 +901,13 @@ object CurationQueries {
     "q180_dsir_importance",
     (s, dir) => {
       val B = 256
-      val occ = Tables.documents(s, dir)
+      // widen the 500-row doc scan BEFORE the token explode (round 13,
+      // guide §2.5/§2.3): the tokenize + per-token md5/conv stage fused
+      // onto the single-file scan ran as ONE task (ProbeQueryJobs: 3.1 s
+      // cold / 0.7 s warm, 1 task) — fan the cheap doc rows out, not the
+      // exploded token stream
+      val occ = graft.Tables.widen(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")))
         .select(col("doc_id"), col("source"),
           (col("doc_id") % 13 === 0).as("is_t"),
           explode(TextFunctions.tokens(col("text"))).as("word"))
@@ -911,14 +917,18 @@ object CurationQueries {
       val dbc = graft.operators.Components.cut(
         occ.groupBy("doc_id", "source", "is_t", "bucket")
           .agg(count(lit(1)).as("n_db")), None)
-      val bt = dbc.filter(col("is_t")).groupBy("bucket")
-        .agg(sum("n_db").as("ct"))
-      val bs = dbc.filter(!col("is_t")).groupBy("bucket")
-        .agg(sum("n_db").as("cs"))
-      val nt = bt.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
-      val ns = bs.agg(coalesce(sum("cs"), lit(0L)).as("ns"))
-      val lr = bt.join(bs, Seq("bucket"), "full_outer")
-        .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
+      // one ≤256-row bucket table instead of separate target/pool frames
+      // (round 13, §1.2): bt/bs/nt/ns each launched their own broadcast
+      // job over dbc — the conditional sums land identical values
+      // (missing side = 0, exactly the old full_outer + coalesce(·, 0))
+      // in ONE aggregate, and both totals ride one more
+      val bucketTab = dbc.groupBy("bucket").agg(
+        sum(when(col("is_t"), col("n_db")).otherwise(0L)).as("ct"),
+        sum(when(!col("is_t"), col("n_db")).otherwise(0L)).as("cs"))
+      val tot = bucketTab.agg(
+        coalesce(sum("ct"), lit(0L)).as("nt"),
+        coalesce(sum("cs"), lit(0L)).as("ns"))
+      val lr = bucketTab.crossJoin(broadcast(tot))
         .select(col("bucket"),
           round(log(
             ((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0))

@@ -1165,11 +1165,15 @@ object DedupQueries {
         .select(col("p_partkey"), col("p_name"), col("p_brand"),
           col("p_type"), col("p_size"),
           element_at(split(col("p_name"), " "), -1).as("blk"))
-      val p = p0.join(
-        p0.groupBy("blk", "p_brand").agg(count(lit(1)).as("bsz")),
-        Seq("blk", "p_brand"))
-        .filter(col("bsz") <= FsMaxBlock)
-        .drop("bsz")
+      // materialized once (round 13, §1.2): both renamed join sides below
+      // derive from p — uncut, each replayed the scan + block-size
+      // aggregate + join (ProbeQueryJobs: two of the six jobs)
+      val p = graft.operators.Components.cut(
+        p0.join(
+          p0.groupBy("blk", "p_brand").agg(count(lit(1)).as("bsz")),
+          Seq("blk", "p_brand"))
+          .filter(col("bsz") <= FsMaxBlock)
+          .drop("bsz"), None)
       // the block join's per-pair Levenshtein is compute-dense on slim
       // bytes — AQE's byte-based coalescing lands every pair on one task
       // (measured: a 2.4 s single-task job). Pin both sides to the base
