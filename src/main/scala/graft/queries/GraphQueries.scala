@@ -1681,48 +1681,16 @@ object GraphQueries {
   private val BeamHops = 6
   private val q253 = GraftQuery(
     "q253_beam_ann_search",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, dir)
-      val e = knnEdges(s, dir)
-      val queries = broadcast(
-        emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
-      val corpus = emb.select(col("vec_id").as("node"), col("embedding").as("ne"))
-      val entry = emb.agg(min(col("vec_id")).as("node"))
+    (s, dir) =>
       // the query's OWN node may ride the beam (it routes the search into
       // its knn neighborhood — for q_id = entry it IS the start); only the
-      // final output excludes it, matching q22's knn semantics
-      def score(cand: org.apache.spark.sql.DataFrame) = cand
-        .join(queries, "q_id")
-        .join(corpus, "node")
-        .select(col("q_id"), col("node"),
-          round(graft.functions.Similarity.cosine(col("qe"), col("ne")), 12).as("cos"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("node"))
-      def top(scored: org.apache.spark.sql.DataFrame, k: Int) = scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .select("q_id", "node", "cos")
-      // cut per hop: the beam is ≤ queries × width rows, but uncut its
-      // lineage nests every previous hop's joins and windows — hop 6
-      // would optimize and execute a 6-deep plan re-scanning the corpus
-      var beam = graft.operators.Components.cut(top(score(
-        queries.select("q_id").crossJoin(broadcast(entry))), BeamWidth), None)
-      for (_ <- 1 to BeamHops) {
-        val expand = beam.select("q_id", "node")
-          .union(
-            beam.join(e, col("node") === col("src"))
-              .select(col("q_id"), col("dst").as("node")))
-          .distinct()
-        beam = graft.operators.Components.cut(top(score(expand), BeamWidth), None)
-      }
-      beam.filter(col("node") =!= col("q_id"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank").cast("int").as("rank"),
-          col("node").as("n_id"), col("cos"))
-        .orderBy("q_id", "rank")
-    },
+      // final output excludes it, matching q22's knn semantics. Adaptive
+      // distributed-vs-replay routing and the hop recurrence live in
+      // [[graft.operators.BeamAnn]] (round 13 — both routes pinned
+      // output-identical in BeamAnnSpec).
+      graft.operators.BeamAnn.searchTopK(
+        Tables.embeddings(s, dir), knnEdges(s, dir),
+        maxQueryId = 10, width = BeamWidth, hops = BeamHops, k = 3),
     Some {
       val cos = SimilarityQueries.cosSql("q.qe", "emb.embedding")
       val sb = new StringBuilder(s"""WITH ${knnEdgesSql},
