@@ -59,13 +59,14 @@ object ProbeStreamScale {
         val scratch = queries.Scratch.tempDir("graft_probe_stage_")
         val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 100 * 60 * 1000L)
         val tB0 = System.nanoTime()
+        // sentinel folded into the data batch — mirrors sessionAggAppend
         val (staged, dataParts) = streaming.StreamOps.stageOrderedParts(
           scratch, Seq(
-            (events, "000_data", streaming.StreamOps.stagingParts(nEvents)),
-            (events.sparkSession.createDataFrame(
+            (events.unionByName(events.sparkSession.createDataFrame(
               java.util.List.of(
                 org.apache.spark.sql.Row(Long.MinValue, sentinelTs, 0.0)),
-              events.schema), "001_sentinel", 1)))
+              events.schema)),
+              "000_data", streaming.StreamOps.stagingParts(nEvents))))
         val tB = (System.nanoTime() - tB0) / 1e9
         val tC0 = System.nanoTime()
         val out = streaming.StreamOps.runAvailableNow(

@@ -117,14 +117,19 @@ object StreamOps {
     * one-shot Append drain holds back every session inside the final
     * watermark horizon (here: the corpus's last 1.5 h of sessions), and
     * those sessions are real. The standard production move is a
-    * watermark-advancing sentinel: stage the data, then a single
-    * out-of-band event stamped past max(ts) + horizon + gap, processed as
-    * its own micro-batch (`maxFilesPerTrigger = 1`, file source takes
-    * oldest-first). The sentinel batch advances the watermark beyond every
-    * real session's end, the trailing no-data batch (Spark's
-    * `noDataMicroBatches`, on by default) flushes them to the sink, and
-    * the only row still held back is the sentinel's own open session,
-    * excluded by its reserved user id.
+    * watermark-advancing sentinel: a single out-of-band event stamped past
+    * max(ts) + horizon + gap. The sentinel rides IN the data micro-batch
+    * (round 13 — it was previously staged as its own batch, a third
+    * ~0.6 s stateful batch + planning gap per drain): the first batch
+    * runs at watermark 0 so nothing is late-dropped, the post-batch
+    * watermark maxes over ALL batch rows = sentinel − horizon, past every
+    * real session's end, and the trailing no-data batch (Spark's
+    * `noDataMicroBatches`, on by default) flushes them to the sink. The
+    * only row still held back is the sentinel's own open session,
+    * excluded by its reserved user id; the emitted row SET is identical
+    * to the three-batch staging (sessions key on user, so the reserved
+    * user can never merge with a real one) — StreamingSpec pins
+    * Append == Complete.
     *
     * `events` is the BATCH frame (user_id, ts, value); max(ts) is read
     * from it to stamp the sentinel — a deployment draining a live topic
@@ -154,11 +159,11 @@ object StreamOps {
     // past max end (= max ts + 30 min gap) + 1 h watermark horizon
     val sentinelTs = new java.sql.Timestamp(
       maxTs.getTime + (90 + 10) * 60 * 1000L)
+    val sentinel = data.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(sentinelUser, sentinelTs, 0.0)),
+      data.schema)
     val (staged, dataParts) = stageOrderedParts(scratchDir, Seq(
-      (data, "000_data", stagingParts(nRows)),
-      (data.sparkSession.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(sentinelUser, sentinelTs, 0.0)),
-        data.schema), "001_sentinel", 1)))
+      (data.unionByName(sentinel), "000_data", stagingParts(nRows))))
     runAvailableNow(
       spark,
       s2 => sessionAgg(s2.readStream
@@ -439,13 +444,18 @@ object StreamOps {
     * A naive AvailableNow run would hold back every unmatched purchase:
     * null rows flush only when the watermark passes their window, and with
     * all data in one batch the final watermark stops an hour short. So the
-    * sessionAggAppend sentinel pattern, on BOTH sides: stage the events as
-    * one micro-batch, then a sentinel batch carrying a far-future click
+    * sessionAggAppend sentinel pattern, on BOTH sides: a far-future click
     * AND purchase under a reserved user (the global watermark is the MIN
-    * across both branches, so each needs its own advance), then Spark's
-    * trailing no-data batch null-flushes every real unmatched purchase.
-    * The sentinel purchase itself stays inside the final horizon (held in
-    * state, never emitted) and is excluded by its reserved user anyway.
+    * across both branches, so each needs its own advance) ride IN the data
+    * micro-batch (round 13 — previously their own batch; the first batch
+    * runs at watermark 0, so folding them in drops one stateful batch +
+    * planning gap per drain without changing the emitted set: matches
+    * emit in the data batch either way — the reserved user can never pair
+    * with a real one — and Spark's trailing no-data batch null-flushes
+    * every real unmatched purchase once the sentinel-advanced watermark
+    * clears its window). The sentinel purchase itself stays inside the
+    * final horizon (held in state, never emitted) and is excluded by its
+    * reserved user anyway.
     *
     * `events` is the BATCH frame (event_id, user_id, event_type, ts).
     */
@@ -465,13 +475,13 @@ object StreamOps {
     // past the 1 h join window + the 1 h watermark delay on both sides
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
     // parallel staging + count-sized state store: see sessionAggAppend
+    val sentinels = data.sparkSession.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(-1L, sentinelUser, "click", sentinelTs),
+        org.apache.spark.sql.Row(-2L, sentinelUser, "purchase", sentinelTs)),
+      data.schema)
     val (staged, dataParts) = stageOrderedParts(scratchDir, Seq(
-      (data, "000_data", stagingParts(nRows)),
-      (data.sparkSession.createDataFrame(
-        java.util.List.of(
-          org.apache.spark.sql.Row(-1L, sentinelUser, "click", sentinelTs),
-          org.apache.spark.sql.Row(-2L, sentinelUser, "purchase", sentinelTs)),
-        data.schema), "001_sentinel", 1)))
+      (data.unionByName(sentinels), "000_data", stagingParts(nRows))))
     runAvailableNow(
       spark,
       s2 => {
