@@ -22,9 +22,12 @@ object ProbeQueryJobs {
     final case class J(id: Int, start: Long, var end: Long, desc: String, tasks: Int)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
     override def onJobStart(js: SparkListenerJobStart): Unit = {
-      // the job's callsite (e.g. "count at Components.scala:69") attributes
-      // it to the operator that submitted it — the whole point of the probe
-      val site = js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')).getOrElse("")
+      // the job's description (guide §1.5 labels) when set, else the
+      // callsite (e.g. "count at Components.scala:69") — attributes it to
+      // the operator that submitted it, the whole point of the probe
+      val site = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.description")))
+        .getOrElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')).getOrElse(""))
       jobs.put(js.jobId, J(js.jobId, js.time, -1L, site,
         js.stageInfos.map(_.numTasks).sum))
     }

@@ -88,7 +88,13 @@ final case class Medallion(root: String) {
 
     // T3+T4 — fact projection: drop denormalized merchant/counterparty
     // attribute columns, keep FKs, widen amount to double, stamp inserted_at.
-    val fact = Dedup.firstWriterWins(bronze, Seq("id"), order)
+    // No per-id dedup here (round 13, guide §2.4 — a distinct on already-
+    // unique data is a wasted exchange): BOTH bronze load paths enforce id
+    // uniqueness (loadBronzeTransactions appends only absent keys after an
+    // in-batch first-writer pick; runAtomicBatches is one keyed
+    // first-writer window), so the fact is a pure projection that fuses
+    // onto the bronze scan.
+    val fact = bronze
       .select(
         col("id"), col("description"),
         col("amount").cast("double").as("amount"),
@@ -105,10 +111,13 @@ final case class Medallion(root: String) {
     // concurrently (guide §2.6 — the scheduler back-fills each job's tail
     // with the next job's tasks; sequential submission left the cluster
     // idle across three write barriers)
-    Medallion.inParallel(Seq(
-      () => counterparties.write.mode(SaveMode.Overwrite).parquet(silverCounterparties),
-      () => merchants.write.mode(SaveMode.Overwrite).parquet(silverMerchants),
-      () => fact.write.mode(SaveMode.Overwrite).parquet(silverTx)))
+    Medallion.inParallelNamed(Seq(
+      ("medallion: silver counterparties",
+        () => counterparties.write.mode(SaveMode.Overwrite).parquet(silverCounterparties)),
+      ("medallion: silver merchants",
+        () => merchants.write.mode(SaveMode.Overwrite).parquet(silverMerchants)),
+      ("medallion: silver fact",
+        () => fact.write.mode(SaveMode.Overwrite).parquet(silverTx))))
   }
 
   /** G1 — gold monthly spending mart (spend = negative amounts, stored as
@@ -178,17 +187,25 @@ final case class Medallion(root: String) {
     val stage = Medallion(s"$root/v$next")
     val curM = cur.map { case (_, dir) => Medallion(dir) }
 
-    // L1 against the COMMITTED bronze: fold each batch's insert-if-absent
-    // into the staged frame, land once
-    var bronze = curM.map(m => spark.read.parquet(m.bronzeTx))
+    // L1 against the COMMITTED bronze, as ONE first-writer pass (round 13,
+    // guide §2.4): the iterative fold ran an anti-join + window PER BATCH
+    // with the staged frame's lineage nesting every earlier batch. Keyed
+    // first-writer-wins over (batch index, created, id) — committed rows
+    // as batch 0 — picks exactly the same survivor per id: the committed
+    // row if the key exists (ids are unique in a committed bronze, which
+    // this same pass enforces), else the earliest batch's in-batch winner.
+    // One window, one exchange, regardless of batch count.
+    val committed = curM.map(m => spark.read.parquet(m.bronzeTx))
       .getOrElse(batches.head._1.withColumn("date_retrieved", batches.head._2).limit(0))
-    batches.foreach { case (df, clk) =>
-      val stamped = df.withColumn("date_retrieved", clk)
-      val fresh = Dedup.firstWriterWins(
-        Dedup.insertIfAbsent(stamped, bronze, Seq("id")),
-        Seq("id"), Seq(col("created").asc_nulls_last, col("id").asc))
-      bronze = bronze.unionByName(fresh)
-    }
+    val bronze = Dedup.firstWriterWins(
+      batches.zipWithIndex.foldLeft(committed.withColumn("__batch", lit(0))) {
+        case (acc, ((df, clk), i)) =>
+          acc.unionByName(df.withColumn("date_retrieved", clk)
+            .withColumn("__batch", lit(i + 1)))
+      },
+      Seq("id"),
+      Seq(col("__batch").asc, col("created").asc_nulls_last, col("id").asc))
+      .drop("__batch")
     // L2/L3 snapshots: committed history ∪ this run's stamped snapshot
     def stageSnapshot(df: DataFrame, prev: Option[String], path: String): Unit = {
       val snap = df.withColumn("date_retrieved", snapClock)
@@ -198,10 +215,13 @@ final case class Medallion(root: String) {
     // bronze + the two snapshots touch disjoint staged paths and disjoint
     // inputs — stage them concurrently (guide §2.6); silver then reads the
     // landed bronze as before
-    Medallion.inParallel(Seq(
-      () => bronze.write.mode(SaveMode.Overwrite).parquet(stage.bronzeTx),
-      () => stageSnapshot(balance, curM.map(_.bronzeBalance), stage.bronzeBalance),
-      () => stageSnapshot(pots, curM.map(_.bronzePots), stage.bronzePots)))
+    Medallion.inParallelNamed(Seq(
+      ("medallion: stage bronze",
+        () => bronze.write.mode(SaveMode.Overwrite).parquet(stage.bronzeTx)),
+      ("medallion: stage balance snapshot",
+        () => stageSnapshot(balance, curM.map(_.bronzeBalance), stage.bronzeBalance)),
+      ("medallion: stage pots snapshot",
+        () => stageSnapshot(pots, curM.map(_.bronzePots), stage.bronzePots))))
 
     stage.transformSilver(spark)
     afterSilver() // crash-injection seam: silver staged, gold not yet
@@ -220,11 +240,23 @@ object Medallion {
     * layer writes cost ~max instead of ~sum. Rethrows the first failure
     * after all tasks settle (no partially-abandoned staging writes).
     */
-  private[pipeline] def inParallel(tasks: Seq[() => Unit]): Unit = {
+  private[pipeline] def inParallel(tasks: Seq[() => Unit]): Unit =
+    inParallelNamed(tasks.zipWithIndex.map { case (t, i) => (s"medallion-$i", t) })
+
+  /** [[inParallel]] with a per-task job description (guide §1.5): job
+    * descriptions are thread-local, so each concurrent write is labelled
+    * correctly in the UI / ProbeQueryJobs.
+    */
+  private[pipeline] def inParallelNamed(tasks: Seq[(String, () => Unit)]): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
     try {
-      val futs = tasks.map(t =>
-        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = t() }))
+      val futs = tasks.map { case (name, t) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = {
+          val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+          sc.setJobDescription(name)
+          try t() finally sc.setJobDescription(null)
+        } })
+      }
       var failure: Option[Throwable] = None
       futs.foreach { f =>
         try f.get()

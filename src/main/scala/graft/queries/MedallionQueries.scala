@@ -69,17 +69,18 @@ object MedallionQueries {
     // leaked a full medallion tree under /tmp per q44 run
     val root = Scratch.tempDir("graft_medallion_")
     val m = Medallion(root)
-    // materialize the orders⋈customer fixture once (an extra slice key
-    // rides along so batch 1 can filter WITHOUT re-running the join);
-    // eager localCheckpoint, so the two batch loads share the result
-    // (round 12: widening this fixture to the base shuffle width was
-    // measured WORSE — 4.1 → 5.3 s — the pipeline is bound by its many
-    // small-file write/read barriers, not by per-row compute; narrow
-    // stages keep each write a single buffered file)
+    // the orders⋈customer fixture, shared by both batch slices (an extra
+    // slice key rides along so batch 1 can filter WITHOUT re-running the
+    // join). Round 13: the eager localCheckpoint here was DROPPED — since
+    // the bronze fold became one first-writer window over the unioned
+    // batches, both slices fuse into the single stage-bronze write job,
+    // and recomputing the broadcast join there is cheaper than a separate
+    // 0.35 s materialization job (the pipeline is bound by per-job fixed
+    // cost, not per-row compute; round 12 measured widening this fixture
+    // WORSE, 4.1 → 5.3 s, for the same reason).
     val base = fixtureBatch(s, dir, lit(true))
       .withColumn("__okey",
         substring(col("id"), 4, 9).cast("long")) // tx_%09d ⇒ o_orderkey
-      .localCheckpoint()
     // the reference's single-commit semantics: both pages fold into ONE
     // staged version (bronze+silver+gold land together, Medallion
     // .runAtomicBatches), and the queries read the COMMITTED view — the
