@@ -73,33 +73,53 @@ object Boruvka {
     }
     if (driverEdgeThreshold > 0 && nE <= driverEdgeThreshold && integralIds)
       return forestCensusDriver(e, rounds, jumps)
-    val nodes = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node"))).distinct()
-    var comp = nodes.select(col("node"), col("node").as("comp"))
+    // Round 13 (guide §2.2/§2.4 — VERDICT item 7): the rounds carry the
+    // CONTRACTED cross-edge frame (w, a, b, ca, cb) instead of a
+    // node→comp map. The old shape re-joined the FULL edge list against
+    // node-sized comp twice per round, relabeled the node map once more,
+    // and propagated labels over ALL component ids; now
+    //  - candidate selection reads eR's own label columns (no join),
+    //  - the `jumps` min-label hops run over the ACTIVE components only
+    //    (the nodes of the selected forest, ≤ 2·|sel| — every inactive
+    //    component's label is provably the identity through every hop),
+    //  - the relabel joins touch the shrinking cross-edge set (edges the
+    //    contraction internalized drop out),
+    //  - no node-sized state exists after the one-time n₀ count, and
+    //  - n_components is pure bookkeeping: n₀ − Σ per-round merges, where
+    //    a round merges |active| − |distinct active labels| components
+    //    (active label images are always active ids, so they can never
+    //    collide with an inactive component's identity label).
+    // An edge's (ca, cb) after r rounds equals lab_r(…lab_1(a)…) —
+    // exactly the old comp-join labels — so selection, contraction and
+    // census see identical inputs (differential-pinned vs the driver
+    // replay in Round10OpsSpec, incl. a forced-distributed run).
+    var nComp = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct().count()
+    var eR = Components.cut(
+      e.select(col("w"), col("a"), col("b"),
+        col("a").as("ca"), col("b").as("cb"))
+        .filter(col("ca") =!= col("cb")), None)
     val censuses = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
-      val cross = e
-        .join(comp.select(col("node").as("a"), col("comp").as("ca")), Seq("a"))
-        .join(comp.select(col("node").as("b"), col("comp").as("cb")), Seq("b"))
-        .filter(col("ca") =!= col("cb"))
-      val cand = cross.select(col("ca").as("c"), col("w"), col("a"), col("b"),
+      val cand = eR.select(col("ca").as("c"), col("w"), col("a"), col("b"),
           col("ca"), col("cb"))
-        .union(cross.select(col("cb").as("c"), col("w"), col("a"), col("b"),
+        .union(eR.select(col("cb").as("c"), col("w"), col("a"), col("b"),
           col("ca"), col("cb")))
       // materialized per round: the selection feeds the contraction's
       // `jumps` label joins AND the census aggregate — uncut, each consumer
-      // replays the cross join + window
+      // replays the per-component window
       val sel = Components.cut(cand
         .withColumn("rn", row_number().over(
           Window.partitionBy("c").orderBy(col("w"), col("a"), col("b"))))
         .filter(col("rn") === 1)
         .select("w", "a", "b", "ca", "cb")
         .distinct(), None)
-      // contract along the selected forest: min-label propagation, exactly
-      // `jumps` hops (partial contraction is allowed — see scaladoc)
+      // contract along the selected forest: min-label propagation over the
+      // ACTIVE component ids, exactly `jumps` hops (partial contraction is
+      // allowed — see scaladoc)
       val cg = sel.select(col("ca").as("x"), col("cb").as("y"))
         .union(sel.select(col("cb").as("x"), col("ca").as("y")))
-      var lab = comp.select(col("comp").as("c")).distinct()
+      var lab = cg.select(col("x").as("c")).distinct()
         .select(col("c"), col("c").as("lab"))
       for (_ <- 1 to jumps) {
         // the Components.propagate shape: neighbor-min as its own
@@ -113,17 +133,30 @@ object Boruvka {
           .select(col("c"),
             least(col("lab"), coalesce(col("mn"), col("lab"))).as("lab"))
       }
-      comp = Components.cut(
-        comp.join(lab, col("comp") === col("c"))
-          .select(col("node"), col("lab").as("comp")), None)
-      val nComp = comp.agg(countDistinct(col("comp")).as("n_components"))
+      // materialize the jumps chain ONCE (three consumers: the merge
+      // census and both relabel sides); its cut count IS |active|, and
+      // the label-image size is one tiny scan of the checkpointed frame
+      val (labCut, nActive) = Components.cutCounted(lab, None)
+      lab = labCut
+      nComp -= nActive -
+        lab.agg(countDistinct(col("lab"))).head().getLong(0)
+      // relabel the cross edges along the contraction and drop the edges
+      // it internalized. Every eR endpoint component is active (it
+      // selected an edge, and that edge's sel row carries it), so the
+      // left join + coalesce is identity-safe belt and braces.
+      eR = Components.cut(
+        eR.join(lab.select(col("c").as("ca"), col("lab").as("la")), Seq("ca"), "left")
+          .join(lab.select(col("c").as("cb"), col("lab").as("lb")), Seq("cb"), "left")
+          .select(col("w"), col("a"), col("b"),
+            coalesce(col("la"), col("ca")).as("ca"),
+            coalesce(col("lb"), col("cb")).as("cb"))
+          .filter(col("ca") =!= col("cb")), None)
       censuses += sel.agg(
           count(lit(1)).as("n_selected"),
           coalesce(sum(col("w").cast(dec6)), lit(0).cast(dec6)).as("w_sum"))
-        .crossJoin(broadcast(nComp))
         .select(lit(r).as("round"), col("n_selected"),
           round(col("w_sum").cast("double"), 6).as("round_weight"),
-          col("n_components"))
+          lit(nComp).as("n_components"))
     }
     censuses.reduce(_.union(_)).orderBy("round")
   }
