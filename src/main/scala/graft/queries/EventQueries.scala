@@ -229,7 +229,9 @@ object EventQueries {
             src.filter(col("event_type") === "click"))
         },
         "q46_sink", org.apache.spark.sql.streaming.OutputMode.Append(),
-        statePartitions = 8)
+        // inner-join matches emit while their batch is processed; no
+        // watermark-advance flush needed (see runAvailableNow)
+        statePartitions = 8, finalNoDataBatch = false)
       out.orderBy("purchase_id", "click_id")
     },
     Some("""SELECT p.event_id AS purchase_id, p.user_id,
@@ -261,7 +263,8 @@ object EventQueries {
           Seq("user_id", "event_type"), "1 hour")
           .select("user_id", "event_type"),
         "q56_sink", org.apache.spark.sql.streaming.OutputMode.Append(),
-        statePartitions = 8)
+        // first-seen rows emit in-batch; the dedup state needs no flush
+        statePartitions = 8, finalNoDataBatch = false)
       out.orderBy("user_id", "event_type")
     },
     Some("""SELECT DISTINCT user_id, event_type FROM events
@@ -293,6 +296,9 @@ object EventQueries {
             .select(col("event_id"), col("event_type"),
               round(col("value") * coalesce(col("weight"), lit(0.0)), 12).as("weighted"))
         },
+        // stateless pass-through: no state store, no watermark — Spark
+        // never schedules a trailing no-data batch here, so the flag (and
+        // its session clone) would buy nothing (A/B: 1.10 vs 1.09 s)
         "q88_sink", org.apache.spark.sql.streaming.OutputMode.Append())
       out.orderBy("event_id")
     },
@@ -355,7 +361,9 @@ object EventQueries {
         s,
         s2 => StreamOps.userRunningTotals(s2, StreamOps.eventsStream(s2, dir)).toDF(),
         "q81_sink", org.apache.spark.sql.streaming.OutputMode.Update(),
-        statePartitions = 8)
+        // Update mode emits per processed batch; a trailing no-data batch
+        // could only re-emit identical totals (state is untouched by it)
+        statePartitions = 8, finalNoDataBatch = false)
       StreamOps.finalUserTotals(out).orderBy("user_id")
     },
     Some("""SELECT user_id, count(*) AS n_events,
@@ -563,7 +571,9 @@ object EventQueries {
       import graft.streaming.StreamOps
       val out = StreamOps.runAvailableNow(
         s, s2 => StreamOps.sessionAgg(StreamOps.eventsStream(s2, dir)),
-        "q97_sink", statePartitions = 8)
+        // Complete mode rewrites the whole table per batch; the trailing
+        // no-data batch would rewrite the same content
+        "q97_sink", statePartitions = 8, finalNoDataBatch = false)
       out.orderBy("user_id", "session_start")
     },
     Some(sessionOracleSql))
@@ -1382,7 +1392,8 @@ object EventQueries {
         s,
         s2 => StreamOps.userGapAnomalies(s2, StreamOps.eventsStream(s2, dir)).toDF(),
         "q237_sink", org.apache.spark.sql.streaming.OutputMode.Append(),
-        statePartitions = 8)
+        // flatMapGroupsWithState(NoTimeout) emits only on processed input
+        statePartitions = 8, finalNoDataBatch = false)
         .orderBy("user_id", "ts")
     },
     Some("""WITH e AS (

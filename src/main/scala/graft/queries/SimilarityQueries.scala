@@ -1245,8 +1245,13 @@ object SimilarityQueries {
       // j-term least-reduce over all selected centers bit-for-bit, while
       // the per-round plan/codegen stays O(1) instead of O(j)
       var selectedIds = List(seed._1)
+      // widen before the FIRST cut (round 13, §2.5): the single-file scan
+      // checkpointed at 1 partition, so every round's decimal-dot fold ran
+      // as ONE ~260 ms task (ProbeQueryJobs: 7 serial single-task jobs);
+      // the checkpoint keeps the widened layout for all later rounds
       var state = graft.operators.Components.cut(
-        emb.select(col("vec_id"), col("embedding"), dTo(seed._2).as("dist")), None)
+        graft.Tables.widen(emb.select(col("vec_id"), col("embedding")))
+          .select(col("vec_id"), col("embedding"), dTo(seed._2).as("dist")), None)
       for (j <- 1 until KcRounds) {
         val next = state
           .filter(!col("vec_id").isin(selectedIds: _*))

@@ -542,11 +542,25 @@ object StreamOps {
   def runAvailableNow(
       spark: SparkSession, build: SparkSession => DataFrame, namePrefix: String,
       mode: OutputMode = OutputMode.Complete(),
-      statePartitions: Int = 0): DataFrame = {
+      statePartitions: Int = 0,
+      finalNoDataBatch: Boolean = true): DataFrame = {
     val name = s"${namePrefix}_${sinkCounter.incrementAndGet()}"
-    val scoped = if (statePartitions > 0) {
+    val scoped = if (statePartitions > 0 || !finalNoDataBatch) {
       val s2 = spark.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      if (statePartitions > 0)
+        s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      // `finalNoDataBatch = false` skips the trailing no-data micro-batch
+      // (round 13): for drains whose every output row is emitted while its
+      // batch is PROCESSED — inner stream-stream joins, dedup, Update-mode
+      // state emissions, Complete-mode rewrites, stateless enrichment —
+      // the trailing batch only evicts state the AvailableNow termination
+      // is about to discard anyway, at one full state-store load/commit
+      // cycle per drain. Drains that emit ON WATERMARK ADVANCE (the
+      // Append-mode sentinel flushes: sessionAggAppend,
+      // clickPurchaseOuterDrain) MUST keep it — their last rows flush in
+      // exactly that batch.
+      if (!finalNoDataBatch)
+        s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       s2
     } else spark
     val q = build(scoped).writeStream
