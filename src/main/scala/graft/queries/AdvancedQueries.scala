@@ -250,29 +250,31 @@ object AdvancedQueries {
     GraftQuery(
       "q60_table_profile",
       (s, dir) => {
-        val aggs = count(lit(1)).as("n_rows") +: profiled.flatMap(c => Seq(
-          count(col(c)).as(s"nn_$c"),
-          countDistinct(col(c)).as(s"nd_$c")) ++ (
-          if (numeric.contains(c))
-            Seq(min(col(c).cast("double")).as(s"mn_$c"),
-              max(col(c).cast("double")).as(s"mx_$c"))
-          else Seq.empty))
-        val stackRows = profiled.map { c =>
+        // one branch per profiled column instead of one 6-distinct
+        // aggregate (round 13, guide §2.3): the multi-countDistinct form
+        // rode Spark's Expand rewrite — 600 k rows ×13 through the map
+        // stage (the single most expensive stage of the round-12 bench's
+        // q60, 1.2 + 1.4 s Expand agg jobs even widened). A SINGLE
+        // distinct aggregate per branch uses the two-phase partial-
+        // distinct rewrite with no Expand, each branch scans ONE column
+        // (parquet-pruned), and the six branches execute as concurrent
+        // stages under the union. Exact integer counts and exact min/max
+        // doubles, so the stacked output is bit-identical.
+        val branches = profiled.map { c =>
           val (mn, mx) =
-            if (numeric.contains(c)) (s"mn_$c", s"mx_$c")
-            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
-          s"'$c', n_rows - nn_$c, nd_$c, $mn, $mx"
+            if (numeric.contains(c))
+              (min(col(c).cast("double")), max(col(c).cast("double")))
+            else (lit(null).cast("double"), lit(null).cast("double"))
+          graft.Tables.widen(Tables.lineitem(s, dir).select(col(c)))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              (count(lit(1)) - count(col(c))).as("n_nulls"),
+              countDistinct(col(c)).as("n_distinct"),
+              mn.as("min_d"), mx.as("max_d"))
+            .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+              col("n_distinct"), col("min_d"), col("max_d"))
         }
-        // fan out the 1-task scan: the 6-way exact-NDV Expand multiplies
-        // 600 k rows ×13 in the map stage (compute-dense; see Tables.widen)
-        graft.Tables.widen(Tables.lineitem(s, dir)
-            .select((numeric ++ strings).map(col): _*))
-          .agg(aggs.head, aggs.tail: _*)
-          .selectExpr("n_rows",
-            s"""stack(${profiled.size}, ${stackRows.mkString(", ")})
-                AS (col_name, n_nulls, n_distinct, min_d, max_d)""")
-          .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_d", "max_d")
-          .orderBy("col_name")
+        branches.reduce(_.unionByName(_)).orderBy("col_name")
       },
       Some(profiled.map { c =>
         val (mn, mx) =
